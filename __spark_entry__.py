@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship semantic-search pipeline at sf0.001.
+``queries()`` / ``oracle_sql()`` — the declared operator workload from
+``graphrag_toolkit_spark.workload`` (one entry per implemented operator from
+SURVEY.md §2), checked against DuckDB at sf0.01 by the driver.
 """
 
 from __future__ import annotations
@@ -13,26 +12,40 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: VSS top-k with diversity re-sampling (SURVEY V1+V3) joined to
+    source documents — the retrieval core's seed stage, end-to-end."""
+    from graphrag_toolkit_spark.operators.vss import top_k_with_diversity
+    from graphrag_toolkit_spark.session import load
+
+    emb = load(spark, SF0001, "embeddings")
+    docs = load(spark, SF0001, "documents")
+    # Deterministic query vector: the embedding of vec_id 0.
+    qvec = emb.filter("vec_id = 0").select("embedding").head()[0]
+    hits = top_k_with_diversity(
+        emb,
+        query_vector=qvec,
+        id_col="vec_id",
+        vec_col="embedding",
+        group_col="label",
+        top_k=10,
+        diversity_factor=5,
+    )
+    return hits.join(docs, hits.vec_id == docs.doc_id).select(
+        "vec_id", "score", "label", "lang", "source", "n_chars"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from graphrag_toolkit_spark.workload import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from graphrag_toolkit_spark.workload import all_oracles
+
+    return all_oracles()

@@ -1,0 +1,46 @@
+"""Vector math as native Spark SQL higher-order functions (SURVEY.md §2.5).
+
+Parity target: the reference's in-memory cosine top-k
+(``retrieval/utils/statement_utils.py:15-95``) and the vector-store kNN scans
+(OpenSearch/pgvector). Here similarity is a *column expression* — JVM-side,
+codegen-compiled, no UDF — so a brute-force top-k is a single scan + sort, and
+the same expression serves as the exact-scoring leg of the ANN operators.
+
+Precision discipline: elements are cast to double *before* multiply/accumulate
+and folded left-to-right, which matches an unnest-and-sum oracle in DuckDB
+bit-for-bit (both engines then perform the identical IEEE double sequence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _to_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i * b_i with double accumulation, sequential order."""
+    products = F.zip_with(_to_double(a), _to_double(b), lambda x, y: x * y)
+    return F.aggregate(products, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(a: Column) -> Column:
+    ad = _to_double(a)
+    sq = F.aggregate(
+        F.zip_with(ad, ad, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    return F.sqrt(sq)
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """dot / (|a| |b|); NaN-safe only insofar as inputs are non-zero vectors
+    (fixture embeddings are unit-norm, prod embeddings are model outputs)."""
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def unit_normalize(a: Column) -> Column:
+    n = l2_norm(a)
+    return F.transform(_to_double(a), lambda x: x / n)

@@ -1,0 +1,65 @@
+"""Content-addressed id generation.
+
+Parity target: the reference mints deterministic MD5-based ids so re-ingestion
+is idempotent and identical facts dedup across sources (reference:
+``lexical-graph/src/graphrag_toolkit/lexical_graph/indexing/id_generator.py:65-152``
+and ``indexing/utils/hash_utils.py:6``). We reproduce the same *shape* —
+``<scope>::<md5 prefix>`` built from content alone — as native Spark column
+expressions so id minting is JVM-side and vectorized (no Python UDF).
+
+Id shapes:
+- source id:   ``aws::<md5(text)[:8]>:<md5(metadata_str)[:4]>``
+- chunk id:    ``<source_id>:<md5(text || metadata_str)[:8]>``
+- node id:     ``<md5(type :: v1 :: v2)[:8]>`` (topic/statement/fact/entity)
+
+All helpers take/return ``pyspark.sql.Column``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Separator used when hashing multiple values into one id. Mirrors the
+# reference's use of a fixed joiner so (a, bc) and (ab, c) hash differently.
+_SEP = "::"
+
+
+def _md5_prefix(col: Column, n: int) -> Column:
+    return F.substring(F.md5(col), 1, n)
+
+
+def source_id(text: Column, metadata_str: Column) -> Column:
+    """aws::<md5(text)[:8]>:<md5(meta)[:4]> (idempotent per content+metadata)."""
+    return F.concat(
+        F.lit("aws::"),
+        _md5_prefix(text, 8),
+        F.lit(":"),
+        _md5_prefix(metadata_str, 4),
+    )
+
+
+def chunk_id(source_id_col: Column, text: Column, metadata_str: Column) -> Column:
+    """<source_id>:<md5(text+meta)[:8]> — stable within a source."""
+    return F.concat(
+        source_id_col, F.lit(":"), _md5_prefix(F.concat(text, metadata_str), 8)
+    )
+
+
+def node_id(node_type: str, v1: Column, v2: Column | None = None) -> Column:
+    """Deterministic 8-hex node id from (type, v1[, v2]).
+
+    Used for topic/statement/fact/entity identity; equal content ⇒ equal id,
+    which makes ``dropDuplicates('id')`` the Spark equivalent of the
+    reference's Cypher MERGE semantics.
+    """
+    parts = [F.lit(node_type), v1]
+    if v2 is not None:
+        parts.append(v2)
+    return _md5_prefix(F.concat_ws(_SEP, *parts), 8)
+
+
+def content_hash(*cols: Column) -> Column:
+    """Full 32-hex md5 over the concatenation of columns (null-safe via
+    concat_ws). The exact-dedup and fingerprint operators key on this."""
+    return F.md5(F.concat_ws(_SEP, *cols))

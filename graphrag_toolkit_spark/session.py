@@ -1,0 +1,74 @@
+"""SparkSession factory tuned for this engine.
+
+Scale notes (100 TB target): these configs encode the *local* test shape; on a
+real cluster the same settings apply with shuffle partitions sized to
+``max(2 * total_cores, input_bytes / 128MB)`` and AQE coalescing down from
+there. Everything else (pushdown, broadcast selection, skew handling) is left
+to Catalyst/AQE on purpose — we express plans declaratively and do not
+hand-schedule.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def build_session(
+    app_name: str = "graphrag_toolkit_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build a SparkSession with the engine's defaults.
+
+    - AQE on (runtime coalesce / skew-join / broadcast demotion).
+    - Arrow on (all pandas_udf / mapInPandas stages are Arrow-batched).
+    - Session timezone pinned to UTC so timestamps compare exactly against
+      the DuckDB oracle (DuckDB timestamps are UTC-naive).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def register_testdata(spark: SparkSession, sf_dir: str) -> None:
+    """Register the driver's parquet fixtures as temp views named like the
+    DuckDB oracle's views (TESTDATA.md)."""
+    for name in TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            spark.read.parquet(path).createOrReplaceTempView(name)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str):
+    """Load one driver fixture table as a DataFrame."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

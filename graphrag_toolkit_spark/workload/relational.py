@@ -1,0 +1,396 @@
+"""Relational core workload: scan/filter/project (P-class), join chains
+(J-class), aggregations (A-class), windows/top-k/set ops (T-class) from
+SURVEY.md §2, expressed over the driver's TPC-H-ish fixtures.
+
+Each query doubles as the correctness probe for an engine primitive — e.g.
+``filter_tree_orders`` compiles a real ``MetadataFilters`` tree through
+``filters.to_column`` (the Spark side) and ``filters.to_sql`` (the oracle
+side), so the algebra itself is what's under test, not a hand-copied WHERE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from graphrag_toolkit_spark import ids
+from graphrag_toolkit_spark.filters import (
+    Condition,
+    MetadataFilter,
+    MetadataFilters,
+    Op,
+    to_column,
+    to_sql,
+)
+from graphrag_toolkit_spark.functions import text as T
+from graphrag_toolkit_spark.session import load
+
+
+def _dec(col: str, prec: int = 12, scale: int = 2) -> F.Column:
+    return F.col(col).cast(f"decimal({prec},{scale})")
+
+
+# --- A-class: grouped aggregation (TPC-H Q1 shape; SURVEY A1-A4) -------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(4,2)") - _dec("l_discount", 4))
+    charge = disc_price * (F.lit(1).cast("decimal(4,2)") + _dec("l_tax", 4))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(_dec("l_quantity")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(_dec("l_extendedprice")), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(_dec("l_discount", 4)).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base_price,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_disc_price,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --- J-class: join chain + grouped top-k (TPC-H Q3 shape; SURVEY J1-J3) ------
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    revenue = F.sum(
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(4,2)") - _dec("l_discount", 4))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(revenue, 2).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_ORACLE = """
+SELECT
+  o_orderkey, o_orderdate, o_orderpriority,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# --- J-class: 6-way join (TPC-H Q5 shape; SURVEY J2 chain depth) -------------
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    revenue = F.sum(
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(4,2)") - _dec("l_discount", 4))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.round(revenue, 2).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+Q5_ORACLE = """
+SELECT
+  r_name, n_name,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY r_name, n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
+# --- P-class: metadata filter algebra compiled both ways (SURVEY P1-P2) ------
+
+_FILTER_TREE = MetadataFilters(
+    condition=Condition.OR,
+    filters=[
+        MetadataFilters(
+            condition=Condition.AND,
+            filters=[
+                MetadataFilter("o_orderstatus", Op.EQ, "O"),
+                MetadataFilter("o_totalprice", Op.GT, 150000.0),
+            ],
+        ),
+        MetadataFilters(
+            condition=Condition.AND,
+            filters=[
+                MetadataFilters(
+                    condition=Condition.NOT,
+                    filters=[
+                        MetadataFilter(
+                            "o_orderpriority", Op.TEXT_MATCH_INSENSITIVE, "URGENT"
+                        )
+                    ],
+                ),
+                MetadataFilter("o_orderpriority", Op.IN, ["2-HIGH", "3-MEDIUM"]),
+                MetadataFilter("o_totalprice", Op.LTE, 50000.0),
+            ],
+        ),
+    ],
+)
+
+
+def filter_tree_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return orders.filter(to_column(_FILTER_TREE)).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+
+
+FILTER_TREE_ORACLE = f"""
+SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+FROM orders
+WHERE {to_sql(_FILTER_TREE)}
+"""
+
+
+# --- §2.8 scalar text functions + content-addressed ids ----------------------
+
+def scalar_text_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        T.search_string(F.col("p_name")).alias("search_str"),
+        T.label_from(F.col("p_name")).alias("label"),
+        T.relationship_name(F.col("p_type")).alias("rel_name"),
+    )
+
+
+SCALAR_TEXT_ORACLE = r"""
+SELECT
+  p_partkey,
+  lower(trim(regexp_replace(regexp_replace(p_name, '([^\s\w]|_)+', ' ', 'g'), '\s+', ' ', 'g'))) AS search_str,
+  array_to_string(
+    list_transform(
+      string_split(trim(regexp_replace(regexp_replace(p_name, '([^\s\w]|_)+', ' ', 'g'), '\s+', ' ', 'g')), ' '),
+      w -> upper(substring(w, 1, 1)) || lower(substring(w, 2))
+    ), ' ') AS label,
+  upper(regexp_replace(regexp_replace(p_type, '[^0-9A-Za-z]+', '_', 'g'), '^_+|_+$', '', 'g')) AS rel_name
+FROM part
+"""
+
+
+def content_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed source/chunk ids minted over the documents table
+    (reference id_generator.py semantics; see graphrag_toolkit_spark.ids)."""
+    docs = load(spark, sf_dir, "documents")
+    sid = ids.source_id(F.col("text"), F.col("source"))
+    return docs.select(
+        "doc_id",
+        sid.alias("source_id"),
+        ids.chunk_id(sid, F.col("text"), F.col("source")).alias("chunk_id"),
+        ids.content_hash(F.col("text")).alias("text_hash"),
+    )
+
+
+CONTENT_IDS_ORACLE = """
+SELECT
+  doc_id,
+  'aws::' || substring(md5(text), 1, 8) || ':' || substring(md5(source), 1, 4) AS source_id,
+  'aws::' || substring(md5(text), 1, 8) || ':' || substring(md5(source), 1, 4)
+    || ':' || substring(md5(text || source), 1, 8) AS chunk_id,
+  md5(text) AS text_hash
+FROM documents
+"""
+
+
+# --- T-class: window top-N per group (SURVEY T2/J8) --------------------------
+
+def topn_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+TOPN_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+"""
+
+
+# --- A1-class: rollup with sorted collected arrays (nested-result shape) -----
+
+def rollup_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("total_spend"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("o_orderkey")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("order_keys"),
+        )
+    )
+
+
+ROLLUP_ORACLE = """
+SELECT
+  o_custkey,
+  COUNT(*) AS n_orders,
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_spend,
+  array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys
+FROM orders
+GROUP BY o_custkey
+"""
+
+
+# --- S6-class: anti/semi join (checkpoint-skip semantics) --------------------
+
+def anti_join_orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return orders.join(
+        li, orders.o_orderkey == li.l_orderkey, "left_anti"
+    ).select("o_orderkey", "o_totalprice")
+
+
+ANTI_JOIN_ORACLE = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+"""
+
+
+def semi_join_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    urgent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+SEMI_JOIN_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+)
+"""
+
+
+# --- A4-class: table stats (graph stats analog) ------------------------------
+
+def table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node-count / histogram stats (reference lexical_graph_index.py:662-708):
+    per-customer order-count histogram — 'how many customers have N orders'."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("n_orders")
+    )
+
+
+TABLE_STATS_ORACLE = """
+SELECT n_orders, COUNT(*) AS n_customers
+FROM (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey)
+GROUP BY n_orders
+ORDER BY n_orders
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "filter_tree_orders": filter_tree_orders,
+    "scalar_text_functions": scalar_text_functions,
+    "content_ids": content_ids,
+    "topn_orders_per_customer": topn_orders_per_customer,
+    "rollup_customer_orders": rollup_customer_orders,
+    "anti_join_orders_without_lineitems": anti_join_orders_without_lineitems,
+    "semi_join_urgent_customers": semi_join_urgent_customers,
+    "table_stats": table_stats,
+}
+
+ORACLES = {
+    "q1_pricing_summary": Q1_ORACLE,
+    "q3_shipping_priority": Q3_ORACLE,
+    "q5_local_supplier_volume": Q5_ORACLE,
+    "filter_tree_orders": FILTER_TREE_ORACLE,
+    "scalar_text_functions": SCALAR_TEXT_ORACLE,
+    "content_ids": CONTENT_IDS_ORACLE,
+    "topn_orders_per_customer": TOPN_ORACLE,
+    "rollup_customer_orders": ROLLUP_ORACLE,
+    "anti_join_orders_without_lineitems": ANTI_JOIN_ORACLE,
+    "semi_join_urgent_customers": SEMI_JOIN_ORACLE,
+    "table_stats": TABLE_STATS_ORACLE,
+}

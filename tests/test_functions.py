@@ -1,0 +1,117 @@
+"""Unit tests: scalar text functions, ids, vector math (SURVEY §2.8, §1.4)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphrag_toolkit_spark import ids
+from graphrag_toolkit_spark.functions import (
+    cosine_similarity,
+    dot,
+    l2_norm,
+    label_from,
+    relationship_name,
+    search_string,
+    statement_text,
+    unit_normalize,
+    verbalize_fact,
+)
+
+
+def one(spark, expr, **cols):
+    df = spark.createDataFrame([cols])
+    return df.select(expr.alias("out")).head()[0]
+
+
+class TestText:
+    def test_search_string(self, spark):
+        assert one(spark, search_string(F.col("x")), x="  Hello, World_Wide!! ") == "hello world wide"
+
+    def test_search_string_collapses_space(self, spark):
+        assert one(spark, search_string(F.col("x")), x="a -- b") == "a b"
+
+    def test_label_from(self, spark):
+        assert one(spark, label_from(F.col("x")), x="the BIG--bad wolf") == "The Big Bad Wolf"
+
+    def test_relationship_name(self, spark):
+        assert one(spark, relationship_name(F.col("x")), x="works at / for") == "WORKS_AT_FOR"
+
+    def test_relationship_name_trims_underscores(self, spark):
+        assert one(spark, relationship_name(F.col("x")), x="(owns)") == "OWNS"
+
+    def test_verbalize_fact(self, spark):
+        out = one(
+            spark,
+            verbalize_fact(F.col("s"), F.col("c"), F.col("p"), F.col("o")),
+            s="Alice", c="Person", p="WORKS_AT", o="Acme",
+        )
+        assert out == "Alice [Person] WORKS_AT Acme"
+
+    def test_statement_text_with_details(self, spark):
+        out = one(
+            spark,
+            statement_text(F.col("v"), F.col("d")),
+            v="stmt", d=["d1", "d2"],
+        )
+        assert out == "stmt\n\nd1\nd2"
+
+    def test_statement_text_empty_details(self, spark):
+        df = spark.createDataFrame([("stmt", [])], "v string, d array<string>")
+        out = df.select(statement_text(F.col("v"), F.col("d")).alias("out")).head()[0]
+        assert out == "stmt"
+
+
+class TestIds:
+    def test_source_id_shape(self, spark):
+        text, meta = "doc body", "k=v"
+        out = one(spark, ids.source_id(F.col("t"), F.col("m")), t=text, m=meta)
+        exp = (
+            "aws::"
+            + hashlib.md5(text.encode()).hexdigest()[:8]
+            + ":"
+            + hashlib.md5(meta.encode()).hexdigest()[:4]
+        )
+        assert out == exp
+
+    def test_chunk_id_prefixed_by_source(self, spark):
+        out = one(
+            spark,
+            ids.chunk_id(F.lit("aws::ab:cd"), F.col("t"), F.col("m")),
+            t="text", m="meta",
+        )
+        assert out.startswith("aws::ab:cd:")
+        assert len(out.split(":")[-1]) == 8
+
+    def test_node_id_deterministic_and_distinct(self, spark):
+        a = one(spark, ids.node_id("topic", F.col("x")), x="v1")
+        b = one(spark, ids.node_id("topic", F.col("x")), x="v1")
+        c = one(spark, ids.node_id("statement", F.col("x")), x="v1")
+        assert a == b and a != c and len(a) == 8
+
+    def test_node_id_separator_prevents_collision(self, spark):
+        ab_c = one(spark, ids.node_id("t", F.col("x"), F.col("y")), x="ab", y="c")
+        a_bc = one(spark, ids.node_id("t", F.col("x"), F.col("y")), x="a", y="bc")
+        assert ab_c != a_bc
+
+
+class TestVector:
+    def test_dot(self, spark):
+        out = one(spark, dot(F.col("a"), F.col("b")), a=[1.0, 2.0, 3.0], b=[4.0, 5.0, 6.0])
+        assert out == pytest.approx(32.0)
+
+    def test_norm(self, spark):
+        assert one(spark, l2_norm(F.col("a")), a=[3.0, 4.0]) == pytest.approx(5.0)
+
+    def test_cosine_bounds(self, spark):
+        out = one(spark, cosine_similarity(F.col("a"), F.col("b")), a=[1.0, 0.0], b=[0.0, 1.0])
+        assert out == pytest.approx(0.0)
+        out = one(spark, cosine_similarity(F.col("a"), F.col("b")), a=[1.0, 1.0], b=[2.0, 2.0])
+        assert out == pytest.approx(1.0)
+
+    def test_unit_normalize(self, spark):
+        out = one(spark, unit_normalize(F.col("a")), a=[3.0, 4.0])
+        assert math.isclose(sum(x * x for x in out), 1.0, rel_tol=1e-12)
