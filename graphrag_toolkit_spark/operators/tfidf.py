@@ -1,0 +1,134 @@
+"""TF-IDF scoring / rerank and near-dup diversity filter (SURVEY §2.5 V5-V6).
+
+Parity targets:
+- V5 rerank: ``retrieval/processors/rerank_statements.py:63-103`` +
+  ``retrieval/utils/tfidf_utils*`` — statements re-scored by TF-IDF cosine
+  against the query text.
+- V6 diversity filter: ``retrieval/post_processors/statement_diversity.py:85-230``
+  — pairwise TF-IDF cosine > threshold ⇒ drop the later duplicate.
+
+Implementation is pure relational algebra (explode → join on token →
+groupBy), NOT MLlib's HashingTF: no hash collisions, fully deterministic,
+and DuckDB-oracle-expressible. At corpus scale the same shape holds — the
+token join partitions by token (idf is a broadcast dim), and V6's pairwise
+stage is bounded to the ≤200-statement rerank pool exactly like the
+reference, so the cross-join never sees the full corpus (the corpus-scale
+near-dup path is ``operators/dedup.py``'s MinHash-LSH).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tokenize(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Lowercased word tokens, one row per (id, token, tf)."""
+    toks = F.split(F.lower(F.col(text_col)), r"[^0-9a-z]+")
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def idf_table(tokens: DataFrame, n_docs: int) -> DataFrame:
+    """Smoothed idf = ln((1+N)/(1+df)) + 1 per token."""
+    return tokens.groupBy("token").agg(
+        (F.log((1.0 + n_docs) / (1.0 + F.count(F.lit(1)))) + 1.0).alias("idf")
+    )
+
+
+def _tfidf_norm(weighted: DataFrame) -> DataFrame:
+    norm = weighted.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
+    return weighted.join(norm, "id")
+
+
+def tfidf_cosine_scores(
+    docs: DataFrame, query_text: str, text_col: str, id_col: str
+) -> DataFrame:
+    """Score every doc row by TF-IDF cosine similarity to ``query_text``.
+    Returns (id, tfidf_score). The idf statistics come from the doc pool
+    itself (matching the reference, which fits TF-IDF on the statement pool).
+    """
+    spark = docs.sparkSession
+    n_docs = docs.count()
+    doc_tokens = tokenize(docs, text_col, id_col)
+    idf = F.broadcast(idf_table(doc_tokens, n_docs))
+
+    dw = _tfidf_norm(
+        doc_tokens.join(idf, "token").withColumn("w", F.col("tf") * F.col("idf"))
+    )
+    qdf = spark.createDataFrame([{"qid": "q", "qtext": query_text}])
+    q_tokens = tokenize(qdf, "qtext", "qid").withColumnRenamed("tf", "qtf")
+    qw = (
+        q_tokens.join(idf, "token")
+        .withColumn("qw", F.col("qtf") * F.col("idf"))
+        .select("token", "qw")
+    )
+    qnorm_row = qw.select(F.sqrt(F.sum(F.col("qw") * F.col("qw"))).alias("n")).head()
+    qnorm = float(qnorm_row["n"] or 0.0)
+    if qnorm == 0.0:
+        return docs.select(F.col(id_col).alias("id"), F.lit(0.0).alias("tfidf_score"))
+
+    dots = (
+        dw.join(F.broadcast(qw), "token")
+        .groupBy("id", "norm")
+        .agg(F.sum(F.col("w") * F.col("qw")).alias("dot"))
+        .select("id", (F.col("dot") / (F.col("norm") * F.lit(qnorm))).alias("tfidf_score"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(dots, "id", "left")
+        .fillna(0.0, subset=["tfidf_score"])
+    )
+
+
+def rerank_by_tfidf(
+    flat: DataFrame, query_text: str, text_col: str = "value",
+    id_col: str = "statement_id", alpha: float = 1.0,
+) -> DataFrame:
+    """V5: blend TF-IDF relevance into the statement score
+    (``score + alpha × tfidf``) — the Spark expression of the reference's
+    rerank-statements processor."""
+    scores = tfidf_cosine_scores(
+        flat.select(id_col, text_col).dropDuplicates([id_col]), query_text, text_col, id_col
+    ).withColumnRenamed("id", id_col)
+    return (
+        flat.join(scores, id_col)
+        .withColumn("score", F.col("score") + F.lit(alpha) * F.col("tfidf_score"))
+        .drop("tfidf_score")
+    )
+
+
+def diversity_filter(
+    flat: DataFrame, threshold: float = 0.975,
+    text_col: str = "value", id_col: str = "statement_id",
+) -> DataFrame:
+    """V6: drop near-duplicate statements — pairwise TF-IDF cosine over the
+    (bounded) pool; when a pair exceeds ``threshold``, the later statement
+    (higher id after score ordering) is dropped, keep-first semantics."""
+    docs = flat.select(id_col, text_col).dropDuplicates([id_col])
+    n_docs = docs.count()
+    tokens = tokenize(docs, text_col, id_col)
+    idf = F.broadcast(idf_table(tokens, n_docs))
+    w = _tfidf_norm(tokens.join(idf, "token").withColumn("w", F.col("tf") * F.col("idf")))
+
+    a = w.select(
+        F.col("id").alias("id_a"), F.col("token"), F.col("w").alias("w_a"), F.col("norm").alias("n_a")
+    )
+    b = w.select(
+        F.col("id").alias("id_b"), F.col("token"), F.col("w").alias("w_b"), F.col("norm").alias("n_b")
+    )
+    # token-partitioned pair generation (only pairs sharing a token can pass)
+    sims = (
+        a.join(b, "token")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.sum(F.col("w_a") * F.col("w_b")).alias("dot"))
+        .withColumn("cos", F.col("dot") / (F.col("n_a") * F.col("n_b")))
+        .filter(F.col("cos") > threshold)
+    )
+    drop = sims.select(F.col("id_b").alias(id_col)).distinct()
+    return flat.join(drop, id_col, "left_anti")
