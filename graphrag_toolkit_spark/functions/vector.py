@@ -44,3 +44,42 @@ def cosine_similarity(a: Column, b: Column) -> Column:
 def unit_normalize(a: Column) -> Column:
     n = l2_norm(a)
     return F.transform(_to_double(a), lambda x: x / n)
+
+
+# --- quantized (decimal-exact) variants --------------------------------------
+# Summing doubles is order-sensitive; Spark's partial aggregation and another
+# engine's accumulator can disagree in the last ulps. For oracle-gated
+# queries we round each element to a decimal grid first: decimal sums are
+# exact in ANY order, so both engines produce bit-identical scores. The plain
+# double versions above remain the hot path.
+
+_DEC = "decimal(12,6)"
+# accumulator: scale 12 (products of two scale-6 decimals), with enough
+# integral headroom that acc+v never exceeds precision 38 — the sum is exact
+# and the cast back to the accumulator type is lossless.
+_DEC_ACC = "decimal(25,12)"
+
+
+def _quantize(vec: Column) -> Column:
+    return F.transform(vec, lambda x: F.round(x.cast("double"), 6).cast(_DEC))
+
+
+def dot_quantized(a: Column, b: Column) -> Column:
+    products = F.zip_with(_quantize(a), _quantize(b), lambda x, y: x * y)
+    return F.aggregate(
+        products, F.lit(0).cast(_DEC_ACC), lambda acc, v: (acc + v).cast(_DEC_ACC)
+    ).cast("double")
+
+
+def l2_norm_quantized(a: Column) -> Column:
+    q = _quantize(a)
+    sq = F.aggregate(
+        F.zip_with(q, q, lambda x, y: x * y),
+        F.lit(0).cast(_DEC_ACC),
+        lambda acc, v: (acc + v).cast(_DEC_ACC),
+    ).cast("double")
+    return F.sqrt(sq)
+
+
+def cosine_similarity_quantized(a: Column, b: Column) -> Column:
+    return dot_quantized(a, b) / (l2_norm_quantized(a) * l2_norm_quantized(b))

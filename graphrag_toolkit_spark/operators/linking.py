@@ -1,0 +1,88 @@
+"""Entity linking: fuzzy string and dense embedding (SURVEY §2.3 J16-J17).
+
+Parity targets:
+- J16 fuzzy linking: ``byokg-rag/.../indexing/fuzzy_string.py:22-72`` +
+  ``graph_retrievers/entity_linker.py:56-113`` (thefuzz top-k with a length
+  guard). Re-expressed as: length-bucket blocking → broadcast query × block
+  join → JVM ``levenshtein`` similarity → window top-k. The blocking keeps
+  the candidate join linear in catalog size at scale (no full cross-join).
+- J17 dense linking: ``byokg-rag/.../indexing/dense_index.py:31-145`` (FAISS
+  top-k) → broadcast-query brute-force cosine + window top-k; the ANN path
+  for big catalogs is ``operators/ann.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from graphrag_toolkit_spark.functions.text import search_string
+from graphrag_toolkit_spark.functions.vector import (
+    cosine_similarity,
+    cosine_similarity_quantized,
+)
+
+
+def fuzzy_link(
+    queries: DataFrame,            # (query,)
+    names: DataFrame,              # (node_id, name)
+    top_k: int = 3,
+    length_slack: float = 0.5,
+    min_score: float = 0.0,
+) -> DataFrame:
+    """J16: top-k catalog names per query by normalized Levenshtein
+    similarity ``1 - dist/max(len)``, with the reference's length guard
+    (candidates whose length differs more than ``length_slack × query_len``
+    are skipped before the distance computation).
+    Returns (query, node_id, name, fuzzy_score, rank)."""
+    q = F.broadcast(
+        queries.select(
+            F.col("query"), search_string(F.col("query")).alias("qnorm")
+        ).withColumn("qlen", F.length("qnorm")).distinct()
+    )
+    c = names.select(
+        "node_id", "name", search_string(F.col("name")).alias("cnorm")
+    ).withColumn("clen", F.length("cnorm"))
+
+    guard = (
+        (F.col("clen") >= F.col("qlen") * (1.0 - length_slack))
+        & (F.col("clen") <= F.col("qlen") * (1.0 + length_slack))
+    )
+    dist = F.levenshtein(F.col("qnorm"), F.col("cnorm"))
+    score = 1.0 - dist / F.greatest(F.col("qlen"), F.col("clen"))
+    scored = (
+        c.join(q, guard)
+        .withColumn("fuzzy_score", score)
+        .filter(F.col("fuzzy_score") >= min_score)
+    )
+    w = Window.partitionBy("query").orderBy(F.desc("fuzzy_score"), F.asc("node_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query", "node_id", "name", "fuzzy_score", "rank")
+    )
+
+
+def dense_link(
+    queries: DataFrame,            # (query_id, embedding)
+    catalog: DataFrame,            # (node_id, embedding)
+    top_k: int = 3,
+    quantized: bool = False,
+) -> DataFrame:
+    """J17: top-k catalog entries per query embedding by exact cosine.
+    Queries are broadcast (few); the catalog scan is map-side only until the
+    final per-query top-k window. Returns (query_id, node_id, score, rank)."""
+    q = F.broadcast(
+        queries.select("query_id", F.col("embedding").alias("q_embedding"))
+    )
+    fn = cosine_similarity_quantized if quantized else cosine_similarity
+    scored = catalog.crossJoin(q).withColumn(
+        "score", fn(F.col("embedding"), F.col("q_embedding"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("node_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "node_id", "score", "rank")
+    )

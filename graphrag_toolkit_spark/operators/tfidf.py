@@ -41,16 +41,34 @@ def idf_table(tokens: DataFrame, n_docs: int) -> DataFrame:
 
 
 def _tfidf_norm(weighted: DataFrame) -> DataFrame:
-    norm = weighted.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
+    norm = weighted.groupBy("id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("norm")
+    )
     return weighted.join(norm, "id")
 
 
+def _weight(idf_col, quantize: int | None):
+    """tf×idf weight. With ``quantize`` set, idf is rounded and cast to
+    DECIMAL so every downstream sum is exact — term-order-independent and
+    identical across engines (doubles summed in nondeterministic partial-agg
+    order are not reproducible; decimals are). Widths are kept at (18, q)
+    so w×w products stay within decimal(38) and no precision is lost."""
+    if quantize is None:
+        return F.col("tf") * idf_col
+    dec = f"decimal(18,{quantize})"
+    idf_q = F.round(idf_col, quantize).cast(dec)
+    return (F.col("tf").cast("decimal(8,0)") * idf_q).cast(dec)
+
+
 def tfidf_cosine_scores(
-    docs: DataFrame, query_text: str, text_col: str, id_col: str
+    docs: DataFrame, query_text: str, text_col: str, id_col: str,
+    quantize: int | None = None,
 ) -> DataFrame:
     """Score every doc row by TF-IDF cosine similarity to ``query_text``.
     Returns (id, tfidf_score). The idf statistics come from the doc pool
     itself (matching the reference, which fits TF-IDF on the statement pool).
+    ``quantize``: round idf to N decimals and aggregate in DECIMAL — exact,
+    reproducible scores for oracle comparison (see ``_weight``).
     """
     spark = docs.sparkSession
     n_docs = docs.count()
@@ -58,16 +76,18 @@ def tfidf_cosine_scores(
     idf = F.broadcast(idf_table(doc_tokens, n_docs))
 
     dw = _tfidf_norm(
-        doc_tokens.join(idf, "token").withColumn("w", F.col("tf") * F.col("idf"))
+        doc_tokens.join(idf, "token").withColumn("w", _weight(F.col("idf"), quantize))
     )
     qdf = spark.createDataFrame([{"qid": "q", "qtext": query_text}])
-    q_tokens = tokenize(qdf, "qtext", "qid").withColumnRenamed("tf", "qtf")
     qw = (
-        q_tokens.join(idf, "token")
-        .withColumn("qw", F.col("qtf") * F.col("idf"))
+        tokenize(qdf, "qtext", "qid")
+        .join(idf, "token")
+        .withColumn("qw", _weight(F.col("idf"), quantize))
         .select("token", "qw")
     )
-    qnorm_row = qw.select(F.sqrt(F.sum(F.col("qw") * F.col("qw"))).alias("n")).head()
+    qnorm_row = qw.select(
+        F.sqrt(F.sum(F.col("qw") * F.col("qw")).cast("double")).alias("n")
+    ).head()
     qnorm = float(qnorm_row["n"] or 0.0)
     if qnorm == 0.0:
         return docs.select(F.col(id_col).alias("id"), F.lit(0.0).alias("tfidf_score"))
@@ -75,7 +95,7 @@ def tfidf_cosine_scores(
     dots = (
         dw.join(F.broadcast(qw), "token")
         .groupBy("id", "norm")
-        .agg(F.sum(F.col("w") * F.col("qw")).alias("dot"))
+        .agg(F.sum(F.col("w") * F.col("qw")).cast("double").alias("dot"))
         .select("id", (F.col("dot") / (F.col("norm") * F.lit(qnorm))).alias("tfidf_score"))
     )
     return (

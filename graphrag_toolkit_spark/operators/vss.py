@@ -25,7 +25,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from graphrag_toolkit_spark.functions.vector import cosine_similarity
+from graphrag_toolkit_spark.functions.vector import (
+    cosine_similarity,
+    cosine_similarity_quantized,
+)
 
 
 def query_vector_lit(vec: Sequence[float]) -> Column:
@@ -35,12 +38,13 @@ def query_vector_lit(vec: Sequence[float]) -> Column:
 
 
 def score_against(
-    df: DataFrame, query_vector: Sequence[float], vec_col: str = "embedding"
+    df: DataFrame, query_vector: Sequence[float], vec_col: str = "embedding",
+    quantized: bool = False,
 ) -> DataFrame:
-    """Append a cosine ``score`` column against a fixed query vector."""
-    return df.withColumn(
-        "score", cosine_similarity(F.col(vec_col), query_vector_lit(query_vector))
-    )
+    """Append a cosine ``score`` column against a fixed query vector.
+    ``quantized`` uses the decimal-exact cosine (oracle-reproducible)."""
+    fn = cosine_similarity_quantized if quantized else cosine_similarity
+    return df.withColumn("score", fn(F.col(vec_col), query_vector_lit(query_vector)))
 
 
 def top_k(
@@ -50,13 +54,14 @@ def top_k(
     vec_col: str = "embedding",
     k: int = 10,
     pre_filter: Column | None = None,
+    quantized: bool = False,
 ) -> DataFrame:
     """Exact brute-force cosine top-k with deterministic tie-break (V1/V2).
 
     ``pre_filter`` is the metadata filter pushed below the scoring scan —
     mirroring the reference's filtered kNN (filter first, then score)."""
     scored = df if pre_filter is None else df.filter(pre_filter)
-    scored = score_against(scored, query_vector, vec_col)
+    scored = score_against(scored, query_vector, vec_col, quantized=quantized)
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
 
@@ -69,12 +74,13 @@ def top_k_with_diversity(
     top_k: int = 10,
     diversity_factor: int = 5,
     pre_filter: Column | None = None,
+    quantized: bool = False,
 ) -> DataFrame:
     """V1 + V3: over-fetch ``top_k × diversity_factor``, then round-robin one
     hit per ``group_col`` value (best-first) until ``top_k`` are taken."""
     overfetch = df if pre_filter is None else df.filter(pre_filter)
     overfetch = (
-        score_against(overfetch, query_vector, vec_col)
+        score_against(overfetch, query_vector, vec_col, quantized=quantized)
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(top_k * diversity_factor)
     )

@@ -1,0 +1,330 @@
+"""Graph-operator workload over the driver's TPC-H fixtures (SURVEY §2.3/§2.4).
+
+The driver tables carry a natural heterogeneous graph:
+``customer --placed--> order --contains--> part --supplied_by--> supplier``.
+These queries run the REAL engine operators (``operators/bfs.py``,
+``operators/linking.py``, ``operators/entity.py``) over that graph, with the
+DuckDB oracle expressing the identical semantics — recursive CTEs for BFS,
+window trees for the frontier expansion — so the iterative driver-loop
+operators get hash-level correctness checks, not just unit tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from graphrag_toolkit_spark.operators import bfs, linking
+from graphrag_toolkit_spark.operators.entity import expand_context
+from graphrag_toolkit_spark.session import load
+
+# typed-edge SQL fragment shared by the oracles
+EDGES_SQL = """
+  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src, 'placed' AS rel,
+         'o' || CAST(o_orderkey AS VARCHAR) AS dst FROM orders
+  UNION ALL
+  SELECT DISTINCT 'o' || CAST(l_orderkey AS VARCHAR), 'contains',
+         'p' || CAST(l_partkey AS VARCHAR) FROM lineitem
+  UNION ALL
+  SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR), 'supplied_by',
+         's' || CAST(l_suppkey AS VARCHAR) FROM lineitem
+"""
+
+
+def _triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    placed = orders.select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.lit("placed").alias("rel"),
+        F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("dst"),
+    )
+    contains = li.select(
+        F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.lit("contains").alias("rel"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    ).distinct()
+    supplied = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+        F.lit("supplied_by").alias("rel"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    ).distinct()
+    return placed.unionByName(contains).unionByName(supplied)
+
+
+# --- J15: BFS shortest paths vs recursive-CTE oracle -------------------------
+
+def bfs_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sources = spark.createDataFrame([{"node_id": "c1"}])
+    return bfs.shortest_paths(
+        _triples(spark, sf_dir), sources, max_depth=3, directed=True
+    ).select("node_id", "dist", "path")
+
+
+BFS_ORACLE = f"""
+WITH RECURSIVE e AS ({EDGES_SQL}),
+walk(node_id, dist, path) AS (
+  SELECT 'c1', 0, 'c1'
+  UNION ALL
+  SELECT e.dst, w.dist + 1, w.path || '->' || e.dst
+  FROM walk w JOIN e ON e.src = w.node_id WHERE w.dist < 3
+)
+SELECT node_id, dist, path FROM (
+  SELECT node_id, dist, path,
+         ROW_NUMBER() OVER (PARTITION BY node_id ORDER BY dist, path) AS rn
+  FROM walk
+) WHERE rn = 1
+"""
+
+
+# --- J14: metapath follow ----------------------------------------------------
+
+METAPATH = ["placed", "contains", "supplied_by"]
+
+
+def metapath_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 5)
+    seeds = cust.select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node_id")
+    )
+    return bfs.follow_metapath(_triples(spark, sf_dir), seeds, METAPATH)
+
+
+METAPATH_ORACLE = f"""
+WITH e AS ({EDGES_SQL}),
+seeds AS (
+  SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node_id FROM customer WHERE c_custkey <= 5
+)
+SELECT DISTINCT s.node_id AS start_id, e3.dst AS end_id
+FROM seeds s
+JOIN e e1 ON e1.src = s.node_id AND e1.rel = 'placed'
+JOIN e e2 ON e2.src = e1.dst    AND e2.rel = 'contains'
+JOIN e e3 ON e3.src = e2.dst    AND e3.rel = 'supplied_by'
+"""
+
+
+# --- A8: merge-verbalize -----------------------------------------------------
+
+def merge_verbalize_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 100)
+    t = li.select(
+        F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.lit("contains").alias("rel"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    return bfs.merge_verbalize(t).select("src", "rel", "text")
+
+
+VERBALIZE_ORACLE = """
+SELECT src, rel, src || ' ' || rel || ': ' || array_to_string(list_sort(list(DISTINCT dst)), ', ') AS text
+FROM (
+  SELECT 'o' || CAST(l_orderkey AS VARCHAR) AS src, 'contains' AS rel,
+         'p' || CAST(l_partkey AS VARCHAR) AS dst
+  FROM lineitem WHERE l_orderkey <= 100
+)
+GROUP BY src, rel
+"""
+
+
+# --- A3: node degree ---------------------------------------------------------
+
+def node_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _triples(spark, sf_dir)
+    return (
+        t.select(F.col("src").alias("node_id"))
+        .unionByName(t.select(F.col("dst").alias("node_id")))
+        .groupBy("node_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+
+
+DEGREE_ORACLE = f"""
+WITH e AS ({EDGES_SQL})
+SELECT node_id, COUNT(*) AS degree FROM (
+  SELECT src AS node_id FROM e UNION ALL SELECT dst FROM e
+) GROUP BY node_id
+"""
+
+
+# --- J6-analog: co-occurrence self-join --------------------------------------
+
+def part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.withColumnsRenamed({"l_partkey": "part_a"})
+    b = li.withColumnsRenamed({"l_partkey": "part_b"})
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy(F.desc("n_shared"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+    )
+
+
+COOCCURRENCE_ORACLE = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_shared
+FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY part_a, part_b
+ORDER BY n_shared DESC, part_a, part_b
+LIMIT 20
+"""
+
+
+# --- J8-analog: top-N neighbors per node by strength -------------------------
+
+def topn_part_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.withColumnsRenamed({"l_partkey": "part_a"}).filter(F.col("part_a") <= 100)
+    b = li.withColumnsRenamed({"l_partkey": "part_b"})
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") != F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("strength"))
+    )
+    w = Window.partitionBy("part_a").orderBy(F.desc("strength"), F.asc("part_b"))
+    return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+
+
+TOPN_NEIGHBORS_ORACLE = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS strength
+  FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+  WHERE a.l_partkey <= 100
+  GROUP BY part_a, part_b
+)
+SELECT part_a, part_b, strength, rn FROM (
+  SELECT part_a, part_b, strength,
+         ROW_NUMBER() OVER (PARTITION BY part_a ORDER BY strength DESC, part_b) AS rn
+  FROM pairs
+) WHERE rn <= 3
+"""
+
+
+# --- J16: fuzzy entity linking ----------------------------------------------
+
+_NORM = (
+    r"lower(trim(regexp_replace(regexp_replace({c}, '([^\s\w]|_)+', ' ', 'g'), "
+    r"'\s+', ' ', 'g')))"
+)
+
+
+def fuzzy_link_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    queries = part.filter(F.col("p_partkey") <= 5).select(
+        F.concat(F.lit("x"), F.substring(F.col("p_name"), 2, 10_000)).alias("query")
+    )
+    names = part.select(F.col("p_partkey").alias("node_id"), F.col("p_name").alias("name"))
+    return linking.fuzzy_link(queries, names, top_k=3)
+
+
+FUZZY_ORACLE = f"""
+WITH q AS (
+  SELECT 'x' || substring(p_name, 2) AS query,
+         {_NORM.format(c="'x' || substring(p_name, 2)")} AS qnorm
+  FROM part WHERE p_partkey <= 5
+),
+c AS (
+  SELECT p_partkey AS node_id, p_name AS name, {_NORM.format(c='p_name')} AS cnorm
+  FROM part
+),
+scored AS (
+  SELECT q.query, c.node_id, c.name,
+         1.0 - levenshtein(q.qnorm, c.cnorm) / greatest(length(q.qnorm), length(c.cnorm)) AS fuzzy_score
+  FROM q JOIN c
+    ON length(c.cnorm) >= length(q.qnorm) * 0.5
+   AND length(c.cnorm) <= length(q.qnorm) * 1.5
+)
+SELECT query, node_id, name, fuzzy_score, rank FROM (
+  SELECT query, node_id, name, fuzzy_score,
+         ROW_NUMBER() OVER (PARTITION BY query ORDER BY fuzzy_score DESC, node_id) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+# --- J10: entity-context frontier expansion (depth 2) ------------------------
+
+def entity_context_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.withColumnsRenamed({"l_partkey": "pa"})
+    b = li.withColumnsRenamed({"l_partkey": "pb"})
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(
+            F.concat(F.lit("p"), F.col("pa").cast("string")).alias("src"),
+            F.concat(F.lit("p"), F.col("pb").cast("string")).alias("dst"),
+        )
+    )
+    part = load(spark, sf_dir, "part")
+    seeds = part.filter(F.col("p_partkey") <= 3).select(
+        F.concat(F.lit("p"), F.col("p_partkey").cast("string")).alias("entity_id")
+    )
+    return expand_context(edges, seeds, max_depth=2, per_node_limit=3)
+
+
+_LEVEL = """
+{name}_raw AS (
+  SELECT a.dst AS entity_id, a.src AS parent_id, a.strength,
+         ROW_NUMBER() OVER (PARTITION BY a.src ORDER BY a.strength DESC, a.dst) AS rn
+  FROM adj a JOIN {frontier} f ON a.src = f.entity_id
+  WHERE a.dst NOT IN ({visited})
+),
+{name} AS (
+  SELECT entity_id, parent_id, strength FROM (
+    SELECT entity_id, parent_id, strength,
+           ROW_NUMBER() OVER (PARTITION BY entity_id ORDER BY strength DESC, parent_id) AS rn2
+    FROM {name}_raw WHERE rn <= 3
+  ) WHERE rn2 = 1
+)"""
+
+ENTITY_CONTEXT_ORACLE = f"""
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+epairs AS (
+  SELECT 'p' || CAST(a.l_partkey AS VARCHAR) AS src,
+         'p' || CAST(b.l_partkey AS VARCHAR) AS dst
+  FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+adj AS (
+  SELECT src, dst, COUNT(*) AS strength FROM (
+    SELECT src, dst FROM epairs UNION ALL SELECT dst AS src, src AS dst FROM epairs
+  ) GROUP BY src, dst
+),
+seeds AS (
+  SELECT 'p' || CAST(p_partkey AS VARCHAR) AS entity_id FROM part WHERE p_partkey <= 3
+),
+{_LEVEL.format(name="l1", frontier="seeds", visited="SELECT entity_id FROM seeds")},
+{_LEVEL.format(name="l2", frontier="l1",
+               visited="SELECT entity_id FROM seeds UNION ALL SELECT entity_id FROM l1")}
+SELECT entity_id, CAST(NULL AS VARCHAR) AS parent_id, 0 AS depth, CAST(0 AS BIGINT) AS strength FROM seeds
+UNION ALL SELECT entity_id, parent_id, 1 AS depth, strength FROM l1
+UNION ALL SELECT entity_id, parent_id, 2 AS depth, strength FROM l2
+"""
+
+
+QUERIES = {
+    "bfs_shortest_paths": bfs_shortest_paths,
+    "metapath_follow": metapath_follow,
+    "merge_verbalize_orders": merge_verbalize_orders,
+    "node_degree": node_degree,
+    "part_cooccurrence": part_cooccurrence,
+    "topn_part_neighbors": topn_part_neighbors,
+    "fuzzy_link_parts": fuzzy_link_parts,
+    "entity_context_parts": entity_context_parts,
+}
+
+ORACLES = {
+    "bfs_shortest_paths": BFS_ORACLE,
+    "metapath_follow": METAPATH_ORACLE,
+    "merge_verbalize_orders": VERBALIZE_ORACLE,
+    "node_degree": DEGREE_ORACLE,
+    "part_cooccurrence": COOCCURRENCE_ORACLE,
+    "topn_part_neighbors": TOPN_NEIGHBORS_ORACLE,
+    "fuzzy_link_parts": FUZZY_ORACLE,
+    "entity_context_parts": ENTITY_CONTEXT_ORACLE,
+}

@@ -1,0 +1,176 @@
+"""Vector / TF-IDF workload over the driver's embeddings + documents tables
+(SURVEY §2.5 V1-V5, J17).
+
+All embedding scores use the decimal-quantized cosine
+(``functions/vector.py``): element values rounded to a 1e-6 grid and
+accumulated in DECIMAL, so Spark and DuckDB produce bit-identical doubles
+regardless of summation order. The oracle expands vectors with
+``generate_series`` + 1-based list indexing and performs the same decimal
+arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphrag_toolkit_spark.operators import linking
+from graphrag_toolkit_spark.operators.tfidf import tfidf_cosine_scores
+from graphrag_toolkit_spark.operators.vss import top_k, top_k_with_diversity
+from graphrag_toolkit_spark.session import load
+
+# decimal-quantized element: CAST(ROUND(x, 6) AS DECIMAL(12,6))
+_Q = "CAST(ROUND(CAST({x} AS DOUBLE), 6) AS DECIMAL(12,6))"
+
+# per-vector-pair cosine via generate_series expansion; {filt} bounds the scan
+_COSINE_SQL = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE {{qfilt}}),
+terms AS (
+  SELECT e.vec_id, q.qid,
+         {_Q.format(x='e.embedding[i]')} AS xe,
+         {_Q.format(x='q.qemb[i]')} AS xq
+  -- fixture embeddings are 64-dim (constant: DuckDB's generate_series can't
+  -- take lateral column args)
+  FROM embeddings e, q, generate_series(1, 64) AS t(i)
+),
+scores AS (
+  SELECT vec_id, qid,
+         CAST(SUM(xe * xq) AS DOUBLE)
+           / (sqrt(CAST(SUM(xe * xe) AS DOUBLE)) * sqrt(CAST(SUM(xq * xq) AS DOUBLE))) AS score
+  FROM terms GROUP BY vec_id, qid
+)
+"""
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    emb = load(spark, sf_dir, "embeddings")
+    return list(emb.filter(F.col("vec_id") == vec_id).select("embedding").head()[0])
+
+
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1/V2: exact brute-force cosine top-10 against vec_id 0."""
+    emb = load(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    return top_k(emb, qv, id_col="vec_id", k=10, quantized=True).select("vec_id", "score")
+
+
+COSINE_TOPK_ORACLE = _COSINE_SQL.format(qfilt="vec_id = 0") + """
+SELECT vec_id, score FROM scores ORDER BY score DESC, vec_id LIMIT 10
+"""
+
+
+def cosine_topk_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V3: over-fetch 50 then round-robin one per label until 10."""
+    emb = load(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    return top_k_with_diversity(
+        emb, qv, id_col="vec_id", group_col="label",
+        top_k=10, diversity_factor=5, quantized=True,
+    ).select("vec_id", "label", "score")
+
+
+DIVERSITY_ORACLE = _COSINE_SQL.format(qfilt="vec_id = 0") + """
+, overfetch AS (
+  SELECT s.vec_id, e.label, s.score
+  FROM scores s JOIN embeddings e USING (vec_id)
+  ORDER BY s.score DESC, s.vec_id LIMIT 50
+),
+rr AS (
+  SELECT vec_id, label, score,
+         ROW_NUMBER() OVER (PARTITION BY label ORDER BY score DESC, vec_id) AS rr_rank
+  FROM overfetch
+)
+SELECT vec_id, label, score FROM rr ORDER BY rr_rank, score DESC, vec_id LIMIT 10
+"""
+
+
+def dense_link_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J17: top-3 nearest catalog vectors for each of 3 query vectors."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    catalog = emb.select(F.col("vec_id").alias("node_id"), "embedding")
+    return linking.dense_link(queries, catalog, top_k=3, quantized=True)
+
+
+DENSE_LINK_ORACLE = _COSINE_SQL.format(qfilt="vec_id < 3") + """
+SELECT qid AS query_id, vec_id AS node_id, score, rank FROM (
+  SELECT qid, vec_id, score,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+  FROM scores
+) WHERE rank <= 3
+"""
+
+
+# --- V5: TF-IDF scoring ------------------------------------------------------
+
+TFIDF_QUERY = "spark filter join window batch stream"
+_TFIDF_QUANT = 6
+
+
+def tfidf_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        tfidf_cosine_scores(docs, TFIDF_QUERY, text_col="text", id_col="doc_id",
+                            quantize=_TFIDF_QUANT)
+        .withColumnRenamed("id", "doc_id")
+        .select("doc_id", "tfidf_score")
+    )
+
+
+TFIDF_ORACLE = f"""
+WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+toks AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS DECIMAL(8,0)) AS tf FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '[^0-9a-z]+')) AS token
+    FROM documents
+  ) WHERE token <> '' GROUP BY doc_id, token
+),
+idf AS (
+  SELECT token, ln((1.0 + n.n_docs) / (1.0 + COUNT(*))) + 1.0 AS idf
+  FROM toks, n GROUP BY token, n.n_docs
+),
+dw AS (
+  SELECT doc_id, token,
+         CAST(tf * CAST(ROUND(idf, {_TFIDF_QUANT}) AS DECIMAL(18,{_TFIDF_QUANT}))
+              AS DECIMAL(18,{_TFIDF_QUANT})) AS w
+  FROM toks JOIN idf USING (token)
+),
+dnorm AS (SELECT doc_id, sqrt(CAST(SUM(w * w) AS DOUBLE)) AS norm FROM dw GROUP BY doc_id),
+qtoks AS (
+  SELECT token, CAST(COUNT(*) AS DECIMAL(8,0)) AS tf FROM (
+    SELECT unnest(string_split_regex(lower('{TFIDF_QUERY}'), '[^0-9a-z]+')) AS token
+  ) WHERE token <> '' GROUP BY token
+),
+qw AS (
+  SELECT token,
+         CAST(tf * CAST(ROUND(idf, {_TFIDF_QUANT}) AS DECIMAL(18,{_TFIDF_QUANT}))
+              AS DECIMAL(18,{_TFIDF_QUANT})) AS qw
+  FROM qtoks JOIN idf USING (token)
+),
+qnorm AS (SELECT sqrt(CAST(SUM(qw * qw) AS DOUBLE)) AS qn FROM qw),
+dots AS (
+  SELECT dw.doc_id, CAST(SUM(dw.w * qw.qw) AS DOUBLE) AS dot
+  FROM dw JOIN qw USING (token) GROUP BY dw.doc_id
+)
+SELECT d.doc_id, COALESCE(dots.dot / (dn.norm * qnorm.qn), 0.0) AS tfidf_score
+FROM documents d
+LEFT JOIN dots ON dots.doc_id = d.doc_id
+LEFT JOIN dnorm dn ON dn.doc_id = d.doc_id, qnorm
+"""
+
+
+QUERIES = {
+    "cosine_topk": cosine_topk,
+    "cosine_topk_diverse": cosine_topk_diverse,
+    "dense_link_embeddings": dense_link_embeddings,
+    "tfidf_documents": tfidf_documents,
+}
+
+ORACLES = {
+    "cosine_topk": COSINE_TOPK_ORACLE,
+    "cosine_topk_diverse": DIVERSITY_ORACLE,
+    "dense_link_embeddings": DENSE_LINK_ORACLE,
+    "tfidf_documents": TFIDF_ORACLE,
+}

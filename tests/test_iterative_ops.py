@@ -1,0 +1,267 @@
+"""Iterative operators: entity context expansion, beam search, byokg BFS,
+metapaths, shortest paths, linking — vs pure-Python golden implementations."""
+
+from __future__ import annotations
+
+from collections import deque
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphrag_toolkit_spark import fixtures
+from graphrag_toolkit_spark.operators import bfs, entity, linking
+from graphrag_toolkit_spark.operators.beam import beam_search, chunk_beam_search, topic_beam_search
+
+
+@pytest.fixture(scope="module")
+def pdg():
+    return fixtures.generate("t1", seed=42)
+
+
+@pytest.fixture(scope="module")
+def g(spark, pdg):
+    return pdg.to_spark(spark)
+
+
+@pytest.fixture(scope="module")
+def triples_pd():
+    return fixtures.generate_triples(n_nodes=60, n_rels=8, seed=7)
+
+
+@pytest.fixture(scope="module")
+def triples(spark, triples_pd):
+    df = spark.createDataFrame(triples_pd)
+    df.persist().count()
+    return df
+
+
+class TestEntityLookup:
+    def test_exact_match(self, spark, g, pdg):
+        target = pdg.entities[pdg.entities.classification != "__Local_Entity__"].iloc[0]
+        kws = spark.createDataFrame([{"keyword": target["value"].upper()}])
+        out = entity.lookup_entities(g, kws).collect()
+        assert any(
+            r["entity_id"] == target["entity_id"] and r["match_type"] == "exact"
+            for r in out
+        )
+
+    def test_prefix_fallback(self, spark, g, pdg):
+        target = pdg.entities[pdg.entities.classification != "__Local_Entity__"].iloc[0]
+        prefix = target["value"][: len(target["value"]) - 2]
+        kws = spark.createDataFrame([{"keyword": prefix}])
+        out = entity.lookup_entities(g, kws).collect()
+        assert any(r["match_type"] == "prefix" for r in out)
+
+    def test_local_entities_excluded_by_default(self, spark, g, pdg):
+        loc = pdg.entities[pdg.entities.classification == "__Local_Entity__"].iloc[0]
+        kws = spark.createDataFrame([{"keyword": loc["value"]}])
+        assert entity.lookup_entities(g, kws).count() == 0
+        assert entity.lookup_entities(g, kws, include_local=True).count() > 0
+
+
+class TestEntityContext:
+    def test_depth_bounded_and_seeded(self, spark, g, pdg):
+        rel = pdg.edges[pdg.edges.etype == "RELATION"]
+        seed = rel.src.iloc[0]
+        seeds = spark.createDataFrame([{"entity_id": seed}])
+        out = entity.expand_entity_context(g, seeds, max_depth=2, per_node_limit=3).collect()
+        by_depth = {}
+        for r in out:
+            by_depth.setdefault(r["depth"], []).append(r)
+        assert [r["entity_id"] for r in by_depth[0]] == [seed]
+        assert max(by_depth) <= 2
+        assert len(by_depth.get(1, [])) <= 3  # per-node cap from a single seed
+        ids = [r["entity_id"] for r in out]
+        assert len(ids) == len(set(ids))  # visited-set: no node twice
+
+    def test_level1_matches_golden(self, spark, g, pdg):
+        rel = pdg.edges[pdg.edges.etype == "RELATION"]
+        seed = rel.src.value_counts().index[0]  # a hub
+        und = {}
+        for s, d in zip(rel.src, rel.dst):
+            und[(s, d)] = und.get((s, d), 0) + 1
+        adj = {}
+        for (s, d), n in list(und.items()):
+            adj.setdefault(s, {})
+            adj[s][d] = adj[s].get(d, 0) + n
+            adj.setdefault(d, {})
+            adj[d][s] = adj[d].get(s, 0) + n
+        neigh = sorted(adj[seed].items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        exp = {d for d, _ in neigh} - {seed}
+        seeds = spark.createDataFrame([{"entity_id": seed}])
+        out = entity.expand_entity_context(g, seeds, max_depth=1, per_node_limit=3)
+        got = {r["entity_id"] for r in out.collect() if r["depth"] == 1}
+        assert got == exp
+
+
+class TestBeam:
+    def test_generic_beam_visits_seeds_first(self, spark, g, pdg):
+        qv = fixtures.pseudo_embedding("beam query")
+        seeds = spark.createDataFrame(
+            [{"node_id": t} for t in pdg.topics.topic_id.head(5)]
+        )
+
+        def no_neighbors(frontier):
+            return frontier.select(
+                F.col("node_id"), F.col("node_id").alias("parent_id")
+            ).limit(0)
+
+        out = beam_search(g.embeddings_topic, seeds, no_neighbors, qv, beam_width=3).collect()
+        assert len(out) == 3  # beam cut applies to seeds
+        assert all(r["depth"] == 0 for r in out)
+
+    def test_beam_scoring_modes(self, spark, g, pdg):
+        qv = fixtures.pseudo_embedding("scores")
+        seeds = spark.createDataFrame([{"node_id": pdg.topics.topic_id.iloc[0]}])
+        ids_by_mode = {}
+        for mode in ("cosine", "path_weighted", "path_propagated"):
+            out = topic_beam_search(
+                g, qv, seed_top_k=5, beam_width=5, max_depth=2, scoring=mode,
+                statements_per_topic=3,
+            )
+            rows = out.collect()
+            assert len(rows) > 0
+            ids_by_mode[mode] = {r["topic_id"] for r in rows}
+        assert all(len(v) > 0 for v in ids_by_mode.values())
+
+    def test_beam_deterministic(self, g):
+        qv = fixtures.pseudo_embedding("det")
+        a = topic_beam_search(g, qv, seed_top_k=5, beam_width=5, max_depth=2).collect()
+        b = topic_beam_search(g, qv, seed_top_k=5, beam_width=5, max_depth=2).collect()
+        assert sorted(map(str, a)) == sorted(map(str, b))
+
+    def test_chunk_beam(self, g):
+        qv = fixtures.pseudo_embedding("chunk beam")
+        out = chunk_beam_search(g, qv, seed_top_k=5, beam_width=4, max_depth=2).collect()
+        assert 0 < len(out) <= 4 * 3
+        assert all("chunk_id" in r.asDict() for r in out)
+
+    def test_statements_per_topic_cap(self, g):
+        qv = fixtures.pseudo_embedding("cap")
+        out = topic_beam_search(
+            g, qv, seed_top_k=5, beam_width=5, max_depth=1, statements_per_topic=2
+        )
+        counts = out.groupBy("topic_id").count().collect()
+        assert all(r["count"] <= 2 for r in counts)
+
+
+def _adj(triples_pd, directed=True):
+    adj = {}
+    for s, _, d in triples_pd.itertuples(index=False):
+        adj.setdefault(s, set()).add(d)
+        if not directed:
+            adj.setdefault(d, set()).add(s)
+    return adj
+
+
+class TestByokg:
+    def test_one_hop_matches_golden(self, spark, triples, triples_pd):
+        frontier = spark.createDataFrame([{"node_id": "n0"}, {"node_id": "n5"}])
+        out = {(r["src"], r["rel"], r["dst"]) for r in bfs.one_hop(triples, frontier).collect()}
+        exp = {
+            (s, r, d)
+            for s, r, d in triples_pd.itertuples(index=False)
+            if s in ("n0", "n5")
+        }
+        assert out == exp
+
+    def test_one_hop_rel_filter(self, spark, triples, triples_pd):
+        frontier = spark.createDataFrame([{"node_id": "n0"}])
+        out = bfs.one_hop(triples, frontier, rels=["rel_0"]).collect()
+        assert all(r["rel"] == "rel_0" for r in out)
+
+    def test_multi_hop_superset_of_one_hop(self, spark, triples):
+        frontier = spark.createDataFrame([{"node_id": "n0"}])
+        h1 = {tuple(r) for r in bfs.one_hop(triples, frontier).collect()}
+        h2 = {tuple(r) for r in bfs.multi_hop(triples, frontier, hops=2).collect()}
+        assert h1 <= h2
+
+    def test_metapath_follow_golden(self, spark, triples, triples_pd):
+        # build golden: start n0, follow [rel_a, rel_b] for first two rels seen
+        rel_seq = [triples_pd.rel.iloc[0], triples_pd.rel.iloc[1]]
+        by_rel = {}
+        for s, r, d in triples_pd.itertuples(index=False):
+            by_rel.setdefault(r, {}).setdefault(s, set()).add(d)
+        cur = {"n0"}
+        for r in rel_seq:
+            cur = {d for s in cur for d in by_rel.get(r, {}).get(s, set())}
+        frontier = spark.createDataFrame([{"node_id": "n0"}])
+        out = bfs.follow_metapath(triples, frontier, rel_seq).collect()
+        assert {r["end_id"] for r in out} == cur
+        assert all(r["start_id"] == "n0" for r in out)
+
+    def test_shortest_paths_distances_golden(self, spark, triples, triples_pd):
+        adj = _adj(triples_pd)
+        dist = {"n0": 0}
+        q = deque(["n0"])
+        while q:
+            u = q.popleft()
+            for v in sorted(adj.get(u, ())):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        sources = spark.createDataFrame([{"node_id": "n0"}])
+        out = bfs.shortest_paths(triples, sources, max_depth=10)
+        got = {r["node_id"]: r["dist"] for r in out.collect()}
+        exp = {k: v for k, v in dist.items() if v <= 10}
+        assert got == exp
+
+    def test_shortest_paths_path_is_valid(self, spark, triples, triples_pd):
+        adj = _adj(triples_pd)
+        sources = spark.createDataFrame([{"node_id": "n0"}])
+        out = bfs.shortest_paths(triples, sources, max_depth=6).collect()
+        for r in out:
+            hops = r["path"].split("->")
+            assert hops[0] == "n0" and hops[-1] == r["node_id"]
+            assert len(hops) == r["dist"] + 1
+            for a, b in zip(hops, hops[1:]):
+                assert b in adj[a]
+
+    def test_shortest_paths_targets_filter(self, spark, triples):
+        sources = spark.createDataFrame([{"node_id": "n0"}])
+        targets = spark.createDataFrame([{"node_id": "n3"}, {"node_id": "n7"}])
+        out = bfs.shortest_paths(triples, sources, targets=targets, max_depth=10).collect()
+        assert {r["node_id"] for r in out} <= {"n3", "n7"}
+
+    def test_merge_verbalize(self, spark):
+        t = spark.createDataFrame(
+            [{"src": "a", "rel": "r", "dst": "z"}, {"src": "a", "rel": "r", "dst": "b"},
+             {"src": "a", "rel": "q", "dst": "c"}]
+        )
+        out = {(r["src"], r["rel"]): r["text"] for r in bfs.merge_verbalize(t).collect()}
+        assert out[("a", "r")] == "a r: b, z"
+        assert out[("a", "q")] == "a q: c"
+
+    def test_schema_relations(self, triples, triples_pd):
+        got = {r["rel"] for r in bfs.schema_relations(triples).collect()}
+        assert got == set(triples_pd.rel)
+
+
+class TestLinking:
+    def test_fuzzy_exact_name_ranks_first(self, spark):
+        names_pd = fixtures.generate_node_names(50)
+        names = spark.createDataFrame(names_pd)
+        target = names_pd.name.iloc[0]
+        q = spark.createDataFrame([{"query": target}])
+        out = linking.fuzzy_link(q, names, top_k=3).collect()
+        assert out[0]["name"] == target and out[0]["fuzzy_score"] == 1.0
+
+    def test_fuzzy_handles_misspelling(self, spark):
+        names_pd = fixtures.generate_node_names(50)
+        names = spark.createDataFrame(names_pd)
+        target = names_pd.name.iloc[0]
+        typo = "x" + target[1:]  # one-char typo
+        q = spark.createDataFrame([{"query": typo}])
+        out = linking.fuzzy_link(q, names, top_k=1).collect()
+        assert out[0]["name"] == target
+
+    def test_dense_link_self_is_top1(self, spark, pdg):
+        cat = spark.createDataFrame(pdg.embeddings_topic).withColumnRenamed("id", "node_id")
+        first = pdg.embeddings_topic.iloc[0]
+        q = spark.createDataFrame(
+            [{"query_id": "q0", "embedding": list(first["embedding"])}]
+        )
+        out = linking.dense_link(q, cat, top_k=3).collect()
+        assert out[0]["node_id"] == first["id"]
+        assert out[0]["score"] == pytest.approx(1.0)
+        assert [r["rank"] for r in out] == [1, 2, 3]
