@@ -83,3 +83,18 @@ def l2_norm_quantized(a: Column) -> Column:
 
 def cosine_similarity_quantized(a: Column, b: Column) -> Column:
     return dot_quantized(a, b) / (l2_norm_quantized(a) * l2_norm_quantized(b))
+
+
+def prequantize(vec: Column) -> Column:
+    """Quantize once, reuse many times: for pairwise workloads, store the
+    decimal array per vector and use ``dot_prequantized`` in the pair stage —
+    quantizing inside an O(n²) join wastes most of the work."""
+    return _quantize(vec)
+
+
+def dot_prequantized(a: Column, b: Column) -> Column:
+    """Dot of two already-quantized decimal arrays (see ``prequantize``)."""
+    products = F.zip_with(a, b, lambda x, y: x * y)
+    return F.aggregate(
+        products, F.lit(0).cast(_DEC_ACC), lambda acc, v: (acc + v).cast(_DEC_ACC)
+    ).cast("double")

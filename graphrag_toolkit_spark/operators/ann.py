@@ -1,0 +1,145 @@
+"""Approximate nearest-neighbor search over embedding columns (north-star
+similarity-search extras; the scale path behind SURVEY V1/J17's exact leg).
+
+Two candidate generators, both deterministic and oracle-expressible thanks to
+the decimal-quantized dot products:
+
+- **Random-hyperplane LSH**: ``n_planes`` pseudo-random unit hyperplanes
+  (content-hash-derived, no RNG state); bucket = sign-bit string of the
+  quantized projections. Same bucket → candidate; exact cosine rerank inside
+  the bucket. One shuffle on bucket id; at 100 TB the bucket table is
+  partitioned by bucket and the per-bucket rerank is a local top-k.
+- **IVF**: a fixed centroid list (deterministic "training" = first C vectors,
+  the honest stand-in for k-means at fixture scale); every vector is
+  assigned to its nearest centroid (quantized cosine), queries probe the
+  ``nprobe`` nearest centroid lists and rerank exactly within them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from graphrag_toolkit_spark.fixtures import pseudo_embedding
+from graphrag_toolkit_spark.functions.vector import (
+    cosine_similarity_quantized,
+    dot_quantized,
+)
+from graphrag_toolkit_spark.operators.vss import query_vector_lit
+
+
+def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (hash-projection of a
+    fixed seed string — reproducible in tests and in the SQL oracle via the
+    exported literal values)."""
+    return [pseudo_embedding(f"lsh-plane-{i}", dim) for i in range(n_planes)]
+
+
+def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket string, e.g. '1011' — one char per plane."""
+    bits = [
+        F.when(dot_quantized(vec_col, query_vector_lit(p)) >= 0, F.lit("1")).otherwise("0")
+        for p in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_assign(
+    emb: DataFrame, id_col: str, vec_col: str, planes: list[list[float]]
+) -> DataFrame:
+    return emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("embedding"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+
+
+def lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,            # (query_id, embedding)
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    dim: int = 64,
+    k: int = 5,
+) -> DataFrame:
+    """ANN top-k: candidates share the query's LSH bucket; exact quantized
+    cosine rerank within. Returns (query_id, id, score, rank)."""
+    planes = hyperplanes(n_planes, dim)
+    cat = lsh_assign(emb, id_col, vec_col, planes)
+    q = F.broadcast(
+        queries.select(
+            "query_id",
+            F.col("embedding").alias("q_embedding"),
+            lsh_bucket(F.col("embedding"), planes).alias("bucket"),
+        )
+    )
+    scored = cat.join(q, "bucket").withColumn(
+        "score", cosine_similarity_quantized(F.col("embedding"), F.col("q_embedding"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "score", "rank")
+    )
+
+
+def ivf_assign(
+    emb: DataFrame, centroids: DataFrame, id_col: str = "id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (quantized cosine,
+    deterministic tie-break on centroid id). ``centroids(cid, embedding)``."""
+    c = F.broadcast(centroids.select("cid", F.col("embedding").alias("c_embedding")))
+    scored = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("embedding")
+    ).crossJoin(c).withColumn(
+        "c_score", cosine_similarity_quantized(F.col("embedding"), F.col("c_embedding"))
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("c_score"), F.asc("cid"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("id", "embedding", "cid")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,            # (query_id, embedding)
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    nprobe: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """IVF ANN top-k: probe the ``nprobe`` nearest centroid lists, exact
+    rerank within. Returns (query_id, id, score, rank)."""
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    c = F.broadcast(centroids.select("cid", F.col("embedding").alias("c_embedding")))
+    q = queries.select("query_id", F.col("embedding").alias("q_embedding"))
+    probes = (
+        F.broadcast(q).crossJoin(c)
+        .withColumn(
+            "c_score",
+            cosine_similarity_quantized(F.col("q_embedding"), F.col("c_embedding")),
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("c_score"), F.asc("cid"))
+            ),
+        )
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "q_embedding", "cid")
+    )
+    scored = assigned.join(F.broadcast(probes), "cid").withColumn(
+        "score", cosine_similarity_quantized(F.col("embedding"), F.col("q_embedding"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "score", "rank")
+    )

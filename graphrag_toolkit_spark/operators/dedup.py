@@ -1,0 +1,231 @@
+"""Corpus-scale deduplication operators (north-star training-data pipeline;
+SURVEY §7 step 9 — extensions beyond the reference's V6 statement-diversity
+near-dup filter, which these generalize from the ≤200-row rerank pool to the
+full corpus).
+
+Five families, all deterministic and (except where noted) oracle-expressible:
+
+- **exact**: hash-groupBy on md5(text) — one shuffle, keep-min-id survivor.
+- **MinHash + LSH**: shingle → H independent min-hashes → B bands →
+  bucket-join. Hashes are md5 HEX STRINGS (min taken lexicographically):
+  md5 is available and identical in every engine, so signatures — and hence
+  the whole candidate-pair set — are engine-reproducible. At scale the only
+  shuffles are the band-bucket groupBys; no pairwise stage ever sees rows
+  that don't share a bucket.
+- **n-gram Jaccard**: exact verification on candidate pairs via shingle-set
+  semi-join (|A∩B| / |A∪B|).
+- **SimHash**: 16-bit signed-projection sketch over token hashes; equal
+  sketches (or ≤ r Hamming distance via band rotation) → candidates.
+- **embedding cosine**: decimal-quantized cosine over all pairs above a
+  threshold (the exact leg; the LSH-bucketed scale path is
+  ``operators/ann.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from graphrag_toolkit_spark.functions.vector import (
+    dot_prequantized,
+    l2_norm_quantized,
+    prequantize,
+)
+
+
+# --- exact -------------------------------------------------------------------
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact duplicate groups: (text_hash, n_dups, keep_id) with the smallest
+    id as survivor. ``n_dups >= 1`` (groups of 1 are unique rows)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Survivors only: first row (min id) per distinct text."""
+    keep = exact_dedup_groups(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# --- shingling ---------------------------------------------------------------
+
+def shingles(df: DataFrame, text_col: str, id_col: str, k: int = 1) -> DataFrame:
+    """Distinct word k-gram shingles per row: (id, shingle)."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    if k == 1:
+        sh = toks
+    else:
+        # k-grams via index transform over the token array (no explode yet —
+        # stays one row until the distinct explode below). Guard: Spark's
+        # sequence(1, 0) is a DESCENDING sequence, not empty.
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+        sh = F.when(F.size(toks) >= k, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        .filter(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+# --- MinHash + LSH -----------------------------------------------------------
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = 12) -> DataFrame:
+    """H independent min-hashes per id. Hash_h(s) = md5('h:' || s); the min is
+    lexicographic over hex strings — equivalent to a min over uniform 128-bit
+    ints, and identical in any engine with md5."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{h}:"), F.col("shingle")))).alias(f"mh{h}")
+        for h in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def lsh_bucket_pairs(
+    sig: DataFrame, num_hashes: int = 12, bands: int = 6
+) -> DataFrame:
+    """Band the signature (rows_per_band = H/B), hash each band, self-join on
+    (band, band_hash) → candidate pairs (id_a < id_b), distinct."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bh"))
+        )
+    banded = sig.select(
+        "id", F.explode(F.array(*band_cols)).alias("b")
+    ).select("id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    a = banded.withColumnRenamed("id", "id_a")
+    b = banded.withColumnRenamed("id", "id_b")
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_on_pairs(sh: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact Jaccard for given candidate pairs from the shingle table:
+    (id_a, id_b, jaccard). Intersection via shingle equi-join; union by
+    inclusion-exclusion on per-id shingle counts (no giant set union)."""
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sh.withColumnRenamed("id", "id_a")
+        .join(F.broadcast(pairs), "id_a")
+        .join(
+            sh.withColumnsRenamed({"id": "id_b"}),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n": "n_b"}), "id_b")
+        .select(
+            "id_a", "id_b",
+            (F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+            .alias("jaccard"),
+        )
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame, text_col: str, id_col: str,
+    k: int = 1, num_hashes: int = 12, bands: int = 6,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full MinHash-LSH pipeline: shingle → signature → banded candidates →
+    exact-Jaccard verification ≥ threshold."""
+    sh = shingles(df, text_col, id_col, k)
+    cand = lsh_bucket_pairs(minhash_signatures(sh, num_hashes), num_hashes, bands)
+    return jaccard_on_pairs(sh, cand).filter(F.col("jaccard") >= threshold)
+
+
+# --- SimHash -----------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def _token_hash_int(col: Column) -> Column:
+    """First 8 hex chars of md5 as a non-negative int (engine-portable)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """16-bit SimHash: bit_i = sign of Σ_tokens tf × (bit_i(hash(token)) ? +1
+    : -1) — a signed projection; near-identical token distributions collide.
+    Returns (id, simhash)."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    tf = (
+        df.select(F.col(id_col).alias("id"), F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("th", _token_hash_int(F.col("token")))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, F.col("tf"))
+            .otherwise(-F.col("tf"))
+        ).alias(f"s{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    per_doc = tf.groupBy("id").agg(*bit_sums)
+    out = F.lit(0).cast("long")
+    for i in range(SIMHASH_BITS):
+        out = out + F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(0)
+    return per_doc.select("id", out.alias("simhash"))
+
+
+def simhash_bucket_pairs(sims: DataFrame) -> DataFrame:
+    """Candidate pairs with identical simhash (Hamming distance 0). For
+    distance ≤ r at scale, re-bucket on SIMHASH_BITS/(r+1)-bit bands (same
+    LSH argument as MinHash banding)."""
+    a = sims.withColumnsRenamed({"id": "id_a"})
+    b = sims.withColumnsRenamed({"id": "id_b"})
+    return (
+        a.join(b, "simhash").filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "simhash")
+    )
+
+
+# --- embedding cosine --------------------------------------------------------
+
+def embedding_near_dup_pairs(
+    emb: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """All-pairs exact leg: (id_a, id_b, cos) with cos ≥ threshold, quantized
+    cosine (oracle-reproducible). O(n²) — bound the input or use
+    ``operators/ann.py`` buckets as the candidate generator at scale.
+
+    Norms and decimal quantization are computed ONCE per vector before the
+    pair join (3× fewer array folds than quantizing inside the O(n²) stage).
+    """
+    prepped = emb.select(
+        F.col(id_col).alias("id"),
+        prequantize(F.col(vec_col)).alias("qv"),
+        l2_norm_quantized(F.col(vec_col)).alias("norm"),
+    )
+    a = prepped.withColumnsRenamed({"id": "id_a", "qv": "qa", "norm": "na"})
+    b = prepped.withColumnsRenamed({"id": "id_b", "qv": "qb", "norm": "nb"})
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos", dot_prequantized(F.col("qa"), F.col("qb")) / (F.col("na") * F.col("nb"))
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

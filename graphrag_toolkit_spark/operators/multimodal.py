@@ -1,0 +1,104 @@
+"""Multimodal (image/audio/video) column plumbing for training-data
+pipelines (north-star extras).
+
+Design: media payloads are opaque ``binary`` columns with a typed metadata
+struct alongside. Heavy per-item work (decode, resize, feature-extract,
+frame-sample) runs as Arrow-batched ``mapInPandas`` stages — the Spark-side
+contract (schema, batching, partitioning) is real and tested; the actual
+codec calls are STUBBED (the image/audio libraries are not in this
+container): ``decode_media(..., real_decode=True)`` raises
+``NotImplementedError``, and the default path produces a deterministic fake
+derived from the bytes (stable across runs/engines), so pipelines and tests
+exercise the full distributed plumbing.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODE_SCHEMA = (
+    "id long, byte_len int, sha256_prefix string, width int, height int, format string"
+)
+
+FRAME_SCHEMA = "id long, frame_idx int, frame_hash string"
+
+
+def attach_media_metadata(df: DataFrame, bytes_col: str, id_col: str) -> DataFrame:
+    """Cheap JVM-side metadata (no Python): length + md5. Always run this
+    BEFORE any Python stage so filters on size/dup-hash prune rows first."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(bytes_col).alias("payload"),
+        F.length(F.col(bytes_col)).alias("byte_len"),
+        F.md5(F.col(bytes_col)).alias("payload_md5"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[str, int, int, str]:
+    """Deterministic stand-in for an image decode: dimensions and format are
+    derived from the content hash (stable, engine-independent)."""
+    h = hashlib.sha256(payload).hexdigest()
+    width = 16 + int(h[:4], 16) % 2032       # 16..2047
+    height = 16 + int(h[4:8], 16) % 2032
+    fmt = ["png", "jpeg", "webp"][int(h[8], 16) % 3]
+    return h[:16], width, height, fmt
+
+
+def decode_media(
+    df: DataFrame, bytes_col: str, id_col: str, real_decode: bool = False
+) -> DataFrame:
+    """Decode stage: mapInPandas over Arrow batches. Output one row per item
+    with decoded metadata (fake path) — the real path would return pixel
+    tensors/features and needs a codec library not present here."""
+    if real_decode:
+        raise NotImplementedError(
+            "real media decoding requires an image/audio codec library "
+            "(PIL/ffmpeg), which is not available in this environment; "
+            "the mapInPandas plumbing below is the production shape"
+        )
+    src = df.select(F.col(id_col).alias("id"), F.col(bytes_col).alias("payload"))
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _id, payload in zip(pdf["id"], pdf["payload"]):
+                data = bytes(payload)
+                sha, w, h, fmt = _fake_decode(data)
+                rows.append((_id, len(data), sha, w, h, fmt))
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "byte_len", "sha256_prefix", "width", "height", "format"],
+            )
+
+    return src.mapInPandas(decode_batches, schema=DECODE_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame, bytes_col: str, id_col: str, n_frames: int = 4
+) -> DataFrame:
+    """Frame-sampling stage (video analog): emit ``n_frames`` evenly-spaced
+    'frames' per item — here a content-derived hash per frame index; the
+    real path would demux + decode keyframes. One row in → n rows out,
+    demonstrating the expanding mapInPandas shape."""
+    src = df.select(F.col(id_col).alias("id"), F.col(bytes_col).alias("payload"))
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _id, payload in zip(pdf["id"], pdf["payload"]):
+                # frame hash keyed on (content md5, frame index) — a string
+                # recipe any engine can reproduce (md5 over raw blobs isn't
+                # portable SQL)
+                content = hashlib.md5(bytes(payload)).hexdigest()
+                for i in range(n_frames):
+                    rows.append(
+                        (_id, i, hashlib.md5(f"{content}-{i}".encode()).hexdigest())
+                    )
+            yield pd.DataFrame(rows, columns=["id", "frame_idx", "frame_hash"])
+
+    return src.mapInPandas(frame_batches, schema=FRAME_SCHEMA)

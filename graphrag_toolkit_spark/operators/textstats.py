@@ -1,0 +1,124 @@
+"""Text-analysis operators for training-data pipelines (north-star extras):
+language ID, quality scoring, token counting, document fingerprinting.
+All built-in column expressions — JVM-side, pushdown-friendly, and
+oracle-expressible (each has a DuckDB-equivalent formulation in
+``workload/dataprep.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# Small function-word lexicons for the n-gram/stopword language heuristic.
+# Deliberately tiny and hard-coded: the operator contract is "deterministic
+# argmax over lexicon hits", not linguistic accuracy.
+LANG_LEXICON: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den"],
+    "fr": ["le", "la", "les", "de", "et", "est", "dans", "pour"],
+    "zh": ["的", "是", "在", "了", "和", "有", "我", "不"],
+}
+
+STOPWORDS = LANG_LEXICON["en"]
+
+WORD_RE = r"[0-9a-zA-Z]+"
+# BPE-ish segmentation: word pieces OR single non-space symbols
+BPE_ISH_RE = r"[0-9a-zA-Z]+|[^\s0-9a-zA-Z]"
+
+
+def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Token counting: whitespace tokens, word tokens, BPE-ish tokens, chars.
+    ``regexp_count`` keeps everything in one codegen'd projection."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.trim(t), r"\s+")).alias("ws_tokens"),
+        F.regexp_count(t, F.lit(WORD_RE)).alias("word_tokens"),
+        F.regexp_count(t, F.lit(BPE_ISH_RE)).alias("bpeish_tokens"),
+        F.length(t).alias("chars"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic quality scoring: length, punctuation ratio, stopword ratio,
+    mean word length → one composite score in [0, 1]-ish. Deterministic
+    arithmetic on integer counts (exact in any engine)."""
+    t = F.col(text_col)
+    n_words = F.regexp_count(t, F.lit(WORD_RE))
+    n_punct = F.regexp_count(t, F.lit(r"[^\s0-9a-zA-Z]"))
+    n_chars = F.length(t)
+    stop_pat = r"\b(" + "|".join(STOPWORDS) + r")\b"
+    n_stop = F.regexp_count(F.lower(t), F.lit(stop_pat))
+    word_chars = F.length(F.regexp_replace(t, r"[^0-9a-zA-Z]", ""))
+    out = df.select(
+        F.col(id_col).alias("id"),
+        n_words.alias("n_words"),
+        (n_punct.cast("double") / n_chars).alias("punct_ratio"),
+        (n_stop.cast("double") / F.greatest(n_words, F.lit(1))).alias("stopword_ratio"),
+        (word_chars.cast("double") / F.greatest(n_words, F.lit(1))).alias("mean_word_len"),
+    )
+    # composite: reward 50-500 word docs with low punct and some stopwords
+    score = (
+        F.least(F.col("n_words").cast("double") / 100.0, F.lit(1.0)) * 0.4
+        + (1.0 - F.least(F.col("punct_ratio") * 5.0, F.lit(1.0))) * 0.3
+        + F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0)) * 0.3
+    )
+    return out.withColumn("quality", score)
+
+
+def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Language ID: lexicon-hit argmax. Explode tokens → broadcast-join the
+    (lang, word) lexicon → per-(doc, lang) hit counts → window argmax with
+    lexicographic tie-break; docs with zero hits get 'und'."""
+    spark = df.sparkSession
+    lex = spark.createDataFrame(
+        [{"lang": lang, "token": w} for lang, ws in LANG_LEXICON.items() for w in ws]
+    )
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token"),
+    )
+    hits = (
+        toks.join(F.broadcast(lex), "token")
+        .groupBy("id", "lang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("hits"), F.asc("lang"))
+    best = (
+        hits.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("id", F.col("lang").alias("lang_pred"), "hits")
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(best, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("lang_pred"), F.lit("und")).alias("lang_pred"),
+            F.coalesce(F.col("hits"), F.lit(0)).alias("hits"),
+        )
+    )
+
+
+def fingerprint(
+    df: DataFrame, text_col: str, id_col: str, k: int = 4
+) -> DataFrame:
+    """Document fingerprint (winnowing-style): the k lexicographically
+    smallest md5 hashes of word 3-gram shingles, joined — a stable
+    content-locality sketch (equal fingerprints ⇒ near-identical prose)."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, 3))),
+    )
+    # guard: sequence(1, 0) is descending in Spark, not empty
+    grams = F.when(F.size(toks) >= 3, grams).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.concat_ws("|", F.slice(F.array_sort(F.array_distinct(grams)), 1, k)).alias(
+            "fingerprint"
+        ),
+    )

@@ -22,9 +22,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from graphrag_toolkit_spark.workload import graphish, relational, vector
+from graphrag_toolkit_spark.workload import dataprep, graphish, relational, vector
 
-_MODULES = [relational, graphish, vector]
+_MODULES = [relational, graphish, vector, dataprep]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

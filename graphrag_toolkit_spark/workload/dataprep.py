@@ -1,0 +1,495 @@
+"""Training-data pipeline workload over documents/embeddings: dedup families,
+text analysis, ANN, multimodal plumbing — each running the REAL operator code
+with a DuckDB oracle expressing identical semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphrag_toolkit_spark.operators import ann, dedup, multimodal, textstats
+from graphrag_toolkit_spark.session import load
+
+NUM_HASHES = 12
+BANDS = 6  # 6 bands x 2 rows: catch prob ~0.93 at j=0.6, ~1.0 at j=0.9
+SHINGLE_K = 2
+JACCARD_THRESHOLD = 0.5
+
+# shared shingle CTE (word unigrams, lowercased, distinct per doc)
+# word bigram shingles (k=2): the fixture's planted near-dup documents
+# separate cleanly at bigram granularity (unigrams collide corpus-wide)
+_SHINGLES_SQL = r"""
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+                          i -> ws[i] || ' ' || ws[i+1])) AS shingle
+    FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws FROM documents)
+  ) WHERE shingle <> ''
+)
+"""
+
+_MH_COLS = ",\n         ".join(
+    f"min(md5('{h}:' || shingle)) AS mh{h}" for h in range(NUM_HASHES)
+)
+_SIG_SQL = f"""
+sig AS (
+  SELECT doc_id,
+         {_MH_COLS}
+  FROM sh GROUP BY doc_id
+)
+"""
+
+_ROWS_PER_BAND = NUM_HASHES // BANDS
+_BAND_PROJ = "\n  UNION ALL\n".join(
+    "  SELECT doc_id, {b} AS band, md5({concat}) AS bh FROM sig".format(
+        b=b,
+        concat=" || '|' || ".join(
+            f"mh{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)
+        ),
+    )
+    for b in range(BANDS)
+)
+_BANDED_SQL = f"banded AS (\n{_BAND_PROJ}\n)"
+
+_CAND_SQL = """
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+  WHERE a.doc_id < b.doc_id
+)
+"""
+
+
+# --- exact dedup -------------------------------------------------------------
+
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dedup.exact_dedup_groups(docs, "text", "doc_id")
+
+
+DEDUP_EXACT_ORACLE = """
+SELECT md5(text) AS text_hash, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
+FROM documents GROUP BY md5(text)
+"""
+
+
+# --- MinHash signatures ------------------------------------------------------
+
+def minhash_signatures_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs, "text", "doc_id", k=SHINGLE_K)
+    sig = dedup.minhash_signatures(sh, NUM_HASHES)
+    return sig.select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws("|", *[F.col(f"mh{h}") for h in range(NUM_HASHES)]).alias("signature"),
+    )
+
+
+MINHASH_SIG_ORACLE = f"""
+WITH {_SHINGLES_SQL}, {_SIG_SQL}
+SELECT doc_id, {" || '|' || ".join(f"mh{h}" for h in range(NUM_HASHES))} AS signature
+FROM sig
+"""
+
+
+# --- MinHash-LSH near-dup pairs (banded candidates + exact Jaccard) ----------
+
+def minhash_neardup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_dup_pairs(
+        docs, "text", "doc_id", k=SHINGLE_K,
+        num_hashes=NUM_HASHES, bands=BANDS, threshold=JACCARD_THRESHOLD,
+    )
+    return pairs.withColumnsRenamed({"id_a": "doc_a", "id_b": "doc_b"})
+
+
+MINHASH_PAIRS_ORACLE = f"""
+WITH {_SHINGLES_SQL}, {_SIG_SQL}, {_BANDED_SQL}, {_CAND_SQL},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a AS doc_a, i.id_b AS doc_b,
+       i.n_inter / (sa.n + sb.n - i.n_inter) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE i.n_inter / (sa.n + sb.n - i.n_inter) >= {JACCARD_THRESHOLD}
+"""
+
+
+# --- SimHash -----------------------------------------------------------------
+
+def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dedup.simhash(docs, "text", "doc_id").withColumnRenamed("id", "doc_id")
+
+
+_SIMHASH_BIT_SUMS = ",\n         ".join(
+    f"SUM(CASE WHEN (th // {1 << i}) % 2 = 1 THEN tf ELSE -tf END) AS s{i}"
+    for i in range(dedup.SIMHASH_BITS)
+)
+_SIMHASH_ASSEMBLE = " + ".join(
+    f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(dedup.SIMHASH_BITS)
+)
+SIMHASH_ORACLE = rf"""
+WITH tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf,
+         CAST('0x' || substring(md5(token), 1, 8) AS BIGINT) AS th
+  FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+    FROM documents
+  ) WHERE token <> ''
+  GROUP BY doc_id, token
+),
+bits AS (
+  SELECT doc_id,
+         {_SIMHASH_BIT_SUMS}
+  FROM tf GROUP BY doc_id
+)
+SELECT doc_id, CAST({_SIMHASH_ASSEMBLE} AS BIGINT) AS simhash FROM bits
+"""
+
+
+# --- embedding near-dup pairs ------------------------------------------------
+
+EMBED_DUP_THRESHOLD = 0.35
+_EMB_Q = "CAST(ROUND(CAST({x} AS DOUBLE), 6) AS DECIMAL(12,6))"
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", EMBED_DUP_THRESHOLD
+    )
+
+
+EMBED_NEARDUP_ORACLE = f"""
+WITH terms AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_EMB_Q.format(x='a.embedding[i]')} AS xa,
+         {_EMB_Q.format(x='b.embedding[i]')} AS xb
+  FROM embeddings a
+  JOIN embeddings b ON a.vec_id < b.vec_id, generate_series(1, 64) AS t(i)
+),
+scores AS (
+  SELECT id_a, id_b,
+         CAST(SUM(xa * xb) AS DOUBLE)
+           / (sqrt(CAST(SUM(xa * xa) AS DOUBLE)) * sqrt(CAST(SUM(xb * xb) AS DOUBLE))) AS cos
+  FROM terms GROUP BY id_a, id_b
+)
+SELECT id_a, id_b, cos FROM scores WHERE cos >= {EMBED_DUP_THRESHOLD}
+"""
+
+
+# --- text analysis -----------------------------------------------------------
+
+def token_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return textstats.token_stats(docs, "text", "doc_id").withColumnRenamed("id", "doc_id")
+
+
+TOKEN_STATS_ORACLE = rf"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+       len(regexp_extract_all(text, '{textstats.WORD_RE}')) AS word_tokens,
+       len(regexp_extract_all(text, '{textstats.BPE_ISH_RE}')) AS bpeish_tokens,
+       length(text) AS chars
+FROM documents
+"""
+
+
+def quality_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return textstats.quality_score(docs, "text", "doc_id").withColumnRenamed("id", "doc_id")
+
+
+_STOP_PAT = r"\b(" + "|".join(textstats.STOPWORDS) + r")\b"
+QUALITY_ORACLE = rf"""
+WITH c AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{textstats.WORD_RE}')) AS n_words,
+         len(regexp_extract_all(text, '[^\s0-9a-zA-Z]')) AS n_punct,
+         length(text) AS n_chars,
+         len(regexp_extract_all(lower(text), '{_STOP_PAT}')) AS n_stop,
+         length(regexp_replace(text, '[^0-9a-zA-Z]', '', 'g')) AS word_chars
+  FROM documents
+)
+SELECT doc_id, n_words,
+       CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+       CAST(n_stop AS DOUBLE) / greatest(n_words, 1) AS stopword_ratio,
+       CAST(word_chars AS DOUBLE) / greatest(n_words, 1) AS mean_word_len,
+       least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.4
+         + (1.0 - least(CAST(n_punct AS DOUBLE) / n_chars * 5.0, 1.0)) * 0.3
+         + least(CAST(n_stop AS DOUBLE) / greatest(n_words, 1) * 5.0, 1.0) * 0.3 AS quality
+FROM c
+"""
+
+
+def language_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return textstats.language_id(docs, "text", "doc_id").withColumnRenamed("id", "doc_id")
+
+
+_LEX_VALUES = ", ".join(
+    f"('{lang}', '{w}')"
+    for lang, ws in textstats.LANG_LEXICON.items()
+    for w in ws
+)
+LANGID_ORACLE = rf"""
+WITH lex(lang, token) AS (VALUES {_LEX_VALUES}),
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+  FROM documents
+),
+hits AS (
+  SELECT doc_id, lang, COUNT(*) AS hits
+  FROM toks JOIN lex USING (token)
+  GROUP BY doc_id, lang
+),
+best AS (
+  SELECT doc_id, lang, hits FROM (
+    SELECT doc_id, lang, hits,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang) AS rn
+    FROM hits
+  ) WHERE rn = 1
+)
+SELECT d.doc_id, COALESCE(b.lang, 'und') AS lang_pred,
+       CAST(COALESCE(b.hits, 0) AS BIGINT) AS hits
+FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id
+"""
+
+
+def fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return textstats.fingerprint(docs, "text", "doc_id").withColumnRenamed("id", "doc_id")
+
+
+FINGERPRINT_ORACLE = r"""
+WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws FROM documents)
+SELECT doc_id,
+       CASE WHEN len(ws) >= 3 THEN
+         array_to_string(
+           list_sort(list_distinct(list_transform(
+             generate_series(1, len(ws) - 2),
+             i -> md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+           )))[1:4], '|')
+       ELSE '' END AS fingerprint
+FROM t
+"""
+
+
+# --- ANN ---------------------------------------------------------------------
+
+N_PLANES = 4
+_PLANES = ann.hyperplanes(N_PLANES, 64)
+_PLANE_VALUES = ", ".join(
+    f"({p}, {i + 1}, {v!r})"
+    for p, plane in enumerate(_PLANES)
+    for i, v in enumerate(plane)
+)
+
+_BUCKET_SQL = f"""
+planes(pid, i, val) AS (VALUES {_PLANE_VALUES}),
+proj AS (
+  SELECT e.vec_id, p.pid,
+         SUM({_EMB_Q.format(x='e.embedding[p.i]')} * {_EMB_Q.format(x='p.val')}) AS s
+  FROM embeddings e, planes p
+  GROUP BY e.vec_id, p.pid
+),
+buckets AS (
+  SELECT vec_id,
+         string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY pid) AS bucket
+  FROM proj GROUP BY vec_id
+)
+"""
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann.lsh_topk(
+        emb, queries, id_col="vec_id", n_planes=N_PLANES, dim=64, k=5
+    )
+
+
+ANN_LSH_ORACLE = f"""
+WITH {_BUCKET_SQL},
+q AS (
+  SELECT e.vec_id AS query_id, e.embedding AS qemb, b.bucket
+  FROM embeddings e JOIN buckets b USING (vec_id) WHERE e.vec_id < 3
+),
+cand AS (
+  SELECT q.query_id, q.qemb, e.vec_id, e.embedding
+  FROM q JOIN buckets b ON b.bucket = q.bucket
+  JOIN embeddings e ON e.vec_id = b.vec_id
+),
+terms AS (
+  SELECT query_id, vec_id,
+         {_EMB_Q.format(x='embedding[i]')} AS xe,
+         {_EMB_Q.format(x='qemb[i]')} AS xq
+  FROM cand, generate_series(1, 64) AS t(i)
+),
+scores AS (
+  SELECT query_id, vec_id,
+         CAST(SUM(xe * xq) AS DOUBLE)
+           / (sqrt(CAST(SUM(xe * xe) AS DOUBLE)) * sqrt(CAST(SUM(xq * xq) AS DOUBLE))) AS score
+  FROM terms GROUP BY query_id, vec_id
+)
+SELECT query_id, vec_id AS id, score, rank FROM (
+  SELECT query_id, vec_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+  FROM scores
+) WHERE rank <= 5
+"""
+
+
+N_CENTROIDS = 8
+NPROBE = 2
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    queries = emb.filter(
+        (F.col("vec_id") >= 10) & (F.col("vec_id") < 13)
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    return ann.ivf_topk(
+        emb, centroids, queries, id_col="vec_id", nprobe=NPROBE, k=5
+    )
+
+
+_PAIR_COSINE = f"""
+  SELECT l.key_a, l.key_b,
+         CAST(SUM({_EMB_Q.format(x='l.ea[i]')} * {_EMB_Q.format(x='l.eb[i]')}) AS DOUBLE)
+           / (sqrt(CAST(SUM({_EMB_Q.format(x='l.ea[i]')} * {_EMB_Q.format(x='l.ea[i]')}) AS DOUBLE))
+              * sqrt(CAST(SUM({_EMB_Q.format(x='l.eb[i]')} * {_EMB_Q.format(x='l.eb[i]')}) AS DOUBLE))) AS score
+  FROM pairs l, generate_series(1, 64) AS t(i)
+  GROUP BY l.key_a, l.key_b
+"""
+
+ANN_IVF_ORACLE = f"""
+WITH cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < {N_CENTROIDS}),
+pairs AS (
+  SELECT e.vec_id AS key_a, c.cid AS key_b, e.embedding AS ea, c.cemb AS eb
+  FROM embeddings e, cent c
+),
+assign_scores AS ({_PAIR_COSINE}),
+assigned AS (
+  SELECT key_a AS vec_id, key_b AS cid FROM (
+    SELECT key_a, key_b, score,
+           ROW_NUMBER() OVER (PARTITION BY key_a ORDER BY score DESC, key_b) AS rn
+    FROM assign_scores
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT key_a AS query_id, key_b AS cid FROM (
+    SELECT key_a, key_b, score,
+           ROW_NUMBER() OVER (PARTITION BY key_a ORDER BY score DESC, key_b) AS rn
+    FROM assign_scores WHERE key_a >= 10 AND key_a < 13
+  ) WHERE rn <= {NPROBE}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probes p JOIN assigned a ON a.cid = p.cid
+),
+qterms AS (
+  SELECT c.query_id, c.vec_id,
+         {_EMB_Q.format(x='e.embedding[i]')} AS xe,
+         {_EMB_Q.format(x='q.embedding[i]')} AS xq
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN embeddings q ON q.vec_id = c.query_id, generate_series(1, 64) AS t(i)
+),
+final_scores AS (
+  SELECT query_id, vec_id,
+         CAST(SUM(xe * xq) AS DOUBLE)
+           / (sqrt(CAST(SUM(xe * xe) AS DOUBLE)) * sqrt(CAST(SUM(xq * xq) AS DOUBLE))) AS score
+  FROM qterms GROUP BY query_id, vec_id
+)
+SELECT query_id, vec_id AS id, score, rank FROM (
+  SELECT query_id, vec_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+  FROM final_scores
+) WHERE rank <= 5
+"""
+
+
+# --- multimodal plumbing -----------------------------------------------------
+
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text bytes as a stand-in binary payload → mapInPandas decode
+    stub (Arrow-batched); metadata is content-derived so the oracle can
+    reproduce it from sha256."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return multimodal.decode_media(docs, "payload", "doc_id")
+
+
+MULTIMODAL_DECODE_ORACLE = """
+SELECT doc_id AS id,
+       CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+       substring(sha256(text), 1, 16) AS sha256_prefix,
+       CAST(16 + CAST('0x' || substring(sha256(text), 1, 4) AS BIGINT) % 2032 AS INTEGER) AS width,
+       CAST(16 + CAST('0x' || substring(sha256(text), 5, 4) AS BIGINT) % 2032 AS INTEGER) AS height,
+       CASE CAST('0x' || substring(sha256(text), 9, 1) AS INTEGER) % 3
+         WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
+FROM documents
+"""
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return multimodal.sample_frames(docs, "payload", "doc_id", n_frames=4)
+
+
+MULTIMODAL_FRAMES_ORACLE = """
+SELECT doc_id AS id, CAST(i AS INTEGER) AS frame_idx,
+       md5(md5(text) || '-' || CAST(i AS VARCHAR)) AS frame_hash
+FROM documents, generate_series(0, 3) AS t(i)
+"""
+
+
+QUERIES = {
+    "dedup_exact_documents": dedup_exact_documents,
+    "minhash_signatures_documents": minhash_signatures_documents,
+    "minhash_neardup_documents": minhash_neardup_documents,
+    "simhash_documents": simhash_documents,
+    "embedding_neardup_pairs": embedding_neardup_pairs,
+    "token_stats_documents": token_stats_documents,
+    "quality_score_documents": quality_score_documents,
+    "language_id_documents": language_id_documents,
+    "fingerprint_documents": fingerprint_documents,
+    "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
+    "multimodal_decode": multimodal_decode,
+    "multimodal_frames": multimodal_frames,
+}
+
+ORACLES = {
+    "dedup_exact_documents": DEDUP_EXACT_ORACLE,
+    "minhash_signatures_documents": MINHASH_SIG_ORACLE,
+    "minhash_neardup_documents": MINHASH_PAIRS_ORACLE,
+    "simhash_documents": SIMHASH_ORACLE,
+    "embedding_neardup_pairs": EMBED_NEARDUP_ORACLE,
+    "token_stats_documents": TOKEN_STATS_ORACLE,
+    "quality_score_documents": QUALITY_ORACLE,
+    "language_id_documents": LANGID_ORACLE,
+    "fingerprint_documents": FINGERPRINT_ORACLE,
+    "ann_lsh_topk": ANN_LSH_ORACLE,
+    "ann_ivf_topk": ANN_IVF_ORACLE,
+    "multimodal_decode": MULTIMODAL_DECODE_ORACLE,
+    "multimodal_frames": MULTIMODAL_FRAMES_ORACLE,
+}

@@ -1,0 +1,224 @@
+"""Dedup families, text stats, ANN, multimodal plumbing — unit tests with
+golden Python implementations and recall checks."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphrag_toolkit_spark import fixtures
+from graphrag_toolkit_spark.operators import ann, dedup, multimodal, textstats
+from graphrag_toolkit_spark.operators.vss import top_k
+
+DOCS = [
+    {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog"},
+    {"doc_id": 2, "text": "the quick brown fox jumps over the lazy dog"},   # exact dup of 1
+    {"doc_id": 3, "text": "the quick brown fox leaps over the lazy dog"},   # near dup of 1
+    {"doc_id": 4, "text": "completely different content about spark engines"},
+    {"doc_id": 5, "text": "Der schnelle braune Fuchs springt"},
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS)
+
+
+class TestExactDedup:
+    def test_groups(self, docs):
+        out = dedup.exact_dedup_groups(docs, "text", "doc_id").collect()
+        groups = {r["text_hash"]: (r["n_dups"], r["keep_id"]) for r in out}
+        h = hashlib.md5(DOCS[0]["text"].encode()).hexdigest()
+        assert groups[h] == (2, 1)
+        assert len(groups) == 4
+
+    def test_survivors(self, docs):
+        out = dedup.exact_dedup(docs, "text", "doc_id")
+        assert sorted(r["doc_id"] for r in out.collect()) == [1, 3, 4, 5]
+
+
+class TestMinhash:
+    def test_signature_identical_for_identical_text(self, spark, docs):
+        sh = dedup.shingles(docs, "text", "doc_id", k=2)
+        sig = dedup.minhash_signatures(sh, 12).collect()
+        by_id = {r["id"]: [r[f"mh{h}"] for h in range(12)] for r in sig}
+        assert by_id[1] == by_id[2]
+        assert by_id[1] != by_id[4]
+
+    def test_near_dup_pipeline_finds_planted_pair(self, docs):
+        pairs = dedup.minhash_near_dup_pairs(
+            docs, "text", "doc_id", k=2, threshold=0.5
+        ).collect()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert (1, 2) in got            # exact dup always caught
+        assert (1, 3) in got or (2, 3) in got  # near dup shares most bigrams
+        assert all(4 not in p and 5 not in p for p in got)
+
+    def test_jaccard_values_exact(self, spark, docs):
+        sh = dedup.shingles(docs, "text", "doc_id", k=2)
+        pairs = spark.createDataFrame([{"id_a": 1, "id_b": 2}, {"id_a": 1, "id_b": 4}])
+        out = {(r["id_a"], r["id_b"]): r["jaccard"]
+               for r in dedup.jaccard_on_pairs(sh, pairs).collect()}
+        assert out[(1, 2)] == pytest.approx(1.0)
+        assert (1, 4) not in out  # zero shingle overlap → no row from the join
+
+    def test_shingles_short_doc(self, spark):
+        short = spark.createDataFrame([{"doc_id": 9, "text": "single"}])
+        assert dedup.shingles(short, "text", "doc_id", k=3).count() == 0
+
+
+class TestSimhash:
+    def test_identical_texts_same_hash(self, docs):
+        out = {r["id"]: r["simhash"] for r in dedup.simhash(docs, "text", "doc_id").collect()}
+        assert out[1] == out[2]
+        assert 0 <= out[1] < (1 << dedup.SIMHASH_BITS)
+
+    def test_near_dup_close_in_hamming(self, docs):
+        out = {r["id"]: r["simhash"] for r in dedup.simhash(docs, "text", "doc_id").collect()}
+        ham = bin(out[1] ^ out[3]).count("1")
+        ham_far = bin(out[1] ^ out[4]).count("1")
+        assert ham <= ham_far
+
+    def test_bucket_pairs(self, docs):
+        sims = dedup.simhash(docs, "text", "doc_id")
+        pairs = {(r["id_a"], r["id_b"]) for r in dedup.simhash_bucket_pairs(sims).collect()}
+        assert (1, 2) in pairs
+
+
+class TestEmbeddingDedup:
+    def test_identical_vectors_found(self, spark):
+        emb = spark.createDataFrame(
+            [
+                {"vid": 1, "v": [1.0, 0.0, 0.0]},
+                {"vid": 2, "v": [1.0, 0.0, 0.0]},
+                {"vid": 3, "v": [0.0, 1.0, 0.0]},
+            ]
+        )
+        out = dedup.embedding_near_dup_pairs(emb, "vid", "v", 0.99).collect()
+        assert [(r["id_a"], r["id_b"]) for r in out] == [(1, 2)]
+        assert out[0]["cos"] == pytest.approx(1.0)
+
+
+class TestTextStats:
+    def test_token_counts(self, spark):
+        df = spark.createDataFrame([{"doc_id": 1, "text": "Hello, world! a b"}])
+        r = textstats.token_stats(df, "text", "doc_id").head()
+        assert r["ws_tokens"] == 4
+        assert r["word_tokens"] == 4
+        assert r["bpeish_tokens"] == 6  # words + ',' + '!'
+        assert r["chars"] == 17
+
+    def test_quality_monotone_in_stopwords(self, spark):
+        df = spark.createDataFrame(
+            [
+                {"doc_id": 1, "text": "the cat and the dog of the house " * 20},
+                {"doc_id": 2, "text": "!!! ??? ### $$$ %%% " * 20},
+            ]
+        )
+        out = {r["id"]: r["quality"] for r in
+               textstats.quality_score(df, "text", "doc_id").collect()}
+        assert out[1] > out[2]
+
+    def test_language_id(self, spark):
+        df = spark.createDataFrame(
+            [
+                {"doc_id": 1, "text": "the cat and the dog is in that house with me"},
+                {"doc_id": 2, "text": "el perro y la casa de los vecinos en madrid"},
+                {"doc_id": 3, "text": "der hund und die katze ist von mit den"},
+                {"doc_id": 4, "text": "zzz qqq xxx"},
+            ]
+        )
+        out = {r["id"]: r["lang_pred"] for r in
+               textstats.language_id(df, "text", "doc_id").collect()}
+        assert out[1] == "en" and out[2] == "es" and out[3] == "de" and out[4] == "und"
+
+    def test_fingerprint_stable_and_content_sensitive(self, spark, docs):
+        out1 = {r["id"]: r["fingerprint"] for r in
+                textstats.fingerprint(docs, "text", "doc_id").collect()}
+        assert out1[1] == out1[2]
+        assert out1[1] != out1[4]
+        assert len(out1[1].split("|")) == 4
+
+
+class TestANN:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        rows = [
+            {"vec_id": i, "embedding": fixtures.pseudo_embedding(f"v{i}")}
+            for i in range(80)
+        ]
+        return spark.createDataFrame(rows)
+
+    def test_lsh_topk_self_hit(self, spark, emb):
+        queries = emb.filter("vec_id = 7").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = ann.lsh_topk(emb, queries, id_col="vec_id", n_planes=3, k=5).collect()
+        assert out[0]["id"] == 7 and out[0]["score"] == pytest.approx(1.0, abs=1e-6)
+
+    def test_lsh_candidates_share_query_bucket(self, spark, emb):
+        """Structural invariant: every ANN hit lies in the query's bucket, and
+        the self-vector (always bucket-equal) is recalled. (A recall-vs-exact
+        assertion is meaningless on random near-orthogonal vectors — true
+        neighbors are arbitrary; recall quality is a property of the data.)"""
+        planes = ann.hyperplanes(2, 64)
+        assigned = ann.lsh_assign(emb, "vec_id", "embedding", planes)
+        buckets = {r["id"]: r["bucket"] for r in assigned.collect()}
+        queries = emb.filter("vec_id = 7").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        got = [r["id"] for r in
+               ann.lsh_topk(emb, queries, id_col="vec_id", n_planes=2, k=5).collect()]
+        assert 7 in got
+        assert all(buckets[i] == buckets[7] for i in got)
+
+    def test_ivf_topk_probes_right_lists(self, spark, emb):
+        centroids = emb.filter("vec_id < 6").select(
+            F.col("vec_id").alias("cid"), "embedding"
+        )
+        queries = emb.filter("vec_id = 30").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = ann.ivf_topk(emb, centroids, queries, id_col="vec_id", nprobe=3, k=5).collect()
+        assert len(out) == 5
+        assert out[0]["id"] == 30  # self lives in its own assigned list
+        scores = [r["score"] for r in out]
+        assert scores == sorted(scores, reverse=True)
+
+
+class TestMultimodal:
+    @pytest.fixture(scope="class")
+    def payloads(self, spark):
+        return spark.createDataFrame(
+            [{"doc_id": i, "payload": f"media-bytes-{i}".encode()} for i in range(6)]
+        )
+
+    def test_metadata_jvm_side(self, payloads):
+        out = multimodal.attach_media_metadata(payloads, "payload", "doc_id").collect()
+        r = next(x for x in out if x["id"] == 0)
+        assert r["byte_len"] == len(b"media-bytes-0")
+        assert r["payload_md5"] == hashlib.md5(b"media-bytes-0").hexdigest()
+
+    def test_decode_stub_deterministic(self, payloads):
+        a = sorted(map(str, multimodal.decode_media(payloads, "payload", "doc_id").collect()))
+        b = sorted(map(str, multimodal.decode_media(payloads, "payload", "doc_id").collect()))
+        assert a == b
+
+    def test_decode_schema_and_ranges(self, payloads):
+        out = multimodal.decode_media(payloads, "payload", "doc_id")
+        assert out.columns == ["id", "byte_len", "sha256_prefix", "width", "height", "format"]
+        for r in out.collect():
+            assert 16 <= r["width"] <= 2047 and 16 <= r["height"] <= 2047
+            assert r["format"] in ("png", "jpeg", "webp")
+
+    def test_real_decode_is_stubbed(self, payloads):
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_media(payloads, "payload", "doc_id", real_decode=True)
+
+    def test_frame_sampling_expands_rows(self, payloads):
+        out = multimodal.sample_frames(payloads, "payload", "doc_id", n_frames=3)
+        assert out.count() == 18
+        per = out.groupBy("id").count().collect()
+        assert all(r["count"] == 3 for r in per)
