@@ -1,0 +1,98 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Headline set: one representative per operator class from SURVEY.md §2
+(scan/agg, join chain, window, rollup, BFS, frontier expansion, fuzzy link,
+cosine top-k, TF-IDF, MinHash-LSH, SimHash, ANN, event windows,
+sessionization) plus the flagship diversity search. Wall-clock per query is
+measured around a full materialization (collect), after a warm-up action that
+pays one-time JVM/parquet-footer costs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # relational core
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "topn_orders_per_customer",
+    "rollup_customer_orders",
+    # graph operators
+    "bfs_shortest_paths",
+    "metapath_follow",
+    "topn_part_neighbors",
+    "entity_context_parts",
+    "fuzzy_link_parts",
+    # vector / text
+    "cosine_topk",
+    "cosine_topk_diverse",
+    "dense_link_embeddings",
+    "tfidf_documents",
+    # dataprep
+    "minhash_neardup_documents",
+    "simhash_documents",
+    "ann_lsh_topk",
+    "token_stats_documents",
+    # events
+    "tumbling_window_events",
+    "sessionize_events",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from graphrag_toolkit_spark.session import build_session
+    from graphrag_toolkit_spark.workload import all_queries
+
+    spark = build_session("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    # warm-up: pay JVM + parquet-footer costs once, outside the measurements
+    from graphrag_toolkit_spark.session import TESTDATA_TABLES, load
+
+    for t in TESTDATA_TABLES:
+        try:
+            load(spark, sf_dir, t).count()
+        except Exception:
+            pass
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.time()
+        n = len(fn(spark, sf_dir).collect())
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        total += dt
+        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+
+    spark.stop()
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_clock",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -55,6 +55,10 @@ def build_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # events.parquet stores TIMESTAMP(NANOS), which Spark refuses by
+        # default; read as long and convert in load() (DuckDB truncates
+        # nanos→micros on read — integer division matches it exactly).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
@@ -71,4 +75,10 @@ def register_testdata(spark: SparkSession, sf_dir: str) -> None:
 
 def load(spark: SparkSession, sf_dir: str, name: str):
     """Load one driver fixture table as a DataFrame."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # nanos-as-long → timestamp at microsecond precision (trunc, like DuckDB)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df

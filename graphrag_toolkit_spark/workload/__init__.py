@@ -22,9 +22,15 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from graphrag_toolkit_spark.workload import dataprep, graphish, relational, vector
+from graphrag_toolkit_spark.workload import (
+    dataprep,
+    events,
+    graphish,
+    relational,
+    vector,
+)
 
-_MODULES = [relational, graphish, vector, dataprep]
+_MODULES = [relational, graphish, vector, dataprep, events]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
