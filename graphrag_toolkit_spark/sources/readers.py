@@ -1,0 +1,98 @@
+"""Document readers and staged-docs persistence (SURVEY §2.1 S1-S2).
+
+Parity targets:
+- S1 reader providers (18 modules under ``indexing/load/readers/providers/``):
+  each parsed a source format into ``Document`` rows. Here every structured
+  format is one ``spark.read`` call producing the canonical document schema
+  ``(doc_id, text, metadata map<string,string>)``; binary formats (pdf, docx,
+  pptx) are a ``binaryFile`` scan + a parse stub (codec libraries are not in
+  this container — the mapInPandas plumbing is the production shape, see
+  ``operators/multimodal.py`` for the pattern).
+- S2 FileBasedDocs/S3BasedDocs (``indexing/load/file_based_docs.py``,
+  ``s3_based_docs.py``): JSONL staging between extract and build →
+  ``write_staged`` / ``read_staged`` (a checkpointed stage boundary; on a
+  cluster the path is S3/HDFS and partitioning carries over).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphrag_toolkit_spark import ids
+
+DOC_SCHEMA = "doc_id string, text string, metadata map<string,string>"
+
+
+def _canonical(df: DataFrame, text_col: str, meta_cols: list[str]) -> DataFrame:
+    """Project any tabular source to the canonical document frame, minting
+    content-addressed ids (re-ingestion idempotent, §1.4)."""
+    meta = F.map_from_arrays(
+        F.array(*[F.lit(c) for c in meta_cols]),
+        F.array(*[F.col(c).cast("string") for c in meta_cols]),
+    )
+    meta_str = F.to_json(meta)
+    return df.select(
+        ids.source_id(F.col(text_col), meta_str).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        meta.alias("metadata"),
+    )
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, text_field: str = "text",
+    meta_fields: list[str] | None = None,
+) -> DataFrame:
+    """JSONL / streaming-JSONL reader (S1): one JSON object per line.
+    ``spark.read.json`` splits files line-wise and parallelizes across the
+    cluster — the reference's 313-LoC incremental reader collapses into the
+    source's own batching."""
+    raw = spark.read.json(path)
+    meta_fields = meta_fields or [c for c in raw.columns if c != text_field]
+    return _canonical(raw, text_field, meta_fields)
+
+
+def read_csv_docs(
+    spark: SparkSession, path: str, text_field: str = "text",
+    meta_fields: list[str] | None = None,
+) -> DataFrame:
+    raw = spark.read.csv(path, header=True)
+    meta_fields = meta_fields or [c for c in raw.columns if c != text_field]
+    return _canonical(raw, text_field, meta_fields)
+
+
+def read_text_directory(spark: SparkSession, path: str) -> DataFrame:
+    """Directory reader (S1 directory/universal-directory): whole files as
+    documents, file path as metadata."""
+    raw = spark.read.format("text").option("wholetext", True).load(path).select(
+        F.col("value").alias("text"),
+        F.input_file_name().alias("path"),
+    )
+    return _canonical(raw, "text", ["path"])
+
+
+def read_binary_documents(spark: SparkSession, path: str, fmt_glob: str = "*") -> DataFrame:
+    """Binary-format reader shell (pdf/docx/pptx/image providers): a
+    ``binaryFile`` scan carrying (path, length, content-bytes). Parsing is a
+    downstream mapInPandas stage; wire ``operators.multimodal.decode_media``
+    or a real parser UDF onto the ``content`` column."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", fmt_glob)
+        .load(path)
+        .select(
+            F.col("path"),
+            F.col("length").alias("byte_len"),
+            F.col("content"),
+        )
+    )
+
+
+def write_staged(df: DataFrame, path: str, partitions: int | None = None) -> None:
+    """S2: persist extracted docs as JSONL (stage boundary / checkpoint)."""
+    out = df.repartition(partitions) if partitions else df
+    out.write.mode("overwrite").json(path)
+
+
+def read_staged(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.json(path)

@@ -1,0 +1,163 @@
+"""Graph/vector sinks, checkpointing, cascade delete, SCD-2 versioning
+(SURVEY §2.1 S4-S8).
+
+Parity map:
+- S4 batched graph sink (``indexing/build/graph_batch_client.py:29-140``,
+  UNWIND batches of 25): → ``merge_nodes`` — content-addressed ids make
+  ``dropDuplicates(id)`` + parquet append/overwrite the MERGE; there is no
+  row-at-a-time path at all.
+- S5 vector sink (``storage/vector/*``): same shape over embedding tables.
+- S6 checkpoint (``indexing/build/checkpoint.py``): ``filter_processed`` is a
+  left-anti join against the checkpoint table; ``mark_processed`` appends.
+- S7 cascading delete (``indexing/build/delete_sources.py:51-230``): find the
+  per-source closure, then delete only nodes NOT still referenced by a
+  surviving source — multi-step anti-joins.
+- S8 version manager (``indexing/build/version_manager.py``): SCD-2 —
+  re-ingesting a logical id closes the previous version's ``valid_to`` at
+  the new ``valid_from`` (window ``lead`` emulation of MERGE INTO, no Delta
+  required).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from graphrag_toolkit_spark.filters import VALID_TO_MAX
+
+
+# --- S4/S5: MERGE-semantics writes ------------------------------------------
+
+def merge_nodes(
+    df: DataFrame, path: str, id_col: str, partition_by: str | None = None
+) -> None:
+    """Idempotent node/edge/embedding write: dedup on content id, then
+    overwrite-by-table (fixture scale) — on a cluster the same call targets a
+    partitioned table and only touches the written partitions."""
+    out = df.dropDuplicates([id_col])
+    writer = out.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(path)
+
+
+def append_merge(
+    spark: SparkSession, df: DataFrame, path: str, id_col: str
+) -> None:
+    """Incremental MERGE: union with the existing table, keep first row per
+    id (existing wins — re-ingestion of identical content is a no-op)."""
+    if os.path.exists(path):
+        existing = spark.read.parquet(path)
+        df = existing.unionByName(df, allowMissingColumns=True)
+    merged = df.dropDuplicates([id_col])
+    # write via a temp dir: parquet can't overwrite its own input
+    tmp = path.rstrip("/") + "__tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    final = spark.read.parquet(tmp)
+    final.write.mode("overwrite").parquet(path)
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --- S6: checkpoint ----------------------------------------------------------
+
+def filter_processed(
+    work: DataFrame, checkpoint: DataFrame | None, id_col: str
+) -> DataFrame:
+    """Skip already-processed ids (anti-join; the reference filters chunk ids
+    through a directory of marker files)."""
+    if checkpoint is None:
+        return work
+    return work.join(
+        checkpoint.select(id_col).distinct(), id_col, "left_anti"
+    )
+
+
+def mark_processed(
+    spark: SparkSession, done: DataFrame, checkpoint_path: str, id_col: str
+) -> None:
+    done.select(id_col).distinct().write.mode("append").parquet(checkpoint_path)
+
+
+# --- S7: cascading delete ----------------------------------------------------
+
+def delete_sources(
+    sources: DataFrame,
+    chunks: DataFrame,
+    statements: DataFrame,
+    facts: DataFrame,
+    edges: DataFrame,
+    delete_ids: DataFrame,       # (source_id)
+) -> dict[str, DataFrame]:
+    """Cascade delete: remove the given sources, their chunks and statements,
+    and any fact that is no longer supported by a surviving statement
+    (shared facts survive — the reference's orphan check). Returns the new
+    node/edge tables (pure function; callers persist)."""
+    del_src = F.broadcast(delete_ids.select("source_id").distinct())
+
+    new_sources = sources.join(del_src, "source_id", "left_anti")
+    dead_chunks = chunks.join(del_src, "source_id", "left_semi").select("chunk_id")
+    new_chunks = chunks.join(del_src, "source_id", "left_anti")
+    dead_stmts = statements.join(dead_chunks, "chunk_id", "left_semi").select(
+        "statement_id"
+    )
+    new_statements = statements.join(dead_stmts, "statement_id", "left_anti")
+
+    supports = edges.filter(F.col("etype") == "SUPPORTS").select(
+        F.col("src").alias("fact_id"), F.col("dst").alias("statement_id")
+    )
+    # facts still referenced by a SURVIVING statement stay (orphan check:
+    # groupBy on remaining support edges, not a naive cascade)
+    live_facts = supports.join(
+        new_statements.select("statement_id"), "statement_id", "left_semi"
+    ).select("fact_id").distinct()
+    new_facts = facts.join(live_facts, "fact_id", "left_semi")
+
+    dead_nodes = (
+        dead_chunks.select(F.col("chunk_id").alias("node_id"))
+        .unionByName(dead_stmts.select(F.col("statement_id").alias("node_id")))
+        .unionByName(
+            facts.join(live_facts, "fact_id", "left_anti").select(
+                F.col("fact_id").alias("node_id")
+            )
+        )
+        .unionByName(delete_ids.select(F.col("source_id").alias("node_id")))
+        .distinct()
+    )
+    new_edges = edges.join(
+        dead_nodes.withColumnRenamed("node_id", "src"), "src", "left_anti"
+    ).join(dead_nodes.withColumnRenamed("node_id", "dst"), "dst", "left_anti")
+
+    return {
+        "sources": new_sources,
+        "chunks": new_chunks,
+        "statements": new_statements,
+        "facts": new_facts,
+        "edges": new_edges,
+    }
+
+
+# --- S8: SCD-2 versioning ----------------------------------------------------
+
+def apply_versions(history: DataFrame, logical_id: str = "logical_id") -> DataFrame:
+    """Close each version's ``valid_to`` at the next version's ``valid_from``
+    (window ``lead``); the latest version stays open at the sentinel."""
+    w = Window.partitionBy(logical_id).orderBy("valid_from")
+    return history.withColumn(
+        "valid_to",
+        F.coalesce(F.lead("valid_from").over(w), F.lit(VALID_TO_MAX)),
+    )
+
+
+def current_versions(history: DataFrame) -> DataFrame:
+    return history.filter(F.col("valid_to") == VALID_TO_MAX)
+
+
+def versions_at(history: DataFrame, ts: int) -> DataFrame:
+    return history.filter(
+        (F.col("valid_from") <= ts) & (F.col("valid_to") > ts)
+    )

@@ -1,0 +1,105 @@
+"""Structured Streaming ingestion + event-time operators (SURVEY §2.9).
+
+The reference's only 'streaming' is incremental JSONL reading with
+checkpoint-resume (``streaming_jsonl_reader_provider.py``, S6); its Spark
+mapping is the real thing: ``readStream`` with ``maxFilesPerTrigger``,
+watermarked event-time windows, and ``foreachBatch`` into the build pipeline,
+with exactly-once bookkeeping from Spark's own offsets + the content-id MERGE
+semantics of the sink (idempotent re-deliveries).
+
+Batch/stream parity: every aggregation here mirrors a batch query in
+``workload/events.py`` whose DuckDB oracle pins the window semantics; tests
+assert stream output == batch output on the same rows (the strongest check
+available without a second streaming engine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_jsonl_stream(
+    spark: SparkSession, path: str, schema: StructType | str,
+    max_files_per_trigger: int = 10,
+) -> DataFrame:
+    """S1-streaming: incremental JSONL ingestion. New files are discovered per
+    micro-batch; offsets live in the query checkpoint — the reference's
+    byte-offset bookkeeping is the source's own contract here."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(path)
+    )
+
+
+def windowed_counts(
+    events: DataFrame, ts_col: str = "ts", key_col: str = "event_type",
+    window: str = "1 hour", watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window counts + exact decimal value sums. Late
+    rows beyond the watermark are dropped; within it, windows update in
+    place (update/append per output mode)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("total"),
+        )
+        .select(F.col("w.start").alias("window_start"), key_col, "n", "total")
+    )
+
+
+def session_windows(
+    events: DataFrame, ts_col: str = "ts", key_col: str = "user_id",
+    gap: str = "30 minutes", watermark: str = "2 hours",
+) -> DataFrame:
+    """Native streaming sessionization: ``session_window`` closes a session
+    after ``gap`` of silence per key (same bounds as the batch lag+cumsum
+    sessionizer in workload/events.py)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), key_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            key_col,
+            "n_events",
+        )
+    )
+
+
+def run_stream_to_memory(
+    agg: DataFrame, query_name: str, output_mode: str = "complete"
+) -> None:
+    """Drive a (bounded) streaming query to completion synchronously into an
+    in-memory table — the local test harness; production uses foreachBatch
+    into the parquet MERGE sink."""
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def stream_to_merge_sink(
+    agg: DataFrame, checkpoint_dir: str, write_fn,
+) -> None:
+    """foreachBatch into an idempotent sink: ``write_fn(df, epoch_id)`` is a
+    batch function (e.g. sink.append_merge partial). Content-addressed ids +
+    MERGE semantics make redelivered batches no-ops — exactly-once effect on
+    at-least-once delivery."""
+    q = (
+        agg.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write_fn)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()

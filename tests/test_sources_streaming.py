@@ -1,0 +1,269 @@
+"""Sources (readers, chunking, sinks, checkpoint, cascade delete, SCD-2) and
+Structured Streaming (windowed aggs, sessionization, merge sink)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphrag_toolkit_spark import fixtures
+from graphrag_toolkit_spark.filters import VALID_TO_MAX
+from graphrag_toolkit_spark.sources import chunking, readers, sink
+from graphrag_toolkit_spark.streaming import ingest
+
+
+@pytest.fixture()
+def tmp(tmp_path):
+    return str(tmp_path)
+
+
+class TestReaders:
+    def test_jsonl_roundtrip(self, spark, tmp):
+        path = os.path.join(tmp, "docs.jsonl")
+        with open(path, "w") as f:
+            for i in range(5):
+                f.write(json.dumps({"text": f"doc body {i}", "author": f"a{i % 2}"}) + "\n")
+        docs = readers.read_jsonl(spark, path)
+        rows = docs.collect()
+        assert len(rows) == 5
+        assert all(r["doc_id"].startswith("aws::") for r in rows)
+        assert rows[0]["metadata"]["author"] in ("a0", "a1")
+
+    def test_ids_idempotent(self, spark, tmp):
+        path = os.path.join(tmp, "docs.jsonl")
+        with open(path, "w") as f:
+            f.write(json.dumps({"text": "same text", "author": "x"}) + "\n")
+        id1 = readers.read_jsonl(spark, path).head()["doc_id"]
+        id2 = readers.read_jsonl(spark, path).head()["doc_id"]
+        assert id1 == id2
+
+    def test_csv_reader(self, spark, tmp):
+        path = os.path.join(tmp, "docs.csv")
+        with open(path, "w") as f:
+            f.write("text,topic\nhello world,greetings\nspark engine,tech\n")
+        rows = readers.read_csv_docs(spark, path).collect()
+        assert len(rows) == 2
+        assert {r["metadata"]["topic"] for r in rows} == {"greetings", "tech"}
+
+    def test_staged_roundtrip(self, spark, tmp):
+        df = spark.createDataFrame([{"doc_id": "d1", "text": "abc"}])
+        out = os.path.join(tmp, "staged")
+        readers.write_staged(df, out)
+        back = readers.read_staged(spark, out).collect()
+        assert back[0]["text"] == "abc"
+
+
+class TestChunking:
+    def test_pack_respects_size(self):
+        sents = [f"sentence number {i} with a few words." for i in range(50)]
+        chunks = chunking._pack(sents, chunk_size=30, chunk_overlap=5)
+        assert all(len(c.split()) <= 30 for c in chunks)
+        assert len(chunks) > 1
+
+    def test_pack_overlap(self):
+        sents = ["one two three four five six.", "seven eight nine ten eleven twelve."]
+        chunks = chunking._pack(sents, chunk_size=6, chunk_overlap=2)
+        # second chunk starts with last 2 tokens of the first
+        first_tail = chunks[0].split()[-2:]
+        assert chunks[1].split()[:2] == first_tail
+
+    def test_long_sentence_hard_split(self):
+        chunks = chunking._pack(["w " * 100], chunk_size=30, chunk_overlap=0)
+        assert all(len(c.split()) <= 30 for c in chunks)
+        assert sum(len(c.split()) for c in chunks) == 100
+
+    def test_chunk_documents_df(self, spark):
+        docs = spark.createDataFrame(
+            [{"doc_id": i, "text": ". ".join(f"sentence {j} of doc {i} body" for j in range(40))}
+             for i in range(3)]
+        )
+        out = chunking.chunk_documents(docs, chunk_size=40, chunk_overlap=5)
+        rows = out.collect()
+        assert len(rows) > 3
+        per_doc = {}
+        for r in rows:
+            per_doc.setdefault(r["source_id"], []).append(r["chunk_index"])
+        for idxs in per_doc.values():
+            assert sorted(idxs) == list(range(len(idxs)))
+        assert all(r["chunk_id"].startswith(r["source_id"] + ":") for r in rows)
+
+    def test_chunking_deterministic(self, spark):
+        docs = spark.createDataFrame([{"doc_id": 1, "text": "a b c. " * 50}])
+        a = sorted(map(str, chunking.chunk_documents(docs, chunk_size=20, chunk_overlap=3).collect()))
+        b = sorted(map(str, chunking.chunk_documents(docs, chunk_size=20, chunk_overlap=3).collect()))
+        assert a == b
+
+
+class TestSinkCheckpoint:
+    def test_merge_nodes_dedups(self, spark, tmp):
+        df = spark.createDataFrame(
+            [{"id": "a", "v": 1}, {"id": "a", "v": 1}, {"id": "b", "v": 2}]
+        )
+        path = os.path.join(tmp, "nodes")
+        sink.merge_nodes(df, path, "id")
+        assert spark.read.parquet(path).count() == 2
+
+    def test_append_merge_idempotent(self, spark, tmp):
+        path = os.path.join(tmp, "nodes")
+        df1 = spark.createDataFrame([{"id": "a", "v": 1}, {"id": "b", "v": 2}])
+        sink.append_merge(spark, df1, path, "id")
+        df2 = spark.createDataFrame([{"id": "b", "v": 2}, {"id": "c", "v": 3}])
+        sink.append_merge(spark, df2, path, "id")
+        out = spark.read.parquet(path)
+        assert sorted(r["id"] for r in out.collect()) == ["a", "b", "c"]
+
+    def test_checkpoint_filter(self, spark):
+        work = spark.createDataFrame([{"id": "a"}, {"id": "b"}, {"id": "c"}])
+        cp = spark.createDataFrame([{"id": "b"}])
+        out = sink.filter_processed(work, cp, "id")
+        assert sorted(r["id"] for r in out.collect()) == ["a", "c"]
+        assert sink.filter_processed(work, None, "id").count() == 3
+
+    def test_mark_processed_appends(self, spark, tmp):
+        path = os.path.join(tmp, "cp")
+        sink.mark_processed(spark, spark.createDataFrame([{"id": "a"}]), path, "id")
+        sink.mark_processed(spark, spark.createDataFrame([{"id": "b"}]), path, "id")
+        cp = spark.read.parquet(path)
+        work = spark.createDataFrame([{"id": "a"}, {"id": "b"}, {"id": "z"}])
+        assert [r["id"] for r in sink.filter_processed(work, cp, "id").collect()] == ["z"]
+
+
+class TestCascadeDelete:
+    @pytest.fixture(scope="class")
+    def g(self, spark):
+        return fixtures.generate("t1", seed=42).to_spark(spark)
+
+    def test_delete_removes_closure_keeps_shared(self, spark, g):
+        victim = g.sources.select("source_id").orderBy("source_id").limit(1)
+        out = sink.delete_sources(
+            g.sources, g.chunks, g.statements, g.facts, g.edges, victim
+        )
+        vid = victim.head()["source_id"]
+        assert out["sources"].filter(F.col("source_id") == vid).count() == 0
+        assert out["chunks"].filter(F.col("source_id") == vid).count() == 0
+        # no statement of the dead source survives
+        dead_chunks = g.chunks.filter(F.col("source_id") == vid).select("chunk_id")
+        assert out["statements"].join(dead_chunks, "chunk_id", "left_semi").count() == 0
+        # every surviving fact still has a SUPPORTS edge to a surviving statement
+        supports = g.edges.filter("etype = 'SUPPORTS'").select(
+            F.col("src").alias("fact_id"), F.col("dst").alias("statement_id")
+        )
+        live = supports.join(out["statements"], "statement_id", "left_semi")
+        orphans = out["facts"].join(live, "fact_id", "left_anti")
+        assert orphans.count() == 0
+        # shared facts (supported by another source) survived
+        assert out["facts"].count() > 0
+        # edges reference no dead nodes
+        assert out["edges"].join(dead_chunks.withColumnRenamed("chunk_id", "src"), "src", "left_semi").count() == 0
+
+
+class TestVersioning:
+    def test_scd2_close_previous(self, spark):
+        hist = spark.createDataFrame(
+            [
+                {"logical_id": "doc1", "version": 1, "valid_from": 100},
+                {"logical_id": "doc1", "version": 2, "valid_from": 200},
+                {"logical_id": "doc1", "version": 3, "valid_from": 300},
+                {"logical_id": "doc2", "version": 1, "valid_from": 150},
+            ]
+        )
+        v = sink.apply_versions(hist)
+        rows = {(r["logical_id"], r["version"]): (r["valid_from"], r["valid_to"])
+                for r in v.collect()}
+        assert rows[("doc1", 1)] == (100, 200)
+        assert rows[("doc1", 2)] == (200, 300)
+        assert rows[("doc1", 3)] == (300, VALID_TO_MAX)
+        assert rows[("doc2", 1)] == (150, VALID_TO_MAX)
+        assert sink.current_versions(v).count() == 2
+        at = sink.versions_at(v, 250)
+        assert {(r["logical_id"], r["version"]) for r in at.collect()} == {("doc1", 2), ("doc2", 1)}
+
+
+class TestStreaming:
+    def test_stream_matches_batch_windows(self, spark, tmp, sf_dir):
+        """Stream the events parquet through watermarked windows; totals must
+        equal the batch computation on the same rows."""
+        from graphrag_toolkit_spark.session import load
+
+        ev = load(spark, sf_dir, "events")
+        src_dir = os.path.join(tmp, "stream_src")
+        ev.write.mode("overwrite").parquet(src_dir)
+        schema = spark.read.parquet(src_dir).schema
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src_dir)
+        )
+        agg = ingest.windowed_counts(stream, window="1 hour", watermark="2 hours")
+        ingest.run_stream_to_memory(agg, "win_out", output_mode="complete")
+        got = {
+            (r["window_start"], r["event_type"]): (r["n"], float(r["total"]))
+            for r in spark.sql("SELECT * FROM win_out").collect()
+        }
+        batch = (
+            ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("value").cast("decimal(12,2)")).alias("total"))
+            .select(F.col("w.start").alias("ws"), "event_type", "n", "total")
+        )
+        exp = {(r["ws"], r["event_type"]): (r["n"], float(r["total"]))
+               for r in batch.collect()}
+        assert got == exp
+
+    def test_streaming_jsonl_ingestion(self, spark, tmp):
+        src = os.path.join(tmp, "jsonl_src")
+        os.makedirs(src)
+        for fidx in range(3):
+            with open(os.path.join(src, f"part{fidx}.jsonl"), "w") as f:
+                for i in range(4):
+                    f.write(json.dumps({"doc_id": f"{fidx}-{i}", "text": f"body {fidx} {i}"}) + "\n")
+        stream = ingest.read_jsonl_stream(
+            spark, src, "doc_id string, text string", max_files_per_trigger=1
+        )
+        counts = stream.groupBy().count()
+        ingest.run_stream_to_memory(counts, "jsonl_out", output_mode="complete")
+        assert spark.sql("SELECT * FROM jsonl_out").head()["count"] == 12
+
+    def test_session_window_stream(self, spark, tmp):
+        rows = [
+            {"user_id": 1, "ts": "2024-01-01 00:00:00", "value": 1.0},
+            {"user_id": 1, "ts": "2024-01-01 00:10:00", "value": 1.0},
+            {"user_id": 1, "ts": "2024-01-01 02:00:00", "value": 1.0},  # new session
+            {"user_id": 2, "ts": "2024-01-01 01:00:00", "value": 1.0},
+        ]
+        src = os.path.join(tmp, "sess_src")
+        df = spark.createDataFrame(rows).withColumn("ts", F.col("ts").cast("timestamp"))
+        df.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(df.schema).parquet(src)
+        agg = ingest.session_windows(stream, gap="30 minutes")
+        ingest.run_stream_to_memory(agg, "sess_out", output_mode="complete")
+        out = spark.sql("SELECT * FROM sess_out").collect()
+        per_user = {}
+        for r in out:
+            per_user.setdefault(r["user_id"], []).append(r["n_events"])
+        assert sorted(per_user[1]) == [1, 2]
+        assert per_user[2] == [1]
+
+    def test_foreach_batch_merge_sink_idempotent(self, spark, tmp):
+        src = os.path.join(tmp, "fb_src")
+        df = spark.createDataFrame([{"id": "a", "v": 1}, {"id": "b", "v": 2}])
+        df.write.mode("overwrite").json(src)
+        out_path = os.path.join(tmp, "fb_out")
+
+        def write_batch(batch_df, epoch_id):
+            sink.append_merge(batch_df.sparkSession, batch_df, out_path, "id")
+
+        stream = spark.readStream.schema("id string, v long").json(src)
+        ingest.stream_to_merge_sink(
+            stream, os.path.join(tmp, "fb_cp"), write_batch
+        )
+        assert spark.read.parquet(out_path).count() == 2
+        # redelivery (fresh checkpoint → same data again) is a no-op
+        ingest.stream_to_merge_sink(
+            stream, os.path.join(tmp, "fb_cp2"), write_batch
+        )
+        assert spark.read.parquet(out_path).count() == 2
