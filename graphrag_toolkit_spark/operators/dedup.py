@@ -116,14 +116,18 @@ def lsh_bucket_pairs(
     )
 
 
-def jaccard_on_pairs(sh: DataFrame, pairs: DataFrame) -> DataFrame:
+def jaccard_on_pairs(
+    sh: DataFrame, pairs: DataFrame, broadcast_pairs: bool = True
+) -> DataFrame:
     """Exact Jaccard for given candidate pairs from the shingle table:
     (id_a, id_b, jaccard). Intersection via shingle equi-join; union by
-    inclusion-exclusion on per-id shingle counts (no giant set union)."""
+    inclusion-exclusion on per-id shingle counts (no giant set union).
+    ``broadcast_pairs`` only when the candidate set is seed-sized; corpus-wide
+    candidate sets must shuffle-join (let AQE decide)."""
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         sh.withColumnRenamed("id", "id_a")
-        .join(F.broadcast(pairs), "id_a")
+        .join(F.broadcast(pairs) if broadcast_pairs else pairs, "id_a")
         .join(
             sh.withColumnsRenamed({"id": "id_b"}),
             ["id_b", "shingle"],
@@ -139,6 +143,42 @@ def jaccard_on_pairs(sh: DataFrame, pairs: DataFrame) -> DataFrame:
             (F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
             .alias("jaccard"),
         )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str,
+    k: int = 3, threshold: float = 0.4, max_doc_freq: int = 50,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via an inverted shingle index:
+    candidates are pairs sharing ≥1 *discriminative* shingle (document
+    frequency ≤ ``max_doc_freq`` — hot shingles carry no signal and would
+    blow the self-join up quadratically at corpus scale; dropping them is
+    the standard posting-list cutoff). Jaccard is computed over the filtered
+    shingle sets, so semantics = "Jaccard over rare k-grams".
+
+    Scale shape: one groupBy for doc-frequency, one equi-join on shingle
+    (skew bounded by the cutoff), one groupBy per pair — no pair ever forms
+    without a shared rare shingle.
+    """
+    sh = shingles(df, text_col, id_col, k)
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_doc_freq)
+        .select("shingle")
+    )
+    sh_rare = sh.join(rare, "shingle", "left_semi")
+    a = sh_rare.withColumnRenamed("id", "id_a")
+    b = sh_rare.withColumnRenamed("id", "id_b")
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return jaccard_on_pairs(sh_rare, cand, broadcast_pairs=False).filter(
+        F.col("jaccard") >= threshold
     )
 
 

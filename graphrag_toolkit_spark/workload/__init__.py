@@ -26,11 +26,12 @@ from graphrag_toolkit_spark.workload import (
     dataprep,
     events,
     graphish,
+    lifecycle,
     relational,
     vector,
 )
 
-_MODULES = [relational, graphish, vector, dataprep, events]
+_MODULES = [relational, graphish, vector, dataprep, events, lifecycle]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

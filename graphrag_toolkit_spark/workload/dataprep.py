@@ -123,6 +123,55 @@ WHERE i.n_inter / (sa.n + sb.n - i.n_inter) >= {JACCARD_THRESHOLD}
 """
 
 
+# --- n-gram Jaccard (inverted-index exact leg) -------------------------------
+
+NGRAM_K = 3
+NGRAM_THRESHOLD = 0.4
+NGRAM_MAX_DF = 50
+
+
+def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id",
+        k=NGRAM_K, threshold=NGRAM_THRESHOLD, max_doc_freq=NGRAM_MAX_DF,
+    )
+    return pairs.withColumnsRenamed({"id_a": "doc_a", "id_b": "doc_b"})
+
+
+NGRAM_JACCARD_ORACLE = rf"""
+WITH sh3 AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - {NGRAM_K - 1}),
+                          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+    FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws FROM documents)
+  ) WHERE shingle <> ''
+),
+rare AS (
+  SELECT shingle FROM sh3 GROUP BY shingle HAVING COUNT(*) <= {NGRAM_MAX_DF}
+),
+shr AS (SELECT s.doc_id, s.shingle FROM sh3 s JOIN rare r ON s.shingle = r.shingle),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shr GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN shr a ON a.doc_id = c.id_a
+  JOIN shr b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a AS doc_a, i.id_b AS doc_b,
+       i.n_inter / (sa.n + sb.n - i.n_inter) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE i.n_inter / (sa.n + sb.n - i.n_inter) >= {NGRAM_THRESHOLD}
+"""
+
+
 # --- SimHash -----------------------------------------------------------------
 
 def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -466,6 +515,7 @@ QUERIES = {
     "dedup_exact_documents": dedup_exact_documents,
     "minhash_signatures_documents": minhash_signatures_documents,
     "minhash_neardup_documents": minhash_neardup_documents,
+    "ngram_jaccard_neardup": ngram_jaccard_neardup,
     "simhash_documents": simhash_documents,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "token_stats_documents": token_stats_documents,
@@ -482,6 +532,7 @@ ORACLES = {
     "dedup_exact_documents": DEDUP_EXACT_ORACLE,
     "minhash_signatures_documents": MINHASH_SIG_ORACLE,
     "minhash_neardup_documents": MINHASH_PAIRS_ORACLE,
+    "ngram_jaccard_neardup": NGRAM_JACCARD_ORACLE,
     "simhash_documents": SIMHASH_ORACLE,
     "embedding_neardup_pairs": EMBED_NEARDUP_ORACLE,
     "token_stats_documents": TOKEN_STATS_ORACLE,

@@ -1,0 +1,337 @@
+"""Lifecycle + processor-chain workload (SURVEY §2.1 S7/S8, §2.4 A5-A7/A9,
+§2.7 T4): the sink/versioning/delete machinery and the result-processor chain
+exercised end-to-end through the REAL operator code, each with a DuckDB oracle.
+
+These run over the driver's TPC-H-ish fixtures projected onto the lexical-graph
+shape (orders → sources, lineitems → chunks/statements, parts → facts), so the
+cascade/versioning semantics get hash-level checks without bespoke fixtures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphrag_toolkit_spark.filters import VALID_TO_MAX
+from graphrag_toolkit_spark.operators import processors
+from graphrag_toolkit_spark.session import load
+from graphrag_toolkit_spark.sources import sink
+
+
+# --- S8: SCD-2 versioning ----------------------------------------------------
+# History: one version per (customer, order date); valid_from = epoch millis of
+# the order date (day-exact integer arithmetic — no TZ dependence). The real
+# ``sink.apply_versions`` closes each version at its successor's valid_from.
+
+_MS_PER_DAY = 86_400_000
+
+
+def scd2_versioning_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    history = (
+        orders.groupBy("o_custkey", "o_orderdate")
+        .agg(F.min("o_orderkey").alias("version_id"))
+        .select(
+            F.col("o_custkey").alias("logical_id"),
+            "version_id",
+            (
+                F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+                .cast("long") * _MS_PER_DAY
+            ).alias("valid_from"),
+        )
+    )
+    versioned = sink.apply_versions(history, "logical_id")
+    return versioned.withColumn(
+        "is_current", F.col("valid_to") == F.lit(VALID_TO_MAX)
+    )
+
+
+SCD2_ORACLE = f"""
+WITH hist AS (
+  SELECT o_custkey AS logical_id, MIN(o_orderkey) AS version_id,
+         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) * {_MS_PER_DAY} AS valid_from
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT logical_id, version_id, valid_from,
+       COALESCE(LEAD(valid_from) OVER (PARTITION BY logical_id ORDER BY valid_from),
+                {VALID_TO_MAX}) AS valid_to,
+       COALESCE(LEAD(valid_from) OVER (PARTITION BY logical_id ORDER BY valid_from),
+                {VALID_TO_MAX}) = {VALID_TO_MAX} AS is_current
+FROM hist
+"""
+
+
+# --- S7: cascading delete ----------------------------------------------------
+# Project the fixtures onto the graph shape the reference deletes over
+# (delete_sources.py:51-230): sources=orders, chunks/statements=lineitems,
+# facts=parts, SUPPORTS/EXTRACTED_FROM edges. Delete all pre-1993 orders and
+# report surviving row counts per table — the orphan check (a part survives
+# iff some surviving statement still references it) is what's under test.
+
+_DELETE_CUTOFF = "1993-01-01"
+
+
+def cascade_delete_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+
+    sources = orders.select(
+        F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("source_id")
+    )
+    chunk_id = F.concat_ws(
+        "-", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+    )
+    chunks = li.select(
+        F.concat(F.lit("ch"), chunk_id).alias("chunk_id"),
+        F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("source_id"),
+    )
+    statements = li.select(
+        F.concat(F.lit("st"), chunk_id).alias("statement_id"),
+        F.concat(F.lit("ch"), chunk_id).alias("chunk_id"),
+    )
+    facts = part.select(
+        F.concat(F.lit("p"), F.col("p_partkey").cast("string")).alias("fact_id")
+    )
+    supports = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("st"), chunk_id).alias("dst"),
+        F.lit("SUPPORTS").alias("etype"),
+    )
+    extracted = li.select(
+        F.concat(F.lit("ch"), chunk_id).alias("src"),
+        F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("dst"),
+        F.lit("EXTRACTED_FROM").alias("etype"),
+    )
+    edges = supports.unionByName(extracted)
+    delete_ids = orders.filter(
+        F.col("o_orderdate") < F.lit(_DELETE_CUTOFF).cast("timestamp")
+    ).select(F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("source_id"))
+
+    after = sink.delete_sources(sources, chunks, statements, facts, edges, delete_ids)
+    counts = [
+        df.agg(F.count(F.lit(1)).alias("n_rows")).select(
+            F.lit(name).alias("table_name"), "n_rows"
+        )
+        for name, df in after.items()
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+CASCADE_ORACLE = f"""
+WITH surviving AS (
+  SELECT o_orderkey FROM orders WHERE o_orderdate >= TIMESTAMP '{_DELETE_CUTOFF}'
+),
+surv_li AS (
+  SELECT l.* FROM lineitem l JOIN surviving s ON l.l_orderkey = s.o_orderkey
+)
+SELECT 'sources' AS table_name, COUNT(*) AS n_rows FROM surviving
+UNION ALL SELECT 'chunks', COUNT(*) FROM surv_li
+UNION ALL SELECT 'statements', COUNT(*) FROM surv_li
+UNION ALL SELECT 'facts', COUNT(DISTINCT l_partkey) FROM surv_li
+UNION ALL SELECT 'edges', 2 * COUNT(*) FROM surv_li
+"""
+
+
+# --- T4: token-budget truncation ---------------------------------------------
+
+TOKEN_BUDGET = 20_000
+
+
+def token_budget_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    flat = docs.select(
+        F.col("doc_id").alias("statement_id"),
+        F.col("text").alias("value"),
+        F.col("n_chars").cast("double").alias("score"),
+    )
+    kept = processors.truncate_by_tokens(TOKEN_BUDGET)(flat)
+    return kept.select(F.col("statement_id").alias("doc_id"), "score")
+
+
+TOKEN_BUDGET_ORACLE = rf"""
+SELECT doc_id, score FROM (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS score,
+         SUM(len(string_split_regex(text, '\s+')))
+           OVER (ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents
+) WHERE cum <= {TOKEN_BUDGET}
+"""
+
+
+# --- A5/A6/T5/T2/T3: the result-processor chain ------------------------------
+# Two weighted retriever branches (all orders at 1.0, urgent orders again at
+# 0.5) → dedup-merge (scores sum) → rescore (mean over topics of max statement
+# score) → prune below 5% of global max → top-3 statements per topic → top-10
+# sources. Scores are floor(totalprice): exact integers/halves in double, so
+# every sum is order-insensitive and the hash comparison is bit-exact.
+
+_PRUNE_FACTOR = 0.05
+_MAX_PER_TOPIC = 3
+_MAX_RESULTS = 10
+
+
+def processor_chain_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_custkey").alias("source_id"),
+        F.col("o_orderpriority").alias("topic_id"),
+        F.col("o_orderkey").alias("statement_id"),
+        F.floor("o_totalprice").cast("double").alias("score"),
+    )
+    urgent = base.filter(F.col("topic_id") == "1-URGENT")
+    flat = processors.union_weighted([(base, 1.0), (urgent, 0.5)])
+    chain = [
+        processors.dedup_results,
+        processors.rescore_results,
+        processors.prune_statements(_PRUNE_FACTOR),
+        processors.truncate_statements(_MAX_PER_TOPIC),
+        processors.truncate_results(_MAX_RESULTS),
+    ]
+    out = processors.apply_chain(flat, chain)
+    return out.select("source_id", "topic_id", "statement_id", "score", "result_score")
+
+
+PROCESSOR_CHAIN_ORACLE = f"""
+WITH base AS (
+  SELECT o_custkey AS source_id, o_orderpriority AS topic_id,
+         o_orderkey AS statement_id, CAST(floor(o_totalprice) AS DOUBLE) AS score
+  FROM orders
+),
+unioned AS (
+  SELECT source_id, topic_id, statement_id, score * 1.0 AS score FROM base
+  UNION ALL
+  SELECT source_id, topic_id, statement_id, score * 0.5 FROM base
+  WHERE topic_id = '1-URGENT'
+),
+dedup AS (
+  SELECT source_id, topic_id, statement_id, SUM(score) AS score
+  FROM unioned GROUP BY source_id, topic_id, statement_id
+),
+topic_max AS (
+  SELECT source_id, topic_id, MAX(score) AS tmax FROM dedup GROUP BY source_id, topic_id
+),
+rescored AS (
+  SELECT source_id, SUM(tmax) / COUNT(*) AS result_score FROM topic_max GROUP BY source_id
+),
+flat AS (
+  SELECT d.source_id, d.topic_id, d.statement_id, d.score, r.result_score
+  FROM dedup d JOIN rescored r ON d.source_id = r.source_id
+),
+pruned AS (
+  SELECT * FROM flat WHERE score >= {_PRUNE_FACTOR} * (SELECT MAX(score) FROM flat)
+),
+topped AS (
+  SELECT source_id, topic_id, statement_id, score, result_score FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY source_id, topic_id
+                                 ORDER BY score DESC, statement_id) AS rn
+    FROM pruned
+  ) WHERE rn <= {_MAX_PER_TOPIC}
+),
+keep AS (
+  SELECT source_id FROM (
+    SELECT source_id, SUM(score) AS s FROM topped GROUP BY source_id
+    ORDER BY s DESC, source_id LIMIT {_MAX_RESULTS}
+  )
+)
+SELECT t.source_id, t.topic_id, t.statement_id, t.score, t.result_score
+FROM topped t JOIN keep k ON t.source_id = k.source_id
+"""
+
+
+# --- A9: exact percentiles ---------------------------------------------------
+# avg aggregates in DECIMAL (exact on 2-dec inputs); p50/p95 via exact
+# linear-interpolation percentile — Spark ``percentile`` and DuckDB
+# ``quantile_cont`` both use the R-7 (n-1)-index rule, so results match
+# bit-for-bit on identical input doubles.
+
+def percentile_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(dec).cast("double") / F.count(F.lit(1))).alias("avg_value"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.95)").alias("p95"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+PERCENTILE_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.95) AS p95,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# --- A7: class-level schema rollup -------------------------------------------
+# The reference's graph summary projects facts onto (subject class, relation,
+# object class) and de-dups (graph_summary_builder.py:89-104). Here: supplier
+# nation × 'supplies' × part-type head word, with distinct-pair support counts.
+
+def schema_summary_supplies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    part = load(spark, sf_dir, "part")
+    pairs = li.select("l_suppkey", "l_partkey").distinct()
+    return (
+        pairs.join(F.broadcast(sup), pairs.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(part, pairs.l_partkey == part.p_partkey)
+        .select(
+            F.col("n_name").alias("subj_class"),
+            F.lit("supplies").alias("relation"),
+            F.split(F.col("p_type"), " ").getItem(0).alias("obj_class"),
+        )
+        .groupBy("subj_class", "relation", "obj_class")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+SCHEMA_SUMMARY_ORACLE = """
+WITH pairs AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem)
+SELECT n.n_name AS subj_class, 'supplies' AS relation,
+       string_split(p.p_type, ' ')[1] AS obj_class,
+       COUNT(*) AS n_pairs
+FROM pairs x
+JOIN supplier s ON x.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN part p ON x.l_partkey = p.p_partkey
+GROUP BY subj_class, relation, obj_class
+"""
+
+
+QUERIES = {
+    "scd2_versioning_orders": scd2_versioning_orders,
+    "cascade_delete_counts": cascade_delete_counts,
+    "token_budget_truncate": token_budget_truncate,
+    "processor_chain_statements": processor_chain_statements,
+    "percentile_stats_events": percentile_stats_events,
+    "schema_summary_supplies": schema_summary_supplies,
+}
+
+ORACLES = {
+    "scd2_versioning_orders": SCD2_ORACLE,
+    "cascade_delete_counts": CASCADE_ORACLE,
+    "token_budget_truncate": TOKEN_BUDGET_ORACLE,
+    "processor_chain_statements": PROCESSOR_CHAIN_ORACLE,
+    "percentile_stats_events": PERCENTILE_ORACLE,
+    "schema_summary_supplies": SCHEMA_SUMMARY_ORACLE,
+}

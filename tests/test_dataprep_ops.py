@@ -69,6 +69,25 @@ class TestMinhash:
         assert dedup.shingles(short, "text", "doc_id", k=3).count() == 0
 
 
+class TestNgramJaccard:
+    def test_finds_planted_pairs_exactly(self, docs):
+        out = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", k=2, threshold=0.5)
+        got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+        assert got[(1, 2)] == pytest.approx(1.0)
+        assert (1, 3) in got and got[(1, 3)] < 1.0
+        assert all(5 not in p for p in got)
+
+    def test_stop_shingle_cutoff_blocks_hot_grams(self, spark):
+        # 4 docs all sharing one hot bigram; with max_doc_freq=3 the shared
+        # gram is dropped, so no candidate pair forms at all.
+        rows = [{"doc_id": i, "text": f"common gram unique{i} tail{i}"} for i in range(4)]
+        df = spark.createDataFrame(rows)
+        out = dedup.ngram_jaccard_pairs(
+            df, "text", "doc_id", k=2, threshold=0.0, max_doc_freq=3
+        )
+        assert out.count() == 0
+
+
 class TestSimhash:
     def test_identical_texts_same_hash(self, docs):
         out = {r["id"]: r["simhash"] for r in dedup.simhash(docs, "text", "doc_id").collect()}
