@@ -43,15 +43,23 @@ def multi_hop(
     rels: list[str] | None = None,
 ) -> DataFrame:
     """J13: union of triplets reached in ≤ ``hops`` rounds of one-hop."""
-    acc = None
-    cur = frontier.select("node_id").distinct()
-    for _ in range(hops):
-        step = one_hop(triples, cur, rels).localCheckpoint(eager=True)
-        acc = step if acc is None else acc.unionByName(step)
-        cur = step.select(F.col("dst").alias("node_id")).distinct()
-        if cur.isEmpty():
-            break
-    return acc.distinct() if acc is not None else triples.limit(0)
+    t = triples if rels is None else triples.filter(F.col("rel").isin(rels))
+    # triples may be a computed DF (unions/distincts over base tables):
+    # persist once so each hop joins against the materialized table instead
+    # of re-running the upstream shuffles per level
+    t.persist()
+    try:
+        acc = None
+        cur = frontier.select("node_id").distinct()
+        for _ in range(hops):
+            step = one_hop(t, cur).localCheckpoint(eager=True)
+            acc = step if acc is None else acc.unionByName(step)
+            cur = step.select(F.col("dst").alias("node_id")).distinct()
+            if cur.isEmpty():
+                break
+        return acc.distinct() if acc is not None else triples.limit(0)
+    finally:
+        t.unpersist()
 
 
 def follow_metapath(
@@ -59,22 +67,29 @@ def follow_metapath(
 ) -> DataFrame:
     """J14: BFS constrained to an edge-type sequence — one filtered join per
     metapath position. Returns (start_id, end_id) pairs of complete paths."""
-    cur = frontier.select(
-        F.col("node_id").alias("start_id"), F.col("node_id").alias("cur_id")
-    ).distinct()
-    for rel in metapath:
-        step = triples.filter(F.col("rel") == rel).select(
-            F.col("src").alias("cur_id"), F.col("dst").alias("nxt_id")
-        )
-        cur = (
-            cur.join(step, "cur_id")
-            .select("start_id", F.col("nxt_id").alias("cur_id"))
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
-        if cur.isEmpty():
-            break
-    return cur.select("start_id", F.col("cur_id").alias("end_id"))
+    # one materialization of the (possibly computed) triples table; per-level
+    # rel filters then scan the cached table, not the upstream plan
+    t = triples.filter(F.col("rel").isin(list(metapath)))
+    t.persist()
+    try:
+        cur = frontier.select(
+            F.col("node_id").alias("start_id"), F.col("node_id").alias("cur_id")
+        ).distinct()
+        for rel in metapath:
+            step = t.filter(F.col("rel") == rel).select(
+                F.col("src").alias("cur_id"), F.col("dst").alias("nxt_id")
+            )
+            cur = (
+                cur.join(step, "cur_id")
+                .select("start_id", F.col("nxt_id").alias("cur_id"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            if cur.isEmpty():
+                break
+        return cur.select("start_id", F.col("cur_id").alias("end_id"))
+    finally:
+        t.unpersist()
 
 
 def shortest_paths(
@@ -95,6 +110,8 @@ def shortest_paths(
             triples.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
     edges = edges.distinct()
+    # materialize the deduped edge table once; every BFS level re-joins it
+    edges.persist()
 
     settled = (
         sources.select(F.col("node_id"))
@@ -130,6 +147,7 @@ def shortest_paths(
             break
         settled = settled.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
+    edges.unpersist()
     if targets is not None:
         settled = settled.join(
             F.broadcast(targets.select("node_id").distinct()), "node_id"

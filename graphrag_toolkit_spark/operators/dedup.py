@@ -162,6 +162,7 @@ def ngram_jaccard_pairs(
     without a shared rare shingle.
     """
     sh = shingles(df, text_col, id_col, k)
+    sh.persist()
     rare = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -169,6 +170,9 @@ def ngram_jaccard_pairs(
         .select("shingle")
     )
     sh_rare = sh.join(rare, "shingle", "left_semi")
+    # consumed by both sides of the candidate self-join plus three joins in
+    # the Jaccard verification — materialize once
+    sh_rare.persist()
     a = sh_rare.withColumnRenamed("id", "id_a")
     b = sh_rare.withColumnRenamed("id", "id_b")
     cand = (
@@ -188,8 +192,13 @@ def minhash_near_dup_pairs(
     threshold: float = 0.7,
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: shingle → signature → banded candidates →
-    exact-Jaccard verification ≥ threshold."""
+    exact-Jaccard verification ≥ threshold.
+
+    The shingle table feeds the signature pipeline AND three joins in the
+    Jaccard verification; persist it once instead of re-running the
+    explode+distinct shuffle per consumer."""
     sh = shingles(df, text_col, id_col, k)
+    sh.persist()
     cand = lsh_bucket_pairs(minhash_signatures(sh, num_hashes), num_hashes, bands)
     return jaccard_on_pairs(sh, cand).filter(F.col("jaccard") >= threshold)
 
