@@ -1,0 +1,247 @@
+"""Extract-and-build ingestion pipeline (SURVEY §3.1): documents → chunks →
+extraction → content-addressed node/edge tables (+ optional embeddings).
+
+Reference flow (``lexical_graph_index.py:572-645``): reader → chunking → LLM
+proposition/topic extraction → node builders minting deterministic ids →
+graph + vector sinks. Here the whole flow is ONE declarative DataFrame DAG:
+no per-chunk round-trips, no thread pools — the explode/dedup stages are the
+only shuffles, and ``dropDuplicates(id)`` on content-addressed ids gives
+MERGE semantics (idempotent re-ingestion, cross-source fact dedup) for free.
+
+The extraction stage is pluggable (``extractor=``): production would be an
+LLM via batched ``mapInPandas`` (SURVEY §4 "custom work" item 3); the default
+``rule_extract_statements`` is a deterministic rule-based stand-in built from
+JVM-side expressions only, so the entire pipeline is whole-stage-codegen'd
+AND reproducible in ANSI SQL for the DuckDB oracle:
+
+- statements: consecutive ``window`` -token windows of the chunk text;
+- topic per chunk: the chunk's first token (equal topics merge globally);
+- facts per statement: (subject = statement's first token, 'near',
+  object = each distinct token of length ≥ ``entity_min_len``);
+- entities: subjects (class 'Head') and objects (class 'Term').
+
+Id discipline mirrors ``ids.py``: equal content ⇒ equal id ⇒ one row after
+dedup, which is exactly the reference's Cypher MERGE outcome.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from graphrag_toolkit_spark import ids
+
+STATEMENT_WINDOW = 8
+ENTITY_MIN_LEN = 5
+
+Extractor = Callable[[DataFrame], DataFrame]
+
+
+# --- stage 1: documents → chunk rows -----------------------------------------
+
+def docs_to_chunks(docs: DataFrame) -> DataFrame:
+    """One chunk per document (the workload corpus is single-chunk sized;
+    multi-chunk splitting is ``sources.chunking.chunk_documents``, which
+    emits the same contract). Ids are content-addressed per ``ids.py``."""
+    meta = F.concat_ws(";", F.col("lang"), F.col("source"))
+    sid = ids.source_id(F.col("text"), meta)
+    return docs.select(
+        sid.alias("source_id"),
+        ids.chunk_id(sid, F.col("text"), meta).alias("chunk_id"),
+        F.lit(0).alias("chunk_index"),
+        F.col("text"),
+    )
+
+
+# --- stage 2: extraction (pluggable; default = deterministic rules) ----------
+
+def rule_extract_statements(
+    chunks: DataFrame, window: int = STATEMENT_WINDOW
+) -> DataFrame:
+    """Chunk text → (source_id, chunk_id, topic_id, topic, statement_idx,
+    statement_id, value) — one row per ``window``-token statement window.
+    Pure column expressions; an LLM extractor plugs in here with the same
+    output contract via ``mapInPandas``."""
+    toks = F.split(F.col("text"), " ")
+    n_stmts = F.ceil(F.size(toks) / F.lit(window)).cast("int")
+    wins = F.transform(
+        F.sequence(F.lit(0), n_stmts - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * window + 1, window)),
+    )
+    topic = F.element_at(toks, 1)
+    topic_id = ids.node_id("topic", topic)
+    exploded = chunks.select(
+        "source_id", "chunk_id",
+        topic_id.alias("topic_id"), topic.alias("topic"),
+        F.posexplode(wins).alias("statement_idx", "value"),
+    )
+    return exploded.withColumn(
+        "statement_id",
+        ids.node_id("statement", F.col("topic_id"), F.col("value")),
+    )
+
+
+def extract_facts(
+    statements: DataFrame, entity_min_len: int = ENTITY_MIN_LEN
+) -> DataFrame:
+    """Statement rows → fact rows (statement_id, subject, object, value,
+    fact_id, subject_entity_id, object_entity_id). Subject = the statement's
+    first token; objects = every distinct other token of length ≥
+    ``entity_min_len`` (the SPO shape of ``indexing/model.py:159-190`` with a
+    rule-based stand-in for the LLM's argument selection)."""
+    toks = F.split(F.col("value"), " ")
+    subject = F.element_at(toks, 1)
+    objects = F.array_distinct(
+        F.filter(
+            toks,
+            lambda t: (F.length(t) >= entity_min_len) & (t != subject),
+        )
+    )
+    out = statements.select(
+        "statement_id",
+        subject.alias("subject"),
+        F.explode(objects).alias("object"),
+    )
+    return out.select(
+        "statement_id", "subject", "object",
+        F.concat_ws(" ", F.col("subject"), F.lit("near"), F.col("object")).alias("value"),
+        ids.node_id("fact", F.col("subject"), F.col("object")).alias("fact_id"),
+        ids.node_id("entity", F.col("subject"), F.lit("Head")).alias("subject_entity_id"),
+        ids.node_id("entity", F.col("object"), F.lit("Term")).alias("object_entity_id"),
+    )
+
+
+# --- stage 3: build — node + edge tables with MERGE semantics ----------------
+
+def extract_and_build(
+    docs: DataFrame,
+    extractor: Extractor = rule_extract_statements,
+    entity_min_len: int = ENTITY_MIN_LEN,
+) -> dict[str, DataFrame]:
+    """Full §3.1 pipeline → {sources, chunks, topics, statements, facts,
+    entities, edges}. One linear DAG per table; every table is deduped on its
+    content-addressed id (idempotent re-ingestion; identical facts from
+    different sources collapse to one row, as in the reference)."""
+    chunks = docs_to_chunks(docs)
+    stmts = extractor(chunks)
+    facts = extract_facts(stmts, entity_min_len)
+
+    sources = chunks.select("source_id").distinct()
+    # exact-duplicate documents mint identical chunk ids (and identical rows)
+    # — dedup is the MERGE
+    chunk_nodes = chunks.select(
+        "chunk_id", "source_id", "chunk_index", "text"
+    ).dropDuplicates(["chunk_id"])
+    topic_nodes = stmts.select(
+        "topic_id", F.col("topic").alias("value")
+    ).dropDuplicates(["topic_id"])
+    # same statement text under the same topic in two chunks → same id; keep
+    # the lexicographically-first location so the MERGE survivor is
+    # deterministic (dropDuplicates would pick an arbitrary row). Struct-min
+    # in a hash aggregate — no window, scales like any groupBy.
+    stmt_nodes = (
+        stmts.groupBy("statement_id", "topic_id", "value")
+        .agg(F.min(F.struct("chunk_id", "statement_idx")).alias("_loc"))
+        .select(
+            "statement_id",
+            F.col("_loc.chunk_id").alias("chunk_id"),
+            "topic_id",
+            F.col("_loc.statement_idx").alias("statement_idx"),
+            "value",
+        )
+    )
+    fact_nodes = facts.select(
+        "fact_id", "subject", "object", "value",
+        "subject_entity_id", "object_entity_id",
+    ).dropDuplicates(["fact_id"])
+    entities = (
+        facts.select(
+            F.col("subject_entity_id").alias("entity_id"),
+            F.col("subject").alias("value"),
+            F.lit("Head").alias("classification"),
+        )
+        .unionByName(
+            facts.select(
+                F.col("object_entity_id").alias("entity_id"),
+                F.col("object").alias("value"),
+                F.lit("Term").alias("classification"),
+            )
+        )
+        .dropDuplicates(["entity_id"])
+    )
+
+    def edge(df: DataFrame, src: str, dst: str, etype: str) -> DataFrame:
+        return df.select(
+            F.col(src).alias("src"), F.col(dst).alias("dst"),
+            F.lit(etype).alias("etype"),
+        ).dropDuplicates(["src", "dst"])
+
+    # per-chunk statement linked list (reference: statement PREVIOUS chain,
+    # statement_graph_builder.py:132-134). Chain over DISTINCT window slots —
+    # re-ingested duplicate chunks repeat each slot and a raw lag would mint
+    # phantom self-edges; self-loops from merged identical statements are
+    # dropped for the same reason.
+    w = Window.partitionBy("chunk_id").orderBy("statement_idx")
+    prev = (
+        stmts.select("chunk_id", "statement_idx", "statement_id").distinct()
+        .withColumn("_prev", F.lag("statement_id").over(w))
+        .filter(F.col("_prev").isNotNull() & (F.col("_prev") != F.col("statement_id")))
+        .select(
+            F.col("statement_id").alias("src"), F.col("_prev").alias("dst"),
+            F.lit("PREVIOUS").alias("etype"),
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+
+    edges = (
+        edge(chunks, "chunk_id", "source_id", "EXTRACTED_FROM")
+        .unionByName(edge(stmts, "topic_id", "chunk_id", "MENTIONED_IN"))
+        .unionByName(edge(stmts, "statement_id", "chunk_id", "MENTIONED_IN"))
+        .unionByName(edge(stmts, "statement_id", "topic_id", "BELONGS_TO"))
+        .unionByName(edge(facts, "fact_id", "statement_id", "SUPPORTS"))
+        .unionByName(edge(facts, "subject_entity_id", "fact_id", "SUBJECT"))
+        .unionByName(edge(facts, "object_entity_id", "fact_id", "OBJECT"))
+        .unionByName(prev)
+    )
+
+    return {
+        "sources": sources,
+        "chunks": chunk_nodes,
+        "topics": topic_nodes,
+        "statements": stmt_nodes,
+        "facts": fact_nodes,
+        "entities": entities,
+        "edges": edges,
+    }
+
+
+# --- V8: batched fake embedder (the model-call plumbing) ---------------------
+
+def embed_values(
+    df: DataFrame, id_col: str, text_col: str, dim: int = 64
+) -> DataFrame:
+    """(id, embedding array<float>) via Arrow-batched ``mapInPandas`` — the
+    real shape of a model-inference stage (SURVEY V8): batch in, batch out,
+    deterministic stand-in model (``fixtures.pseudo_embedding``). Swap the
+    inner function for a real encoder client; batching/retry lives here, not
+    in the planner."""
+    import pandas as pd
+
+    from graphrag_toolkit_spark.fixtures import pseudo_embedding
+
+    schema = f"{id_col} string, embedding array<float>"
+    src = df.select(F.col(id_col).cast("string").alias(id_col), F.col(text_col))
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "embedding": [pseudo_embedding(t, dim) for t in pdf[text_col]],
+                }
+            )
+
+    return src.mapInPandas(run, schema=schema)

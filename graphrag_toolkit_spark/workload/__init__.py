@@ -27,11 +27,12 @@ from graphrag_toolkit_spark.workload import (
     events,
     graphish,
     lifecycle,
+    pipeline,
     relational,
     vector,
 )
 
-_MODULES = [relational, graphish, vector, dataprep, events, lifecycle]
+_MODULES = [relational, graphish, vector, dataprep, events, lifecycle, pipeline]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

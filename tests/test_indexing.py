@@ -1,0 +1,106 @@
+"""Extract-and-build pipeline invariants (SURVEY §3.1): content-addressed
+idempotency, cross-source fact dedup, MERGE-survivor determinism, and the
+Arrow-batched embedder plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphrag_toolkit_spark import indexing
+from graphrag_toolkit_spark.fixtures import pseudo_embedding
+
+DOCS = [
+    # two sources sharing the fact window "alpha ... engine ..." → fact dedup
+    {"doc_id": 1, "lang": "en", "source": "a",
+     "text": "alpha engine merges tables fast under heavy load"},
+    {"doc_id": 2, "lang": "en", "source": "b",
+     "text": "alpha engine merges tables fast under heavy load"},
+    {"doc_id": 3, "lang": "en", "source": "a",
+     "text": "beta stream joins windows slowly while reading events beta stream joins windows slowly while reading events"},
+    # two DISTINCT statement windows → a real PREVIOUS chain edge
+    {"doc_id": 4, "lang": "en", "source": "a",
+     "text": "gamma scans filter tables daily before nightly loads gamma writes output partitions hourly after compaction finishes"},
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS)
+
+
+@pytest.fixture(scope="module")
+def build(docs):
+    return {k: v.localCheckpoint(eager=True)
+            for k, v in indexing.extract_and_build(docs).items()}
+
+
+class TestExtractAndBuild:
+    def test_identical_text_different_source_one_chunk_per_source(self, build):
+        # doc 1 and 2: same text, different metadata → different source ids,
+        # different chunk ids (chunk id embeds the source id)
+        assert build["sources"].count() == 4
+        assert build["chunks"].count() == 4
+
+    def test_statement_windows(self, build):
+        # doc 3 has 16 tokens = 2 windows of 8, but both windows repeat the
+        # same 8-token text → same (topic, value) → ONE statement after merge
+        stmts = build["statements"]
+        assert stmts.filter(F.col("value").startswith("beta")).count() == 1
+        # docs 1/2 share one 8-token window under topic 'alpha'
+        assert stmts.filter(F.col("value").startswith("alpha")).count() == 1
+
+    def test_cross_source_fact_dedup(self, build):
+        # 'alpha near engine' extracted from both sources → single fact row
+        facts = build["facts"].filter(
+            (F.col("subject") == "alpha") & (F.col("object") == "engine")
+        )
+        assert facts.count() == 1
+
+    @staticmethod
+    def _rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    def test_merge_survivor_deterministic(self, docs):
+        a = indexing.extract_and_build(docs)["statements"]
+        b = indexing.extract_and_build(docs)["statements"]
+        assert self._rows(a) == self._rows(b)
+
+    def test_reingestion_idempotent(self, spark, docs):
+        # union of corpus with itself builds byte-identical tables
+        twice = indexing.extract_and_build(docs.unionByName(docs))
+        once = indexing.extract_and_build(docs)
+        for k in once:
+            assert self._rows(once[k]) == self._rows(twice[k]), k
+
+    def test_edge_types_present(self, build):
+        etypes = {r["etype"] for r in build["edges"].select("etype").distinct().collect()}
+        assert etypes == {
+            "EXTRACTED_FROM", "MENTIONED_IN", "BELONGS_TO", "SUPPORTS",
+            "SUBJECT", "OBJECT", "PREVIOUS",
+        }
+
+    def test_previous_chain_within_chunk(self, spark):
+        one = spark.createDataFrame([
+            {"doc_id": 9, "lang": "en", "source": "x",
+             "text": " ".join(f"tok{i} filler aaaaa bbbbb ccccc ddddd eeeee fffff"
+                              for i in range(3))},
+        ])
+        edges = indexing.extract_and_build(one)["edges"]
+        assert edges.filter(F.col("etype") == "PREVIOUS").count() == 2
+
+
+class TestEmbedValues:
+    def test_matches_python_reference(self, spark):
+        df = spark.createDataFrame([{"id": "a", "text": "hello world"}])
+        out = indexing.embed_values(df, "id", "text", dim=8).collect()
+        assert len(out) == 1
+        got = out[0]["embedding"]
+        want = pseudo_embedding("hello world", 8)
+        assert got == pytest.approx(want, abs=1e-6)
+
+    def test_batched_shape(self, spark):
+        df = spark.createDataFrame([{"id": str(i), "text": f"t{i}"} for i in range(50)])
+        out = indexing.embed_values(df, "id", "text", dim=4)
+        assert out.count() == 50
+        assert out.schema["embedding"].dataType.simpleString() == "array<float>"
