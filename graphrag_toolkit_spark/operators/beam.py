@@ -26,7 +26,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from graphrag_toolkit_spark.fixtures import SparkGraphTables
-from graphrag_toolkit_spark.functions.vector import cosine_similarity
+from graphrag_toolkit_spark.functions.vector import (
+    cosine_similarity,
+    cosine_similarity_quantized,
+)
 from graphrag_toolkit_spark.operators.traversal import (
     topic_adjacency,
     topic_cooccurrence,
@@ -46,15 +49,19 @@ def beam_search(
     beam_width: int = 100,
     max_depth: int = 6,
     scoring: str = "cosine",
+    quantized: bool = False,
 ) -> DataFrame:
     """B1: generic beam. Returns visited (node_id, depth, score) — every node
-    that ever entered the beam, like the reference's result accumulation."""
+    that ever entered the beam, like the reference's result accumulation.
+    ``quantized`` switches the cosine to the decimal-exact variant
+    (oracle-reproducible scores)."""
+    cos = cosine_similarity_quantized if quantized else cosine_similarity
     q = query_vector_lit(query_vector)
     emb = embeddings.select(F.col("id").alias("node_id"), "embedding")
 
     scored_seeds = (
         seeds.join(emb, "node_id")
-        .withColumn("score", cosine_similarity(F.col("embedding"), q))
+        .withColumn("score", cos(F.col("embedding"), q))
         .select("node_id", "score")
         .orderBy(F.desc("score"), F.asc("node_id"))
         .limit(beam_width)
@@ -69,20 +76,19 @@ def beam_search(
         )
         cand = cand.join(emb, "node_id")
         if scoring == "cosine":
-            score = cosine_similarity(F.col("embedding"), q)
-            cand = cand.withColumn("score", score)
+            cand = cand.withColumn("score", cos(F.col("embedding"), q))
         else:
             parent_emb = emb.select(
                 F.col("node_id").alias("parent_id"),
                 F.col("embedding").alias("parent_embedding"),
             )
             cand = cand.join(parent_emb, "parent_id")
-            cos_qn = cosine_similarity(F.col("embedding"), q)
-            cos_pn = cosine_similarity(F.col("embedding"), F.col("parent_embedding"))
+            cos_qn = cos(F.col("embedding"), q)
+            cos_pn = cos(F.col("embedding"), F.col("parent_embedding"))
             if scoring == "path_weighted":
                 cand = cand.withColumn("score", cos_qn * (1.0 + cos_pn) / 2.0)
             elif scoring == "path_propagated":
-                cos_qp = cosine_similarity(F.col("parent_embedding"), q)
+                cos_qp = cos(F.col("parent_embedding"), q)
                 cand = cand.withColumn("score", cos_qp * cos_pn)
             else:
                 raise ValueError(f"unknown scoring mode: {scoring}")

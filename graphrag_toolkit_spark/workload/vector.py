@@ -103,6 +103,73 @@ SELECT qid AS query_id, vec_id AS node_id, score, rank FROM (
 """
 
 
+# --- B1: generic beam search (label-sibling graph, depth 2) ------------------
+
+_BEAM_WIDTH = 8
+_BEAM_DEPTH = 2
+
+
+def beam_search_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 over the embeddings table: nodes = vectors, neighbors = same-label
+    siblings (the J6 co-occurrence analog), cosine scoring vs vec 0. The
+    driver-loop beam with visited-set exclusion and (score desc, id asc)
+    beam cuts — oracle-checked level by level."""
+    from graphrag_toolkit_spark.operators.beam import beam_search
+
+    emb = load(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    nodes = emb.select(F.col("vec_id").alias("id"), "embedding")
+    labels = emb.select(F.col("vec_id").alias("node_id"), "label")
+    labels.persist()
+
+    def nbrs(frontier: DataFrame) -> DataFrame:
+        f = labels.join(frontier, "node_id").select(
+            F.col("node_id").alias("parent_id"), "label"
+        )
+        return (
+            labels.withColumnsRenamed({"node_id": "id2"})
+            .join(f, "label")
+            .filter(F.col("id2") != F.col("parent_id"))
+            .select(F.col("id2").alias("node_id"), "parent_id")
+            .distinct()
+        )
+
+    out = beam_search(
+        nodes, nodes.select(F.col("id").alias("node_id")), nbrs, qv,
+        beam_width=_BEAM_WIDTH, max_depth=_BEAM_DEPTH,
+        scoring="cosine", quantized=True,
+    )
+    return out.select(F.col("node_id").alias("vec_id"), "depth", "score")
+
+
+_BEAM_LEVEL = """
+{name}_cand AS (
+  SELECT DISTINCT e2.vec_id
+  FROM {frontier} f
+  JOIN embeddings e1 ON e1.vec_id = f.vec_id
+  JOIN embeddings e2 ON e2.label = e1.label AND e2.vec_id != e1.vec_id
+  WHERE e2.vec_id NOT IN ({visited})
+),
+{name} AS (
+  SELECT c.vec_id, s.score FROM {name}_cand c JOIN scores s USING (vec_id)
+  ORDER BY s.score DESC, c.vec_id LIMIT {width}
+)"""
+
+BEAM_ORACLE = (
+    _COSINE_SQL.format(qfilt="vec_id = 0")
+    + f""",
+l0 AS (SELECT vec_id, score FROM scores ORDER BY score DESC, vec_id LIMIT {_BEAM_WIDTH}),
+{_BEAM_LEVEL.format(name="l1", frontier="l0", width=_BEAM_WIDTH,
+                    visited="SELECT vec_id FROM l0")},
+{_BEAM_LEVEL.format(name="l2", frontier="l1", width=_BEAM_WIDTH,
+                    visited="SELECT vec_id FROM l0 UNION ALL SELECT vec_id FROM l1")}
+SELECT vec_id, 0 AS depth, score FROM l0
+UNION ALL SELECT vec_id, 1, score FROM l1
+UNION ALL SELECT vec_id, 2, score FROM l2
+"""
+)
+
+
 # --- V5: TF-IDF scoring ------------------------------------------------------
 
 TFIDF_QUERY = "spark filter join window batch stream"
@@ -165,6 +232,7 @@ QUERIES = {
     "cosine_topk": cosine_topk,
     "cosine_topk_diverse": cosine_topk_diverse,
     "dense_link_embeddings": dense_link_embeddings,
+    "beam_search_embeddings": beam_search_embeddings,
     "tfidf_documents": tfidf_documents,
 }
 
@@ -172,5 +240,6 @@ ORACLES = {
     "cosine_topk": COSINE_TOPK_ORACLE,
     "cosine_topk_diverse": DIVERSITY_ORACLE,
     "dense_link_embeddings": DENSE_LINK_ORACLE,
+    "beam_search_embeddings": BEAM_ORACLE,
     "tfidf_documents": TFIDF_ORACLE,
 }

@@ -1,0 +1,121 @@
+"""byokg agentic composition (SURVEY §3.3): text-to-SparkSQL error feedback,
+the B4 agentic loop, and the B5 scoring retriever — all behind deterministic
+fake LLMs/scorers (the correctness suite never crosses a real model)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphrag_toolkit_spark import agentic
+
+TRIPLES = [
+    ("paris", "capital_of", "france"),
+    ("paris", "located_in", "europe"),
+    ("france", "member_of", "eu"),
+    ("berlin", "capital_of", "germany"),
+    ("germany", "member_of", "eu"),
+]
+
+NAMES = [
+    {"node_id": "paris", "name": "Paris"},
+    {"node_id": "france", "name": "France"},
+    {"node_id": "berlin", "name": "Berlin"},
+    {"node_id": "germany", "name": "Germany"},
+]
+
+
+@pytest.fixture(scope="module")
+def triples(spark):
+    df = spark.createDataFrame(TRIPLES, ["src", "rel", "dst"])
+    agentic.register_graph_views(spark, df)
+    return df
+
+
+@pytest.fixture(scope="module")
+def names(spark):
+    return spark.createDataFrame(NAMES)
+
+
+class TestSqlGeneration:
+    def test_error_feedback_loop(self, spark, triples):
+        calls = []
+
+        def fake_llm(prompt: str) -> str:
+            calls.append(prompt)
+            if len(calls) == 1:
+                return "SELECT * FROM no_such_table"
+            return "SELECT dst FROM triples WHERE src = 'paris' AND rel = 'capital_of'"
+
+        out, transcript = agentic.generate_and_run_sql(
+            spark, fake_llm, "What is Paris the capital of?"
+        )
+        assert out is not None
+        assert [r["dst"] for r in out.collect()] == ["france"]
+        assert len(transcript) == 2
+        # the second prompt carries the first failure back to the LLM
+        assert "failed" in calls[1] and "no_such_table" in calls[1]
+
+    def test_empty_result_feeds_back(self, spark, triples):
+        def fake_llm(prompt: str) -> str:
+            if "no rows" in prompt:
+                return "SELECT dst FROM triples WHERE rel = 'member_of'"
+            return "SELECT dst FROM triples WHERE rel = 'nonexistent_rel'"
+
+        out, transcript = agentic.generate_and_run_sql(spark, fake_llm, "q")
+        assert out is not None and out.count() == 2
+        assert len(transcript) == 2
+
+    def test_gives_up_after_max_attempts(self, spark, triples):
+        out, transcript = agentic.generate_and_run_sql(
+            spark, lambda p: "SELECT broken", "q", max_attempts=2
+        )
+        assert out is None and len(transcript) == 2
+
+
+class TestAgenticRetrieve:
+    def test_two_rounds_then_finish(self, triples, names):
+        rounds = []
+
+        def fake_llm(prompt: str) -> str:
+            rounds.append(prompt)
+            if len(rounds) == 1:
+                return "Paris"
+            return "FINISH"
+
+        out = agentic.agentic_retrieve(triples, names, fake_llm, "q").collect()
+        texts = [r["context"] for r in sorted(out, key=lambda r: r["pos"])]
+        assert texts == [
+            "paris capital_of: france",
+            "paris located_in: europe",
+        ]
+        # round-2 prompt contains the accumulated context
+        assert "paris capital_of: france" in rounds[1]
+
+    def test_stops_when_nothing_new(self, triples, names):
+        out = agentic.agentic_retrieve(
+            triples, names, lambda p: "Paris", "q", max_iterations=5
+        )
+        # second 'Paris' round adds no new lines → loop exits early
+        assert out.count() == 2
+
+
+class TestScoringRetrieve:
+    def test_relation_prune_and_topk(self, spark, triples):
+        seeds = spark.createDataFrame([{"node_id": "paris"}])
+        rel_scores = spark.createDataFrame(
+            [
+                {"rel": "capital_of", "rel_score": 0.9},
+                {"rel": "member_of", "rel_score": 0.8},
+                {"rel": "located_in", "rel_score": 0.1},
+            ]
+        )
+        out = agentic.scoring_retrieve(
+            triples, seeds, rel_scores, hops=2, keep_rels=2, top_k=10
+        ).collect()
+        texts = [r["text"] for r in out]
+        # located_in pruned (rank 3); 2-hop reaches france member_of eu
+        assert texts == [
+            "paris capital_of: france",
+            "france member_of: eu",
+        ]
