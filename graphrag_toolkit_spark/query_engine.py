@@ -43,13 +43,14 @@ class RetrievalConfig:
     extra: dict = field(default_factory=dict)
 
 
-def chunk_based_search(
+def chunk_search_flat(
     g: SparkGraphTables,
     query_text: str,
     config: RetrievalConfig | None = None,
     query_vector: list[float] | None = None,
 ) -> DataFrame:
-    """End-to-end chunk-based traversal search → nested SearchResult rows."""
+    """The retrieval core as FLAT scored statement rows (stages 5b-6 of
+    §3.2), before nested assembly — the unit that composite retrieval unions."""
     cfg = config or RetrievalConfig()
     qvec = query_vector or pseudo_embedding(query_text)
 
@@ -75,6 +76,59 @@ def chunk_based_search(
     flat = P.rescore_results(flat)
     flat = P.truncate_statements(cfg.max_statements_per_topic)(flat)
     flat = P.truncate_results(cfg.max_search_results)(flat)
+    return flat
 
+
+def chunk_based_search(
+    g: SparkGraphTables,
+    query_text: str,
+    config: RetrievalConfig | None = None,
+    query_vector: list[float] | None = None,
+) -> DataFrame:
+    """End-to-end chunk-based traversal search → nested SearchResult rows."""
+    cfg = config or RetrievalConfig()
+    flat = chunk_search_flat(g, query_text, cfg, query_vector)
     # A1 — nested assembly
     return nest_results(flat.drop("result_score"), max_results=cfg.max_search_results)
+
+
+def composite_search(
+    g: SparkGraphTables,
+    branches: list[tuple[str, float]],
+    config: RetrievalConfig | None = None,
+) -> DataFrame:
+    """T8 + §3.2 stage 4: weighted union of per-query retrieval branches.
+    The reference fans retrievers out over a thread pool and merges; here
+    every branch is a sub-DAG of ONE plan — `union` → shared dedup (scores
+    sum across branches) → rescore/truncate → nested rows. Reference:
+    ``composite_traversal_based_retriever.py:128-205``."""
+    cfg = config or RetrievalConfig()
+    flats = [
+        (chunk_search_flat(g, q, cfg).drop("result_score"), w) for q, w in branches
+    ]
+    merged = P.union_weighted(flats)
+    merged = P.dedup_results(merged)
+    merged = P.rescore_results(merged)
+    merged = P.truncate_statements(cfg.max_statements_per_topic)(merged)
+    merged = P.truncate_results(cfg.max_search_results)(merged)
+    return nest_results(
+        merged.drop("result_score"), max_results=cfg.max_search_results
+    )
+
+
+def decomposed_search(
+    g: SparkGraphTables,
+    llm,
+    query_text: str,
+    config: RetrievalConfig | None = None,
+    max_subqueries: int = 2,
+) -> DataFrame:
+    """§3.2 stages 2-3: LLM query decomposition → composite retrieval.
+    ``llm(prompt) -> str`` returns newline-separated subqueries (≤ 2 in the
+    reference, ``retrieval/utils/query_decomposition.py``); falls back to the
+    original query when the LLM returns nothing. Equal branch weights."""
+    reply = llm(f"Decompose into at most {max_subqueries} subqueries:\n{query_text}")
+    subs = [s.strip() for s in reply.splitlines() if s.strip()][:max_subqueries]
+    if not subs:
+        subs = [query_text]
+    return composite_search(g, [(s, 1.0) for s in subs], config)
