@@ -16,27 +16,16 @@ SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: VSS top-k with diversity re-sampling (SURVEY V1+V3) joined to
-    source documents — the retrieval core's seed stage, end-to-end."""
-    from graphrag_toolkit_spark.operators.vss import top_k_with_diversity
+    """Flagship: the FULL reference lifecycle in one run — §3.1 ingestion
+    (documents → extraction → content-addressed lexical graph + embeddings)
+    then §3.2 retrieval over the freshly-built graph (VSS seeds → traversal
+    joins → processor chain → nested SearchResult rows)."""
+    from graphrag_toolkit_spark import indexing, query_engine
     from graphrag_toolkit_spark.session import load
 
-    emb = load(spark, SF0001, "embeddings")
     docs = load(spark, SF0001, "documents")
-    # Deterministic query vector: the embedding of vec_id 0.
-    qvec = emb.filter("vec_id = 0").select("embedding").head()[0]
-    hits = top_k_with_diversity(
-        emb,
-        query_vector=qvec,
-        id_col="vec_id",
-        vec_col="embedding",
-        group_col="label",
-        top_k=10,
-        diversity_factor=5,
-    )
-    return hits.join(docs, hits.vec_id == docs.doc_id).select(
-        "vec_id", "score", "label", "lang", "source", "n_chars"
-    )
+    g = indexing.to_graph_tables(indexing.extract_and_build(docs), embed_dim=32)
+    return query_engine.chunk_based_search(g, "spark filter join window batch stream")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -40,12 +40,19 @@ HEADLINE = [
     "tfidf_documents",
     # dataprep
     "minhash_neardup_documents",
+    "ngram_jaccard_neardup",
     "simhash_documents",
     "ann_lsh_topk",
     "token_stats_documents",
     # events
     "tumbling_window_events",
     "sessionize_events",
+    "percentile_stats_events",
+    # lifecycle + pipeline
+    "scd2_versioning_orders",
+    "processor_chain_statements",
+    "extract_build_statements",
+    "beam_search_embeddings",
 ]
 
 

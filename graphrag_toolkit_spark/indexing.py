@@ -196,16 +196,18 @@ def extract_and_build(
         .dropDuplicates(["src", "dst"])
     )
 
+    # edge labels follow the engine-wide convention (FIXTURES.md §3):
+    # MENTIONED_IN_T = topic→chunk, MENTIONED_IN_S = statement→chunk
     edges = (
         edge(chunks, "chunk_id", "source_id", "EXTRACTED_FROM")
-        .unionByName(edge(stmts, "topic_id", "chunk_id", "MENTIONED_IN"))
-        .unionByName(edge(stmts, "statement_id", "chunk_id", "MENTIONED_IN"))
+        .unionByName(edge(stmts, "topic_id", "chunk_id", "MENTIONED_IN_T"))
+        .unionByName(edge(stmts, "statement_id", "chunk_id", "MENTIONED_IN_S"))
         .unionByName(edge(stmts, "statement_id", "topic_id", "BELONGS_TO"))
         .unionByName(edge(facts, "fact_id", "statement_id", "SUPPORTS"))
         .unionByName(edge(facts, "subject_entity_id", "fact_id", "SUBJECT"))
         .unionByName(edge(facts, "object_entity_id", "fact_id", "OBJECT"))
         .unionByName(prev)
-    )
+    ).withColumn("value", F.lit(None).cast("string"))
 
     return {
         "sources": sources,
@@ -216,6 +218,49 @@ def extract_and_build(
         "entities": entities,
         "edges": edges,
     }
+
+
+# --- adapter: built tables → queryable graph ---------------------------------
+
+def to_graph_tables(build: dict[str, DataFrame], embed_dim: int = 64):
+    """Adapt ``extract_and_build`` output to the ``SparkGraphTables`` contract
+    the retrieval operators consume — the handoff between the build side
+    (§3.1) and the query side (§3.2). Embeddings for the chunk/statement/
+    topic indexes (storage/constants.py:5-6) come from the batched embedder.
+    """
+    from graphrag_toolkit_spark.fixtures import SparkGraphTables
+    from graphrag_toolkit_spark.functions.text import search_string
+
+    statements = build["statements"].select(
+        "statement_id", "chunk_id", "topic_id", "value",
+        F.lit("").alias("details"),
+        F.col("statement_idx").alias("stmt_index"),
+    )
+    facts = build["facts"].select(
+        "fact_id", "value",
+        F.col("subject_entity_id").alias("subject_id"),
+        F.col("object_entity_id").alias("object_id"),
+        F.lit("near").alias("predicate"),
+    )
+    entities = build["entities"].withColumn(
+        "search_str", search_string(F.col("value"))
+    )
+    return SparkGraphTables(
+        sources=build["sources"],
+        chunks=build["chunks"],
+        topics=build["topics"],
+        statements=statements,
+        facts=facts,
+        entities=entities,
+        edges=build["edges"],
+        embeddings_chunk=embed_values(build["chunks"], "chunk_id", "text", embed_dim)
+        .withColumnRenamed("chunk_id", "id"),
+        embeddings_statement=embed_values(statements, "statement_id", "value", embed_dim)
+        .withColumnRenamed("statement_id", "id"),
+        embeddings_topic=embed_values(
+            build["topics"], "topic_id", "value", embed_dim
+        ).withColumnRenamed("topic_id", "id"),
+    )
 
 
 # --- V8: batched fake embedder (the model-call plumbing) ---------------------

@@ -170,19 +170,30 @@ def ngram_jaccard_pairs(
         .select("shingle")
     )
     sh_rare = sh.join(rare, "shingle", "left_semi")
-    # consumed by both sides of the candidate self-join plus three joins in
-    # the Jaccard verification — materialize once
+    # consumed by both sides of the self-join plus the per-id size aggregate
+    # — materialize once
     sh_rare.persist()
+    # intersection counts fall straight out of the posting-list self-join
+    # (shingles are distinct per id, so COUNT(*) per pair = |A∩B|) — no
+    # separate candidate-distinct stage, no re-join of the shingle table
     a = sh_rare.withColumnRenamed("id", "id_a")
     b = sh_rare.withColumnRenamed("id", "id_b")
-    cand = (
+    inter = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    return jaccard_on_pairs(sh_rare, cand, broadcast_pairs=False).filter(
-        F.col("jaccard") >= threshold
+    sizes = sh_rare.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n": "n_b"}), "id_b")
+        .select(
+            "id_a", "id_b",
+            (F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+            .alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )
 
 

@@ -76,8 +76,8 @@ class TestExtractAndBuild:
     def test_edge_types_present(self, build):
         etypes = {r["etype"] for r in build["edges"].select("etype").distinct().collect()}
         assert etypes == {
-            "EXTRACTED_FROM", "MENTIONED_IN", "BELONGS_TO", "SUPPORTS",
-            "SUBJECT", "OBJECT", "PREVIOUS",
+            "EXTRACTED_FROM", "MENTIONED_IN_T", "MENTIONED_IN_S", "BELONGS_TO",
+            "SUPPORTS", "SUBJECT", "OBJECT", "PREVIOUS",
         }
 
     def test_previous_chain_within_chunk(self, spark):
@@ -88,6 +88,21 @@ class TestExtractAndBuild:
         ])
         edges = indexing.extract_and_build(one)["edges"]
         assert edges.filter(F.col("etype") == "PREVIOUS").count() == 2
+
+
+class TestBuildThenQuery:
+    def test_full_lifecycle_extract_build_search(self, docs):
+        # §3.1 build → §3.2 query over the BUILT graph, end to end
+        from graphrag_toolkit_spark import query_engine
+
+        g = indexing.to_graph_tables(indexing.extract_and_build(docs), embed_dim=16)
+        out = query_engine.chunk_based_search(g, "alpha engine merges tables")
+        rows = out.collect()
+        assert len(rows) > 0
+        top = rows[0]
+        assert {f.name for f in out.schema} == {"source_id", "score", "topics"}
+        assert len(top["topics"]) > 0
+        assert len(top["topics"][0]["statements"]) > 0
 
 
 class TestEmbedValues:
