@@ -120,13 +120,24 @@ def extract_and_build(
     docs: DataFrame,
     extractor: Extractor = rule_extract_statements,
     entity_min_len: int = ENTITY_MIN_LEN,
+    ignore_topics: list[str] | None = None,
+    ignore_statements_matching: str | None = None,
 ) -> dict[str, DataFrame]:
     """Full §3.1 pipeline → {sources, chunks, topics, statements, facts,
     entities, edges}. One linear DAG per table; every table is deduped on its
     content-addressed id (idempotent re-ingestion; identical facts from
-    different sources collapse to one row, as in the reference)."""
+    different sources collapse to one row, as in the reference).
+
+    ``ignore_topics`` / ``ignore_statements_matching`` are the P6 build
+    filters (reference ``indexing/build/build_filters.py``, applied in
+    ``statement_node_builder.py:108,117``): dropped rows never reach the
+    node tables or the fact explosion — plain pushed-down predicates."""
     chunks = docs_to_chunks(docs)
     stmts = extractor(chunks)
+    if ignore_topics:
+        stmts = stmts.filter(~F.col("topic").isin(list(ignore_topics)))
+    if ignore_statements_matching:
+        stmts = stmts.filter(~F.col("value").rlike(ignore_statements_matching))
     facts = extract_facts(stmts, entity_min_len)
 
     sources = chunks.select("source_id").distinct()

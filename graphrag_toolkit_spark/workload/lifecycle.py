@@ -68,7 +68,9 @@ FROM hist
 # report surviving row counts per table — the orphan check (a part survives
 # iff some surviving statement still references it) is what's under test.
 
-_DELETE_CUTOFF = "1993-01-01"
+# fixture order dates span 1995-01-01 .. 2001-08-01 — the cutoff deletes a
+# real ~⅓ prefix of the corpus
+_DELETE_CUTOFF = "1997-01-01"
 
 
 def cascade_delete_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -318,8 +320,95 @@ GROUP BY subj_class, relation, obj_class
 """
 
 
+# --- P4: snapshot predicate over the SCD-2 history ---------------------------
+# AT_TIMESTAMP semantics (versioning.py:25-31): the row whose
+# [valid_from, valid_to) window contains the snapshot instant, per logical id.
+
+_SNAPSHOT_MS = 10_400 * 86_400_000   # 1998-06-23 — mid-corpus (dates 1995-2001)
+
+
+def versions_at_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    history = (
+        orders.groupBy("o_custkey", "o_orderdate")
+        .agg(F.min("o_orderkey").alias("version_id"))
+        .select(
+            F.col("o_custkey").alias("logical_id"),
+            "version_id",
+            (
+                F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+                .cast("long") * _MS_PER_DAY
+            ).alias("valid_from"),
+        )
+    )
+    versioned = sink.apply_versions(history, "logical_id")
+    return sink.versions_at(versioned, _SNAPSHOT_MS).select(
+        "logical_id", "version_id", "valid_from", "valid_to"
+    )
+
+
+SNAPSHOT_ORACLE = f"""
+WITH hist AS (
+  SELECT o_custkey AS logical_id, MIN(o_orderkey) AS version_id,
+         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) * {_MS_PER_DAY} AS valid_from
+  FROM orders GROUP BY o_custkey, o_orderdate
+),
+v AS (
+  SELECT logical_id, version_id, valid_from,
+         COALESCE(LEAD(valid_from) OVER (PARTITION BY logical_id ORDER BY valid_from),
+                  {VALID_TO_MAX}) AS valid_to
+  FROM hist
+)
+SELECT logical_id, version_id, valid_from, valid_to
+FROM v WHERE valid_from <= {_SNAPSHOT_MS} AND valid_to > {_SNAPSHOT_MS}
+"""
+
+
+# --- A4: graph-stats histogram -----------------------------------------------
+# statements-per-topic histogram over the built lexical graph — the
+# reference's connectivity stats (lexical_graph_index.py:662-708).
+
+def statements_per_topic_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphrag_toolkit_spark import indexing
+
+    docs = load(spark, sf_dir, "documents")
+    stmts = indexing.extract_and_build(docs)["statements"]
+    per_topic = stmts.groupBy("topic_id").agg(
+        F.count(F.lit(1)).alias("n_statements")
+    )
+    return per_topic.groupBy("n_statements").agg(
+        F.count(F.lit(1)).alias("n_topics")
+    )
+
+
+HISTOGRAM_ORACLE = """
+WITH ch AS (
+  SELECT 'aws::' || substring(md5(text),1,8) || ':' || substring(md5(meta),1,4)
+           || ':' || substring(md5(text || meta),1,8) AS chunk_id,
+         string_split(text, ' ') AS ws
+  FROM (SELECT text, lang || ';' || source AS meta FROM documents)
+),
+st AS (
+  SELECT DISTINCT topic_id,
+         substring(md5('statement::' || topic_id || '::' || value),1,8) AS statement_id
+  FROM (
+    SELECT substring(md5('topic::' || ws[1]),1,8) AS topic_id,
+           unnest(list_transform(generate_series(0, CAST(ceil(len(ws)/8.0) AS INT) - 1),
+                  i -> array_to_string(ws[i*8+1 : i*8+8], ' '))) AS value
+    FROM ch
+  )
+),
+per_topic AS (
+  SELECT topic_id, COUNT(*) AS n_statements FROM st GROUP BY topic_id
+)
+SELECT n_statements, COUNT(*) AS n_topics FROM per_topic GROUP BY n_statements
+"""
+
+
 QUERIES = {
     "scd2_versioning_orders": scd2_versioning_orders,
+    "versions_at_snapshot": versions_at_snapshot,
+    "statements_per_topic_histogram": statements_per_topic_histogram,
     "cascade_delete_counts": cascade_delete_counts,
     "token_budget_truncate": token_budget_truncate,
     "processor_chain_statements": processor_chain_statements,
@@ -329,6 +418,8 @@ QUERIES = {
 
 ORACLES = {
     "scd2_versioning_orders": SCD2_ORACLE,
+    "versions_at_snapshot": SNAPSHOT_ORACLE,
+    "statements_per_topic_histogram": HISTOGRAM_ORACLE,
     "cascade_delete_counts": CASCADE_ORACLE,
     "token_budget_truncate": TOKEN_BUDGET_ORACLE,
     "processor_chain_statements": PROCESSOR_CHAIN_ORACLE,

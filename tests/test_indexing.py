@@ -90,6 +90,22 @@ class TestExtractAndBuild:
         assert edges.filter(F.col("etype") == "PREVIOUS").count() == 2
 
 
+class TestBuildFilters:
+    def test_ignore_topics_drops_whole_topic(self, docs):
+        out = indexing.extract_and_build(docs, ignore_topics=["alpha"])
+        stmts = out["statements"]
+        assert stmts.filter(F.col("value").startswith("alpha")).count() == 0
+        assert out["topics"].filter(F.col("value") == "alpha").count() == 0
+
+    def test_ignore_statement_regex(self, docs):
+        out = indexing.extract_and_build(
+            docs, ignore_statements_matching="^beta"
+        )
+        assert out["statements"].filter(F.col("value").startswith("beta")).count() == 0
+        # other topics untouched
+        assert out["statements"].count() > 0
+
+
 class TestBuildThenQuery:
     def test_full_lifecycle_extract_build_search(self, docs):
         # §3.1 build → §3.2 query over the BUILT graph, end to end
