@@ -1,0 +1,86 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``
+(SURVEY §2.9 extension: the north-star's streaming training-data pipeline).
+
+Two operators a 100 TB ingest stream actually needs:
+
+- **streaming exact dedup**: emit each content hash the FIRST time it is
+  seen across all micro-batches; state = one marker per hash group,
+  GroupStateTimeout-free (content hashes are the group key, so state size =
+  #distinct keys — shard by hash prefix in production).
+- **streaming running counters**: per-key running totals that survive across
+  micro-batches (the count/value accounting the reference's token tracker
+  does per process, here exactly-once over the stream).
+
+Both are deterministic and mirrored by batch equivalents, so tests assert
+stream-vs-batch parity on the same rows (same discipline as ingest.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def dedup_stream(events: DataFrame, hash_col: str = "text_hash") -> DataFrame:
+    """Cross-batch exact dedup: rows grouped by content hash; state remembers
+    whether the hash was emitted before. Output = first-seen rows only
+    (columns: hash, first_id). The batch equivalent is
+    ``dedup.exact_dedup_groups`` keep-first semantics."""
+
+    out_schema = f"{hash_col} string, first_id long"
+    state_schema = "seen boolean"
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            return
+        min_id = None
+        for pdf in pdfs:
+            batch_min = pdf["id"].min()
+            min_id = batch_min if min_id is None else min(min_id, batch_min)
+        state.update((True,))
+        yield pd.DataFrame({hash_col: [key[0]], "first_id": [int(min_id)]})
+
+    return events.groupBy(hash_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def running_counts_stream(events: DataFrame, key_col: str = "event_type") -> DataFrame:
+    """Per-key running (n, total) surviving across micro-batches; each batch
+    emits the updated cumulative row for keys present in that batch."""
+
+    out_schema = f"{key_col} string, n long, total double"
+    state_schema = "n long, total double"
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({key_col: [key[0]], "n": [n], "total": [total]})
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def batch_dedup_reference(rows: DataFrame, hash_col: str = "text_hash") -> DataFrame:
+    """Batch oracle for ``dedup_stream`` on the same rows."""
+    return rows.groupBy(hash_col).agg(F.min("id").alias("first_id"))
