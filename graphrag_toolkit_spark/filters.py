@@ -162,7 +162,9 @@ def _leaf_to_sql(f: MetadataFilter) -> str:
     if op is Op.TEXT_MATCH_INSENSITIVE:
         return f"contains(lower({k}), {_sql_quote(str(f.value).lower())})"
     if op is Op.IS_EMPTY:
-        return f"({k} IS NULL OR CAST({k} AS VARCHAR) = '')"
+        # STRING parses in both Spark SQL and DuckDB; bare VARCHAR does not
+        # parse in Spark (requires a length)
+        return f"({k} IS NULL OR CAST({k} AS STRING) = '')"
     if op is Op.IN:
         vals = ", ".join(_sql_quote(v) for v in f.value)
         return f"{k} IN ({vals})"
@@ -195,3 +197,17 @@ def snapshot_predicate(as_of: int | None) -> Column:
 def tenant_predicate(tenant_id: str | None) -> Column:
     """Multi-tenancy as a partition-column equality (prunes at scan time)."""
     return F.col("tenant_id") == F.lit(tenant_id or "")
+
+
+def with_tenant(df, tenant_id: str | None):
+    """Stamp rows with the tenant partition column on the write path. The
+    reference rewrites labels/index names per tenant (``tenant_id.py:74-160``,
+    ``multi_tenant_graph_store.py``); one partition column replaces that
+    whole mechanism — writes go to the tenant's partitions, reads prune to
+    them."""
+    return df.withColumn("tenant_id", F.lit(tenant_id or ""))
+
+
+def for_tenant(df, tenant_id: str | None):
+    """Read-path counterpart: restrict to one tenant's partitions."""
+    return df.filter(tenant_predicate(tenant_id))

@@ -88,6 +88,52 @@ def read_binary_documents(spark: SparkSession, path: str, fmt_glob: str = "*") -
     )
 
 
+# --- provider registry (API-surface parity with the reference's 18 readers) --
+
+def _needs_parser(fmt: str):
+    def _stub(spark: SparkSession, path: str, **kwargs):
+        raise NotImplementedError(
+            f"{fmt} parsing needs a codec library not present in this "
+            f"environment; scan with read_binary_documents(spark, path) and "
+            f"attach a parser via mapInPandas (see operators/multimodal.py "
+            f"for the stage shape)"
+        )
+    return _stub
+
+
+# reference provider name (indexing/load/readers/providers/) → reader
+PROVIDERS = {
+    "json": read_jsonl,
+    "streaming-jsonl": read_jsonl,
+    "csv": read_csv_docs,
+    "structured-data": read_csv_docs,
+    "markdown": read_text_directory,
+    "directory": read_text_directory,
+    "s3-directory": read_text_directory,      # same call; path is s3a:// on a cluster
+    "universal-directory": read_text_directory,
+    "document-graph": read_jsonl,             # staged docs are JSONL batches
+    "database": _needs_parser("jdbc"),        # spark.read.jdbc once a driver jar is present
+    "pdf": _needs_parser("pdf"),
+    "advanced-pdf": _needs_parser("pdf"),
+    "docx": _needs_parser("docx"),
+    "pptx": _needs_parser("pptx"),
+    "web": _needs_parser("html"),
+    "wikipedia": _needs_parser("wikipedia-api"),
+    "youtube": _needs_parser("youtube-transcript"),
+    "github": _needs_parser("github-api"),
+}
+
+
+def reader_for(provider: str):
+    """Look up a reader by the reference's provider name (S1 parity surface)."""
+    try:
+        return PROVIDERS[provider]
+    except KeyError:
+        raise ValueError(
+            f"unknown provider {provider!r}; available: {sorted(PROVIDERS)}"
+        ) from None
+
+
 def write_staged(df: DataFrame, path: str, partitions: int | None = None) -> None:
     """S2: persist extracted docs as JSONL (stage boundary / checkpoint)."""
     out = df.repartition(partitions) if partitions else df

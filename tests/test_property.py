@@ -1,0 +1,148 @@
+"""Property-based tests (hypothesis), mirroring the reference's test strategy
+(SURVEY §5.2: hash utils, filter translation, reader framing get ≥100-example
+property suites there). Spark jobs are expensive, so each property batches
+ALL generated examples into ONE DataFrame per run and keeps max_examples low
+— the per-example space is still explored by hypothesis shrinking."""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from graphrag_toolkit_spark import ids
+from graphrag_toolkit_spark.filters import (
+    Condition,
+    MetadataFilter,
+    MetadataFilters,
+    Op,
+    to_column,
+    to_sql,
+)
+
+SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+text_st = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"), max_codepoint=0x7F),
+    min_size=0, max_size=40,
+)
+
+
+class TestContentIds:
+    @given(st.lists(st.tuples(text_st, text_st), min_size=1, max_size=20))
+    @settings(**SETTINGS)
+    def test_source_id_matches_hashlib_and_shape(self, spark, pairs):
+        df = spark.createDataFrame(
+            [{"i": i, "text": t, "meta": m} for i, (t, m) in enumerate(pairs)]
+        )
+        got = {
+            r["i"]: r["sid"]
+            for r in df.select(
+                "i", ids.source_id(F.col("text"), F.col("meta")).alias("sid")
+            ).collect()
+        }
+        for i, (t, m) in enumerate(pairs):
+            want = (
+                "aws::"
+                + hashlib.md5(t.encode()).hexdigest()[:8]
+                + ":"
+                + hashlib.md5(m.encode()).hexdigest()[:4]
+            )
+            assert got[i] == want
+
+    @given(st.lists(st.tuples(text_st, text_st), min_size=2, max_size=20))
+    @settings(**SETTINGS)
+    def test_node_id_injective_on_separator(self, spark, pairs):
+        # (a, bc) and (ab, c) must hash differently: the joiner is load-bearing
+        df = spark.createDataFrame([{"v1": a, "v2": b} for a, b in pairs])
+        out = df.select(
+            "v1", "v2", ids.node_id("t", F.col("v1"), F.col("v2")).alias("nid")
+        ).collect()
+        by_pair = {(r["v1"], r["v2"]): r["nid"] for r in out}
+        for (a, b), nid in by_pair.items():
+            want = hashlib.md5(f"t::{a}::{b}".encode()).hexdigest()[:8]
+            assert nid == want
+
+
+# filter trees: leaves over an int column 'a' and a string column 's'
+_leaf = st.one_of(
+    st.builds(
+        MetadataFilter,
+        key=st.just("a"),
+        operator=st.sampled_from([Op.EQ, Op.NE, Op.GT, Op.GTE, Op.LT, Op.LTE]),
+        value=st.integers(min_value=-5, max_value=5),
+    ),
+    st.builds(
+        MetadataFilter,
+        key=st.just("s"),
+        operator=st.sampled_from(
+            [Op.EQ, Op.TEXT_MATCH, Op.TEXT_MATCH_INSENSITIVE, Op.STARTS_WITH, Op.IS_EMPTY]
+        ),
+        value=st.text(alphabet="abcXY", min_size=0, max_size=3),
+    ),
+)
+
+
+def _tree(depth: int):
+    if depth == 0:
+        return _leaf
+    sub = _tree(depth - 1)
+    return st.one_of(
+        _leaf,
+        st.builds(
+            MetadataFilters,
+            filters=st.lists(sub, min_size=1, max_size=3),
+            condition=st.sampled_from([Condition.AND, Condition.OR]),
+        ),
+        st.builds(
+            MetadataFilters,
+            filters=st.lists(sub, min_size=1, max_size=1),
+            condition=st.just(Condition.NOT),
+        ),
+    )
+
+
+ROWS = [
+    {"rid": i, "a": a, "s": s}
+    for i, (a, s) in enumerate(
+        (a, s)
+        for a in range(-3, 4)
+        for s in ["", "abc", "ABC", "aXc", "cab", "abcabc"]
+    )
+]
+
+
+class TestFilterTreeCrossEngine:
+    @given(_tree(2))
+    @settings(**SETTINGS)
+    def test_column_and_sql_agree_with_duckdb(self, spark, tree):
+        # P1 parity: the SAME tree compiled two ways (Catalyst Column, ANSI
+        # SQL string) selects the same rows on Spark AND on DuckDB.
+        sdf = spark.createDataFrame(ROWS)
+        got_col = {r["rid"] for r in sdf.filter(to_column(tree)).collect()}
+        sql = to_sql(tree)
+        got_spark_sql = {
+            r["rid"]
+            for r in sdf.filter(F.expr(sql.replace('"', "`"))).collect()
+        } if '"' in sql else {
+            r["rid"] for r in sdf.filter(F.expr(sql)).collect()
+        }
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE t AS SELECT * FROM (VALUES "
+            + ", ".join(f"({r['rid']}, {r['a']}, '{r['s']}')" for r in ROWS)
+            + ") v(rid, a, s)"
+        )
+        got_duck = {
+            r[0] for r in con.execute(f"SELECT rid FROM t WHERE {sql}").fetchall()
+        }
+        assert got_col == got_duck
+        assert got_spark_sql == got_duck

@@ -56,6 +56,38 @@ class TestReaders:
         assert back[0]["text"] == "abc"
 
 
+class TestProviderRegistry:
+    def test_structured_providers_resolve(self):
+        from graphrag_toolkit_spark.sources import readers
+
+        for name in ("json", "streaming-jsonl", "csv", "directory"):
+            assert callable(readers.reader_for(name))
+
+    def test_library_bound_providers_stub(self, spark):
+        from graphrag_toolkit_spark.sources import readers
+
+        with pytest.raises(NotImplementedError, match="pdf"):
+            readers.reader_for("pdf")(spark, "/nonexistent")
+
+    def test_unknown_provider(self):
+        from graphrag_toolkit_spark.sources import readers
+
+        with pytest.raises(ValueError, match="unknown provider"):
+            readers.reader_for("carrier-pigeon")
+
+
+class TestTenancy:
+    def test_write_read_roundtrip_isolates_tenants(self, spark):
+        from graphrag_toolkit_spark.filters import for_tenant, with_tenant
+
+        a = with_tenant(spark.createDataFrame([{"id": 1}, {"id": 2}]), "t_a")
+        b = with_tenant(spark.createDataFrame([{"id": 3}]), "t_b")
+        both = a.unionByName(b)
+        assert {r["id"] for r in for_tenant(both, "t_a").collect()} == {1, 2}
+        assert {r["id"] for r in for_tenant(both, "t_b").collect()} == {3}
+        assert for_tenant(both, None).count() == 0  # default tenant is ''
+
+
 class TestChunking:
     def test_pack_respects_size(self):
         sents = [f"sentence number {i} with a few words." for i in range(50)]
