@@ -307,8 +307,105 @@ UNION ALL SELECT entity_id, parent_id, 2 AS depth, strength FROM l2
 """
 
 
+# --- J9: keyword → entity lookup (exact match, prefix fallback) --------------
+
+def entity_lookup_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 over parts-as-entities: exact search_str equality first; keywords
+    with no exact hit fall back to prefix (STARTS WITH) matching — the
+    reference's two-stage resolution (entity_provider.py:24-110)."""
+    from graphrag_toolkit_spark.functions.text import search_string
+
+    part = load(spark, sf_dir, "part")
+    ents = part.select(
+        F.col("p_partkey").alias("entity_id"),
+        F.col("p_name").alias("value"),
+        search_string(F.col("p_name")).alias("search_str"),
+    )
+    # keywords: 3 full names (exact hits) + 3 two-word prefixes (fallback)
+    full = part.filter(F.col("p_partkey") <= 3).select(
+        F.col("p_name").alias("keyword")
+    )
+    prefix = part.filter((F.col("p_partkey") >= 4) & (F.col("p_partkey") <= 6)).select(
+        F.concat_ws(" ", F.split(F.col("p_name"), " ").getItem(0),
+                    F.split(F.col("p_name"), " ").getItem(1)).alias("keyword")
+    )
+    keywords = full.unionByName(prefix)
+
+    kw = F.broadcast(
+        keywords.select(search_string(F.col("keyword")).alias("kw")).distinct()
+    )
+    exact = ents.join(kw, ents.search_str == F.col("kw")).select(
+        F.col("kw").alias("keyword"), "entity_id", "value",
+        F.lit("exact").alias("match_type"),
+    )
+    missed = kw.join(
+        exact.select(F.col("keyword").alias("kw")).distinct(), "kw", "left_anti"
+    )
+    fallback = ents.join(
+        F.broadcast(missed), ents.search_str.startswith(F.col("kw"))
+    ).select(
+        F.col("kw").alias("keyword"), "entity_id", "value",
+        F.lit("prefix").alias("match_type"),
+    )
+    return exact.unionByName(fallback)
+
+
+ENTITY_LOOKUP_ORACLE = f"""
+WITH ents AS (
+  SELECT p_partkey AS entity_id, p_name AS value,
+         {_NORM.format(c='p_name')} AS search_str
+  FROM part
+),
+kws AS (
+  SELECT DISTINCT {_NORM.format(c='keyword')} AS kw FROM (
+    SELECT p_name AS keyword FROM part WHERE p_partkey <= 3
+    UNION ALL
+    SELECT string_split(p_name, ' ')[1] || ' ' || string_split(p_name, ' ')[2]
+    FROM part WHERE p_partkey BETWEEN 4 AND 6
+  )
+),
+exact AS (
+  SELECT k.kw AS keyword, e.entity_id, e.value, 'exact' AS match_type
+  FROM ents e JOIN kws k ON e.search_str = k.kw
+),
+missed AS (
+  SELECT kw FROM kws WHERE kw NOT IN (SELECT keyword FROM exact)
+)
+SELECT * FROM exact
+UNION ALL
+SELECT m.kw AS keyword, e.entity_id, e.value, 'prefix' AS match_type
+FROM ents e JOIN missed m ON starts_with(e.search_str, m.kw)
+"""
+
+
+# --- T11: ordered dedup (first occurrence wins) ------------------------------
+
+def ordered_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T11 (byokg context accumulation): keep each user's FIRST event of each
+    type by insertion order (event_id). Reference: byokg_query_engine.py:101-116."""
+    from graphrag_toolkit_spark.operators.processors import ordered_dedup
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "key", F.concat_ws("|", F.col("user_id").cast("string"), F.col("event_type"))
+    )
+    return ordered_dedup(ev, "key", "event_id").select(
+        "user_id", "event_type", "event_id"
+    )
+
+
+ORDERED_DEDUP_ORACLE = """
+SELECT user_id, event_type, event_id FROM (
+  SELECT user_id, event_type, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
 QUERIES = {
     "bfs_shortest_paths": bfs_shortest_paths,
+    "entity_lookup_parts": entity_lookup_parts,
+    "ordered_dedup_events": ordered_dedup_events,
     "metapath_follow": metapath_follow,
     "merge_verbalize_orders": merge_verbalize_orders,
     "node_degree": node_degree,
@@ -320,6 +417,8 @@ QUERIES = {
 
 ORACLES = {
     "bfs_shortest_paths": BFS_ORACLE,
+    "entity_lookup_parts": ENTITY_LOOKUP_ORACLE,
+    "ordered_dedup_events": ORDERED_DEDUP_ORACLE,
     "metapath_follow": METAPATH_ORACLE,
     "merge_verbalize_orders": VERBALIZE_ORACLE,
     "node_degree": DEGREE_ORACLE,
