@@ -47,16 +47,21 @@ def chunk_id(source_id_col: Column, text: Column, metadata_str: Column) -> Colum
 
 
 def node_id(node_type: str, v1: Column, v2: Column | None = None) -> Column:
-    """Deterministic 8-hex node id from (type, v1[, v2]).
+    """Deterministic full-width (32-hex) node id from (type, v1[, v2]).
 
     Used for topic/statement/fact/entity identity; equal content ⇒ equal id,
     which makes ``dropDuplicates('id')`` the Spark equivalent of the
     reference's Cypher MERGE semantics.
-    """
+
+    Deliberate deviation from the reference's 8-hex truncation
+    (``id_generator.py:152``): 32-bit ids birthday-collide at ~√2³² ≈ 65k
+    nodes — we hit one at a mere 34k statements (sf0.1), and at 100 TB
+    collisions are guaranteed, silently merging unrelated nodes. Full md5
+    keeps ids content-addressed with negligible (2⁻⁶⁴) collision odds."""
     parts = [F.lit(node_type), v1]
     if v2 is not None:
         parts.append(v2)
-    return _md5_prefix(F.concat_ws(_SEP, *parts), 8)
+    return F.md5(F.concat_ws(_SEP, *parts))
 
 
 def content_hash(*cols: Column) -> Column:

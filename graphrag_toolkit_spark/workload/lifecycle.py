@@ -390,9 +390,9 @@ WITH ch AS (
 ),
 st AS (
   SELECT DISTINCT topic_id,
-         substring(md5('statement::' || topic_id || '::' || value),1,8) AS statement_id
+         md5('statement::' || topic_id || '::' || value) AS statement_id
   FROM (
-    SELECT substring(md5('topic::' || ws[1]),1,8) AS topic_id,
+    SELECT md5('topic::' || ws[1]) AS topic_id,
            unnest(list_transform(generate_series(0, CAST(ceil(len(ws)/8.0) AS INT) - 1),
                   i -> array_to_string(ws[i*8+1 : i*8+8], ' '))) AS value
     FROM ch

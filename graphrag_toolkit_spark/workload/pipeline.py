@@ -32,10 +32,10 @@ ch AS (
 ),
 st AS (
   SELECT source_id, chunk_id, topic_id, topic, statement_idx, value,
-         substring(md5('statement::' || topic_id || '::' || value),1,8) AS statement_id
+         md5('statement::' || topic_id || '::' || value) AS statement_id
   FROM (
     SELECT source_id, chunk_id,
-           substring(md5('topic::' || ws[1]),1,8) AS topic_id, ws[1] AS topic,
+           md5('topic::' || ws[1]) AS topic_id, ws[1] AS topic,
            unnest(list_transform(generate_series(0, CAST(ceil(len(ws)/{_W}.0) AS INT) - 1),
                   i -> struct_pack(statement_idx := i,
                                    value := array_to_string(ws[i*{_W}+1 : i*{_W}+{_W}], ' '))),
@@ -46,9 +46,9 @@ st AS (
 fx AS (
   SELECT statement_id, subject, object,
          subject || ' near ' || object AS value,
-         substring(md5('fact::' || subject || '::' || object),1,8) AS fact_id,
-         substring(md5('entity::' || subject || '::Head'),1,8) AS subject_entity_id,
-         substring(md5('entity::' || object || '::Term'),1,8) AS object_entity_id
+         md5('fact::' || subject || '::' || object) AS fact_id,
+         md5('entity::' || subject || '::Head') AS subject_entity_id,
+         md5('entity::' || object || '::Term') AS object_entity_id
   FROM (
     SELECT statement_id, string_split(value,' ')[1] AS subject,
            unnest(list_distinct(list_filter(string_split(value,' '),

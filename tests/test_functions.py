@@ -90,7 +90,7 @@ class TestIds:
         a = one(spark, ids.node_id("topic", F.col("x")), x="v1")
         b = one(spark, ids.node_id("topic", F.col("x")), x="v1")
         c = one(spark, ids.node_id("statement", F.col("x")), x="v1")
-        assert a == b and a != c and len(a) == 8
+        assert a == b and a != c and len(a) == 32  # full md5: no birthday collisions at scale
 
     def test_node_id_separator_prevents_collision(self, spark):
         ab_c = one(spark, ids.node_id("t", F.col("x"), F.col("y")), x="ab", y="c")

@@ -67,7 +67,7 @@ class TestContentIds:
         ).collect()
         by_pair = {(r["v1"], r["v2"]): r["nid"] for r in out}
         for (a, b), nid in by_pair.items():
-            want = hashlib.md5(f"t::{a}::{b}".encode()).hexdigest()[:8]
+            want = hashlib.md5(f"t::{a}::{b}".encode()).hexdigest()
             assert nid == want
 
 
