@@ -48,7 +48,9 @@ def _h(s: str) -> str:
 
 
 def _node_id(kind: str, *vals: str) -> str:
-    return _h("::".join((kind,) + vals))[:8]
+    # full-width like ids.node_id — truncated ids birthday-collide at the
+    # bench tier (160k statements > the 32-bit ~65k bound)
+    return _h("::".join((kind,) + vals))
 
 
 def pseudo_embedding(text: str, dim: int = EMBED_DIM) -> list[float]:
