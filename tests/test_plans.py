@@ -1,0 +1,141 @@
+"""Physical-plan shape assertions (the scale contract, SCALE.md).
+
+Correctness tests prove the numbers; these prove the PLAN — that filters reach
+the parquet scan, projections prune columns, dimension sides broadcast, top-k
+avoids a global sort, and per-group windows cost exactly one shuffle. A plan
+regression here is a 100 TB performance bug even while sf0.01 stays green.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from graphrag_toolkit_spark.filters import (
+    Condition,
+    MetadataFilter,
+    MetadataFilters,
+    Op,
+    to_column,
+)
+from graphrag_toolkit_spark.operators import bfs, vss
+from graphrag_toolkit_spark.session import load
+from graphrag_toolkit_spark.workload import relational
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def read_schemas(plan: str) -> list[set[str]]:
+    """Column-name sets of every parquet scan's ReadSchema in a formatted plan."""
+    out = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        fields = [f.split(":")[0].strip() for f in m.group(1).split(",") if f]
+        out.append(set(fields))
+    return out
+
+
+def test_q1_pushes_filter_and_prunes_columns(spark, sf_dir):
+    plan = plan_of(relational.q1_pricing_summary(spark, sf_dir))
+    # the shipdate predicate must reach the parquet reader, not a post-scan Filter
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed and "l_shipdate" in pushed.group(1)
+    # projection pruning: the scan reads only the 7 referenced columns
+    (scan_cols,) = read_schemas(plan)
+    assert scan_cols == {
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_shipdate",
+    }
+    # partial (map-side) aggregation before the exchange: both HashAggregate
+    # halves present, and the whole pipeline stays JVM-side (no Python eval)
+    assert len(re.findall(r"\bHashAggregate\b", plan)) >= 2
+    assert "EvalPython" not in plan
+
+
+def test_q3_broadcasts_dim_and_uses_topk(spark, sf_dir):
+    plan = plan_of(relational.q3_shipping_priority(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # ORDER BY + LIMIT 10 compiles to per-partition top-k merge, never a
+    # global sort of the aggregate output
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_q5_six_way_join_broadcasts_all_dims(spark, sf_dir):
+    plan = plan_of(relational.q5_local_supplier_volume(spark, sf_dir))
+    # customer, supplier, nation, region all ride broadcast joins; only the
+    # lineitem ⋈ orders spine may shuffle
+    assert len(re.findall(r"\bBroadcastHashJoin\b", plan)) >= 4
+    assert len(re.findall(r"\bSortMergeJoin\b", plan)) <= 1
+
+
+def test_pushable_disjunction_reaches_scan(spark, sf_dir):
+    # an OR of source-expressible predicates pushes as one Or(...) filter
+    tree = MetadataFilters(
+        condition=Condition.OR,
+        filters=[
+            MetadataFilter("o_orderstatus", Op.EQ, "O"),
+            MetadataFilter("o_totalprice", Op.GT, 150000.0),
+        ],
+    )
+    orders = load(spark, sf_dir, "orders")
+    plan = plan_of(orders.filter(to_column(tree)).select("o_orderkey"))
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed and "Or(" in pushed.group(1)
+
+
+def test_filter_tree_prunes_columns_and_stays_jvm(spark, sf_dir):
+    # the full tree contains TEXT_MATCH_INSENSITIVE (lower(col) CONTAINS) —
+    # not source-expressible, so it must become a codegen'd post-scan Filter
+    # with the scan still pruned to the referenced columns, and no Python eval
+    plan = plan_of(relational.filter_tree_orders(spark, sf_dir))
+    (scan_cols,) = read_schemas(plan)
+    assert scan_cols == {
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    }
+    assert re.search(r"\(\d+\) Filter", plan)
+    assert "EvalPython" not in plan
+
+
+def test_topn_window_costs_one_shuffle_with_partial_limit(spark, sf_dir):
+    plan = plan_of(relational.topn_orders_per_customer(spark, sf_dir))
+    # exactly one hash exchange on the grouping key…
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "hashpartitioning" in plan
+    # …and rank-limit pushdown trims each map partition to the top-N BEFORE
+    # the shuffle (WindowGroupLimit below the Exchange) — at 100 TB this is
+    # the difference between shuffling N rows/group and shuffling everything
+    exch = plan.index("+- Exchange")
+    assert "WindowGroupLimit" in plan[exch:]
+
+
+def test_vss_topk_no_global_sort_no_udf(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    qv = [1.0] * len(emb.select("embedding").first()[0])
+    plan = plan_of(vss.top_k(emb, qv, id_col="vec_id", k=10))
+    # brute-force cosine is a narrow scored scan + TakeOrdered merge
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+    # the cosine is a JVM higher-order-function expression, not a Python UDF
+    assert "EvalPython" not in plan
+
+
+def test_one_hop_broadcasts_frontier(spark):
+    triples = spark.createDataFrame(
+        [("a", "r", "b"), ("b", "r", "c")], "src string, rel string, dst string"
+    )
+    frontier = spark.createDataFrame([("a",)], "node_id string")
+    plan = plan_of(bfs.one_hop(triples, frontier))
+    # the frontier (small side) broadcasts into a hash join — the triples
+    # table never sort-merge-shuffles (its only exchange would be the tiny
+    # frontier dedup, which is fine at any scale)
+    assert "BroadcastExchange" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
