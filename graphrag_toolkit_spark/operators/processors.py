@@ -31,15 +31,23 @@ def apply_chain(flat: DataFrame, processors: list[Processor]) -> DataFrame:
 
 def dedup_results(flat: DataFrame) -> DataFrame:
     """A5: merge duplicate statements surfaced by multiple retrievers — sum
-    their scores, keep first context. Reference:
-    ``retrieval/processors/dedup_results.py:45-110``."""
+    their scores, keep a DETERMINISTIC survivor for context columns.
+    Reference: ``retrieval/processors/dedup_results.py:45-110``.
+
+    ``F.first`` is shuffle-order-dependent, so if merged duplicates ever
+    differ in a non-key column the survivor would vary between runs; instead
+    take ``min(struct(col))`` per column — the smallest non-null value, a
+    total order, matching the deterministic-survivor discipline used in
+    ``indexing.py`` (stmt_nodes)."""
     others = [
         c for c in flat.columns
         if c not in ("source_id", "topic_id", "statement_id", "score")
     ]
+    # min() skips nulls and orders arrays/strings/numerics lexicographically,
+    # so the survivor is run-independent.
     return flat.groupBy("source_id", "topic_id", "statement_id").agg(
         F.sum("score").alias("score"),
-        *[F.first(c, ignorenulls=True).alias(c) for c in others],
+        *[F.min(c).alias(c) for c in others],
     )
 
 

@@ -70,13 +70,22 @@ def register_testdata(spark: SparkSession, sf_dir: str) -> None:
     for name in TESTDATA_TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            spark.read.parquet(path).createOrReplaceTempView(name)
+            load(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
 def load(spark: SparkSession, sf_dir: str, name: str):
-    """Load one driver fixture table as a DataFrame."""
+    """Load one driver fixture table as a DataFrame.
+
+    Works on ANY SparkSession, not just ones from build_session(): the
+    events fixture stores TIMESTAMP(NANOS), which Spark rejects unless
+    spark.sql.legacy.parquet.nanosAsLong is set — it is runtime-settable,
+    so set it here before the read rather than relying on session-build
+    configs the caller may not have applied.
+    """
     from pyspark.sql import functions as F
 
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # nanos-as-long → timestamp at microsecond precision (trunc, like DuckDB)

@@ -47,12 +47,23 @@ def merge_nodes(
 def append_merge(
     spark: SparkSession, df: DataFrame, path: str, id_col: str
 ) -> None:
-    """Incremental MERGE: union with the existing table, keep first row per
-    id (existing wins — re-ingestion of identical content is a no-op)."""
+    """Incremental MERGE: union with the existing table, keep one row per id
+    with EXPLICIT precedence — existing wins (re-ingestion of identical
+    content is a no-op; re-ingestion with changed payload keeps the stored
+    row). ``dropDuplicates`` gives no survivor guarantee, so precedence is a
+    priority column + ``min(struct(prio, payload))`` per id: existing rows
+    (prio 0) beat new rows (prio 1), and ties within a batch resolve by
+    payload order — fully deterministic across runs."""
+    df = df.withColumn("_prio", F.lit(1))
     if os.path.exists(path):
-        existing = spark.read.parquet(path)
+        existing = spark.read.parquet(path).withColumn("_prio", F.lit(0))
         df = existing.unionByName(df, allowMissingColumns=True)
-    merged = df.dropDuplicates([id_col])
+    payload = [c for c in df.columns if c not in (id_col, "_prio")]
+    merged = (
+        df.groupBy(id_col)
+        .agg(F.min(F.struct("_prio", *payload)).alias("_s"))
+        .select(id_col, *[F.col(f"_s.{c}").alias(c) for c in payload])
+    )
     # write via a temp dir: parquet can't overwrite its own input
     tmp = path.rstrip("/") + "__tmp"
     merged.write.mode("overwrite").parquet(tmp)

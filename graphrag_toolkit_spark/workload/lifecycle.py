@@ -64,12 +64,12 @@ FROM hist
 # --- S7: cascading delete ----------------------------------------------------
 # Project the fixtures onto the graph shape the reference deletes over
 # (delete_sources.py:51-230): sources=orders, chunks/statements=lineitems,
-# facts=parts, SUPPORTS/EXTRACTED_FROM edges. Delete all pre-1993 orders and
+# facts=parts, SUPPORTS/EXTRACTED_FROM edges. Delete all pre-1997 orders and
 # report surviving row counts per table — the orphan check (a part survives
 # iff some surviving statement still references it) is what's under test.
 
-# fixture order dates span 1995-01-01 .. 2001-08-01 — the cutoff deletes a
-# real ~⅓ prefix of the corpus
+# fixture order dates span 1995-01-01 .. 2001-08-01 — the 1997-01-01 cutoff
+# deletes the first two of ~6.5 years, a real ~30% prefix of the corpus
 _DELETE_CUTOFF = "1997-01-01"
 
 

@@ -196,6 +196,17 @@ class TestProcessors:
         assert a["score"] == 4.0
         assert out.count() == 4
 
+    def test_dedup_survivor_deterministic(self, spark):
+        # duplicates that DIFFER in a non-key column keep the min value,
+        # regardless of partitioning / shuffle order
+        rows = [
+            dict(source_id="s1", topic_id="t1", statement_id="a", value="zz", score=1.0),
+            dict(source_id="s1", topic_id="t1", statement_id="a", value="aa", score=1.0),
+            dict(source_id="s1", topic_id="t1", statement_id="a", value="mm", score=1.0),
+        ]
+        out = P.dedup_results(spark.createDataFrame(rows).repartition(4)).head()
+        assert out["value"] == "aa" and out["score"] == 3.0
+
     def test_rescore_mean_of_topic_max(self, spark):
         out = P.rescore_results(P.dedup_results(self._flat(spark)))
         s1 = out.filter("source_id = 's1'").head()

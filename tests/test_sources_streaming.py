@@ -147,6 +147,26 @@ class TestSinkCheckpoint:
         out = spark.read.parquet(path)
         assert sorted(r["id"] for r in out.collect()) == ["a", "b", "c"]
 
+    def test_append_merge_existing_wins(self, spark, tmp):
+        # re-ingesting an id with CHANGED payload keeps the stored row
+        path = os.path.join(tmp, "nodes_prec")
+        df1 = spark.createDataFrame([{"id": "a", "v": 1}])
+        sink.append_merge(spark, df1, path, "id")
+        df2 = spark.createDataFrame([{"id": "a", "v": 99}, {"id": "b", "v": 2}])
+        sink.append_merge(spark, df2, path, "id")
+        got = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
+        assert got == {"a": 1, "b": 2}
+
+    def test_append_merge_batch_dup_deterministic(self, spark, tmp):
+        # duplicate ids WITHIN one batch resolve by payload order, not shuffle order
+        path = os.path.join(tmp, "nodes_dup")
+        df = spark.createDataFrame(
+            [{"id": "a", "v": 7}, {"id": "a", "v": 3}, {"id": "a", "v": 5}]
+        ).repartition(4)
+        sink.append_merge(spark, df, path, "id")
+        got = [r["v"] for r in spark.read.parquet(path).collect()]
+        assert got == [3]
+
     def test_checkpoint_filter(self, spark):
         work = spark.createDataFrame([{"id": "a"}, {"id": "b"}, {"id": "c"}])
         cp = spark.createDataFrame([{"id": "b"}])
