@@ -26,13 +26,14 @@ from graphrag_toolkit_spark.workload import (
     dataprep,
     events,
     graphish,
+    lexical,
     lifecycle,
     pipeline,
     relational,
     vector,
 )
 
-_MODULES = [relational, graphish, vector, dataprep, events, lifecycle, pipeline]
+_MODULES = [relational, graphish, lexical, vector, dataprep, events, lifecycle, pipeline]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
