@@ -98,18 +98,26 @@ def shortest_paths(
     targets: DataFrame | None = None,
     max_depth: int = 6,
     directed: bool = True,
+    edges_unique: bool = False,
 ) -> DataFrame:
     """J15: unit-weight BFS from source nodes. Returns
     (node_id, dist, path — '->'-joined node sequence of ONE shortest path,
     deterministically the lexicographically smallest at each settle step).
     If ``targets`` given, rows are filtered to target nodes at the end.
+
+    ``edges_unique=True`` skips the (src, dst) dedup shuffle when the caller
+    guarantees the directed triple table has no duplicate (src, dst) —
+    duplicate edges don't change BFS *results* (the per-node row_number dedups
+    candidates), only the per-level join fan-out, so the flag is safe either
+    way; it trades the one-time distinct against per-level duplicate work.
     """
     edges = triples.select("src", "dst")
     if not directed:
         edges = edges.unionByName(
             triples.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-    edges = edges.distinct()
+        ).distinct()
+    elif not edges_unique:
+        edges = edges.distinct()
     # materialize the deduped edge table once; every BFS level re-joins it
     edges.persist()
 

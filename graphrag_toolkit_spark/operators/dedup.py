@@ -55,6 +55,20 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 # --- shingling ---------------------------------------------------------------
 
+def widen_partitions(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's parallelism when the input has fewer
+    partitions. Explode-heavy stages (shingling, tokenization) expand a small
+    input into millions of rows — if the source is a single parquet file the
+    whole expansion runs on one core. The pre-explode shuffle moves only the
+    *compact* rows, so it costs ~nothing relative to the fan-out it
+    parallelizes; inputs already as wide as the cluster pass through
+    untouched (no shuffle added at real scale)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def shingles(df: DataFrame, text_col: str, id_col: str, k: int = 1) -> DataFrame:
     """Distinct word k-gram shingles per row: (id, shingle)."""
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
@@ -62,17 +76,22 @@ def shingles(df: DataFrame, text_col: str, id_col: str, k: int = 1) -> DataFrame
         sh = toks
     else:
         # k-grams via index transform over the token array (no explode yet —
-        # stays one row until the distinct explode below). Guard: Spark's
-        # sequence(1, 0) is a DESCENDING sequence, not empty.
+        # stays one row until the distinct explode below). O(1) element_at
+        # lookups, NOT F.slice — slice copies k elements per gram, turning
+        # gram construction O(n·k²)-with-allocations per doc.
+        # Guard: Spark's sequence(1, 0) is a DESCENDING sequence, not empty.
         grams = F.transform(
             F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(k)]
+            ),
         )
         sh = F.when(F.size(toks) >= k, grams).otherwise(
             F.array().cast("array<string>")
         )
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        widen_partitions(df)
+        .select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
         .filter(F.col("shingle") != "")
         .distinct()
     )
@@ -80,15 +99,35 @@ def shingles(df: DataFrame, text_col: str, id_col: str, k: int = 1) -> DataFrame
 
 # --- MinHash + LSH -----------------------------------------------------------
 
-def minhash_signatures(sh: DataFrame, num_hashes: int = 12) -> DataFrame:
-    """H independent min-hashes per id. Hash_h(s) = md5('h:' || s); the min is
-    lexicographic over hex strings — equivalent to a min over uniform 128-bit
-    ints, and identical in any engine with md5."""
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{h}:"), F.col("shingle")))).alias(f"mh{h}")
-        for h in range(num_hashes)
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) coefficients for the affine hash family
+    h_i(x) = (a_i * x + b_i) mod P. Shared with the DuckDB oracle."""
+    return [
+        (
+            (1103515245 * (i + 1) + 12345) % MINHASH_PRIME,
+            (22695477 * (i + 1) + 1) % MINHASH_PRIME,
+        )
+        for i in range(num_hashes)
     ]
-    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = 12) -> DataFrame:
+    """H independent min-hashes per id via universal hashing: ONE md5 per
+    shingle gives a 28-bit base integer, then h_i = (a_i·h + b_i) mod 2³¹-1.
+    One string hash + H integer affine maps per shingle (vs H string hashes),
+    all whole-stage-codegen arithmetic; a_i ≤ 2³¹ and h < 2²⁸ keep the
+    product under 2⁶³ (no overflow). md5 + integer arithmetic reproduce
+    identically in any engine."""
+    base = F.conv(F.substring(F.md5(F.col("shingle")), 1, 7), 16, 10).cast("long")
+    sh2 = sh.withColumn("_h", base)
+    aggs = [
+        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh{h}")
+        for h, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    ]
+    return sh2.groupBy("id").agg(*aggs)
 
 
 def lsh_bucket_pairs(
@@ -123,13 +162,25 @@ def jaccard_on_pairs(
     (id_a, id_b, jaccard). Intersection via shingle equi-join; union by
     inclusion-exclusion on per-id shingle counts (no giant set union).
     ``broadcast_pairs`` only when the candidate set is seed-sized; corpus-wide
-    candidate sets must shuffle-join (let AQE decide)."""
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    candidate sets must shuffle-join (let AQE decide).
+
+    The shingle table is first semi-joined down to ids that appear in a
+    candidate pair — near-dup candidates are a vanishing fraction of the
+    corpus, so the (id, shingle) equi-join shuffles only the candidates'
+    shingles, not the whole table."""
+    maybe_bc = F.broadcast if broadcast_pairs else (lambda d: d)
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh_c = sh.join(maybe_bc(cand_ids), "id", "left_semi")
+    sizes = sh_c.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
-        sh.withColumnRenamed("id", "id_a")
-        .join(F.broadcast(pairs) if broadcast_pairs else pairs, "id_a")
+        sh_c.withColumnRenamed("id", "id_a")
+        .join(maybe_bc(pairs), "id_a")
         .join(
-            sh.withColumnsRenamed({"id": "id_b"}),
+            sh_c.withColumnsRenamed({"id": "id_b"}),
             ["id_b", "shingle"],
         )
         .groupBy("id_a", "id_b")
@@ -210,7 +261,13 @@ def minhash_near_dup_pairs(
     explode+distinct shuffle per consumer."""
     sh = shingles(df, text_col, id_col, k)
     sh.persist()
-    cand = lsh_bucket_pairs(minhash_signatures(sh, num_hashes), num_hashes, bands)
+    # candidate pairs are a vanishing fraction of the corpus but their plan
+    # embeds the whole signature pipeline — materialize once so the two
+    # broadcast consumers in the verification (pairs, candidate ids) don't
+    # each re-run the LSH stages
+    cand = lsh_bucket_pairs(
+        minhash_signatures(sh, num_hashes), num_hashes, bands
+    ).localCheckpoint(eager=True)
     return jaccard_on_pairs(sh, cand).filter(F.col("jaccard") >= threshold)
 
 

@@ -29,14 +29,21 @@ sh AS (
 )
 """
 
+# same affine universal-hash family as dedup.minhash_signatures: one md5 per
+# shingle -> 28-bit base int h, then h_i = (a_i*h + b_i) mod 2^31-1
 _MH_COLS = ",\n         ".join(
-    f"min(md5('{h}:' || shingle)) AS mh{h}" for h in range(NUM_HASHES)
+    f"min(({a} * h + {b}) % {dedup.MINHASH_PRIME}) AS mh{i}"
+    for i, (a, b) in enumerate(dedup.minhash_coeffs(NUM_HASHES))
 )
 _SIG_SQL = f"""
+hs AS (
+  SELECT doc_id, CAST('0x' || substring(md5(shingle), 1, 7) AS BIGINT) AS h
+  FROM sh
+),
 sig AS (
   SELECT doc_id,
          {_MH_COLS}
-  FROM sh GROUP BY doc_id
+  FROM hs GROUP BY doc_id
 )
 """
 

@@ -57,8 +57,12 @@ def _triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def bfs_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources = spark.createDataFrame([{"node_id": "c1"}])
+    # _triples' branches are each distinct with disjoint src prefixes
+    # ('c'/'o'/'p'), so the union has no duplicate (src, dst) — skip the
+    # BFS-side dedup shuffle
     return bfs.shortest_paths(
-        _triples(spark, sf_dir), sources, max_depth=3, directed=True
+        _triples(spark, sf_dir), sources, max_depth=3, directed=True,
+        edges_unique=True,
     ).select("node_id", "dist", "path")
 
 
