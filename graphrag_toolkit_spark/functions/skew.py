@@ -21,6 +21,20 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def widen_partitions(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's parallelism when the input has fewer
+    partitions. Explode-heavy stages (shingling, tokenization) expand a small
+    input into millions of rows — if the source is a single parquet file the
+    whole expansion runs on one core. The pre-explode shuffle moves only the
+    *compact* rows, so it costs ~nothing relative to the fan-out it
+    parallelizes; inputs already as wide as the cluster pass through
+    untouched (no shuffle added at real scale)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def with_salt(df: DataFrame, unique_col: str, n_salts: int) -> DataFrame:
     """Deterministic salt ∈ [0, n_salts) from a row-unique column."""
     return df.withColumn(

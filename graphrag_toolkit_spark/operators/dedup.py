@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from graphrag_toolkit_spark.functions.skew import widen_partitions
 from graphrag_toolkit_spark.functions.vector import (
     dot_prequantized,
     l2_norm_quantized,
@@ -54,20 +55,6 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 # --- shingling ---------------------------------------------------------------
-
-def widen_partitions(df: DataFrame) -> DataFrame:
-    """Repartition up to the cluster's parallelism when the input has fewer
-    partitions. Explode-heavy stages (shingling, tokenization) expand a small
-    input into millions of rows — if the source is a single parquet file the
-    whole expansion runs on one core. The pre-explode shuffle moves only the
-    *compact* rows, so it costs ~nothing relative to the fan-out it
-    parallelizes; inputs already as wide as the cluster pass through
-    untouched (no shuffle added at real scale)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
-
 
 def shingles(df: DataFrame, text_col: str, id_col: str, k: int = 1) -> DataFrame:
     """Distinct word k-gram shingles per row: (id, shingle)."""
@@ -287,7 +274,8 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     Returns (id, simhash)."""
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
     tf = (
-        df.select(F.col(id_col).alias("id"), F.explode(toks).alias("token"))
+        widen_partitions(df)
+        .select(F.col(id_col).alias("id"), F.explode(toks).alias("token"))
         .filter(F.col("token") != "")
         .groupBy("id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))

@@ -77,7 +77,9 @@ def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     lex = spark.createDataFrame(
         [{"lang": lang, "token": w} for lang, ws in LANG_LEXICON.items() for w in ws]
     )
-    toks = df.select(
+    from graphrag_toolkit_spark.functions.skew import widen_partitions
+
+    toks = widen_partitions(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token"),
     )
@@ -110,9 +112,17 @@ def fingerprint(
     smallest md5 hashes of word 3-gram shingles, joined — a stable
     content-locality sketch (equal fingerprints ⇒ near-identical prose)."""
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    # O(1) element_at lookups, not F.slice (copies per gram)
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - 2),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, 3))),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            )
+        ),
     )
     # guard: sequence(1, 0) is descending in Spark, not empty
     grams = F.when(F.size(toks) >= 3, grams).otherwise(F.array().cast("array<string>"))

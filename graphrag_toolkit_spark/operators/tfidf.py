@@ -24,9 +24,12 @@ from pyspark.sql import functions as F
 
 def tokenize(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Lowercased word tokens, one row per (id, token, tf)."""
+    from graphrag_toolkit_spark.functions.skew import widen_partitions
+
     toks = F.split(F.lower(F.col(text_col)), r"[^0-9a-z]+")
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(toks).alias("token"))
+        widen_partitions(df)
+        .select(F.col(id_col).alias("id"), F.explode(toks).alias("token"))
         .filter(F.col("token") != "")
         .groupBy("id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
