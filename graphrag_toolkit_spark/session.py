@@ -76,11 +76,12 @@ def register_testdata(spark: SparkSession, sf_dir: str) -> None:
 def load(spark: SparkSession, sf_dir: str, name: str):
     """Load one driver fixture table as a DataFrame.
 
-    Works on ANY SparkSession, not just ones from build_session(): the
-    events fixture stores TIMESTAMP(NANOS), which Spark rejects unless
-    spark.sql.legacy.parquet.nanosAsLong is set — it is runtime-settable,
-    so set it here before the read rather than relying on session-build
-    configs the caller may not have applied.
+    Works on ANY SparkSession, not just ones from build_session(), and on
+    either events encoding the driver has shipped: TIMESTAMP(NANOS) (which
+    Spark rejects unless spark.sql.legacy.parquet.nanosAsLong is set — that
+    conf is runtime-settable, so set it here before the read) or plain
+    TIMESTAMP(MICROS). Either way the column comes out as a microsecond
+    timestamp, matching how DuckDB reads the same file.
     """
     from pyspark.sql import functions as F
 
@@ -88,6 +89,12 @@ def load(spark: SparkSession, sf_dir: str, name: str):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # nanos-as-long → timestamp at microsecond precision (trunc, like DuckDB)
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # nanos-as-long → timestamp at microsecond precision (trunc, like DuckDB)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # session TZ is pinned to UTC, so NTZ→TZ is a value-preserving
+            # relabel; keeps one stable dtype for every downstream consumer
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
