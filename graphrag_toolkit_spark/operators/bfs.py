@@ -138,7 +138,7 @@ def shortest_paths(
                 F.col("dst").alias("node_id"),
                 F.concat(F.col("path"), F.lit("->"), F.col("dst")).alias("path"),
             )
-            .join(settled.select("node_id"), "node_id", "left_anti")
+            .join(F.broadcast(settled.select("node_id")), "node_id", "left_anti")
         )
         nxt = (
             cand.withColumn(
@@ -153,7 +153,10 @@ def shortest_paths(
         )
         if nxt.isEmpty():
             break
-        settled = settled.unionByName(nxt).localCheckpoint(eager=True)
+        # nxt is already checkpointed and disjoint from settled (anti-join
+        # above), so the union needs no re-checkpoint and no dedup: lineage
+        # stays flat (a union of ≤max_depth checkpointed pieces)
+        settled = settled.unionByName(nxt)
         frontier = nxt
     edges.unpersist()
     if targets is not None:

@@ -89,18 +89,23 @@ def expand_context(
     several parents keeps its strongest edge. Returns the accumulated context
     tree as (entity_id, parent_id, depth, strength); seeds have depth 0,
     null parent.
+
+    Scale shape: the full undirected adjacency (groupBy over 2× the edge
+    table — the dominant shuffle at corpus scale) is NEVER materialized.
+    The frontier is tiny by construction (seeds × per_node_limit^depth), so
+    each level broadcast-joins it against the raw edge list and aggregates
+    multiplicities over only the frontier-incident edges — per-level work is
+    an in-memory scan of the persisted edge list plus a near-empty shuffle.
     """
     rel = rel_edges.select("src", "dst")
-    # undirected adjacency with multiplicity (a RELATION per predicate value)
-    adj = (
-        rel.unionByName(rel.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("strength"))
-    )
-    adj.persist()
+    # loop-invariant input (often itself a computed join): materialize once
+    rel.persist()
 
     id_type = dict(rel_edges.dtypes)["src"]
-    visited = seed_entities.select(F.col("entity_id")).distinct()
+    visited = (
+        seed_entities.select(F.col("entity_id")).distinct()
+        .localCheckpoint(eager=True)
+    )
     frontier = visited
     acc = visited.select(
         "entity_id",
@@ -109,11 +114,28 @@ def expand_context(
         F.lit(0).cast("long").alias("strength"),
     )
     for depth in range(1, max_depth + 1):
-        cand = (
-            adj.join(
+        # frontier-incident edges, both orientations, parallel edges kept
+        # (multiplicity = strength)
+        touching = (
+            rel.join(
                 F.broadcast(frontier.withColumnRenamed("entity_id", "src")), "src"
             )
-            .join(visited.withColumnRenamed("entity_id", "dst"), "dst", "left_anti")
+            .select("src", "dst")
+            .unionByName(
+                rel.join(
+                    F.broadcast(frontier.withColumnRenamed("entity_id", "dst")),
+                    "dst",
+                ).select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+        )
+        cand = (
+            touching.join(
+                F.broadcast(visited.withColumnRenamed("entity_id", "dst")),
+                "dst",
+                "left_anti",
+            )
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("strength"))
         )
         w = Window.partitionBy("src").orderBy(F.desc("strength"), F.asc("dst"))
         nxt = (
@@ -142,6 +164,9 @@ def expand_context(
             break
         acc = acc.unionByName(nxt)
         frontier = nxt.select("entity_id")
-        visited = visited.unionByName(frontier).distinct().localCheckpoint(eager=True)
-    adj.unpersist()
+        # nxt is checkpointed, per-entity deduped (_rn2), and disjoint from
+        # visited (anti-join above) — the union is already distinct and its
+        # pieces are checkpointed, so no re-checkpoint/dedup per level
+        visited = visited.unionByName(frontier)
+    rel.unpersist()
     return acc

@@ -32,7 +32,12 @@ EDGES_SQL = """
 """
 
 
-def _triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _triples(spark: SparkSession, sf_dir: str, dedup: bool = True) -> DataFrame:
+    """Typed-edge table over the fixtures. ``dedup=False`` skips the two
+    lineitem-branch ``distinct`` shuffles — correct for any consumer whose
+    RESULT is insensitive to duplicate edges (BFS/metapath/multi-hop/schema:
+    each dedups per level or at the end), wrong for edge-counting consumers
+    (node_degree), which must keep the default."""
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     placed = orders.select(
@@ -44,12 +49,15 @@ def _triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
         F.lit("contains").alias("rel"),
         F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
-    ).distinct()
+    )
     supplied = li.select(
         F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
         F.lit("supplied_by").alias("rel"),
         F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-    ).distinct()
+    )
+    if dedup:
+        contains = contains.distinct()
+        supplied = supplied.distinct()
     return placed.unionByName(contains).unionByName(supplied)
 
 
@@ -57,12 +65,13 @@ def _triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def bfs_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources = spark.createDataFrame([{"node_id": "c1"}])
-    # _triples' branches are each distinct with disjoint src prefixes
-    # ('c'/'o'/'p'), so the union has no duplicate (src, dst) — skip the
-    # BFS-side dedup shuffle
+    # BFS results are duplicate-edge-insensitive (per-node row_number dedups
+    # candidates), so skip BOTH dedup shuffles: the lineitem-branch distincts
+    # (dedup=False) and the BFS-side one (edges_unique=True). The fan-out cost
+    # of duplicate edges is bounded by the tiny frontier.
     return bfs.shortest_paths(
-        _triples(spark, sf_dir), sources, max_depth=3, directed=True,
-        edges_unique=True,
+        _triples(spark, sf_dir, dedup=False), sources, max_depth=3,
+        directed=True, edges_unique=True,
     ).select("node_id", "dist", "path")
 
 
@@ -92,7 +101,8 @@ def metapath_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = cust.select(
         F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node_id")
     )
-    return bfs.follow_metapath(_triples(spark, sf_dir), seeds, METAPATH)
+    # per-level distinct makes metapath results duplicate-edge-insensitive
+    return bfs.follow_metapath(_triples(spark, sf_dir, dedup=False), seeds, METAPATH)
 
 
 METAPATH_ORACLE = f"""

@@ -375,7 +375,8 @@ SELECT topic_id, source_id FROM (
 
 def multi_hop_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = spark.createDataFrame([{"node_id": "c1"}, {"node_id": "c2"}])
-    return bfs.multi_hop(_triples(spark, sf_dir), seeds, hops=2)
+    # final .distinct() makes multi-hop duplicate-edge-insensitive
+    return bfs.multi_hop(_triples(spark, sf_dir, dedup=False), seeds, hops=2)
 
 
 MULTI_HOP_ORACLE = f"""
@@ -391,7 +392,7 @@ SELECT DISTINCT src, rel, dst FROM (SELECT * FROM h1 UNION ALL SELECT * FROM h2)
 
 
 def graph_schema_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return bfs.schema_relations(_triples(spark, sf_dir))
+    return bfs.schema_relations(_triples(spark, sf_dir, dedup=False))
 
 
 SCHEMA_RELATIONS_ORACLE = f"""
