@@ -40,6 +40,7 @@ HEADLINE = [
     "tfidf_documents",
     # dataprep
     "minhash_neardup_documents",
+    "neardup_clusters_documents",
     "ngram_jaccard_neardup",
     "simhash_documents",
     "ann_lsh_topk",

@@ -258,6 +258,66 @@ def minhash_near_dup_pairs(
     return jaccard_on_pairs(sh, cand).filter(F.col("jaccard") >= threshold)
 
 
+# --- near-dup clustering -----------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Cluster assignment over an undirected near-dup pair graph:
+    (id, component) with component = MIN id reachable from the node — the
+    deterministic cluster representative for keep-one-per-cluster dedup
+    (pairs alone don't dedup a corpus; transitive closure does).
+
+    Min-label propagation: each round every node adopts the smallest label
+    among itself and its neighbors; converges in rounds = eccentricity of the
+    component's min node (near-dup clusters are shallow, so a handful).
+    Per round: one join (labels pushed across edges) + one per-node min
+    groupBy over the PAIR GRAPH only — the corpus never enters the loop, and
+    at 100 TB the pair graph is a vanishing fraction of it. Labels are
+    localCheckpointed per round so plans stay flat.
+
+    Raises RuntimeError if not converged after ``max_iters`` (pathological
+    chain-of-dups topologies: raise the cap, or pre-collapse exact dups)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+    )
+    edges.persist()
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    try:
+        for _ in range(max_iters):
+            msgs = edges.join(labels.withColumnRenamed("id", "src"), "src").select(
+                F.col("dst").alias("id"), "component"
+            )
+            new_labels = (
+                labels.unionByName(msgs)
+                .groupBy("id")
+                .agg(F.min("component").alias("component"))
+                .localCheckpoint(eager=True)
+            )
+            converged = (
+                new_labels.withColumnRenamed("component", "_new")
+                .join(labels, "id")
+                .filter(F.col("_new") != F.col("component"))
+                .isEmpty()
+            )
+            labels = new_labels
+            if converged:
+                return labels
+    finally:
+        edges.unpersist()
+    raise RuntimeError(
+        f"connected_components: no convergence in {max_iters} rounds"
+    )
+
+
 # --- SimHash -----------------------------------------------------------------
 
 SIMHASH_BITS = 16

@@ -130,6 +130,57 @@ WHERE i.n_inter / (sa.n + sb.n - i.n_inter) >= {JACCARD_THRESHOLD}
 """
 
 
+# --- near-dup clusters (pairs → transitive closure → survivors) --------------
+
+def neardup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash pairs → connected components → deterministic cluster
+    representative (min doc_id) + survivor flag: the full corpus-dedup
+    decision, not just the pair list."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_dup_pairs(
+        docs, "text", "doc_id", k=SHINGLE_K,
+        num_hashes=NUM_HASHES, bands=BANDS, threshold=JACCARD_THRESHOLD,
+    )
+    cc = dedup.connected_components(pairs)
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("id") == F.col("component")).alias("is_survivor"),
+    )
+
+
+NEARDUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_SHINGLES_SQL}, {_SIG_SQL}, {_BANDED_SQL}, {_CAND_SQL},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+),
+pairs AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE i.n_inter / (sa.n + sb.n - i.n_inter) >= {JACCARD_THRESHOLD}
+),
+und AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT u.id, e.dst FROM reach u JOIN und e ON e.src = u.r
+)
+SELECT id AS doc_id, MIN(r) AS cluster_id, MIN(r) = id AS is_survivor
+FROM reach GROUP BY id
+"""
+
+
 # --- n-gram Jaccard (inverted-index exact leg) -------------------------------
 
 NGRAM_K = 3
@@ -522,6 +573,7 @@ QUERIES = {
     "dedup_exact_documents": dedup_exact_documents,
     "minhash_signatures_documents": minhash_signatures_documents,
     "minhash_neardup_documents": minhash_neardup_documents,
+    "neardup_clusters_documents": neardup_clusters_documents,
     "ngram_jaccard_neardup": ngram_jaccard_neardup,
     "simhash_documents": simhash_documents,
     "embedding_neardup_pairs": embedding_neardup_pairs,
@@ -539,6 +591,7 @@ ORACLES = {
     "dedup_exact_documents": DEDUP_EXACT_ORACLE,
     "minhash_signatures_documents": MINHASH_SIG_ORACLE,
     "minhash_neardup_documents": MINHASH_PAIRS_ORACLE,
+    "neardup_clusters_documents": NEARDUP_CLUSTERS_ORACLE,
     "ngram_jaccard_neardup": NGRAM_JACCARD_ORACLE,
     "simhash_documents": SIMHASH_ORACLE,
     "embedding_neardup_pairs": EMBED_NEARDUP_ORACLE,

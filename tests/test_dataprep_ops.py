@@ -88,6 +88,34 @@ class TestNgramJaccard:
         assert out.count() == 0
 
 
+class TestConnectedComponents:
+    def test_chain_and_island(self, spark):
+        pairs = spark.createDataFrame(
+            [{"id_a": 1, "id_b": 2}, {"id_a": 2, "id_b": 3}, {"id_a": 5, "id_b": 6}]
+        )
+        out = {
+            r["id"]: r["component"]
+            for r in dedup.connected_components(pairs).collect()
+        }
+        assert out == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+    def test_min_label_not_order_dependent(self, spark):
+        # min id sits in the middle of the chain; both arms must adopt it
+        pairs = spark.createDataFrame(
+            [{"id_a": 9, "id_b": 4}, {"id_a": 4, "id_b": 1}, {"id_a": 1, "id_b": 7}]
+        )
+        out = {
+            r["id"]: r["component"]
+            for r in dedup.connected_components(pairs).collect()
+        }
+        assert out == {9: 1, 4: 1, 1: 1, 7: 1}
+
+    def test_non_convergence_raises(self, spark):
+        pairs = spark.createDataFrame([{"id_a": i, "id_b": i + 1} for i in range(6)])
+        with pytest.raises(RuntimeError, match="no convergence"):
+            dedup.connected_components(pairs, max_iters=1)
+
+
 class TestSimhash:
     def test_identical_texts_same_hash(self, docs):
         out = {r["id"]: r["simhash"] for r in dedup.simhash(docs, "text", "doc_id").collect()}
