@@ -31,6 +31,26 @@ from graphrag_toolkit_spark.filters import VALID_TO_MAX
 
 # --- S4/S5: MERGE-semantics writes ------------------------------------------
 
+def write_bucketed(
+    df: DataFrame, table: str, bucket_col: str, num_buckets: int = 32,
+    sort_col: str | None = None,
+) -> None:
+    """Write a node/edge table hash-bucketed (and optionally sorted) by its
+    join key. Bucketed tables are the 100 TB co-location strategy from
+    SCALE.md: two tables bucketed on the same key with the same bucket count
+    join WITHOUT a shuffle on either side (Catalyst reads the bucketing from
+    the catalog and drops both Exchanges) — at cluster scale that's the
+    difference between re-shuffling the whole graph per traversal and
+    scanning co-located buckets. MERGE semantics (id dedup) belong to the
+    caller: node tables dedup on their content id, edge tables on the full
+    (src, dst, type) identity — neither equals the bucketing key in
+    general."""
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.format("parquet").saveAsTable(table)
+
+
 def merge_nodes(
     df: DataFrame, path: str, id_col: str, partition_by: str | None = None
 ) -> None:

@@ -127,6 +127,39 @@ def test_vss_topk_no_global_sort_no_udf(spark, sf_dir):
     assert "EvalPython" not in plan
 
 
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """SCALE.md's co-location claim, proven on the plan: two tables bucketed
+    on the join key with equal bucket counts sort-merge-join with NO Exchange
+    on either side — the shape that makes repeated whole-graph traversal
+    joins affordable at cluster scale."""
+    from graphrag_toolkit_spark.sources.sink import write_bucketed
+
+    stmts = spark.range(0, 1000).select(
+        F.concat(F.lit("s"), F.col("id").cast("string")).alias("statement_id"),
+        (F.col("id") % 7).alias("topic"),
+    )
+    facts = spark.range(0, 3000).select(
+        F.concat(F.lit("s"), (F.col("id") % 1000).cast("string")).alias(
+            "statement_id"
+        ),
+        F.col("id").alias("fact_id"),
+    )
+    # disable auto-broadcast so a non-bucketed join WOULD shuffle both sides
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(stmts, "t_stmts_b", "statement_id", 8, sort_col="statement_id")
+        write_bucketed(facts, "t_facts_b", "statement_id", 8, sort_col="statement_id")
+        joined = spark.table("t_stmts_b").join(spark.table("t_facts_b"), "statement_id")
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # neither side re-shuffles
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_stmts_b")
+        spark.sql("DROP TABLE IF EXISTS t_facts_b")
+
+
 def test_one_hop_broadcasts_frontier(spark):
     triples = spark.createDataFrame(
         [("a", "r", "b"), ("b", "r", "c")], "src string, rel string, dst string"
