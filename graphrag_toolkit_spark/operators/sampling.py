@@ -1,0 +1,87 @@
+"""Deterministic sampling / splitting for training-data pipelines (north-star
+extension beyond the reference, alongside ``dedup.py``/``textstats.py``).
+
+A 100 TB corpus pipeline needs samples and splits that are (a) reproducible
+across runs and engines, (b) stable under re-partitioning and insertion order,
+and (c) computable without a shuffle. ``rand(seed)`` fails (a)+(b) — Spark
+seeds per-partition, so adding one input file reshuffles every assignment.
+Content-hash bucketing gives all three: a row's bucket is a pure function of
+its id, so samples are stable under re-ingestion, engine-portable (md5 is
+md5 everywhere — the same arithmetic runs in the DuckDB oracles), and the
+operators are narrow maps (filter on a hash expression — no shuffle, fully
+pushed into the scan stage).
+
+The 28-bit hash domain (7 hex chars) keeps the bucket integer exact in a
+DOUBLE and the modulus unbiased for any denominator ≤ 2^14.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HASH_DOMAIN = 1 << 28  # md5 first 7 hex chars
+
+
+def hash_bucket(id_col: Column, denominator: int = 10_000) -> Column:
+    """Deterministic bucket ∈ [0, denominator) from a row id: uniform,
+    engine-portable (md5 + integer mod), stable across runs/partitioning."""
+    h = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 7), 16, 10).cast(
+        "long"
+    )
+    return (h % F.lit(denominator)).alias("bucket")
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, fraction: float, denominator: int = 10_000
+) -> DataFrame:
+    """Keep rows whose hash bucket falls in [0, fraction·denominator): an
+    exact-rate, reproducible sample — same ids survive on every engine, every
+    run, every partitioning. Narrow map, no shuffle."""
+    cut = int(round(fraction * denominator))
+    return df.filter(hash_bucket(F.col(id_col), denominator) < cut)
+
+
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str,
+    val_fraction: float = 0.1,
+    test_fraction: float = 0.1,
+    denominator: int = 10_000,
+) -> DataFrame:
+    """Append a ``split`` column: 'test' for the first test buckets, then
+    'val', then 'train' — disjoint, exhaustive, and stable: a row keeps its
+    split for the lifetime of its id (re-ingestion, corpus growth, engine
+    migration never move it across the leakage boundary)."""
+    b = hash_bucket(F.col(id_col), denominator)
+    test_cut = int(round(test_fraction * denominator))
+    val_cut = test_cut + int(round(val_fraction * denominator))
+    return df.withColumn(
+        "split",
+        F.when(b < test_cut, F.lit("test"))
+        .when(b < val_cut, F.lit("val"))
+        .otherwise(F.lit("train")),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    denominator: int = 10_000,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. keep 100% of rare languages,
+    1% of the dominant one). ``fractions`` maps stratum value → keep rate;
+    unlisted strata use ``default_fraction``. Still a narrow map: the keep
+    decision is a CASE over the stratum column and the id hash — no shuffle,
+    no per-stratum pass over the data (contrast ``df.sampleBy``, which is
+    seed-per-partition randomized and not re-run-stable)."""
+    b = hash_bucket(F.col(id_col), denominator)
+    cut = F.lit(int(round(default_fraction * denominator)))
+    for value, frac in sorted(fractions.items()):
+        cut = F.when(
+            F.col(strata_col) == value, F.lit(int(round(frac * denominator)))
+        ).otherwise(cut)
+    return df.filter(b < cut)

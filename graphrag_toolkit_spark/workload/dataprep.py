@@ -8,7 +8,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from graphrag_toolkit_spark.operators import ann, dedup, multimodal, textstats
+from graphrag_toolkit_spark.operators import (
+    ann,
+    dedup,
+    multimodal,
+    sampling,
+    textstats,
+)
 from graphrag_toolkit_spark.session import load
 
 NUM_HASHES = 12
@@ -178,6 +184,52 @@ reach(id, r) AS (
 )
 SELECT id AS doc_id, MIN(r) AS cluster_id, MIN(r) = id AS is_survivor
 FROM reach GROUP BY id
+"""
+
+
+# --- deterministic sampling / splits -----------------------------------------
+
+def split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash train/val/test split: stable under re-ingestion and
+    engine-portable (same md5 arithmetic as the oracle)."""
+    docs = load(spark, sf_dir, "documents")
+    return sampling.train_val_test_split(
+        docs, "doc_id", val_fraction=0.1, test_fraction=0.1
+    ).select("doc_id", "split")
+
+
+SPLIT_ORACLE = """
+SELECT doc_id,
+       CASE WHEN b < 1000 THEN 'test'
+            WHEN b < 2000 THEN 'val'
+            ELSE 'train' END AS split
+FROM (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)
+           % 10000 AS b
+  FROM documents
+)
+"""
+
+
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling: keep 20% of the dominant language,
+    all of the rest — the class-rebalancing primitive."""
+    docs = load(spark, sf_dir, "documents")
+    return sampling.stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.2}, default_fraction=1.0
+    ).select("doc_id", "lang")
+
+
+STRATIFIED_ORACLE = """
+SELECT doc_id, lang
+FROM (
+  SELECT doc_id, lang,
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)
+           % 10000 AS b
+  FROM documents
+)
+WHERE b < CASE WHEN lang = 'en' THEN 2000 ELSE 10000 END
 """
 
 
@@ -576,6 +628,8 @@ QUERIES = {
     "neardup_clusters_documents": neardup_clusters_documents,
     "ngram_jaccard_neardup": ngram_jaccard_neardup,
     "simhash_documents": simhash_documents,
+    "split_documents": split_documents,
+    "stratified_sample_documents": stratified_sample_documents,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "token_stats_documents": token_stats_documents,
     "quality_score_documents": quality_score_documents,
@@ -594,6 +648,8 @@ ORACLES = {
     "neardup_clusters_documents": NEARDUP_CLUSTERS_ORACLE,
     "ngram_jaccard_neardup": NGRAM_JACCARD_ORACLE,
     "simhash_documents": SIMHASH_ORACLE,
+    "split_documents": SPLIT_ORACLE,
+    "stratified_sample_documents": STRATIFIED_ORACLE,
     "embedding_neardup_pairs": EMBED_NEARDUP_ORACLE,
     "token_stats_documents": TOKEN_STATS_ORACLE,
     "quality_score_documents": QUALITY_ORACLE,

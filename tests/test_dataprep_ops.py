@@ -9,7 +9,13 @@ import pytest
 from pyspark.sql import functions as F
 
 from graphrag_toolkit_spark import fixtures
-from graphrag_toolkit_spark.operators import ann, dedup, multimodal, textstats
+from graphrag_toolkit_spark.operators import (
+    ann,
+    dedup,
+    multimodal,
+    sampling,
+    textstats,
+)
 from graphrag_toolkit_spark.operators.vss import top_k
 
 DOCS = [
@@ -86,6 +92,47 @@ class TestNgramJaccard:
             df, "text", "doc_id", k=2, threshold=0.0, max_doc_freq=3
         )
         assert out.count() == 0
+
+
+class TestSampling:
+    def test_split_disjoint_exhaustive_stable(self, spark):
+        df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+        out = sampling.train_val_test_split(df, "doc_id").collect()
+        assert len(out) == 2000
+        by_split = {}
+        for r in out:
+            by_split.setdefault(r["split"], set()).add(r["doc_id"])
+        assert set(by_split) == {"train", "val", "test"}
+        # roughly 10/10/80 (hash-uniform; generous tolerance)
+        assert 100 < len(by_split["test"]) < 320
+        assert 100 < len(by_split["val"]) < 320
+        # stability: same assignment on a re-partitioned, re-ordered input
+        out2 = {
+            r["doc_id"]: r["split"]
+            for r in sampling.train_val_test_split(
+                df.repartition(7).orderBy(F.desc("doc_id")), "doc_id"
+            ).collect()
+        }
+        assert all(out2[r["doc_id"]] == r["split"] for r in out)
+
+    def test_deterministic_sample_exact_subset_semantics(self, spark):
+        df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+        s10 = {r["doc_id"] for r in sampling.deterministic_sample(df, "doc_id", 0.1).collect()}
+        s20 = {r["doc_id"] for r in sampling.deterministic_sample(df, "doc_id", 0.2).collect()}
+        assert s10 <= s20  # growing the rate only ADDS rows (nested samples)
+        assert 50 < len(s10) < 170
+
+    def test_stratified_rates(self, spark):
+        rows = [{"doc_id": i, "lang": "en" if i % 4 else "de"} for i in range(2000)]
+        df = spark.createDataFrame(rows)
+        out = sampling.stratified_sample(
+            df, "doc_id", "lang", {"en": 0.1}, default_fraction=1.0
+        ).collect()
+        langs = {}
+        for r in out:
+            langs[r["lang"]] = langs.get(r["lang"], 0) + 1
+        assert langs["de"] == 500  # default 1.0 keeps every de row
+        assert 80 < langs["en"] < 250  # ~10% of 1500
 
 
 class TestConnectedComponents:
