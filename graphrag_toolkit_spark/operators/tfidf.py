@@ -75,11 +75,16 @@ def tfidf_cosine_scores(
     """
     spark = docs.sparkSession
     n_docs = docs.count()
+    # the token table feeds THREE consumers (idf stats, norms, dots):
+    # materialize the explode+tf-groupBy once instead of re-running it per
+    # consumer — downstream of it everything is a broadcast join or an
+    # id-grouped aggregate
     doc_tokens = tokenize(docs, text_col, id_col)
+    doc_tokens.persist()
     idf = F.broadcast(idf_table(doc_tokens, n_docs))
 
-    dw = _tfidf_norm(
-        doc_tokens.join(idf, "token").withColumn("w", _weight(F.col("idf"), quantize))
+    dw = doc_tokens.join(idf, "token").withColumn(
+        "w", _weight(F.col("idf"), quantize)
     )
     qdf = spark.createDataFrame([{"qid": "q", "qtext": query_text}])
     qw = (
@@ -95,15 +100,27 @@ def tfidf_cosine_scores(
     if qnorm == 0.0:
         return docs.select(F.col(id_col).alias("id"), F.lit(0.0).alias("tfidf_score"))
 
+    # norms need ALL of a doc's tokens; dots only the (few) query-matching
+    # ones — aggregate each from dw separately and join the two small
+    # per-id results, rather than joining the full norm back onto the
+    # whole token table
+    norms = dw.groupBy("id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("norm")
+    )
     dots = (
         dw.join(F.broadcast(qw), "token")
-        .groupBy("id", "norm")
+        .groupBy("id")
         .agg(F.sum(F.col("w") * F.col("qw")).cast("double").alias("dot"))
-        .select("id", (F.col("dot") / (F.col("norm") * F.lit(qnorm))).alias("tfidf_score"))
+    )
+    scores = norms.join(dots, "id", "left").select(
+        "id",
+        F.coalesce(
+            F.col("dot") / (F.col("norm") * F.lit(qnorm)), F.lit(0.0)
+        ).alias("tfidf_score"),
     )
     return (
         docs.select(F.col(id_col).alias("id"))
-        .join(dots, "id", "left")
+        .join(scores, "id", "left")
         .fillna(0.0, subset=["tfidf_score"])
     )
 

@@ -146,3 +146,57 @@ class TestFilterTreeCrossEngine:
         }
         assert got_col == got_duck
         assert got_spark_sql == got_duck
+
+
+class TestConnectedComponentsProperty:
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+                lambda p: p[0] != p[1]
+            ),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    @settings(**SETTINGS)
+    def test_matches_union_find(self, spark, edges):
+        from graphrag_toolkit_spark.operators import dedup
+
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        want = {n: min(m for m in parent if find(m) == find(n)) for n in parent}
+
+        pairs = spark.createDataFrame(
+            [{"id_a": a, "id_b": b} for a, b in edges]
+        )
+        got = {
+            r["id"]: r["component"]
+            for r in dedup.connected_components(pairs).collect()
+        }
+        assert got == want
+
+
+class TestSamplingProperty:
+    @given(st.lists(st.integers(0, 10**9), min_size=1, max_size=60, unique=True))
+    @settings(**SETTINGS)
+    def test_split_matches_hashlib_and_is_total(self, spark, doc_ids):
+        from graphrag_toolkit_spark.operators import sampling
+
+        df = spark.createDataFrame([{"doc_id": i} for i in doc_ids])
+        got = {
+            r["doc_id"]: r["split"]
+            for r in sampling.train_val_test_split(df, "doc_id").collect()
+        }
+        assert set(got) == set(doc_ids)
+        for i in doc_ids:
+            b = int(hashlib.md5(str(i).encode()).hexdigest()[:7], 16) % 10_000
+            want = "test" if b < 1000 else ("val" if b < 2000 else "train")
+            assert got[i] == want
