@@ -44,6 +44,7 @@ HEADLINE = [
     "ngram_jaccard_neardup",
     "simhash_documents",
     "ann_lsh_topk",
+    "embedding_neardup_lsh",
     "token_stats_documents",
     # events
     "tumbling_window_events",

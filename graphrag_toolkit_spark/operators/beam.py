@@ -201,7 +201,13 @@ def chunk_beam_search(
             .distinct()
         )
 
-    return beam_search(
-        g.embeddings_chunk, seeds, nbrs, query_vector,
-        beam_width=beam_width, max_depth=max_depth, scoring=scoring,
-    ).withColumnRenamed("node_id", "chunk_id")
+    try:
+        # beam_search runs its level loop eagerly (per-level localCheckpoint),
+        # so the returned DF no longer references chunk_entity — safe to
+        # release the cache in finally instead of leaking it for the session
+        return beam_search(
+            g.embeddings_chunk, seeds, nbrs, query_vector,
+            beam_width=beam_width, max_depth=max_depth, scoring=scoring,
+        ).withColumnRenamed("node_id", "chunk_id")
+    finally:
+        chunk_entity.unpersist()

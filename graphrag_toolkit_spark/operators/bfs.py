@@ -138,7 +138,14 @@ def shortest_paths(
                 F.col("dst").alias("node_id"),
                 F.concat(F.col("path"), F.lit("->"), F.col("dst")).alias("path"),
             )
-            .join(F.broadcast(settled.select("node_id")), "node_id", "left_anti")
+            # NOTE: no broadcast hint on settled — it grows monotonically with
+            # every level (all reached nodes), so forcing a broadcast would
+            # eventually blow the 8 GB broadcast / driver-memory limit on
+            # large dense graphs. AQE picks broadcast while it's small and
+            # falls back to a shuffle anti-join once it isn't. The frontier
+            # broadcast above is safe: one level, bounded by the graph's
+            # max level width.
+            .join(settled.select("node_id"), "node_id", "left_anti")
         )
         nxt = (
             cand.withColumn(

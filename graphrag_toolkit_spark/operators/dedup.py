@@ -201,38 +201,49 @@ def ngram_jaccard_pairs(
     """
     sh = shingles(df, text_col, id_col, k)
     sh.persist()
-    rare = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= max_doc_freq)
-        .select("shingle")
-    )
-    sh_rare = sh.join(rare, "shingle", "left_semi")
-    # consumed by both sides of the self-join plus the per-id size aggregate
-    # — materialize once
-    sh_rare.persist()
-    # intersection counts fall straight out of the posting-list self-join
-    # (shingles are distinct per id, so COUNT(*) per pair = |A∩B|) — no
-    # separate candidate-distinct stage, no re-join of the shingle table
-    a = sh_rare.withColumnRenamed("id", "id_a")
-    b = sh_rare.withColumnRenamed("id", "id_b")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sizes = sh_rare.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    return (
-        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n": "n_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "n": "n_b"}), "id_b")
-        .select(
-            "id_a", "id_b",
-            (F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
-            .alias("jaccard"),
+    sh_rare = None
+    try:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("shingle")
         )
-        .filter(F.col("jaccard") >= threshold)
-    )
+        sh_rare = sh.join(rare, "shingle", "left_semi")
+        # consumed by both sides of the self-join plus the per-id size
+        # aggregate — materialize once
+        sh_rare.persist()
+        # intersection counts fall straight out of the posting-list self-join
+        # (shingles are distinct per id, so COUNT(*) per pair = |A∩B|) — no
+        # separate candidate-distinct stage, no re-join of the shingle table
+        a = sh_rare.withColumnRenamed("id", "id_a")
+        b = sh_rare.withColumnRenamed("id", "id_b")
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+        sizes = sh_rare.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+        out = (
+            inter.join(sizes.withColumnsRenamed({"id": "id_a", "n": "n_a"}), "id_a")
+            .join(sizes.withColumnsRenamed({"id": "id_b", "n": "n_b"}), "id_b")
+            .select(
+                "id_a", "id_b",
+                (F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+                .alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+        # pair lists are tiny relative to the shingle tables: materialize the
+        # result eagerly so both caches can be released here instead of
+        # leaking for the session lifetime (the returned DF is otherwise lazy
+        # and still references sh/sh_rare)
+        return out.localCheckpoint(eager=True)
+    finally:
+        if sh_rare is not None:
+            sh_rare.unpersist()
+        sh.unpersist()
 
 
 def minhash_near_dup_pairs(
@@ -248,14 +259,20 @@ def minhash_near_dup_pairs(
     explode+distinct shuffle per consumer."""
     sh = shingles(df, text_col, id_col, k)
     sh.persist()
-    # candidate pairs are a vanishing fraction of the corpus but their plan
-    # embeds the whole signature pipeline — materialize once so the two
-    # broadcast consumers in the verification (pairs, candidate ids) don't
-    # each re-run the LSH stages
-    cand = lsh_bucket_pairs(
-        minhash_signatures(sh, num_hashes), num_hashes, bands
-    ).localCheckpoint(eager=True)
-    return jaccard_on_pairs(sh, cand).filter(F.col("jaccard") >= threshold)
+    try:
+        # candidate pairs are a vanishing fraction of the corpus but their
+        # plan embeds the whole signature pipeline — materialize once so the
+        # two broadcast consumers in the verification (pairs, candidate ids)
+        # don't each re-run the LSH stages
+        cand = lsh_bucket_pairs(
+            minhash_signatures(sh, num_hashes), num_hashes, bands
+        ).localCheckpoint(eager=True)
+        out = jaccard_on_pairs(sh, cand).filter(F.col("jaccard") >= threshold)
+        # verified pair list is tiny — materialize it eagerly so the shingle
+        # cache can be released here (lazy return would leak it)
+        return out.localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()
 
 
 # --- near-dup clustering -----------------------------------------------------
@@ -372,9 +389,11 @@ def simhash_bucket_pairs(sims: DataFrame) -> DataFrame:
 def embedding_near_dup_pairs(
     emb: DataFrame, id_col: str, vec_col: str, threshold: float
 ) -> DataFrame:
-    """All-pairs exact leg: (id_a, id_b, cos) with cos ≥ threshold, quantized
-    cosine (oracle-reproducible). O(n²) — bound the input or use
-    ``operators/ann.py`` buckets as the candidate generator at scale.
+    """All-pairs exact VERIFIER leg: (id_a, id_b, cos) with cos ≥ threshold,
+    quantized cosine (oracle-reproducible). O(n²) — for bounded pools only
+    (recall measurement, rerank-pool dedup). The corpus-scale path is
+    ``embedding_near_dup_pairs_lsh`` below, which generates candidates from
+    LSH buckets instead of the full cross product.
 
     Norms and decimal quantization are computed ONCE per vector before the
     pair join (3× fewer array folds than quantizing inside the O(n²) stage).
@@ -388,6 +407,55 @@ def embedding_near_dup_pairs(
     b = prepped.withColumnsRenamed({"id": "id_b", "qv": "qb", "norm": "nb"})
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos", dot_prequantized(F.col("qa"), F.col("qb")) / (F.col("na") * F.col("nb"))
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def embedding_near_dup_pairs_lsh(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Corpus-scale embedding near-dup: random-hyperplane LSH buckets as the
+    candidate generator, exact quantized cosine as the verifier. The scale
+    shape generalizes the reference's bounded statement-diversity filter
+    (``retrieval/post_processors/statement_diversity.py:85-230``) corpus-wide.
+
+    Each vector lands in exactly ONE bucket (its full sign signature over
+    ``n_planes`` deterministic hyperplanes — ``ann.hyperplanes``), so the
+    pair join is an equi-join on bucket: the only shuffle partitions by
+    bucket, and no pair ever forms across buckets. O(Σ bucket²) ≪ O(n²)
+    when the planes split the corpus; near-identical vectors agree on every
+    sign bit, so true near-dups (cos → 1) co-bucket with high probability.
+    Recall < 1 is the LSH trade — raise it with more/fewer planes or a
+    banded multi-probe, and measure it against the all-pairs verifier
+    (``embedding_near_dup_pairs``) on a sampled pool.
+
+    Deterministic and oracle-expressible end to end: hyperplanes are
+    content-hash-derived literals, projections and cosines use the decimal
+    quantization discipline of ``functions/vector.py``.
+    """
+    from graphrag_toolkit_spark.operators import ann
+
+    planes = ann.hyperplanes(n_planes, dim)
+    prepped = emb.select(
+        F.col(id_col).alias("id"),
+        prequantize(F.col(vec_col)).alias("qv"),
+        l2_norm_quantized(F.col(vec_col)).alias("norm"),
+        ann.lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    a = prepped.withColumnsRenamed({"id": "id_a", "qv": "qa", "norm": "na"})
+    b = prepped.withColumnsRenamed({"id": "id_b", "qv": "qb", "norm": "nb"})
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cos", dot_prequantized(F.col("qa"), F.col("qb")) / (F.col("na") * F.col("nb"))
         )

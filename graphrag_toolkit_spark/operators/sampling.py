@@ -12,7 +12,12 @@ operators are narrow maps (filter on a hash expression — no shuffle, fully
 pushed into the scan stage).
 
 The 28-bit hash domain (7 hex chars) keeps the bucket integer exact in a
-DOUBLE and the modulus unbiased for any denominator ≤ 2^14.
+DOUBLE. The modulus is exactly uniform only for denominators dividing 2^28;
+for others (e.g. the default 10_000) the low ``2^28 mod d`` buckets are
+over-represented by one part in ``2^28 / d`` — bias < 1/2^14 (< 4e-5) for
+any denominator ≤ 2^14, which is far below sampling noise at any real
+corpus size. "Exact-rate" below means exact bucket arithmetic, with this
+sub-1/2^14 bound on rate error.
 """
 
 from __future__ import annotations

@@ -118,6 +118,12 @@ def tfidf_cosine_scores(
             F.col("dot") / (F.col("norm") * F.lit(qnorm)), F.lit(0.0)
         ).alias("tfidf_score"),
     )
+    # the returned DF is lazy, so an inline unpersist would drop the cache
+    # before it's ever used — materialize the (one-row-per-doc) score table
+    # eagerly, then release the token cache so repeated calls don't leak
+    # executor memory for the session lifetime
+    scores = scores.localCheckpoint(eager=True)
+    doc_tokens.unpersist()
     return (
         docs.select(F.col(id_col).alias("id"))
         .join(scores, "id", "left")

@@ -94,7 +94,18 @@ def load(spark: SparkSession, sf_dir: str, name: str):
             # nanos-as-long → timestamp at microsecond precision (trunc, like DuckDB)
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type == "timestamp_ntz":
-            # session TZ is pinned to UTC, so NTZ→TZ is a value-preserving
-            # relabel; keeps one stable dtype for every downstream consumer
+            # NTZ→TZ cast interprets the wall-clock in the SESSION timezone,
+            # so it is value-preserving (a pure relabel) only under UTC.
+            # build_session pins UTC; a foreign session must too, or the
+            # instant silently shifts relative to the nanos-as-long path and
+            # the DuckDB oracle (which reads the file UTC-naive).
+            tz = spark.conf.get("spark.sql.session.timeZone")
+            if tz != "UTC":
+                raise ValueError(
+                    "load('events') requires spark.sql.session.timeZone='UTC' "
+                    f"(got {tz!r}): the TIMESTAMP_NTZ→TIMESTAMP relabel is "
+                    "only value-preserving under UTC. Use build_session() or "
+                    "set the conf before loading."
+                )
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df

@@ -469,6 +469,41 @@ buckets AS (
 """
 
 
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Headline embedding near-dup: LSH-bucket candidate generation + exact
+    quantized-cosine verify — the declared 100 TB path (one bucket equi-join,
+    no all-pairs stage). The all-pairs leg (``embedding_neardup_pairs``)
+    stays as the bounded-pool verifier."""
+    emb = load(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dup_pairs_lsh(
+        emb, "vec_id", "embedding", EMBED_DUP_THRESHOLD, n_planes=N_PLANES, dim=64
+    )
+
+
+EMBED_NEARDUP_LSH_ORACLE = f"""
+WITH {_BUCKET_SQL},
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+terms AS (
+  SELECT c.id_a, c.id_b,
+         {_EMB_Q.format(x='ea.embedding[i]')} AS xa,
+         {_EMB_Q.format(x='eb.embedding[i]')} AS xb
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.id_a
+  JOIN embeddings eb ON eb.vec_id = c.id_b, generate_series(1, 64) AS t(i)
+),
+scores AS (
+  SELECT id_a, id_b,
+         CAST(SUM(xa * xb) AS DOUBLE)
+           / (sqrt(CAST(SUM(xa * xa) AS DOUBLE)) * sqrt(CAST(SUM(xb * xb) AS DOUBLE))) AS cos
+  FROM terms GROUP BY id_a, id_b
+)
+SELECT id_a, id_b, cos FROM scores WHERE cos >= {EMBED_DUP_THRESHOLD}
+"""
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3).select(
@@ -631,6 +666,7 @@ QUERIES = {
     "split_documents": split_documents,
     "stratified_sample_documents": stratified_sample_documents,
     "embedding_neardup_pairs": embedding_neardup_pairs,
+    "embedding_neardup_lsh": embedding_neardup_lsh,
     "token_stats_documents": token_stats_documents,
     "quality_score_documents": quality_score_documents,
     "language_id_documents": language_id_documents,
@@ -651,6 +687,7 @@ ORACLES = {
     "split_documents": SPLIT_ORACLE,
     "stratified_sample_documents": STRATIFIED_ORACLE,
     "embedding_neardup_pairs": EMBED_NEARDUP_ORACLE,
+    "embedding_neardup_lsh": EMBED_NEARDUP_LSH_ORACLE,
     "token_stats_documents": TOKEN_STATS_ORACLE,
     "quality_score_documents": QUALITY_ORACLE,
     "language_id_documents": LANGID_ORACLE,

@@ -134,11 +134,16 @@ def beam_search_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
 
-    out = beam_search(
-        nodes, nodes.select(F.col("id").alias("node_id")), nbrs, qv,
-        beam_width=_BEAM_WIDTH, max_depth=_BEAM_DEPTH,
-        scoring="cosine", quantized=True,
-    )
+    try:
+        # beam_search materializes every level eagerly, so the label cache
+        # can be released as soon as it returns
+        out = beam_search(
+            nodes, nodes.select(F.col("id").alias("node_id")), nbrs, qv,
+            beam_width=_BEAM_WIDTH, max_depth=_BEAM_DEPTH,
+            scoring="cosine", quantized=True,
+        )
+    finally:
+        labels.unpersist()
     return out.select(F.col("node_id").alias("vec_id"), "depth", "score")
 
 

@@ -194,6 +194,34 @@ class TestEmbeddingDedup:
         assert [(r["id_a"], r["id_b"]) for r in out] == [(1, 2)]
         assert out[0]["cos"] == pytest.approx(1.0)
 
+    def test_lsh_pairs_subset_of_exact_with_full_recall_on_identicals(self, spark):
+        from graphrag_toolkit_spark.fixtures import pseudo_embedding
+
+        rows = [
+            {"vid": i, "v": pseudo_embedding(f"vec-{i}")} for i in range(20)
+        ]
+        # planted identical pair: same signature → same bucket, recall 1
+        rows.append({"vid": 100, "v": rows[0]["v"]})
+        emb = spark.createDataFrame(rows)
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.embedding_near_dup_pairs(emb, "vid", "v", 0.35).collect()
+        }
+        lsh = dedup.embedding_near_dup_pairs_lsh(emb, "vid", "v", 0.35).collect()
+        lsh_pairs = {(r["id_a"], r["id_b"]) for r in lsh}
+        assert lsh_pairs <= exact          # verifier: no false positives
+        assert (0, 100) in lsh_pairs       # identical vectors always co-bucket
+
+    def test_lsh_pair_generated_at_most_once(self, spark):
+        from graphrag_toolkit_spark.fixtures import pseudo_embedding
+
+        emb = spark.createDataFrame(
+            [{"vid": i, "v": pseudo_embedding(f"v{i}")} for i in range(10)]
+        )
+        out = dedup.embedding_near_dup_pairs_lsh(emb, "vid", "v", -1.0).collect()
+        pairs = [(r["id_a"], r["id_b"]) for r in out]
+        assert len(pairs) == len(set(pairs))
+
 
 class TestTextStats:
     def test_token_counts(self, spark):
