@@ -15,6 +15,11 @@ Scoring modes (beam_search_base.py:46-92):
 - ``cosine``          score(n) = cos(q, n)
 - ``path_weighted``   score(n) = cos(q, n) × (1 + cos(p, n)) / 2
 - ``path_propagated`` score(n) = cos(q, p) × cos(p, n)
+- ``attention``       score(n) = cos(q, n) × (1 + softmax_p(dot(n, p)/√dim))
+  — softmax taken over each parent's surviving (non-visited) neighbor set,
+  max-subtracted for stability exactly like the reference's numpy version;
+  with ``quantized`` the exp weights are rounded to 9 decimals and summed
+  in DECIMAL so the weights are bit-reproducible across engines.
 """
 
 from __future__ import annotations
@@ -29,6 +34,8 @@ from graphrag_toolkit_spark.fixtures import SparkGraphTables
 from graphrag_toolkit_spark.functions.vector import (
     cosine_similarity,
     cosine_similarity_quantized,
+    dot,
+    dot_quantized,
 )
 from graphrag_toolkit_spark.operators.traversal import (
     topic_adjacency,
@@ -90,6 +97,30 @@ def beam_search(
             elif scoring == "path_propagated":
                 cos_qp = cos(F.col("parent_embedding"), q)
                 cand = cand.withColumn("score", cos_qp * cos_pn)
+            elif scoring == "attention":
+                # softmax over each parent's neighbor set (reference:
+                # beam_search_base.py:81-87): logit = dot(n, p)/sqrt(dim),
+                # max-subtracted, exp, normalized per parent — all window
+                # functions over parent_id, no extra shuffle beyond the
+                # score stage's own partitioning
+                dot_fn = dot_quantized if quantized else dot
+                pw = Window.partitionBy("parent_id")
+                logit = dot_fn(
+                    F.col("embedding"), F.col("parent_embedding")
+                ) / F.sqrt(F.size(F.col("embedding")).cast("double"))
+                cand = cand.withColumn("_logit", logit)
+                e = F.exp(F.col("_logit") - F.max("_logit").over(pw))
+                if quantized:
+                    # decimal-grid the exp weights so the per-parent sum is
+                    # exact in any order and identical across engines
+                    e = F.round(e, 9).cast("decimal(12,9)")
+                cand = cand.withColumn("_e", e)
+                w_attn = F.col("_e").cast("double") / F.sum("_e").over(pw).cast(
+                    "double"
+                )
+                cand = cand.withColumn("score", cos_qn * (1.0 + w_attn)).drop(
+                    "_logit", "_e"
+                )
             else:
                 raise ValueError(f"unknown scoring mode: {scoring}")
         # same node via several parents → keep best score, then beam cut

@@ -109,9 +109,9 @@ _BEAM_WIDTH = 8
 _BEAM_DEPTH = 2
 
 
-def beam_search_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B1 over the embeddings table: nodes = vectors, neighbors = same-label
-    siblings (the J6 co-occurrence analog), cosine scoring vs vec 0. The
+def _beam_over_labels(spark: SparkSession, sf_dir: str, scoring: str) -> DataFrame:
+    """Shared body for the B1 oracle queries: nodes = vectors, neighbors =
+    same-label siblings (the J6 co-occurrence analog), scored vs vec 0. The
     driver-loop beam with visited-set exclusion and (score desc, id asc)
     beam cuts — oracle-checked level by level."""
     from graphrag_toolkit_spark.operators.beam import beam_search
@@ -140,11 +140,24 @@ def beam_search_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = beam_search(
             nodes, nodes.select(F.col("id").alias("node_id")), nbrs, qv,
             beam_width=_BEAM_WIDTH, max_depth=_BEAM_DEPTH,
-            scoring="cosine", quantized=True,
+            scoring=scoring, quantized=True,
         )
     finally:
         labels.unpersist()
     return out.select(F.col("node_id").alias("vec_id"), "depth", "score")
+
+
+def beam_search_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1, cosine mode."""
+    return _beam_over_labels(spark, sf_dir, "cosine")
+
+
+def beam_search_attention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1, attention mode (beam_search_base.py:81-87): per-parent softmax of
+    dot(neighbor, parent)/√dim boosts the query cosine by up to 2×. The
+    softmax weights are decimal-gridded (round 9) so the oracle reproduces
+    them bit-exactly."""
+    return _beam_over_labels(spark, sf_dir, "attention")
 
 
 _BEAM_LEVEL = """
@@ -167,6 +180,65 @@ l0 AS (SELECT vec_id, score FROM scores ORDER BY score DESC, vec_id LIMIT {_BEAM
 {_BEAM_LEVEL.format(name="l1", frontier="l0", width=_BEAM_WIDTH,
                     visited="SELECT vec_id FROM l0")},
 {_BEAM_LEVEL.format(name="l2", frontier="l1", width=_BEAM_WIDTH,
+                    visited="SELECT vec_id FROM l0 UNION ALL SELECT vec_id FROM l1")}
+SELECT vec_id, 0 AS depth, score FROM l0
+UNION ALL SELECT vec_id, 1, score FROM l1
+UNION ALL SELECT vec_id, 2, score FROM l2
+"""
+)
+
+# attention level: candidates carry their parent; logit = quantized
+# dot(neighbor, parent) / sqrt(64); per-parent max-subtracted exp rounded to
+# a 1e-9 decimal grid (exact window sums both engines); weight = e/Σe; the
+# query-cosine is boosted by (1 + weight); best parent per node, then the
+# beam cut. Division by 8.0 is a power-of-two scale — lossless in IEEE.
+_ATTN_LEVEL = f"""
+{{name}}_cand AS (
+  SELECT DISTINCT e2.vec_id, e1.vec_id AS parent_id
+  FROM {{frontier}} f
+  JOIN embeddings e1 ON e1.vec_id = f.vec_id
+  JOIN embeddings e2 ON e2.label = e1.label AND e2.vec_id != e1.vec_id
+  WHERE e2.vec_id NOT IN ({{visited}})
+),
+{{name}}_logit AS (
+  SELECT c.vec_id, c.parent_id,
+         CAST(SUM({_Q.format(x='en.embedding[i]')} * {_Q.format(x='ep.embedding[i]')}) AS DOUBLE)
+           / 8.0 AS logit
+  FROM {{name}}_cand c
+  JOIN embeddings en ON en.vec_id = c.vec_id
+  JOIN embeddings ep ON ep.vec_id = c.parent_id, generate_series(1, 64) AS t(i)
+  GROUP BY c.vec_id, c.parent_id
+),
+{{name}}_sm AS (
+  SELECT vec_id, parent_id,
+         CAST(ROUND(exp(logit - MAX(logit) OVER (PARTITION BY parent_id)), 9)
+              AS DECIMAL(12,9)) AS e
+  FROM {{name}}_logit
+),
+{{name}}_scored AS (
+  SELECT w.vec_id, w.parent_id,
+         s.score * (1.0 + CAST(w.e AS DOUBLE)
+                          / CAST(SUM(w.e) OVER (PARTITION BY w.parent_id) AS DOUBLE)) AS score
+  FROM {{name}}_sm w JOIN scores s ON s.vec_id = w.vec_id
+),
+{{name}}_best AS (
+  SELECT vec_id, score FROM (
+    SELECT vec_id, score,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, parent_id) AS rn
+    FROM {{name}}_scored
+  ) WHERE rn = 1
+),
+{{name}} AS (
+  SELECT vec_id, score FROM {{name}}_best ORDER BY score DESC, vec_id LIMIT {{width}}
+)"""
+
+BEAM_ATTENTION_ORACLE = (
+    _COSINE_SQL.format(qfilt="vec_id = 0")
+    + f""",
+l0 AS (SELECT vec_id, score FROM scores ORDER BY score DESC, vec_id LIMIT {_BEAM_WIDTH}),
+{_ATTN_LEVEL.format(name="l1", frontier="l0", width=_BEAM_WIDTH,
+                    visited="SELECT vec_id FROM l0")},
+{_ATTN_LEVEL.format(name="l2", frontier="l1", width=_BEAM_WIDTH,
                     visited="SELECT vec_id FROM l0 UNION ALL SELECT vec_id FROM l1")}
 SELECT vec_id, 0 AS depth, score FROM l0
 UNION ALL SELECT vec_id, 1, score FROM l1
@@ -238,6 +310,7 @@ QUERIES = {
     "cosine_topk_diverse": cosine_topk_diverse,
     "dense_link_embeddings": dense_link_embeddings,
     "beam_search_embeddings": beam_search_embeddings,
+    "beam_search_attention": beam_search_attention,
     "tfidf_documents": tfidf_documents,
 }
 
@@ -246,5 +319,6 @@ ORACLES = {
     "cosine_topk_diverse": DIVERSITY_ORACLE,
     "dense_link_embeddings": DENSE_LINK_ORACLE,
     "beam_search_embeddings": BEAM_ORACLE,
+    "beam_search_attention": BEAM_ATTENTION_ORACLE,
     "tfidf_documents": TFIDF_ORACLE,
 }

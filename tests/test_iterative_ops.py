@@ -94,6 +94,13 @@ class TestEntityContext:
         assert got == exp
 
 
+def _cos(a: list[float], b: list[float]) -> float:
+    import math
+
+    d = sum(x * y for x, y in zip(a, b))
+    return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+
 class TestBeam:
     def test_generic_beam_visits_seeds_first(self, spark, g, pdg):
         qv = fixtures.pseudo_embedding("beam query")
@@ -110,11 +117,73 @@ class TestBeam:
         assert len(out) == 3  # beam cut applies to seeds
         assert all(r["depth"] == 0 for r in out)
 
+    def test_attention_single_neighbor_weight_is_one(self, spark):
+        """A parent with exactly one surviving neighbor gives it softmax
+        weight 1, so its score must be exactly 2 × its query cosine
+        (reference beam_search_base.py:81-87)."""
+        import math
+
+        emb = spark.createDataFrame(
+            [
+                {"id": 0, "embedding": [1.0, 0.0]},   # seed
+                {"id": 1, "embedding": [0.6, 0.8]},   # its only neighbor
+            ]
+        )
+        seeds = spark.createDataFrame([{"node_id": 0}])
+
+        def nbrs(frontier):
+            return frontier.select(
+                F.lit(1).alias("node_id"), F.col("node_id").alias("parent_id")
+            )
+
+        out = {
+            r["node_id"]: r
+            for r in beam_search(
+                emb, seeds, nbrs, [1.0, 0.0], beam_width=4, max_depth=1,
+                scoring="attention",
+            ).collect()
+        }
+        assert out[1]["score"] == pytest.approx(2 * 0.6, abs=1e-9)
+        assert math.isclose(out[0]["score"], 1.0)
+
+    def test_attention_softmax_prefers_parent_aligned_neighbor(self, spark):
+        """Two neighbors of one parent: the parent-aligned one gets the
+        larger softmax weight, so equal query-cosines split unequally."""
+        emb = spark.createDataFrame(
+            [
+                {"id": 0, "embedding": [1.0, 0.0, 0.0]},          # seed/parent
+                {"id": 1, "embedding": [0.9, 0.43589, 0.0]},      # parent-aligned
+                {"id": 2, "embedding": [0.1, 0.0, 0.99499]},      # parent-misaligned
+            ]
+        )
+        seeds = spark.createDataFrame([{"node_id": 0}])
+
+        def nbrs(frontier):
+            return (
+                frontier.select(F.col("node_id").alias("parent_id"))
+                .crossJoin(spark.createDataFrame([{"node_id": 1}, {"node_id": 2}]))
+                .select("node_id", "parent_id")
+            )
+
+        rows = {
+            r["node_id"]: r["score"]
+            for r in beam_search(
+                emb, seeds, nbrs, [0.0, 1.0, 1.0], beam_width=4, max_depth=1,
+                scoring="attention",
+            ).collect()
+        }
+        # weights sum to 1 across the parent's two neighbors; node 1 has the
+        # larger dot with the parent so it takes the larger share
+        w1 = rows[1] / _cos([0.0, 1.0, 1.0], [0.9, 0.43589, 0.0]) - 1.0
+        w2 = rows[2] / _cos([0.0, 1.0, 1.0], [0.1, 0.0, 0.99499]) - 1.0
+        assert w1 + w2 == pytest.approx(1.0, abs=1e-9)
+        assert w1 > w2
+
     def test_beam_scoring_modes(self, spark, g, pdg):
         qv = fixtures.pseudo_embedding("scores")
         seeds = spark.createDataFrame([{"node_id": pdg.topics.topic_id.iloc[0]}])
         ids_by_mode = {}
-        for mode in ("cosine", "path_weighted", "path_propagated"):
+        for mode in ("cosine", "path_weighted", "path_propagated", "attention"):
             out = topic_beam_search(
                 g, qv, seed_top_k=5, beam_width=5, max_depth=2, scoring=mode,
                 statements_per_topic=3,
