@@ -30,20 +30,46 @@ def fuzzy_link(
     top_k: int = 3,
     length_slack: float = 0.5,
     min_score: float = 0.0,
+    bucket_width: int = 8,
 ) -> DataFrame:
     """J16: top-k catalog names per query by normalized Levenshtein
     similarity ``1 - dist/max(len)``, with the reference's length guard
     (candidates whose length differs more than ``length_slack × query_len``
     are skipped before the distance computation).
-    Returns (query, node_id, name, fuzzy_score, rank)."""
-    q = F.broadcast(
+    Returns (query, node_id, name, fuzzy_score, rank).
+
+    Blocking: the length guard is an interval predicate, which as a raw
+    theta-join degenerates to a nested-loop scan of the whole catalog per
+    query row. Instead the catalog is bucketed on ``floor(len /
+    bucket_width)`` and each query explodes to the bucket RANGE covering its
+    slack interval (``⌊len(1-s)/w⌋ … ⌊len(1+s)/w⌋`` — floor is monotone, so
+    every candidate the guard admits lands in one of those buckets). The
+    join is then a hash equi-join on bucket — linear in catalog size, with
+    ~``len·2s/w`` probe duplicates per query — and the exact guard re-applied
+    after it keeps results identical to the theta form. No broadcast hint:
+    AQE broadcasts seed-sized query sets and shuffle-joins corpus-sized
+    mention sets on bucket."""
+    q = (
         queries.select(
             F.col("query"), search_string(F.col("query")).alias("qnorm")
         ).withColumn("qlen", F.length("qnorm")).distinct()
     )
-    c = names.select(
-        "node_id", "name", search_string(F.col("name")).alias("cnorm")
-    ).withColumn("clen", F.length("cnorm"))
+    probes = q.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("qlen") * (1.0 - length_slack) / bucket_width),
+                F.floor(F.col("qlen") * (1.0 + length_slack) / bucket_width),
+            )
+        ),
+    )
+    c = (
+        names.select(
+            "node_id", "name", search_string(F.col("name")).alias("cnorm")
+        )
+        .withColumn("clen", F.length("cnorm"))
+        .withColumn("bucket", F.floor(F.col("clen") / bucket_width))
+    )
 
     guard = (
         (F.col("clen") >= F.col("qlen") * (1.0 - length_slack))
@@ -52,7 +78,8 @@ def fuzzy_link(
     dist = F.levenshtein(F.col("qnorm"), F.col("cnorm"))
     score = 1.0 - dist / F.greatest(F.col("qlen"), F.col("clen"))
     scored = (
-        c.join(q, guard)
+        c.join(probes, "bucket")
+        .filter(guard)
         .withColumn("fuzzy_score", score)
         .filter(F.col("fuzzy_score") >= min_score)
     )

@@ -172,3 +172,23 @@ def test_one_hop_broadcasts_frontier(spark):
     assert "BroadcastExchange" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_fuzzy_link_blocks_on_length_bucket_not_nested_loop(spark):
+    """J16 blocking contract: the length guard must NOT become a broadcast
+    nested-loop theta-join (O(|mentions|x|catalog|) at corpus scale). The
+    bucket equi-join carries the candidates; the guard is a post-filter."""
+    from graphrag_toolkit_spark.operators.linking import fuzzy_link
+
+    queries = spark.range(500).select(
+        F.concat(F.lit("mention "), F.col("id")).alias("query")
+    )
+    names = spark.range(5000).select(
+        F.col("id").alias("node_id"),
+        F.concat(F.lit("catalog entry "), F.col("id")).alias("name"),
+    )
+    plan = plan_of(fuzzy_link(queries, names))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # candidate generation is a hash equi-join on the bucket key
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
