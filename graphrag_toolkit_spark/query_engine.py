@@ -21,8 +21,12 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 
+from pyspark.sql import functions as F
+
 from graphrag_toolkit_spark.fixtures import SparkGraphTables, pseudo_embedding
+from graphrag_toolkit_spark.keywords import LLM, get_keywords
 from graphrag_toolkit_spark.operators import processors as P
+from graphrag_toolkit_spark.operators.entity import lookup_entities
 from graphrag_toolkit_spark.operators.rollup import nest_results, scored_statement_context
 from graphrag_toolkit_spark.operators.tfidf import rerank_by_tfidf
 from graphrag_toolkit_spark.operators.traversal import chunk_to_statements
@@ -43,14 +47,47 @@ class RetrievalConfig:
     extra: dict = field(default_factory=dict)
 
 
+def keyword_seed_chunks(g: SparkGraphTables, keywords: list[str]) -> DataFrame:
+    """Keyword → entity → chunk seeding (the reference's entity-context seed
+    path, ``traversal_based_base_retriever.py:219-257``): J9 lookup resolves
+    keywords to entities; their facts' statements' chunks become traversal
+    seeds. Entity hits broadcast down the SUBJECT→SUPPORTS→MENTIONED_IN_S
+    walk — seed-driven, never a full-graph pass."""
+    spark = g.chunks.sparkSession
+    kwdf = spark.createDataFrame([{"keyword": k} for k in keywords])
+    ents = lookup_entities(g, kwdf).select("entity_id").distinct()
+    subj = g.edges_of("SUBJECT").select(
+        F.col("src").alias("entity_id"), F.col("dst").alias("fact_id")
+    )
+    supports = g.edges_of("SUPPORTS").select(
+        F.col("src").alias("fact_id"), F.col("dst").alias("statement_id")
+    )
+    ms = g.edges_of("MENTIONED_IN_S").select(
+        F.col("src").alias("statement_id"), F.col("dst").alias("chunk_id")
+    )
+    return (
+        subj.join(F.broadcast(ents), "entity_id")
+        .join(supports, "fact_id")
+        .join(ms, "statement_id")
+        .select("chunk_id")
+        .distinct()
+    )
+
+
 def chunk_search_flat(
     g: SparkGraphTables,
     query_text: str,
     config: RetrievalConfig | None = None,
     query_vector: list[float] | None = None,
+    keyword_provider: str = "passthru",
+    llm: LLM | None = None,
 ) -> DataFrame:
     """The retrieval core as FLAT scored statement rows (stages 5b-6 of
-    §3.2), before nested assembly — the unit that composite retrieval unions."""
+    §3.2), before nested assembly — the unit that composite retrieval unions.
+
+    ``keyword_provider`` fills the reference's ``ec_keyword_provider`` matrix
+    (llm|vss|nlp|passthru): non-passthru providers extract keywords from the
+    query and union entity-matched chunks into the VSS seed set."""
     cfg = config or RetrievalConfig()
     qvec = query_vector or pseudo_embedding(query_text)
 
@@ -64,6 +101,14 @@ def chunk_search_flat(
         group_col="source_id", top_k=cfg.vss_top_k,
         diversity_factor=cfg.vss_diversity_factor,
     ).select("chunk_id")
+
+    if keyword_provider != "passthru":
+        kws = [
+            k for k in get_keywords(keyword_provider, query_text, llm=llm)
+            if k != query_text
+        ]
+        if kws:
+            seeds = seeds.unionByName(keyword_seed_chunks(g, kws)).distinct()
 
     # J1 → J2/J3/A2
     stmt_ids = chunk_to_statements(g, seeds, limit=cfg.intermediate_limit)
@@ -114,6 +159,76 @@ def composite_search(
     return nest_results(
         merged.drop("result_score"), max_results=cfg.max_search_results
     )
+
+
+def query_mode(llm: LLM, query_text: str) -> str:
+    """Multipart detection (``query_context/query_mode.py:40-47``): ask the
+    LLM whether the query decomposes into fully independent parts. Returns
+    'simple' or 'complex'; like the reference, any reply not containing
+    'single' counts as complex."""
+    reply = llm(
+        "Is the following user query best described as a single or multipart "
+        "query? A multipart query is one that can be decomposed into a list "
+        "whose parts are completely independent of one another. Answer "
+        f"'single' or 'multipart'.\n\n<query>\n{query_text}\n</query>"
+    )
+    return "simple" if "single" in reply.strip().lower() else "complex"
+
+
+def multipart_search(
+    g: SparkGraphTables,
+    llm: LLM,
+    query_text: str,
+    config: RetrievalConfig | None = None,
+    retriever_fn=None,
+    enable_multipart: bool = True,
+) -> DataFrame:
+    """§2.10 multipart routing (``retrievers/query_mode_retriever.py:27-68``):
+
+    - simple query (or multipart disabled) → one retrieval, full budget;
+    - complex query → LLM keyword extraction, one retrieval branch per
+      keyword in **passthru** mode with ``max_search_results`` scaled to
+      ``⌊max/num_keywords⌋ + 1``, results concatenated (the reference sums
+      the per-branch lists without cross-branch dedup).
+
+    The reference fans branches over a thread pool; here each branch is a
+    sub-DAG of one union plan — Spark schedules them concurrently. Returns
+    nested SearchResult rows. ``retriever_fn(g, query, cfg) -> flat DF``
+    is injectable like the reference's ``retriever_fn`` (tests bind spies)."""
+    from graphrag_toolkit_spark.keywords import llm_keywords
+
+    cfg = config or RetrievalConfig()
+    retrieve = retriever_fn or (
+        lambda g_, q_, c_: chunk_search_flat(g_, q_, c_)
+    )
+
+    mode = query_mode(llm, query_text) if enable_multipart else "simple"
+    if mode == "simple":
+        flat = retrieve(g, query_text, cfg)
+        return nest_results(
+            flat.drop("result_score"), max_results=cfg.max_search_results
+        )
+
+    keywords = llm_keywords(llm, query_text) or [query_text]
+    scaled = int(cfg.max_search_results / len(keywords)) + 1
+    sub_cfg = RetrievalConfig(
+        vss_top_k=cfg.vss_top_k,
+        vss_diversity_factor=cfg.vss_diversity_factor,
+        intermediate_limit=cfg.intermediate_limit,
+        max_search_results=scaled,
+        max_statements_per_topic=cfg.max_statements_per_topic,
+        prune_factor=cfg.prune_factor,
+        tfidf_alpha=cfg.tfidf_alpha,
+        extra=dict(cfg.extra, keyword_provider="passthru"),
+    )
+    flats = [retrieve(g, k, sub_cfg).drop("result_score") for k in keywords]
+    merged = flats[0]
+    for f in flats[1:]:
+        merged = merged.unionByName(f)
+    # concatenation parity: no cross-branch dedup/rescore; the nested
+    # assembly caps at the ORIGINAL max_search_results like the reference's
+    # downstream consumer
+    return nest_results(merged, max_results=cfg.max_search_results)
 
 
 def decomposed_search(

@@ -422,7 +422,74 @@ WHERE vec_id IN (SELECT 7 * i FROM generate_series(0, 14) AS t(i))
 """
 
 
+def nlp_keywords_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 nlp keyword provider over synthesized mixed-case query strings
+    ('What did Customer#… buy in ALGERIA AFRICA …'): capitalized-run
+    extraction, stopword filter ('What' drops), multi-token runs (nation +
+    region uppercase pair), case-insensitive first-occurrence dedup (the
+    repeated customer name collapses). Pure JVM column expression — the same
+    ``nlp_keywords_col`` the retrieval seed path uses."""
+    from graphrag_toolkit_spark.keywords import nlp_keywords
+
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region")
+    src = (
+        cust.join(nat, cust.c_nationkey == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+        .select(
+            F.col("c_custkey").alias("qid"),
+            F.concat(
+                F.lit("What did "), F.col("c_name"), F.lit(" buy in "),
+                F.col("n_name"), F.lit(" "), F.col("r_name"),
+                F.lit(" this year from "), F.col("c_name"),
+            ).alias("qtext"),
+        )
+    )
+    return nlp_keywords(src, "qtext", "qid").withColumnRenamed("id", "qid")
+
+
+def _nlp_keywords_oracle() -> str:
+    from graphrag_toolkit_spark.keywords import CAP_RUN_RE, KEYWORD_STOPWORDS
+
+    stops = ", ".join(f"'{w}'" for w in KEYWORD_STOPWORDS)
+    return f"""
+WITH src AS (
+  SELECT c_custkey AS qid,
+         'What did ' || c_name || ' buy in ' || n_name || ' ' || r_name
+           || ' this year from ' || c_name AS qtext
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+),
+runs AS (SELECT qid, regexp_extract_all(qtext, '{CAP_RUN_RE}') AS a FROM src),
+idx AS (SELECT qid, a, unnest(generate_series(1, len(a))) AS i FROM runs),
+toks AS (SELECT qid, i, a[i] AS k FROM idx),
+filt AS (
+  SELECT qid, i, k FROM toks
+  WHERE length(k) >= 2
+    AND len(list_filter(string_split(lower(k), ' '),
+                        t -> NOT list_contains([{stops}], t))) > 0
+),
+firsts AS (
+  SELECT qid, i, k FROM (
+    SELECT qid, i, k,
+           ROW_NUMBER() OVER (PARTITION BY qid, lower(k) ORDER BY i) AS rn
+    FROM filt
+  ) WHERE rn = 1
+)
+SELECT qid,
+       CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY i) - 1 AS INTEGER) AS pos,
+       k AS keyword
+FROM firsts
+"""
+
+
+NLP_KEYWORDS_ORACLE = _nlp_keywords_oracle()
+
+
 QUERIES = {
+    "nlp_keywords_customers": nlp_keywords_customers,
     "chunk_statements_orders": chunk_statements_orders,
     "statement_facts_orders": statement_facts_orders,
     "entity_fact_walk_suppliers": entity_fact_walk_suppliers,
@@ -436,6 +503,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "nlp_keywords_customers": NLP_KEYWORDS_ORACLE,
     "chunk_statements_orders": CHUNK_STATEMENTS_ORACLE,
     "statement_facts_orders": STATEMENT_FACTS_ORACLE,
     "entity_fact_walk_suppliers": ENTITY_FACT_WALK_ORACLE,
