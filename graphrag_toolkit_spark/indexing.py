@@ -26,9 +26,10 @@ dedup, which is exactly the reference's Cypher MERGE outcome.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -54,6 +55,100 @@ def docs_to_chunks(docs: DataFrame) -> DataFrame:
         F.lit(0).alias("chunk_index"),
         F.col("text"),
     )
+
+
+# --- stage 1b: domain adaptation (InferClassifications) ----------------------
+
+# reference indexing/constants.py:11-23
+DEFAULT_ENTITY_CLASSIFICATIONS = [
+    "Company", "Location", "Event", "Sports Team", "Person", "Role",
+    "Product", "Service", "Creative Work", "Software", "Financial Instrument",
+]
+
+_CLASSIFICATIONS_RE = re.compile(
+    r"<entity_classifications>(.*?)</entity_classifications>", re.DOTALL
+)
+
+
+def _parse_classifications(response_text: str) -> list[str]:
+    m = _CLASSIFICATIONS_RE.search(response_text)
+    if not m:
+        return []
+    return [ln.strip() for ln in m.group(1).strip().split("\n") if ln.strip()]
+
+
+def infer_classifications(
+    chunks: DataFrame,
+    llm,
+    num_samples: int = 5,
+    num_iterations: int = 1,
+    num_classifications: int = 15,
+    default_classifications: list[str] | None = None,
+) -> list[str]:
+    """§2.10 InferClassifications — the seed-classification feedback stage of
+    ``indexing/extract/infer_classifications.py:126-172``: sample chunks,
+    ask the LLM for domain entity classifications (reply wrapped in
+    ``<entity_classifications>`` tags, one per line), accumulate across
+    iterations, then rank-and-truncate with a second prompt; fall back to
+    the defaults when nothing parses.
+
+    The reference uses ``random.sample``; here sampling is a deterministic
+    content-hash order (stable across runs/partitionings, same discipline as
+    ``operators/sampling.py``). Only the ≤ ``num_samples×num_iterations``
+    sampled texts are collected to the driver — the LLM loop is identically
+    driver-side in the reference.
+    """
+    defaults = (
+        DEFAULT_ENTITY_CLASSIFICATIONS
+        if default_classifications is None
+        else default_classifications
+    )
+    sampled = [
+        r["text"]
+        for r in chunks.select("text", F.md5(F.col("chunk_id")).alias("_h"))
+        .orderBy("_h")
+        .limit(num_samples * num_iterations)
+        .collect()
+    ]
+    found: set[str] = set()
+    for i in range(num_iterations):
+        batch = sampled[i * num_samples : (i + 1) * num_samples]
+        if not batch:
+            break
+        formatted = "\n".join(f"<chunk>{t}</chunk>" for t in batch)
+        reply = llm(
+            "Identify domain-specific entity classifications present in the "
+            "following chunks. Reply with one classification per line inside "
+            "<entity_classifications></entity_classifications> tags.\n"
+            f"{formatted}\n\nExisting classifications:\n" + "\n".join(defaults)
+        )
+        found.update(_parse_classifications(reply))
+
+    if not found:
+        return list(defaults)
+
+    formatted = "\n".join(sorted(c.title() for c in found))
+    reply = llm(
+        "Rank the following entity classifications from most to least "
+        "useful for indexing this domain. Reply inside "
+        "<entity_classifications></entity_classifications> tags, one per "
+        f"line.\n{formatted}"
+    )
+    ranked = _parse_classifications(reply)[:num_classifications]
+    return ranked if ranked else list(defaults)
+
+
+def classification_for(value: Column, classifications: list[str]) -> Column:
+    """Deterministic stand-in for the LLM assigning one of the inferred
+    classifications to an entity value: content-hash pick (same 28-bit md5
+    bucket arithmetic as ``operators/sampling.py`` — engine-portable and
+    stable under re-ingestion)."""
+    arr = F.array(*[F.lit(c) for c in classifications])
+    idx = (
+        F.conv(F.substring(F.md5(value), 1, 7), 16, 10).cast("long")
+        % F.lit(len(classifications))
+    ).cast("int")
+    return F.element_at(arr, idx + 1)
 
 
 # --- stage 2: extraction (pluggable; default = deterministic rules) ----------
@@ -85,13 +180,23 @@ def rule_extract_statements(
 
 
 def extract_facts(
-    statements: DataFrame, entity_min_len: int = ENTITY_MIN_LEN
+    statements: DataFrame,
+    entity_min_len: int = ENTITY_MIN_LEN,
+    classifications: list[str] | None = None,
 ) -> DataFrame:
     """Statement rows → fact rows (statement_id, subject, object, value,
-    fact_id, subject_entity_id, object_entity_id). Subject = the statement's
-    first token; objects = every distinct other token of length ≥
-    ``entity_min_len`` (the SPO shape of ``indexing/model.py:159-190`` with a
-    rule-based stand-in for the LLM's argument selection)."""
+    fact_id, subject_entity_id, object_entity_id, subject_class,
+    object_class). Subject = the statement's first token; objects = every
+    distinct other token of length ≥ ``entity_min_len`` (the SPO shape of
+    ``indexing/model.py:159-190`` with a rule-based stand-in for the LLM's
+    argument selection).
+
+    ``classifications``: inferred domain classifications (the
+    ``infer_classifications`` feedback) — entities are classed by a
+    deterministic content-hash pick from the list instead of the default
+    Head/Term scheme; ids mint from (value, class), so the seed
+    classifications propagate into the entity table and every edge that
+    references it."""
     toks = F.split(F.col("value"), " ")
     subject = F.element_at(toks, 1)
     objects = F.array_distinct(
@@ -105,12 +210,19 @@ def extract_facts(
         subject.alias("subject"),
         F.explode(objects).alias("object"),
     )
+    if classifications:
+        subj_class = classification_for(F.col("subject"), classifications)
+        obj_class = classification_for(F.col("object"), classifications)
+    else:
+        subj_class, obj_class = F.lit("Head"), F.lit("Term")
     return out.select(
         "statement_id", "subject", "object",
         F.concat_ws(" ", F.col("subject"), F.lit("near"), F.col("object")).alias("value"),
         ids.node_id("fact", F.col("subject"), F.col("object")).alias("fact_id"),
-        ids.node_id("entity", F.col("subject"), F.lit("Head")).alias("subject_entity_id"),
-        ids.node_id("entity", F.col("object"), F.lit("Term")).alias("object_entity_id"),
+        ids.node_id("entity", F.col("subject"), subj_class).alias("subject_entity_id"),
+        ids.node_id("entity", F.col("object"), obj_class).alias("object_entity_id"),
+        subj_class.alias("subject_class"),
+        obj_class.alias("object_class"),
     )
 
 
@@ -122,6 +234,7 @@ def extract_and_build(
     entity_min_len: int = ENTITY_MIN_LEN,
     ignore_topics: list[str] | None = None,
     ignore_statements_matching: str | None = None,
+    classifications: list[str] | None = None,
 ) -> dict[str, DataFrame]:
     """Full §3.1 pipeline → {sources, chunks, topics, statements, facts,
     entities, edges}. One linear DAG per table; every table is deduped on its
@@ -131,14 +244,18 @@ def extract_and_build(
     ``ignore_topics`` / ``ignore_statements_matching`` are the P6 build
     filters (reference ``indexing/build/build_filters.py``, applied in
     ``statement_node_builder.py:108,117``): dropped rows never reach the
-    node tables or the fact explosion — plain pushed-down predicates."""
+    node tables or the fact explosion — plain pushed-down predicates.
+
+    ``classifications``: inferred domain classifications from
+    ``infer_classifications`` — propagated into entity rows (and the ids
+    they mint) via ``extract_facts``."""
     chunks = docs_to_chunks(docs)
     stmts = extractor(chunks)
     if ignore_topics:
         stmts = stmts.filter(~F.col("topic").isin(list(ignore_topics)))
     if ignore_statements_matching:
         stmts = stmts.filter(~F.col("value").rlike(ignore_statements_matching))
-    facts = extract_facts(stmts, entity_min_len)
+    facts = extract_facts(stmts, entity_min_len, classifications=classifications)
 
     sources = chunks.select("source_id").distinct()
     # exact-duplicate documents mint identical chunk ids (and identical rows)
@@ -172,13 +289,13 @@ def extract_and_build(
         facts.select(
             F.col("subject_entity_id").alias("entity_id"),
             F.col("subject").alias("value"),
-            F.lit("Head").alias("classification"),
+            F.col("subject_class").alias("classification"),
         )
         .unionByName(
             facts.select(
                 F.col("object_entity_id").alias("entity_id"),
                 F.col("object").alias("value"),
-                F.lit("Term").alias("classification"),
+                F.col("object_class").alias("classification"),
             )
         )
         .dropDuplicates(["entity_id"])

@@ -86,6 +86,57 @@ def lsh_topk(
     )
 
 
+def first_c_centroids(
+    emb: DataFrame, n_centroids: int, id_col: str = "id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Deterministic centroid stand-in (the oracle leg): the first
+    ``n_centroids`` vectors by id. Honest fixture-scale substitute for
+    k-means; the production trainer is ``train_centroids_kmeans``."""
+    w = Window.orderBy(F.asc(id_col))
+    return (
+        emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("embedding"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_centroids)
+        .select((F.col("_rn") - 1).alias("cid"), "embedding")
+    )
+
+
+def train_centroids_kmeans(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Production IVF centroid trainer: seeded MLlib KMeans over the
+    embedding column (reference analog: the FAISS index training in
+    ``byokg-rag/.../indexing/dense_index.py:31-145``). Returns
+    (cid, embedding) consumable by ``ivf_assign``/``ivf_topk``.
+
+    Scale shape: MLlib KMeans is the distributed Lloyd's loop — each
+    iteration broadcasts the (tiny) centroid set and map-side assigns
+    points, so the only shuffle per iteration is the k-row partial-mean
+    aggregate. Seeded → reproducible across runs on the same partitioning
+    (k-means|| init samples per-partition, so unlike the content-hash
+    stand-in it is NOT invariant to repartitioning — the oracle-gated
+    queries keep using ``first_c_centroids`` for that reason)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = emb.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feats)
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        [
+            {"cid": i, "embedding": [float(x) for x in c]}
+            for i, c in enumerate(model.clusterCenters())
+        ]
+    )
+
+
 def ivf_assign(
     emb: DataFrame, centroids: DataFrame, id_col: str = "id", vec_col: str = "embedding"
 ) -> DataFrame:

@@ -344,3 +344,64 @@ class TestMultimodal:
         assert out.count() == 18
         per = out.groupBy("id").count().collect()
         assert all(r["count"] == 3 for r in per)
+
+
+class TestKMeansIVF:
+    @pytest.fixture(scope="class")
+    def clustered(self, spark):
+        """Four well-separated anchor directions, 15 jittered members each:
+        k-means has real structure to find (random near-orthogonal vectors
+        would make recall assertions meaningless)."""
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        anchors = np.eye(4)
+        rows = []
+        for a in range(4):
+            base = np.zeros(64)
+            base[a * 16 : a * 16 + 16] = 1.0
+            for j in range(15):
+                v = base + rng.normal(0, 0.05, 64)
+                rows.append(
+                    {"vec_id": a * 15 + j, "embedding": [float(x) for x in v]}
+                )
+        return spark.createDataFrame(rows)
+
+    def test_kmeans_centroids_shape(self, clustered):
+        cents = ann.train_centroids_kmeans(
+            clustered, n_centroids=4, id_col="vec_id"
+        ).collect()
+        assert sorted(r["cid"] for r in cents) == [0, 1, 2, 3]
+        assert all(len(r["embedding"]) == 64 for r in cents)
+
+    def test_kmeans_ivf_recall_on_clustered_data(self, spark, clustered):
+        """nprobe=1 over true clusters must recover nearly all brute-force
+        top-5 neighbors (the members of the query's own cluster)."""
+        from graphrag_toolkit_spark.operators import vss
+
+        cents = ann.train_centroids_kmeans(
+            clustered, n_centroids=4, id_col="vec_id", seed=11
+        )
+        queries = clustered.filter(F.col("vec_id").isin(0, 15, 30, 45)).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        got = ann.ivf_topk(
+            clustered, cents, queries, id_col="vec_id", nprobe=1, k=5
+        ).collect()
+        approx = {}
+        for r in got:
+            approx.setdefault(r["query_id"], set()).add(r["id"])
+
+        hits = total = 0
+        for qid in (0, 15, 30, 45):
+            qv = [
+                r["embedding"]
+                for r in clustered.filter(F.col("vec_id") == qid).collect()
+            ][0]
+            exact = {
+                r["vec_id"]
+                for r in vss.top_k(clustered, qv, id_col="vec_id", k=5).collect()
+            }
+            hits += len(exact & approx.get(qid, set()))
+            total += len(exact)
+        assert hits / total >= 0.9

@@ -135,3 +135,59 @@ class TestEmbedValues:
         out = indexing.embed_values(df, "id", "text", dim=4)
         assert out.count() == 50
         assert out.schema["embedding"].dataType.simpleString() == "array<float>"
+
+
+class TestInferClassifications:
+    """§2.10 InferClassifications (indexing/extract/infer_classifications.py):
+    deterministic fake LLM; seed classifications must propagate into entity
+    rows and the ids they mint."""
+
+    WRAPPED = (
+        "<entity_classifications>\nEngine\nPipeline\n</entity_classifications>"
+    )
+
+    def test_infer_parses_and_ranks(self, docs):
+        chunks = indexing.docs_to_chunks(docs)
+        prompts = []
+
+        def fake_llm(prompt):
+            prompts.append(prompt)
+            return self.WRAPPED
+
+        got = indexing.infer_classifications(chunks, fake_llm, num_samples=2)
+        assert got == ["Engine", "Pipeline"]
+        assert len(prompts) == 2                      # 1 sample round + 1 rank
+        assert "<chunk>" in prompts[0]
+        assert "Rank" in prompts[1]
+
+    def test_unparseable_reply_falls_back_to_defaults(self, docs):
+        chunks = indexing.docs_to_chunks(docs)
+        got = indexing.infer_classifications(chunks, lambda p: "no tags here")
+        assert got == indexing.DEFAULT_ENTITY_CLASSIFICATIONS
+
+    def test_classifications_propagate_into_entity_rows(self, docs):
+        inferred = ["Engine", "Pipeline"]
+        build = indexing.extract_and_build(docs, classifications=inferred)
+        classes = {r["classification"] for r in build["entities"].collect()}
+        assert classes <= set(inferred)
+        assert classes                                 # at least one entity
+        # ids mint from (value, classification): the same build WITHOUT
+        # classifications yields disjoint entity ids
+        default_ids = {
+            r["entity_id"]
+            for r in indexing.extract_and_build(docs)["entities"].collect()
+        }
+        classified_ids = {
+            r["entity_id"] for r in build["entities"].collect()
+        }
+        assert default_ids.isdisjoint(classified_ids)
+
+    def test_classification_assignment_deterministic(self, docs):
+        inferred = ["Engine", "Pipeline", "Storage"]
+        a = sorted(
+            map(str, indexing.extract_and_build(docs, classifications=inferred)["entities"].collect())
+        )
+        b = sorted(
+            map(str, indexing.extract_and_build(docs, classifications=inferred)["entities"].collect())
+        )
+        assert a == b
