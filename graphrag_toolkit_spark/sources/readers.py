@@ -98,6 +98,8 @@ def _needs_parser(fmt: str):
             f"attach a parser via mapInPandas (see operators/multimodal.py "
             f"for the stage shape)"
         )
+    _stub.is_stub = True
+    _stub.stub_reason = fmt
     return _stub
 
 
@@ -124,14 +126,40 @@ PROVIDERS = {
 }
 
 
-def reader_for(provider: str):
-    """Look up a reader by the reference's provider name (S1 parity surface)."""
+def is_stub(provider: str) -> bool:
+    """True when the provider's parse step raises NotImplementedError in
+    this environment (missing codec/service library) — the Spark-side scan
+    plumbing still exists via ``read_binary_documents``."""
+    return bool(getattr(PROVIDERS[provider], "is_stub", False))
+
+
+def provider_status() -> dict[str, str]:
+    """Honest registry: provider name → 'real' | 'stub (<missing dep>)'.
+    Importable by docs/tests so the matrix can't silently drift."""
+    return {
+        name: (
+            f"stub ({fn.stub_reason})" if getattr(fn, "is_stub", False) else "real"
+        )
+        for name, fn in sorted(PROVIDERS.items())
+    }
+
+
+def reader_for(provider: str, allow_stub: bool = True):
+    """Look up a reader by the reference's provider name (S1 parity surface).
+    ``allow_stub=False`` raises immediately at lookup time (rather than call
+    time) for providers whose parser is stubbed in this environment."""
     try:
-        return PROVIDERS[provider]
+        fn = PROVIDERS[provider]
     except KeyError:
         raise ValueError(
             f"unknown provider {provider!r}; available: {sorted(PROVIDERS)}"
         ) from None
+    if not allow_stub and getattr(fn, "is_stub", False):
+        raise NotImplementedError(
+            f"provider {provider!r} is a parse stub in this environment "
+            f"(missing: {fn.stub_reason})"
+        )
+    return fn
 
 
 def write_staged(df: DataFrame, path: str, partitions: int | None = None) -> None:

@@ -75,6 +75,73 @@ class TestProviderRegistry:
         with pytest.raises(ValueError, match="unknown provider"):
             readers.reader_for("carrier-pigeon")
 
+    def test_provider_status_matrix_pinned(self):
+        """COVERAGE.md's S1 matrix is generated from this — drift fails here."""
+        from graphrag_toolkit_spark.sources import readers
+
+        status = readers.provider_status()
+        real = {n for n, s in status.items() if s == "real"}
+        assert real == {
+            "json", "streaming-jsonl", "csv", "structured-data", "markdown",
+            "directory", "s3-directory", "universal-directory", "document-graph",
+        }
+        stubbed = set(status) - real
+        assert stubbed == {
+            "pdf", "advanced-pdf", "docx", "pptx", "web", "wikipedia",
+            "youtube", "github", "database",
+        }
+        assert all(status[n].startswith("stub (") for n in stubbed)
+
+    def test_allow_stub_false_fails_at_lookup(self):
+        from graphrag_toolkit_spark.sources import readers
+
+        with pytest.raises(NotImplementedError, match="docx"):
+            readers.reader_for("docx", allow_stub=False)
+        assert callable(readers.reader_for("json", allow_stub=False))
+
+    def test_directory_and_jsonl_through_extract_and_build(self, spark, tmp):
+        """End-to-end: reader → canonical docs → extract_and_build, the
+        Spark analog of the reference integration script
+        (integration-tests/.../extract_and_build.py): same corpus via TWO
+        providers must build the same content-addressed statement ids."""
+        import json as jsonlib
+        import os
+
+        from graphrag_toolkit_spark import indexing
+        from graphrag_toolkit_spark.sources import readers
+
+        texts = [
+            "alpha engine merges tables fast under heavy load",
+            "beta stream joins windows slowly while reading events",
+        ]
+        ddir = os.path.join(tmp, "docs_dir")
+        os.makedirs(ddir)
+        for i, t in enumerate(texts):
+            with open(os.path.join(ddir, f"d{i}.txt"), "w") as f:
+                f.write(t)
+        jpath = os.path.join(tmp, "docs.jsonl")
+        with open(jpath, "w") as f:
+            for t in texts:
+                f.write(jsonlib.dumps({"text": t}) + "\n")
+
+        def build_stmt_values(docs):
+            docs = docs.withColumn("source", F.lit("s")).withColumn(
+                "lang", F.lit("en")
+            )
+            b = indexing.extract_and_build(docs)
+            return {
+                (r["statement_id"], r["value"])
+                for r in b["statements"].collect()
+            }
+
+        via_dir = build_stmt_values(
+            readers.reader_for("directory")(spark, ddir).withColumnRenamed(
+                "doc_id", "doc_id"
+            )
+        )
+        via_jsonl = build_stmt_values(readers.reader_for("json")(spark, jpath))
+        assert via_dir and via_dir == via_jsonl
+
 
 class TestTenancy:
     def test_write_read_roundtrip_isolates_tenants(self, spark):
