@@ -13,7 +13,7 @@ Parity targets:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -24,6 +24,40 @@ from graphrag_toolkit_spark.functions.vector import (
 )
 
 
+def token_set_similarity(a: Column, b: Column) -> Column:
+    """thefuzz ``token_set_ratio`` semantics as JVM expressions (reference
+    ``byokg-rag/.../indexing/fuzzy_string.py:22-72`` uses WRatio/token-set
+    scoring): tokenize both normalized strings into sorted distinct sets,
+    build the three canonical strings
+
+        s0 = sorted intersection
+        s1 = s0 + sorted(a \\ b)
+        s2 = s0 + sorted(b \\ a)
+
+    and return the max pairwise ratio, where ratio(x, y) =
+    (|x|+|y|-lev(x,y)) / (|x|+|y|). Word-order-insensitive: 'barack obama'
+    vs 'obama, barack' scores 1.0 (plain Levenshtein gives ~0.5). Scores in
+    [0, 1]; both-empty pairs score 0 like thefuzz."""
+    def toks(c: Column) -> Column:
+        return F.array_sort(
+            F.array_distinct(F.filter(F.split(c, " "), lambda t: t != ""))
+        )
+
+    ta, tb = toks(a), toks(b)
+    inter = F.array_intersect(ta, tb)       # sorted: follows ta's order
+    s0 = F.concat_ws(" ", inter)
+    s1 = F.concat_ws(" ", F.concat(inter, F.array_except(ta, tb)))
+    s2 = F.concat_ws(" ", F.concat(inter, F.array_except(tb, ta)))
+
+    def ratio(x: Column, y: Column) -> Column:
+        tot = F.length(x) + F.length(y)
+        return F.when(tot == 0, F.lit(0.0)).otherwise(
+            (tot - F.levenshtein(x, y)) / tot
+        )
+
+    return F.greatest(ratio(s0, s1), ratio(s0, s2), ratio(s1, s2))
+
+
 def fuzzy_link(
     queries: DataFrame,            # (query,)
     names: DataFrame,              # (node_id, name)
@@ -31,12 +65,17 @@ def fuzzy_link(
     length_slack: float = 0.5,
     min_score: float = 0.0,
     bucket_width: int = 8,
+    scorer: str = "levenshtein",
 ) -> DataFrame:
     """J16: top-k catalog names per query by normalized Levenshtein
     similarity ``1 - dist/max(len)``, with the reference's length guard
     (candidates whose length differs more than ``length_slack × query_len``
     are skipped before the distance computation).
     Returns (query, node_id, name, fuzzy_score, rank).
+
+    ``scorer``: 'levenshtein' (default, the entity_linker.py:56-113 length-
+    guarded edit similarity) or 'token_set' (``token_set_similarity`` —
+    thefuzz's word-order-insensitive WRatio leg, fuzzy_string.py:22-72).
 
     Blocking: the length guard is an interval predicate, which as a raw
     theta-join degenerates to a nested-loop scan of the whole catalog per
@@ -75,8 +114,15 @@ def fuzzy_link(
         (F.col("clen") >= F.col("qlen") * (1.0 - length_slack))
         & (F.col("clen") <= F.col("qlen") * (1.0 + length_slack))
     )
-    dist = F.levenshtein(F.col("qnorm"), F.col("cnorm"))
-    score = 1.0 - dist / F.greatest(F.col("qlen"), F.col("clen"))
+    if scorer == "levenshtein":
+        dist = F.levenshtein(F.col("qnorm"), F.col("cnorm"))
+        score = 1.0 - dist / F.greatest(F.col("qlen"), F.col("clen"))
+    elif scorer == "token_set":
+        score = token_set_similarity(F.col("qnorm"), F.col("cnorm"))
+    else:
+        raise ValueError(
+            f"unknown scorer {scorer!r}: expected levenshtein or token_set"
+        )
     scored = (
         c.join(probes, "bucket")
         .filter(guard)

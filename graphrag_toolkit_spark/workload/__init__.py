@@ -45,6 +45,7 @@ _CHECK_FIRST = [
     "beam_search_attention",
     "embedding_neardup_lsh",
     "nlp_keywords_customers",
+    "fuzzy_link_token_set",
     "extract_build_counts",
     "extract_build_fact_graph",
     "extract_build_statements",

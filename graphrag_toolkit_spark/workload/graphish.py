@@ -261,6 +261,75 @@ SELECT query, node_id, name, fuzzy_score, rank FROM (
 """
 
 
+def fuzzy_link_token_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J16 token-set leg: queries are the catalog names with words in
+    DESCENDING sort order — plain Levenshtein scores them low, token-set
+    scores the matching part 1.0 (thefuzz word-order insensitivity)."""
+    part = load(spark, sf_dir, "part")
+    queries = part.filter(F.col("p_partkey") <= 5).select(
+        F.concat_ws(
+            " ", F.sort_array(F.split(F.col("p_name"), " "), asc=False)
+        ).alias("query")
+    )
+    names = part.select(F.col("p_partkey").alias("node_id"), F.col("p_name").alias("name"))
+    return linking.fuzzy_link(queries, names, top_k=3, scorer="token_set")
+
+
+def _ts_ratio(x: str, y: str) -> str:
+    return (
+        f"CASE WHEN length({x}) + length({y}) = 0 THEN 0.0 "
+        f"ELSE (length({x}) + length({y}) - levenshtein({x}, {y})) "
+        f"/ CAST(length({x}) + length({y}) AS DOUBLE) END"
+    )
+
+
+_TS_TOKS = "list_sort(list_distinct(list_filter(string_split({c}, ' '), t -> t <> '')))"
+
+FUZZY_TOKEN_SET_ORACLE = f"""
+WITH q AS (
+  SELECT array_to_string(list_sort(string_split(p_name, ' '), 'DESC'), ' ') AS query
+  FROM part WHERE p_partkey <= 5
+),
+qn AS (
+  SELECT query, {_NORM.format(c='query')} AS qnorm FROM q
+),
+c AS (
+  SELECT p_partkey AS node_id, p_name AS name, {_NORM.format(c='p_name')} AS cnorm
+  FROM part
+),
+pairs AS (
+  SELECT qn.query, c.node_id, c.name,
+         {_TS_TOKS.format(c='qn.qnorm')} AS ta,
+         {_TS_TOKS.format(c='c.cnorm')} AS tb
+  FROM qn JOIN c
+    ON length(c.cnorm) >= length(qn.qnorm) * 0.5
+   AND length(c.cnorm) <= length(qn.qnorm) * 1.5
+),
+strs AS (
+  SELECT query, node_id, name,
+         array_to_string(list_filter(ta, t -> list_contains(tb, t)), ' ') AS s0,
+         array_to_string(list_concat(
+           list_filter(ta, t -> list_contains(tb, t)),
+           list_filter(ta, t -> NOT list_contains(tb, t))), ' ') AS s1,
+         array_to_string(list_concat(
+           list_filter(ta, t -> list_contains(tb, t)),
+           list_filter(tb, t -> NOT list_contains(ta, t))), ' ') AS s2
+  FROM pairs
+),
+scored AS (
+  SELECT query, node_id, name,
+         greatest({_ts_ratio('s0', 's1')}, {_ts_ratio('s0', 's2')},
+                  {_ts_ratio('s1', 's2')}) AS fuzzy_score
+  FROM strs
+)
+SELECT query, node_id, name, fuzzy_score, rank FROM (
+  SELECT query, node_id, name, fuzzy_score,
+         ROW_NUMBER() OVER (PARTITION BY query ORDER BY fuzzy_score DESC, node_id) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
 # --- J10: entity-context frontier expansion (depth 2) ------------------------
 
 def entity_context_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -426,6 +495,7 @@ QUERIES = {
     "part_cooccurrence": part_cooccurrence,
     "topn_part_neighbors": topn_part_neighbors,
     "fuzzy_link_parts": fuzzy_link_parts,
+    "fuzzy_link_token_set": fuzzy_link_token_set,
     "entity_context_parts": entity_context_parts,
 }
 
@@ -439,5 +509,6 @@ ORACLES = {
     "part_cooccurrence": COOCCURRENCE_ORACLE,
     "topn_part_neighbors": TOPN_NEIGHBORS_ORACLE,
     "fuzzy_link_parts": FUZZY_ORACLE,
+    "fuzzy_link_token_set": FUZZY_TOKEN_SET_ORACLE,
     "entity_context_parts": ENTITY_CONTEXT_ORACLE,
 }

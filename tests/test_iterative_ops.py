@@ -324,6 +324,41 @@ class TestLinking:
         out = linking.fuzzy_link(q, names, top_k=1).collect()
         assert out[0]["name"] == target
 
+    def test_token_set_word_order_insensitive(self, spark):
+        """'obama, barack' must hit 'barack obama' at 1.0 under token_set
+        (thefuzz semantics, fuzzy_string.py:22-72); plain Levenshtein can't."""
+        names = spark.createDataFrame(
+            [
+                {"node_id": 1, "name": "barack obama"},
+                {"node_id": 2, "name": "george washington"},
+            ]
+        )
+        q = spark.createDataFrame([{"query": "Obama, Barack"}])
+        ts = linking.fuzzy_link(q, names, top_k=1, scorer="token_set").collect()
+        assert ts[0]["node_id"] == 1
+        assert ts[0]["fuzzy_score"] == pytest.approx(1.0)
+        lev = linking.fuzzy_link(q, names, top_k=1).collect()
+        assert lev[0]["fuzzy_score"] < 0.7
+
+    def test_token_set_subset_scores_high(self, spark):
+        from graphrag_toolkit_spark.operators.linking import token_set_similarity
+
+        df = spark.createDataFrame(
+            [{"a": "new york", "b": "new york city"},
+             {"a": "", "b": ""}]
+        )
+        out = df.select(token_set_similarity(F.col("a"), F.col("b")).alias("s")).collect()
+        # intersection 'new york' is a prefix of b's full string → s0-vs-s1
+        # ratio is 1.0-adjacent; thefuzz gives 1.0 here via the s0/s1 leg
+        assert out[0]["s"] == pytest.approx(1.0)
+        assert out[1]["s"] == 0.0
+
+    def test_token_set_invalid_scorer(self, spark):
+        names = spark.createDataFrame([{"node_id": 1, "name": "x"}])
+        q = spark.createDataFrame([{"query": "x"}])
+        with pytest.raises(ValueError, match="scorer"):
+            linking.fuzzy_link(q, names, scorer="bogus")
+
     def test_dense_link_self_is_top1(self, spark, pdg):
         cat = spark.createDataFrame(pdg.embeddings_topic).withColumnRenamed("id", "node_id")
         first = pdg.embeddings_topic.iloc[0]
