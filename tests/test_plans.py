@@ -192,3 +192,20 @@ def test_fuzzy_link_blocks_on_length_bucket_not_nested_loop(spark):
     assert "CartesianProduct" not in plan
     # candidate generation is a hash equi-join on the bucket key
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_embedding_neardup_lsh_is_bucket_equijoin(spark):
+    """The declared corpus-scale near-dup path must pair rows through the
+    LSH bucket equi-join — never a cartesian/all-pairs stage."""
+    from graphrag_toolkit_spark.operators import dedup
+
+    emb = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.rand(seed=i) - 0.5) for i in range(8)]).alias("embedding"),
+    )
+    plan = plan_of(
+        dedup.embedding_near_dup_pairs_lsh(emb, "vec_id", "embedding", 0.9, dim=8)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
