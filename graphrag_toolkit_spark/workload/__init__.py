@@ -46,6 +46,7 @@ _CHECK_FIRST = [
     "embedding_neardup_lsh",
     "nlp_keywords_customers",
     "fuzzy_link_token_set",
+    "embedding_neardup_recall",
     "extract_build_counts",
     "extract_build_fact_graph",
     "extract_build_statements",

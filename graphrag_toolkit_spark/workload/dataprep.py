@@ -446,15 +446,17 @@ FROM t
 # --- ANN ---------------------------------------------------------------------
 
 N_PLANES = 4
-_PLANES = ann.hyperplanes(N_PLANES, 64)
-_PLANE_VALUES = ", ".join(
-    f"({p}, {i + 1}, {v!r})"
-    for p, plane in enumerate(_PLANES)
-    for i, v in enumerate(plane)
-)
 
-_BUCKET_SQL = f"""
-planes(pid, i, val) AS (VALUES {_PLANE_VALUES}),
+
+def _bucket_sql(n_planes: int) -> str:
+    planes = ann.hyperplanes(n_planes, 64)
+    plane_values = ", ".join(
+        f"({p}, {i + 1}, {v!r})"
+        for p, plane in enumerate(planes)
+        for i, v in enumerate(plane)
+    )
+    return f"""
+planes(pid, i, val) AS (VALUES {plane_values}),
 proj AS (
   SELECT e.vec_id, p.pid,
          SUM({_EMB_Q.format(x='e.embedding[p.i]')} * {_EMB_Q.format(x='p.val')}) AS s
@@ -469,19 +471,28 @@ buckets AS (
 """
 
 
+_BUCKET_SQL = _bucket_sql(N_PLANES)
+
+
+N_PLANES_DEDUP = 6  # 64 buckets: pair work ∝ Σ bucket² — planes grow O(log n)
+
+
 def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Headline embedding near-dup: LSH-bucket candidate generation + exact
     quantized-cosine verify — the declared 100 TB path (one bucket equi-join,
     no all-pairs stage). The all-pairs leg (``embedding_neardup_pairs``)
-    stays as the bounded-pool verifier."""
+    stays as the bounded-pool verifier. Uses more planes than the ANN top-k
+    query (6 → 64 buckets) since near-dup only needs co-bucketing of
+    near-identical vectors, not broad neighborhoods."""
     emb = load(spark, sf_dir, "embeddings")
     return dedup.embedding_near_dup_pairs_lsh(
-        emb, "vec_id", "embedding", EMBED_DUP_THRESHOLD, n_planes=N_PLANES, dim=64
+        emb, "vec_id", "embedding", EMBED_DUP_THRESHOLD,
+        n_planes=N_PLANES_DEDUP, dim=64,
     )
 
 
 EMBED_NEARDUP_LSH_ORACLE = f"""
-WITH {_BUCKET_SQL},
+WITH {_bucket_sql(N_PLANES_DEDUP)},
 cand AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
@@ -502,6 +513,84 @@ scores AS (
 )
 SELECT id_a, id_b, cos FROM scores WHERE cos >= {EMBED_DUP_THRESHOLD}
 """
+
+
+def embedding_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completeness check as a first-class query: recall of the LSH-bucketed
+    near-dup path against the all-pairs exact verifier at the same
+    threshold. One row (n_exact, n_lsh, n_inter, recall) — the measured
+    price of the scale path, hash-checked so it can't silently rot."""
+    emb = load(spark, sf_dir, "embeddings")
+    exact = dedup.embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", EMBED_DUP_THRESHOLD
+    ).select("id_a", "id_b", F.lit(1).alias("_e"))
+    lsh = dedup.embedding_near_dup_pairs_lsh(
+        emb, "vec_id", "embedding", EMBED_DUP_THRESHOLD,
+        n_planes=N_PLANES_DEDUP, dim=64,
+    ).select("id_a", "id_b", F.lit(1).alias("_l"))
+    joined = exact.join(lsh, ["id_a", "id_b"], "full")
+    return joined.agg(
+        F.count("_e").alias("n_exact"),
+        F.count("_l").alias("n_lsh"),
+        F.count(F.when(F.col("_e").isNotNull() & F.col("_l").isNotNull(), 1)).alias("n_inter"),
+    ).select(
+        "n_exact", "n_lsh", "n_inter",
+        (F.col("n_inter").cast("double") / F.col("n_exact")).alias("recall"),
+    )
+
+
+def _lsh_pairs_cte(n_planes: int) -> str:
+    """LSH candidate+verify pair list as CTEs ending in ``lsh_pairs``."""
+    return f"""{_bucket_sql(n_planes)},
+lcand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+lterms AS (
+  SELECT c.id_a, c.id_b,
+         {_EMB_Q.format(x='ea.embedding[i]')} AS xa,
+         {_EMB_Q.format(x='eb.embedding[i]')} AS xb
+  FROM lcand c
+  JOIN embeddings ea ON ea.vec_id = c.id_a
+  JOIN embeddings eb ON eb.vec_id = c.id_b, generate_series(1, 64) AS t(i)
+),
+lsh_pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b,
+           CAST(SUM(xa * xb) AS DOUBLE)
+             / (sqrt(CAST(SUM(xa * xa) AS DOUBLE)) * sqrt(CAST(SUM(xb * xb) AS DOUBLE))) AS cos
+    FROM lterms GROUP BY id_a, id_b
+  ) WHERE cos >= {EMBED_DUP_THRESHOLD}
+)"""
+
+
+EMBED_NEARDUP_RECALL_ORACLE = f"""
+WITH eterms AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_EMB_Q.format(x='a.embedding[i]')} AS xa,
+         {_EMB_Q.format(x='b.embedding[i]')} AS xb
+  FROM embeddings a
+  JOIN embeddings b ON a.vec_id < b.vec_id, generate_series(1, 64) AS t(i)
+),
+exact_pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b,
+           CAST(SUM(xa * xb) AS DOUBLE)
+             / (sqrt(CAST(SUM(xa * xa) AS DOUBLE)) * sqrt(CAST(SUM(xb * xb) AS DOUBLE))) AS cos
+    FROM eterms GROUP BY id_a, id_b
+  ) WHERE cos >= {EMBED_DUP_THRESHOLD}
+),
+{_lsh_pairs_cte(N_PLANES_DEDUP)}
+SELECT
+  (SELECT COUNT(*) FROM exact_pairs) AS n_exact,
+  (SELECT COUNT(*) FROM lsh_pairs) AS n_lsh,
+  (SELECT COUNT(*) FROM exact_pairs e JOIN lsh_pairs l
+     ON e.id_a = l.id_a AND e.id_b = l.id_b) AS n_inter,
+  CAST((SELECT COUNT(*) FROM exact_pairs e JOIN lsh_pairs l
+     ON e.id_a = l.id_a AND e.id_b = l.id_b) AS DOUBLE)
+    / (SELECT COUNT(*) FROM exact_pairs) AS recall
+"""
+
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -667,6 +756,7 @@ QUERIES = {
     "stratified_sample_documents": stratified_sample_documents,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "embedding_neardup_lsh": embedding_neardup_lsh,
+    "embedding_neardup_recall": embedding_neardup_recall,
     "token_stats_documents": token_stats_documents,
     "quality_score_documents": quality_score_documents,
     "language_id_documents": language_id_documents,
@@ -688,6 +778,7 @@ ORACLES = {
     "stratified_sample_documents": STRATIFIED_ORACLE,
     "embedding_neardup_pairs": EMBED_NEARDUP_ORACLE,
     "embedding_neardup_lsh": EMBED_NEARDUP_LSH_ORACLE,
+    "embedding_neardup_recall": EMBED_NEARDUP_RECALL_ORACLE,
     "token_stats_documents": TOKEN_STATS_ORACLE,
     "quality_score_documents": QUALITY_ORACLE,
     "language_id_documents": LANGID_ORACLE,
