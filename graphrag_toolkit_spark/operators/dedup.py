@@ -462,3 +462,68 @@ def embedding_near_dup_pairs_lsh(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def embedding_near_dup_pairs_lsh_banded(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_planes: int = 4,
+    bands: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Banded (multi-table) hyperplane LSH: ``bands`` independent sign
+    signatures of ``n_planes`` planes each; a pair is a candidate when it
+    co-buckets in ANY band (same OR-of-ANDs recall amplification as MinHash
+    banding: recall = 1-(1-p^k)^L for per-plane agreement p = 1-θ/π). Exact
+    quantized-cosine verify keeps precision exact; bands only buy recall.
+
+    Tuning is angle-driven: true near-duplicates (cos ≥ 0.9, the production
+    dedup threshold) prune hard — k=8, L=8 gives ~94% recall while only
+    ~0.4% of random orthogonal pairs become candidates. Loose thresholds
+    (wide angles, like the fixture's 0.35) are fundamentally LSH-hostile —
+    recall can be bought (smaller k, larger L) but pruning degrades toward
+    all-pairs; the ``embedding_neardup_recall`` query measures exactly this
+    trade instead of asserting it away.
+
+    Shape: one bucket-exploded table (bands × n rows), per-band equi-join,
+    pair distinct, then a verify join — every shuffle partitions by
+    (band, bucket) or pair id; no cross-bucket pair ever forms."""
+    from graphrag_toolkit_spark.operators import ann
+
+    planes = ann.hyperplanes(n_planes * bands, dim)
+    band_sigs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            ann.lsh_bucket(
+                F.col(vec_col), planes[b * n_planes : (b + 1) * n_planes]
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    banded = emb.select(
+        F.col(id_col).alias("id"), F.explode(F.array(*band_sigs)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.withColumnRenamed("id", "id_a")
+    b = banded.withColumnRenamed("id", "id_b")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    prepped = emb.select(
+        F.col(id_col).alias("id"),
+        prequantize(F.col(vec_col)).alias("qv"),
+        l2_norm_quantized(F.col(vec_col)).alias("norm"),
+    )
+    return (
+        cand.join(prepped.withColumnsRenamed({"id": "id_a", "qv": "qa", "norm": "na"}), "id_a")
+        .join(prepped.withColumnsRenamed({"id": "id_b", "qv": "qb", "norm": "nb"}), "id_b")
+        .withColumn(
+            "cos", dot_prequantized(F.col("qa"), F.col("qb")) / (F.col("na") * F.col("nb"))
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -515,8 +515,16 @@ SELECT id_a, id_b, cos FROM scores WHERE cos >= {EMBED_DUP_THRESHOLD}
 """
 
 
+# banded recall-amplified generator for the recall measurement: k=3 planes
+# × L=8 bands → theoretical recall 1-(1-p³)⁸ ≈ 0.88 at the fixture's wide
+# angle (cos 0.35 ⇒ p = 1-θ/π ≈ 0.614). See the operator docstring for why
+# loose thresholds are LSH-hostile; the point of this query is to MEASURE it.
+RECALL_PLANES = 3
+RECALL_BANDS = 8
+
+
 def embedding_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Completeness check as a first-class query: recall of the LSH-bucketed
+    """Completeness check as a first-class query: recall of the banded-LSH
     near-dup path against the all-pairs exact verifier at the same
     threshold. One row (n_exact, n_lsh, n_inter, recall) — the measured
     price of the scale path, hash-checked so it can't silently rot."""
@@ -524,9 +532,9 @@ def embedding_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = dedup.embedding_near_dup_pairs(
         emb, "vec_id", "embedding", EMBED_DUP_THRESHOLD
     ).select("id_a", "id_b", F.lit(1).alias("_e"))
-    lsh = dedup.embedding_near_dup_pairs_lsh(
+    lsh = dedup.embedding_near_dup_pairs_lsh_banded(
         emb, "vec_id", "embedding", EMBED_DUP_THRESHOLD,
-        n_planes=N_PLANES_DEDUP, dim=64,
+        n_planes=RECALL_PLANES, bands=RECALL_BANDS, dim=64,
     ).select("id_a", "id_b", F.lit(1).alias("_l"))
     joined = exact.join(lsh, ["id_a", "id_b"], "full")
     return joined.agg(
@@ -539,12 +547,38 @@ def embedding_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_pairs_cte(n_planes: int) -> str:
-    """LSH candidate+verify pair list as CTEs ending in ``lsh_pairs``."""
-    return f"""{_bucket_sql(n_planes)},
+def _banded_bucket_sql(n_planes: int, bands: int) -> str:
+    """Per-band sign-signature CTE ``bbuckets(vec_id, band, bucket)`` using
+    the same hyperplane literals as the Spark side."""
+    planes = ann.hyperplanes(n_planes * bands, 64)
+    plane_values = ", ".join(
+        f"({p}, {i + 1}, {v!r})"
+        for p, plane in enumerate(planes)
+        for i, v in enumerate(plane)
+    )
+    return f"""
+planes(pid, i, val) AS (VALUES {plane_values}),
+proj AS (
+  SELECT e.vec_id, p.pid,
+         SUM({_EMB_Q.format(x='e.embedding[p.i]')} * {_EMB_Q.format(x='p.val')}) AS s
+  FROM embeddings e, planes p
+  GROUP BY e.vec_id, p.pid
+),
+bbuckets AS (
+  SELECT vec_id, pid // {n_planes} AS band,
+         string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY pid) AS bucket
+  FROM proj GROUP BY vec_id, pid // {n_planes}
+)"""
+
+
+def _lsh_pairs_cte(n_planes: int, bands: int) -> str:
+    """Banded LSH candidate+verify pair list as CTEs ending in ``lsh_pairs``."""
+    return f"""{_banded_bucket_sql(n_planes, bands)},
 lcand AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bbuckets a
+  JOIN bbuckets b ON a.band = b.band AND a.bucket = b.bucket
+                 AND a.vec_id < b.vec_id
 ),
 lterms AS (
   SELECT c.id_a, c.id_b,
@@ -580,7 +614,7 @@ exact_pairs AS (
     FROM eterms GROUP BY id_a, id_b
   ) WHERE cos >= {EMBED_DUP_THRESHOLD}
 ),
-{_lsh_pairs_cte(N_PLANES_DEDUP)}
+{_lsh_pairs_cte(RECALL_PLANES, RECALL_BANDS)}
 SELECT
   (SELECT COUNT(*) FROM exact_pairs) AS n_exact,
   (SELECT COUNT(*) FROM lsh_pairs) AS n_lsh,

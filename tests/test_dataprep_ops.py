@@ -405,3 +405,46 @@ class TestKMeansIVF:
             hits += len(exact & approx.get(qid, set()))
             total += len(exact)
         assert hits / total >= 0.9
+
+
+class TestBandedLSH:
+    def test_banded_recall_dominates_single_signature(self, spark):
+        """OR-of-ANDs amplification: k=3,L=8 banded candidates must recover
+        strictly more of the exact pair set than one 6-plane signature on
+        the same vectors (and never produce a pair outside the exact set)."""
+        rows = [
+            {"vid": i, "v": fixtures.pseudo_embedding(f"band-{i}")}
+            for i in range(60)
+        ]
+        rows.append({"vid": 100, "v": rows[0]["v"]})   # planted identical
+        emb = spark.createDataFrame(rows)
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.embedding_near_dup_pairs(emb, "vid", "v", 0.3).collect()
+        }
+        single = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.embedding_near_dup_pairs_lsh(
+                emb, "vid", "v", 0.3, n_planes=6
+            ).collect()
+        }
+        banded = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.embedding_near_dup_pairs_lsh_banded(
+                emb, "vid", "v", 0.3, n_planes=3, bands=8
+            ).collect()
+        }
+        assert banded <= exact and single <= exact     # verify = no false pos
+        assert len(banded) >= len(single)
+        assert (0, 100) in banded                      # identicals always co-bucket
+        assert len(banded) / max(len(exact), 1) > 0.5
+
+    def test_banded_pair_emitted_once(self, spark):
+        emb = spark.createDataFrame(
+            [{"vid": i, "v": fixtures.pseudo_embedding(f"x{i}")} for i in range(12)]
+        )
+        out = dedup.embedding_near_dup_pairs_lsh_banded(
+            emb, "vid", "v", -1.0, n_planes=2, bands=4
+        ).collect()
+        pairs = [(r["id_a"], r["id_b"]) for r in out]
+        assert len(pairs) == len(set(pairs))
