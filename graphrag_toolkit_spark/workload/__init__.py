@@ -47,6 +47,7 @@ _CHECK_FIRST = [
     "nlp_keywords_customers",
     "fuzzy_link_token_set",
     "embedding_neardup_recall",
+    "ann_ivf_kmeans_topk",
     "extract_build_counts",
     "extract_build_fact_graph",
     "extract_build_statements",

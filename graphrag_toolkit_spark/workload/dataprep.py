@@ -685,6 +685,26 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production IVF leg end-to-end: seeded MLlib KMeans centroids feeding
+    the same probe/rerank pipeline. KMeans init samples per-partition, so
+    results are stable per run but NOT invariant to repartitioning —
+    declared WITHOUT a SQL oracle on purpose (driver records the weaker
+    rows-only check); the deterministic first-C leg above stays the
+    hash-gated one, and the KMeans recall contract lives in
+    tests/test_dataprep_ops.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = ann.train_centroids_kmeans(
+        emb, n_centroids=N_CENTROIDS, id_col="vec_id"
+    )
+    queries = emb.filter(
+        (F.col("vec_id") >= 10) & (F.col("vec_id") < 13)
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    return ann.ivf_topk(
+        emb, centroids, queries, id_col="vec_id", nprobe=NPROBE, k=5
+    )
+
+
 _PAIR_COSINE = f"""
   SELECT l.key_a, l.key_b,
          CAST(SUM({_EMB_Q.format(x='l.ea[i]')} * {_EMB_Q.format(x='l.eb[i]')}) AS DOUBLE)
@@ -797,6 +817,7 @@ QUERIES = {
     "fingerprint_documents": fingerprint_documents,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivf_kmeans_topk": ann_ivf_kmeans_topk,
     "multimodal_decode": multimodal_decode,
     "multimodal_frames": multimodal_frames,
 }
