@@ -200,3 +200,91 @@ class TestSamplingProperty:
             b = int(hashlib.md5(str(i).encode()).hexdigest()[:7], 16) % 10_000
             want = "test" if b < 1000 else ("val" if b < 2000 else "train")
             assert got[i] == want
+
+
+class TestNlpKeywordTwins:
+    """The driver-side and column-expression nlp keyword extractors must be
+    the SAME function — retrieval seeds (python twin) and corpus extraction
+    (column) silently diverging would poison the provider matrix."""
+
+    @given(
+        st.lists(
+            st.text(
+                alphabet=st.characters(
+                    whitelist_categories=["Lu", "Ll", "Nd", "Zs"],
+                    whitelist_characters=" .,?!-",
+                ),
+                max_size=120,
+            ),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    @settings(**SETTINGS)
+    def test_python_twin_equals_column(self, spark, texts):
+        from graphrag_toolkit_spark import keywords
+
+        df = spark.createDataFrame(
+            [{"id": i, "text": t} for i, t in enumerate(texts)]
+        )
+        rows = keywords.nlp_keywords(df, "text", "id").collect()
+        by_id: dict[int, list[str]] = {}
+        for r in sorted(rows, key=lambda r: (r["id"], r["pos"])):
+            by_id.setdefault(r["id"], []).append(r["keyword"])
+        for i, t in enumerate(texts):
+            assert by_id.get(i, []) == keywords.nlp_keywords_py(t)
+
+
+class TestTokenSetProperty:
+    """token_set_similarity against a direct Python reimplementation of
+    thefuzz token_set_ratio (set split, three canonical strings, max of
+    pairwise Levenshtein ratios)."""
+
+    @staticmethod
+    def _py_token_set(a: str, b: str) -> float:
+        def lev(x: str, y: str) -> int:
+            prev = list(range(len(y) + 1))
+            for i, cx in enumerate(x, 1):
+                cur = [i]
+                for j, cy in enumerate(y, 1):
+                    cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (cx != cy)))
+                prev = cur
+            return prev[-1]
+
+        def ratio(x: str, y: str) -> float:
+            tot = len(x) + len(y)
+            return 0.0 if tot == 0 else (tot - lev(x, y)) / tot
+
+        ta = sorted(set(t for t in a.split(" ") if t))
+        tb = sorted(set(t for t in b.split(" ") if t))
+        inter = [t for t in ta if t in tb]
+        s0 = " ".join(inter)
+        s1 = " ".join(inter + [t for t in ta if t not in tb])
+        s2 = " ".join(inter + [t for t in tb if t not in ta])
+        return max(ratio(s0, s1), ratio(s0, s2), ratio(s1, s2))
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.text(alphabet="ab c", max_size=24),
+                st.text(alphabet="ab c", max_size=24),
+            ),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    @settings(**SETTINGS)
+    def test_matches_python_reference(self, spark, pairs):
+        from graphrag_toolkit_spark.operators.linking import token_set_similarity
+
+        df = spark.createDataFrame(
+            [{"i": i, "a": a, "b": b} for i, (a, b) in enumerate(pairs)]
+        )
+        got = {
+            r["i"]: r["s"]
+            for r in df.select(
+                "i", token_set_similarity(F.col("a"), F.col("b")).alias("s")
+            ).collect()
+        }
+        for i, (a, b) in enumerate(pairs):
+            assert got[i] == pytest.approx(self._py_token_set(a, b), abs=1e-12)
