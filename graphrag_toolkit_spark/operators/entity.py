@@ -62,6 +62,71 @@ def lookup_entities(
     return exact.unionByName(prefix)
 
 
+def vss_entities(
+    g: SparkGraphTables,
+    query_vector: list[float],
+    index: str = "chunk",
+    top_k_nodes: int = 3,
+    limit: int = 50,
+    include_local: bool = False,
+) -> DataFrame:
+    """The ``ec_entity_provider='vss'`` leg
+    (``retrieval/query_context/entity_vss_provider.py:24-110``): VSS top-k
+    over the topic or chunk index, then every entity reachable from those
+    nodes (topic: BELONGS_TO; chunk: MENTIONED_IN_S — then SUPPORTS →
+    SUBJECT|OBJECT), local entities excluded, ranked by GLOBAL entity degree
+    (the reference's ``count(r)`` over all SUBJECT|OBJECT edges), top
+    ``limit``. Returns (entity_id, value, classification, score).
+
+    Scale shape: the top-k node set (≤ k rows) broadcasts down the edge
+    walk; the degree aggregate reuses A3's one groupBy; final cut is a
+    global ``orderBy.limit`` over ≤ |reachable entities| rows."""
+    from graphrag_toolkit_spark.operators.rollup import entity_degree
+    from graphrag_toolkit_spark.operators.vss import top_k
+
+    emb = g.embeddings_topic if index == "topic" else g.embeddings_chunk
+    nodes = F.broadcast(
+        top_k(emb, query_vector, id_col="id", k=top_k_nodes).select(
+            F.col("id").alias("node_id")
+        )
+    )
+    supports = g.edges_of("SUPPORTS").select(
+        F.col("src").alias("fact_id"), F.col("dst").alias("statement_id")
+    )
+    if index == "topic":
+        stmt = g.edges_of("BELONGS_TO").select(
+            F.col("src").alias("statement_id"), F.col("dst").alias("node_id")
+        )
+    else:
+        stmt = g.edges_of("MENTIONED_IN_S").select(
+            F.col("src").alias("statement_id"), F.col("dst").alias("node_id")
+        )
+    ent_edges = (
+        g.edges_of("SUBJECT").unionByName(g.edges_of("OBJECT"))
+        .select(F.col("src").alias("entity_id"), F.col("dst").alias("fact_id"))
+    )
+    reached = (
+        stmt.join(nodes, "node_id")
+        .join(supports, "statement_id")
+        .join(ent_edges, "fact_id")
+        .select("entity_id")
+        .distinct()
+    )
+    ents = g.entities
+    if not include_local:
+        ents = ents.filter(F.col("classification") != LOCAL_ENTITY)
+    return (
+        reached.join(ents, "entity_id")
+        .join(entity_degree(g), "entity_id")
+        .select(
+            "entity_id", "value", "classification",
+            F.col("degree").cast("long").alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("entity_id"))
+        .limit(limit)
+    )
+
+
 def expand_entity_context(
     g: SparkGraphTables,
     seed_entities: DataFrame,

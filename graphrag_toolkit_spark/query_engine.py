@@ -47,15 +47,10 @@ class RetrievalConfig:
     extra: dict = field(default_factory=dict)
 
 
-def keyword_seed_chunks(g: SparkGraphTables, keywords: list[str]) -> DataFrame:
-    """Keyword → entity → chunk seeding (the reference's entity-context seed
-    path, ``traversal_based_base_retriever.py:219-257``): J9 lookup resolves
-    keywords to entities; their facts' statements' chunks become traversal
-    seeds. Entity hits broadcast down the SUBJECT→SUPPORTS→MENTIONED_IN_S
-    walk — seed-driven, never a full-graph pass."""
-    spark = g.chunks.sparkSession
-    kwdf = spark.createDataFrame([{"keyword": k} for k in keywords])
-    ents = lookup_entities(g, kwdf).select("entity_id").distinct()
+def entity_chunks(g: SparkGraphTables, entities: DataFrame) -> DataFrame:
+    """Entities → the chunks their facts' statements are mentioned in
+    (SUBJECT→SUPPORTS→MENTIONED_IN_S walk). The entity set broadcasts —
+    seed-driven, never a full-graph pass."""
     subj = g.edges_of("SUBJECT").select(
         F.col("src").alias("entity_id"), F.col("dst").alias("fact_id")
     )
@@ -66,12 +61,22 @@ def keyword_seed_chunks(g: SparkGraphTables, keywords: list[str]) -> DataFrame:
         F.col("src").alias("statement_id"), F.col("dst").alias("chunk_id")
     )
     return (
-        subj.join(F.broadcast(ents), "entity_id")
+        subj.join(F.broadcast(entities.select("entity_id").distinct()), "entity_id")
         .join(supports, "fact_id")
         .join(ms, "statement_id")
         .select("chunk_id")
         .distinct()
     )
+
+
+def keyword_seed_chunks(g: SparkGraphTables, keywords: list[str]) -> DataFrame:
+    """Keyword → entity → chunk seeding (the reference's entity-context seed
+    path, ``traversal_based_base_retriever.py:219-257``): J9 lookup resolves
+    keywords to entities; their facts' statements' chunks become traversal
+    seeds."""
+    spark = g.chunks.sparkSession
+    kwdf = spark.createDataFrame([{"keyword": k} for k in keywords])
+    return entity_chunks(g, lookup_entities(g, kwdf))
 
 
 def chunk_search_flat(
@@ -80,6 +85,7 @@ def chunk_search_flat(
     config: RetrievalConfig | None = None,
     query_vector: list[float] | None = None,
     keyword_provider: str = "passthru",
+    entity_provider: str = "graph",
     llm: LLM | None = None,
 ) -> DataFrame:
     """The retrieval core as FLAT scored statement rows (stages 5b-6 of
@@ -87,7 +93,11 @@ def chunk_search_flat(
 
     ``keyword_provider`` fills the reference's ``ec_keyword_provider`` matrix
     (llm|vss|nlp|passthru): non-passthru providers extract keywords from the
-    query and union entity-matched chunks into the VSS seed set."""
+    query and union entity-matched chunks into the VSS seed set.
+    ``entity_provider`` fills the ``ec_entity_provider`` axis: 'graph'
+    resolves keywords by J9 string lookup; 'vss' adds degree-ranked entities
+    reachable from the query vector's top chunks (EntityVSSProvider,
+    ``entity.vss_entities``) regardless of keyword hits."""
     cfg = config or RetrievalConfig()
     qvec = query_vector or pseudo_embedding(query_text)
 
@@ -109,6 +119,15 @@ def chunk_search_flat(
         ]
         if kws:
             seeds = seeds.unionByName(keyword_seed_chunks(g, kws)).distinct()
+    if entity_provider == "vss":
+        from graphrag_toolkit_spark.operators.entity import vss_entities
+
+        ents = vss_entities(g, qvec, index="chunk", limit=cfg.intermediate_limit)
+        seeds = seeds.unionByName(entity_chunks(g, ents)).distinct()
+    elif entity_provider != "graph":
+        raise ValueError(
+            f"invalid entity provider {entity_provider!r}: expected graph or vss"
+        )
 
     # J1 → J2/J3/A2
     stmt_ids = chunk_to_statements(g, seeds, limit=cfg.intermediate_limit)

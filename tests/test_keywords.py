@@ -150,3 +150,40 @@ class TestMultipartRouting:
             g, exploding_llm, "q", enable_multipart=False
         )
         assert out.count() >= 0
+
+
+class TestEntityVssProvider:
+    """ec_entity_provider='vss' (entity_vss_provider.py:24-110): entities
+    reachable from the query's top chunks, degree-ranked, local excluded."""
+
+    def test_vss_entities_degree_ranked_and_bounded(self, spark, g):
+        from graphrag_toolkit_spark.operators.entity import vss_entities
+
+        # query WITH the embedding of a chunk that provably has statements
+        # (the sparse t1 fixture links only some chunks) — VSS rank 1 is then
+        # that chunk itself, so the walk must reach its entities
+        linked_chunk = g.edges_of("MENTIONED_IN_S").select("dst").first()["dst"]
+        qv = list(
+            g.embeddings_chunk.filter(F.col("id") == linked_chunk)
+            .select("embedding").first()["embedding"]
+        )
+        out = vss_entities(g, qv, index="chunk", top_k_nodes=3, limit=10).collect()
+        assert 0 < len(out) <= 10
+        scores = [r["score"] for r in out]
+        assert scores == sorted(scores, reverse=True)
+        assert all(r["classification"] != "__Local_Entity__" for r in out)
+
+    def test_topic_index_leg(self, spark, g):
+        from graphrag_toolkit_spark.operators.entity import vss_entities
+
+        qv = fixtures.pseudo_embedding("topic probe")
+        out = vss_entities(g, qv, index="topic", top_k_nodes=2, limit=5).collect()
+        assert len(out) <= 5
+
+    def test_search_with_vss_entity_provider_runs(self, g):
+        flat = chunk_search_flat(g, "anything at all", entity_provider="vss")
+        assert flat.count() > 0
+
+    def test_invalid_entity_provider(self, g):
+        with pytest.raises(ValueError, match="entity provider"):
+            chunk_search_flat(g, "q", entity_provider="bogus")
