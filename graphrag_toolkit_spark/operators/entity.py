@@ -127,6 +127,81 @@ def vss_entities(
     )
 
 
+def entities_from_top_statement(
+    g: SparkGraphTables,
+    query_text: str,
+    query_vector: list[float],
+    index: str = "chunk",
+    top_k_nodes: int = 3,
+    include_local: bool = False,
+) -> DataFrame:
+    """The top-statement entity provider
+    (``query_context/entity_from_top_statement_provider.py:27-117``): VSS
+    top-k nodes → their statements → TF-IDF-score the statement texts
+    against the query → the single best statement's entities, degree-ranked
+    (local excluded). Returns (entity_id, value, classification, score).
+
+    Stays distributed until the one-statement cut: candidate statements are
+    bounded by top_k_nodes × statements-per-node, the TF-IDF scorer is the
+    same relational pipeline as V5, and the final entity walk broadcasts a
+    single statement id."""
+    from graphrag_toolkit_spark.operators.rollup import entity_degree
+    from graphrag_toolkit_spark.operators.tfidf import tfidf_cosine_scores
+    from graphrag_toolkit_spark.operators.vss import top_k
+
+    emb = g.embeddings_topic if index == "topic" else g.embeddings_chunk
+    nodes = F.broadcast(
+        top_k(emb, query_vector, id_col="id", k=top_k_nodes).select(
+            F.col("id").alias("node_id")
+        )
+    )
+    if index == "topic":
+        member = g.edges_of("BELONGS_TO").select(
+            F.col("src").alias("statement_id"), F.col("dst").alias("node_id")
+        )
+    else:
+        member = g.edges_of("MENTIONED_IN_S").select(
+            F.col("src").alias("statement_id"), F.col("dst").alias("node_id")
+        )
+    cand = (
+        member.join(nodes, "node_id")
+        .join(g.statements.select("statement_id", "value"), "statement_id")
+        .select("statement_id", "value")
+        .distinct()
+    )
+    scored = tfidf_cosine_scores(cand, query_text, "value", "statement_id")
+    top_stmt = F.broadcast(
+        scored.orderBy(F.desc("tfidf_score"), F.asc("id"))
+        .limit(1)
+        .select(F.col("id").alias("statement_id"))
+    )
+    supports = g.edges_of("SUPPORTS").select(
+        F.col("src").alias("fact_id"), F.col("dst").alias("statement_id")
+    )
+    ent_edges = (
+        g.edges_of("SUBJECT").unionByName(g.edges_of("OBJECT"))
+        .select(F.col("src").alias("entity_id"), F.col("dst").alias("fact_id"))
+    )
+    reached = (
+        supports.join(top_stmt, "statement_id")
+        .join(ent_edges, "fact_id")
+        .select("entity_id")
+        .distinct()
+    )
+    ents = g.entities
+    if not include_local:
+        ents = ents.filter(F.col("classification") != LOCAL_ENTITY)
+    return (
+        reached.join(ents, "entity_id")
+        .join(entity_degree(g), "entity_id")
+        .select(
+            "entity_id", "value", "classification",
+            F.col("degree").cast("long").alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("entity_id"))
+    )
+
+
 def expand_entity_context(
     g: SparkGraphTables,
     seed_entities: DataFrame,

@@ -187,3 +187,35 @@ class TestEntityVssProvider:
     def test_invalid_entity_provider(self, g):
         with pytest.raises(ValueError, match="entity provider"):
             chunk_search_flat(g, "q", entity_provider="bogus")
+
+
+class TestTopStatementEntityProvider:
+    """entity_from_top_statement_provider.py: VSS nodes -> statements ->
+    TF-IDF top-1 statement -> its entities, degree-ranked."""
+
+    def test_entities_come_from_one_statement(self, spark, g):
+        from graphrag_toolkit_spark.operators.entity import (
+            entities_from_top_statement,
+        )
+
+        row = (
+            g.edges_of("MENTIONED_IN_S")
+            .select("src", "dst")
+            .join(
+                g.statements.select(
+                    F.col("statement_id").alias("src"),
+                    F.col("value").alias("stmt_text"),
+                ),
+                "src",
+            )
+            .first()
+        )
+        qv = list(
+            g.embeddings_chunk.filter(F.col("id") == row["dst"])
+            .select("embedding").first()["embedding"]
+        )
+        out = entities_from_top_statement(g, row["stmt_text"], qv).collect()
+        assert len(out) > 0
+        scores = [r["score"] for r in out]
+        assert scores == sorted(scores, reverse=True)
+        assert all(r["classification"] != "__Local_Entity__" for r in out)
