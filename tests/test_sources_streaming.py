@@ -386,3 +386,26 @@ class TestStreaming:
             stream, os.path.join(tmp, "fb_cp2"), write_batch
         )
         assert spark.read.parquet(out_path).count() == 2
+
+
+class TestEventsTimezoneGuard:
+    def test_ntz_events_refuse_non_utc_session(self, spark, tmp):
+        """load('events') must refuse a non-UTC session on the
+        TIMESTAMP_NTZ encoding: the NTZ relabel would silently shift
+        instants relative to the DuckDB oracle."""
+        from graphrag_toolkit_spark.session import load
+
+        spark.sql(
+            "SELECT 1 AS event_id, TIMESTAMP_NTZ '2024-01-01 12:00:00' AS ts"
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "events.parquet"))
+        # UTC session: relabel succeeds and lands on the micros instant
+        out = load(spark, tmp, "events")
+        assert dict(out.dtypes)["ts"] == "timestamp"
+        assert str(out.head()["ts"]) == "2024-01-01 12:00:00"
+        orig = spark.conf.get("spark.sql.session.timeZone")
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+            with pytest.raises(ValueError, match="UTC"):
+                load(spark, tmp, "events")
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", orig)
