@@ -119,3 +119,52 @@ class TestScoringRetrieve:
             "paris capital_of: france",
             "france member_of: eu",
         ]
+
+
+class TestLlmCache:
+    def test_second_call_hits_disk_not_model(self, tmp_path):
+        from graphrag_toolkit_spark.llm_cache import cached_llm
+
+        calls = []
+
+        def model(prompt):
+            calls.append(prompt)
+            return f"reply to {prompt}"
+
+        llm = cached_llm(model, str(tmp_path))
+        assert llm("alpha") == "reply to alpha"
+        assert llm("alpha") == "reply to alpha"
+        assert calls == ["alpha"]                 # one real call
+        assert (llm.hits, llm.misses) == (1, 1)
+
+    def test_model_tag_partitions_cache(self, tmp_path):
+        from graphrag_toolkit_spark.llm_cache import cached_llm
+
+        a = cached_llm(lambda p: "A", str(tmp_path), model_tag="m1")
+        b = cached_llm(lambda p: "B", str(tmp_path), model_tag="m2")
+        assert a("same prompt") == "A"
+        assert b("same prompt") == "B"
+
+    def test_replays_across_instances(self, tmp_path):
+        from graphrag_toolkit_spark.llm_cache import cached_llm
+
+        first = cached_llm(lambda p: "original", str(tmp_path))
+        first("q")
+
+        def exploding(prompt):
+            raise AssertionError("must replay from disk")
+
+        second = cached_llm(exploding, str(tmp_path))
+        assert second("q") == "original"
+
+    def test_composes_with_agentic_loop(self, spark, tmp_path):
+        """The cache slots in anywhere an LLM callable is injected — e.g.
+        query-mode detection replays without re-asking."""
+        from graphrag_toolkit_spark.llm_cache import cached_llm
+        from graphrag_toolkit_spark.query_engine import query_mode
+
+        calls = []
+        llm = cached_llm(lambda p: (calls.append(p), "single")[1], str(tmp_path))
+        assert query_mode(llm, "a question") == "simple"
+        assert query_mode(llm, "a question") == "simple"
+        assert len(calls) == 1
