@@ -173,6 +173,44 @@ def clear_topic_ids(nested: DataFrame) -> DataFrame:
     )
 
 
+def disaggregate_results(nested: DataFrame) -> DataFrame:
+    """DisaggregateResults (``disaggregate_results.py``): split every
+    multi-topic result into one result per topic (same source, same score,
+    single-element topics array). A narrow explode — no shuffle."""
+    return (
+        nested.withColumn("_t", F.explode("topics"))
+        .withColumn("topics", F.array("_t"))
+        .drop("_t")
+    )
+
+
+def clear_scores(nested: DataFrame) -> DataFrame:
+    """ClearScores (``clear_scores.py`` / ``zero_scores.py``): zero the
+    result- and statement-level scores once ordering has been consumed —
+    consumers must not treat internal scores as meaningful."""
+    zeroed_topics = F.transform(
+        "topics",
+        lambda t: F.struct(
+            t["topic_id"].alias("topic_id"),
+            t["topic"].alias("topic"),
+            t["chunks"].alias("chunks"),
+            F.transform(
+                t["statements"],
+                lambda s: F.struct(
+                    s["statement_id"].alias("statement_id"),
+                    s["value"].alias("value"),
+                    s["details"].alias("details"),
+                    s["facts"].alias("facts"),
+                    F.lit(0.0).alias("score"),
+                ),
+            ).alias("statements"),
+        ),
+    )
+    return nested.withColumn("score", F.lit(0.0)).withColumn(
+        "topics", zeroed_topics
+    )
+
+
 def truncate_results(nested: DataFrame, max_results: int = 5) -> DataFrame:
     """TruncateResults at the nested level: total order (score desc,
     source_id asc) then limit."""

@@ -134,3 +134,27 @@ class TestFormatChain:
             formatting.format_chain(nested).explain()
         plan = buf.getvalue()
         assert "EvalPython" not in plan and "Arrow" not in plan
+
+
+class TestDisaggregateAndClearScores:
+    def test_disaggregate_one_result_per_topic(self, spark):
+        base = spark.createDataFrame(
+            [
+                ("s1", 1.0, [("t1", "a", [], []), ("t2", "b", [], [])]),
+                ("s2", 0.5, [("t3", "c", [], [])]),
+            ],
+            schema=_NESTED_SCHEMA,
+        )
+        rows = formatting.disaggregate_results(base).collect()
+        assert len(rows) == 3
+        assert all(len(r["topics"]) == 1 for r in rows)
+        assert sorted(r["topics"][0]["topic"] for r in rows) == ["a", "b", "c"]
+
+    def test_clear_scores_zeroes_all_levels(self, spark):
+        base = spark.createDataFrame(
+            [("s1", 0.8, [("t1", "a", [], [("x", "v", "", [], 0.7)])])],
+            schema=_NESTED_SCHEMA,
+        )
+        r = formatting.clear_scores(base).collect()[0]
+        assert r["score"] == 0.0
+        assert r["topics"][0]["statements"][0]["score"] == 0.0
