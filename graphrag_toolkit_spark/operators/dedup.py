@@ -445,12 +445,16 @@ def embedding_near_dup_pairs_lsh(
     from graphrag_toolkit_spark.operators import ann
 
     planes = ann.hyperplanes(n_planes, dim)
+    # quantize + norm + n_planes sign projections are the expensive part of
+    # this query (hundreds of decimal ops per row) and feed BOTH sides of
+    # the self-join — materialize the projection once instead of running it
+    # twice under the join
     prepped = emb.select(
         F.col(id_col).alias("id"),
         prequantize(F.col(vec_col)).alias("qv"),
         l2_norm_quantized(F.col(vec_col)).alias("norm"),
         ann.lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
+    ).localCheckpoint(eager=True)
     a = prepped.withColumnsRenamed({"id": "id_a", "qv": "qa", "norm": "na"})
     b = prepped.withColumnsRenamed({"id": "id_b", "qv": "qb", "norm": "nb"})
     return (
