@@ -168,3 +168,50 @@ class TestLlmCache:
         assert query_mode(llm, "a question") == "simple"
         assert query_mode(llm, "a question") == "simple"
         assert len(calls) == 1
+
+
+class TestPromptProviders:
+    def test_static(self):
+        from graphrag_toolkit_spark.prompts import provider_for
+
+        p = provider_for("static", system_prompt="sys", user_prompt="usr $q")
+        assert p.get_system_prompt() == "sys"
+        assert p.get_user_prompt() == "usr $q"
+
+    def test_file_provider_roundtrip(self, tmp_path):
+        from graphrag_toolkit_spark.prompts import provider_for
+
+        (tmp_path / "system_prompt.txt").write_text("be rigorous")
+        (tmp_path / "user_prompt.txt").write_text("answer $question")
+        p = provider_for("file", base_path=str(tmp_path))
+        assert p.get_system_prompt() == "be rigorous"
+        assert p.get_user_prompt() == "answer $question"
+
+    def test_file_provider_missing_dir(self):
+        from graphrag_toolkit_spark.prompts import provider_for
+
+        with pytest.raises(NotADirectoryError):
+            provider_for("file", base_path="/nonexistent/prompts")
+
+    def test_spark_path_provider(self, spark, tmp_path):
+        from graphrag_toolkit_spark.prompts import provider_for
+
+        (tmp_path / "system_prompt.txt").write_text("line one\nline two")
+        (tmp_path / "user_prompt.txt").write_text("u")
+        p = provider_for("spark-path", spark=spark, base_path=str(tmp_path))
+        assert p.get_system_prompt() == "line one\nline two"
+        assert p.get_user_prompt() == "u"
+
+    def test_render_safe_substitution(self):
+        from graphrag_toolkit_spark.prompts import render
+
+        out = render("Answer $question with $style", question="q1")
+        assert out == "Answer q1 with $style"   # unknown survives verbatim
+
+    def test_bedrock_stub_and_unknown(self):
+        from graphrag_toolkit_spark.prompts import provider_for
+
+        with pytest.raises(NotImplementedError, match="cloud SDK"):
+            provider_for("bedrock")
+        with pytest.raises(ValueError, match="unknown prompt provider"):
+            provider_for("carrier-pigeon")
