@@ -117,6 +117,75 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 12) -> DataFrame:
     return sh2.groupBy("id").agg(*aggs)
 
 
+def shingle_array(text: Column, k: int = 1) -> Column:
+    """Word k-gram shingles of a text column as an ARRAY expression (narrow,
+    per-row — no explode). Duplicates are kept: every consumer here is
+    duplicate-insensitive (min-hash) or re-distincts itself."""
+    toks = F.split(F.lower(text), r"\s+")
+    if k == 1:
+        grams = toks
+    else:
+        grams = F.when(
+            F.size(toks) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(k)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    return F.filter(grams, lambda g: g != "")
+
+
+def minhash_signature_cols(
+    text: Column, k: int = 1, num_hashes: int = 12
+) -> list[Column]:
+    """The H min-hashes as NARROW per-row expressions: ``array_min`` over
+    the affine-hashed shingle array. Identical values to the
+    explode+groupBy ``minhash_signatures`` path (min is duplicate- and
+    order-insensitive), but with ZERO shuffle — which (a) removes the
+    signature stage's shuffle from the batch pipeline and (b) makes
+    signatures computable on a STREAM without a pre-stateful aggregation
+    (streaming near-dup, ``streaming/stateful.py``). Null when the text has
+    no shingles — filter those rows out before banding."""
+    base = F.transform(
+        shingle_array(text, k),
+        lambda g: F.conv(F.substring(F.md5(g), 1, 7), 16, 10).cast("long"),
+    )
+    return [
+        F.array_min(
+            F.transform(base, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME))
+        ).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    ]
+
+
+def banded_bucket_cols(
+    num_hashes: int = 12, bands: int = 6
+) -> Column:
+    """Banded bucket array from mh0..mhH-1 columns: one (band, bh) struct
+    per band, bh = md5 of the band's joined min-hashes. Narrow; explode to
+    get the (band, bh) rows the LSH join/state op groups on."""
+    rows_per_band = num_hashes // bands
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"mh{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def lsh_bucket_pairs(
     sig: DataFrame, num_hashes: int = 12, bands: int = 6
 ) -> DataFrame:

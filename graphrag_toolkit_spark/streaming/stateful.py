@@ -84,3 +84,77 @@ def running_counts_stream(events: DataFrame, key_col: str = "event_type") -> Dat
 def batch_dedup_reference(rows: DataFrame, hash_col: str = "text_hash") -> DataFrame:
     """Batch oracle for ``dedup_stream`` on the same rows."""
     return rows.groupBy(hash_col).agg(F.min("id").alias("first_id"))
+
+
+def neardup_candidates_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 2,
+    num_hashes: int = 12,
+    bands: int = 6,
+) -> DataFrame:
+    """Streaming MinHash-LSH near-dup candidates: what a 100 TB ingest
+    pipeline actually runs — each arriving document is checked against
+    everything seen so far WITHOUT re-scanning the corpus.
+
+    Shape: the banded signature is a NARROW per-row expression
+    (``dedup.minhash_signature_cols`` — min-hash needs no explode/groupBy),
+    so the only stateful operator is the bucket store: rows grouped by
+    (band, band-hash), state = the doc ids previously seen in that bucket.
+    A micro-batch emits (id_a < id_b) pairs between its new docs and the
+    bucket's history plus within-batch pairs — each pair exactly once PER
+    BUCKET (pairs co-bucketed in several bands surface once per band, like
+    the batch path before its ``distinct``; downstream exact-Jaccard
+    verification dedups either way).
+
+    State size = Σ bucket sizes = bands × corpus size ids; at production
+    scale shard the stream by band-hash prefix and age out buckets with a
+    processing-time timeout. Batch twin: ``dedup.lsh_bucket_pairs`` —
+    stream-vs-batch parity is pinned in tests."""
+    from graphrag_toolkit_spark.operators import dedup
+
+    sigs = docs.select(
+        F.col(id_col).alias("id"),
+        *dedup.minhash_signature_cols(F.col(text_col), k, num_hashes),
+    ).filter(F.col("mh0").isNotNull())
+    banded = sigs.select(
+        "id", F.explode(dedup.banded_bucket_cols(num_hashes, bands)).alias("b")
+    ).select("id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+
+    out_schema = "id_a long, id_b long"
+    state_schema = "ids array<long>"
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        prev: list[int] = list(state.get[0]) if state.exists else []
+        new: list[int] = []
+        seen = set(prev)
+        for pdf in pdfs:
+            for i in sorted(int(x) for x in pdf["id"]):
+                if i not in seen:
+                    seen.add(i)
+                    new.append(i)
+        if not new:
+            return
+        pairs_a, pairs_b = [], []
+        for n in new:
+            for p in prev:
+                pairs_a.append(min(n, p))
+                pairs_b.append(max(n, p))
+        for i, n1 in enumerate(new):
+            for n2 in new[i + 1 :]:
+                pairs_a.append(min(n1, n2))
+                pairs_b.append(max(n1, n2))
+        state.update((prev + new,))
+        if pairs_a:
+            yield pd.DataFrame({"id_a": pairs_a, "id_b": pairs_b})
+
+    return banded.groupBy("band", "bh").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

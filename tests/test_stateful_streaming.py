@@ -79,3 +79,81 @@ class TestRunningCounts:
             last[r["event_type"]] = (r["n"], r["total"])
         assert last["click"] == (4, pytest.approx(8.5))
         assert last["view"] == (3, pytest.approx(4.5))
+
+
+DOC_SCHEMA = "doc_id long, text string"
+
+# batch 1 plants a near-dup pair (1,2); batch 2 adds doc 10 near-dup of 1 —
+# the (1,10)/(2,10) pairs can only emerge CROSS-batch from bucket state
+DOCS_B1 = [
+    {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog tonight"},
+    {"doc_id": 2, "text": "the quick brown fox jumps over the lazy dog tonight"},
+    {"doc_id": 3, "text": "completely different content about spark engines here"},
+]
+DOCS_B2 = [
+    {"doc_id": 10, "text": "the quick brown fox jumps over the lazy dog today"},
+    {"doc_id": 11, "text": "unrelated text with no shared shingles at all ok"},
+]
+
+
+@pytest.fixture(scope="module")
+def doc_stream_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("doc_stream_src")
+    for i, batch in enumerate([DOCS_B1, DOCS_B2]):
+        p = d / f"docs{i}.jsonl"
+        p.write_text("\n".join(json.dumps(r) for r in batch))
+        os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    return str(d)
+
+
+class TestNeardupCandidatesStream:
+    def test_stream_equals_batch_candidates(self, spark, doc_stream_dir):
+        """Distinct streamed candidate pairs == the batch LSH pair set on
+        the same corpus, including pairs that only exist across batches."""
+        from graphrag_toolkit_spark.operators import dedup
+
+        src = read_jsonl_stream(
+            spark, doc_stream_dir, DOC_SCHEMA, max_files_per_trigger=1
+        )
+        _run(
+            stateful.neardup_candidates_stream(src, "text", "doc_id"),
+            "neardup_cand_out",
+            "append",
+        )
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in spark.sql("SELECT * FROM neardup_cand_out").collect()
+        }
+        docs = spark.createDataFrame(DOCS_B1 + DOCS_B2, DOC_SCHEMA)
+        sh = dedup.shingles(docs, "text", "doc_id", k=2)
+        want = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.lsh_bucket_pairs(
+                dedup.minhash_signatures(sh, 12), 12, 6
+            ).collect()
+        }
+        assert got == want
+        assert (1, 2) in got                      # within-batch pair
+        assert (1, 10) in got or (2, 10) in got   # cross-batch pair
+
+
+class TestNarrowSignatures:
+    def test_narrow_equals_explode_signatures(self, spark):
+        """minhash_signature_cols (zero-shuffle) must equal the
+        explode+groupBy signature pipeline value-for-value."""
+        from graphrag_toolkit_spark.operators import dedup
+
+        docs = spark.createDataFrame(DOCS_B1 + DOCS_B2, DOC_SCHEMA)
+        narrow = {
+            r["id"]: [r[f"mh{i}"] for i in range(12)]
+            for r in docs.select(
+                F.col("doc_id").alias("id"),
+                *dedup.minhash_signature_cols(F.col("text"), k=2, num_hashes=12),
+            ).collect()
+        }
+        sh = dedup.shingles(docs, "text", "doc_id", k=2)
+        wide = {
+            r["id"]: [r[f"mh{i}"] for i in range(12)]
+            for r in dedup.minhash_signatures(sh, 12).collect()
+        }
+        assert narrow == wide
