@@ -137,52 +137,118 @@ def shingle_array(text: Column, k: int = 1) -> Column:
     return F.filter(grams, lambda g: g != "")
 
 
-def minhash_signature_cols(
+def _bind_once(col: Column, body) -> Column:
+    """Evaluate ``col`` ONCE per row and pass it to ``body`` as a bound
+    lambda variable: ``element_at(transform(array(col), x -> body(x)), 1)``.
+
+    Catalyst's subexpression elimination deliberately skips expressions
+    containing lambda functions, so referencing an expensive higher-order
+    expression N times in one projection re-evaluates it N times (measured:
+    the 12-column signature variant re-hashed every shingle per column —
+    30× slower at sf0.1). The single-element-array binding is the
+    expression-level `let` that restores sharing."""
+    return F.element_at(F.transform(F.array(col), body), 1)
+
+
+def minhash_signature_array(
     text: Column, k: int = 1, num_hashes: int = 12
-) -> list[Column]:
-    """The H min-hashes as NARROW per-row expressions: ``array_min`` over
-    the affine-hashed shingle array. Identical values to the
-    explode+groupBy ``minhash_signatures`` path (min is duplicate- and
-    order-insensitive), but with ZERO shuffle — which (a) removes the
-    signature stage's shuffle from the batch pipeline and (b) makes
-    signatures computable on a STREAM without a pre-stateful aggregation
-    (streaming near-dup, ``streaming/stateful.py``). Null when the text has
-    no shingles — filter those rows out before banding."""
+) -> Column:
+    """All H min-hashes in ONE narrow pass: ``aggregate`` over the
+    affine-hashed shingle array with an H-slot running-minimum accumulator.
+    Identical values to the explode+groupBy ``minhash_signatures`` path
+    (min is duplicate- and order-insensitive) with ZERO shuffle — which
+    (a) removes the signature stage's shuffle from the batch pipeline and
+    (b) makes signatures computable on a STREAM without a pre-stateful
+    aggregation (``streaming/stateful.py``). NULL when the text has no
+    shingles (parity with the explode path, which emits no row).
+
+    Cost discipline: the shingle md5 pass runs once (it's the aggregate's
+    input), each element then does H fused multiply-mod-min ops against the
+    accumulator. Every multi-use consumer must bind the result via
+    ``_bind_once`` — see that docstring for why."""
+    coeffs = minhash_coeffs(num_hashes)
+    arr_a = F.array(*[F.lit(a).cast("long") for a, _ in coeffs])
+    arr_b = F.array(*[F.lit(b).cast("long") for _, b in coeffs])
     base = F.transform(
         shingle_array(text, k),
         lambda g: F.conv(F.substring(F.md5(g), 1, 7), 16, 10).cast("long"),
     )
-    return [
-        F.array_min(
-            F.transform(base, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME))
-        ).alias(f"mh{i}")
-        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
-    ]
+    init = F.array_repeat(F.lit(MINHASH_PRIME).cast("long"), num_hashes)
+    return F.aggregate(
+        base,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda m, i: F.least(
+                m,
+                (F.element_at(arr_a, i + 1) * h + F.element_at(arr_b, i + 1))
+                % F.lit(MINHASH_PRIME),
+            ),
+        ),
+        # h < 2^28 ⇒ every real min < P; a slot still at the P sentinel
+        # means the shingle set was empty → null signature
+        lambda acc: F.when(F.element_at(acc, 1) < F.lit(MINHASH_PRIME), acc),
+    )
 
 
-def banded_bucket_cols(
-    num_hashes: int = 12, bands: int = 6
+def minhash_signature_cols(
+    text: Column, k: int = 1, num_hashes: int = 12
+) -> list[Column]:
+    """mh0..mhH-1 as individual columns (test/compat surface). NOTE: each
+    column evaluation re-runs the one-pass signature — fine for fixtures
+    and spot checks; hot paths use ``minhash_signature_array`` /
+    ``banded_bucket_array`` which evaluate it once."""
+    sig = minhash_signature_array(text, k, num_hashes)
+    return [F.element_at(sig, i + 1).alias(f"mh{i}") for i in range(num_hashes)]
+
+
+def banded_bucket_array(
+    text: Column, k: int = 1, num_hashes: int = 12, bands: int = 6
 ) -> Column:
-    """Banded bucket array from mh0..mhH-1 columns: one (band, bh) struct
-    per band, bh = md5 of the band's joined min-hashes. Narrow; explode to
-    get the (band, bh) rows the LSH join/state op groups on."""
+    """Banded LSH buckets as ONE narrow expression:
+    ``array<struct<band:int, bh:string>>`` with bh = md5 of the band's
+    '|'-joined min-hashes (value-identical to ``lsh_bucket_pairs``'s
+    banding). The signature is evaluated once (``_bind_once``); null
+    signature (shingle-less doc) → null array, so ``explode`` drops the
+    row like the explode path does."""
     rows_per_band = num_hashes // bands
-    return F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
+
+    def bands_of(sig: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.cast("int").alias("band"),
                 F.md5(
                     F.concat_ws(
                         "|",
-                        *[
-                            F.col(f"mh{b * rows_per_band + r}")
+                        *[  # unrolled: rows_per_band is tiny and static
+                            F.element_at(sig, b * rows_per_band + r + 1).cast(
+                                "string"
+                            )
                             for r in range(rows_per_band)
                         ],
                     )
                 ).alias("bh"),
-            )
-            for b in range(bands)
-        ]
+            ),
+        )
+
+    return _bind_once(
+        minhash_signature_array(text, k, num_hashes),
+        lambda sig: F.when(sig.isNotNull(), bands_of(sig)),
+    )
+
+
+def banded_pairs(banded: DataFrame) -> DataFrame:
+    """(id, band, bh) rows → distinct candidate pairs (id_a < id_b): the
+    band-bucket equi-self-join shared by every LSH leg."""
+    a = banded.withColumnRenamed("id", "id_a")
+    b = banded.withColumnRenamed("id", "id_b")
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
     )
 
 
@@ -201,14 +267,7 @@ def lsh_bucket_pairs(
     banded = sig.select(
         "id", F.explode(F.array(*band_cols)).alias("b")
     ).select("id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
-    a = banded.withColumnRenamed("id", "id_a")
-    b = banded.withColumnRenamed("id", "id_b")
-    return (
-        a.join(b, ["band", "bh"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    return banded_pairs(banded)
 
 
 def jaccard_on_pairs(
@@ -325,7 +384,11 @@ def minhash_near_dup_pairs(
 
     The shingle table feeds the signature pipeline AND three joins in the
     Jaccard verification; persist it once instead of re-running the
-    explode+distinct shuffle per consumer."""
+    explode+distinct shuffle per consumer. (Measured note: the zero-shuffle
+    ``minhash_signature_array`` path is value-identical but ~3× slower here
+    — the per-element H-slot accumulator doesn't whole-stage-codegen the
+    way the explode+hash-aggregate does; it exists for STREAMING, where a
+    pre-stateful aggregation isn't allowed at all.)"""
     sh = shingles(df, text_col, id_col, k)
     sh.persist()
     try:

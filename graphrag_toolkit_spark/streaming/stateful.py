@@ -114,12 +114,11 @@ def neardup_candidates_stream(
     stream-vs-batch parity is pinned in tests."""
     from graphrag_toolkit_spark.operators import dedup
 
-    sigs = docs.select(
+    banded = docs.select(
         F.col(id_col).alias("id"),
-        *dedup.minhash_signature_cols(F.col(text_col), k, num_hashes),
-    ).filter(F.col("mh0").isNotNull())
-    banded = sigs.select(
-        "id", F.explode(dedup.banded_bucket_cols(num_hashes, bands)).alias("b")
+        F.explode(
+            dedup.banded_bucket_array(F.col(text_col), k, num_hashes, bands)
+        ).alias("b"),
     ).select("id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
 
     out_schema = "id_a long, id_b long"
