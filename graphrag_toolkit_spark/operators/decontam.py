@@ -1,0 +1,79 @@
+"""Benchmark decontamination for training corpora (north-star extras,
+alongside ``dedup.py``/``sampling.py``; no reference analog — the reference
+stops at ingestion, but any corpus feeding a trained model needs this).
+
+The standard public recipe (GPT-3 appendix C / PaLM §B: n-gram collision
+against the eval set) re-expressed relationally:
+
+1. shingle the (small) eval/benchmark set into word n-gram hashes,
+2. shingle the training corpus the same way,
+3. flag every training document sharing at least one n-gram with any eval
+   document, with overlap counts for thresholded filtering.
+
+100 TB shape: eval benchmarks are MBs, the corpus is TBs — the eval shingle
+set is ``distinct``-ed and **broadcast**, so the corpus side is one narrow
+shingle expression + a broadcast semi-join + one groupBy(doc) count. No
+corpus-side self-join, no shuffle of the raw text. At extreme eval-set sizes
+the same plan degrades gracefully: drop the ``broadcast`` hint and AQE picks
+a shuffle join; or substitute a Bloom filter built from the eval hashes
+(sketch leg, noted in SCALE.md) — the operator contract stays identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _gram_hashes(toks: Column, n: int) -> Column:
+    """md5 hashes of word n-grams (space-joined) — empty below n tokens.
+    md5 keeps the shingle arithmetic engine-portable (same literal hashes in
+    the DuckDB oracle)."""
+    gram = lambda i: F.md5(
+        F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
+    )
+    grams = F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)), gram)
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingle_hashes(
+    df: DataFrame, text_col: str, id_col: str, n: int = 8
+) -> DataFrame:
+    """(id, gram) — distinct word n-gram hashes per document."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_gram_hashes(toks, n)).alias("gram"),
+    ).distinct()
+
+
+def contamination(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "id",
+    n: int = 8,
+) -> DataFrame:
+    """Per-corpus-document contamination report against ``eval_set``:
+    (id, n_grams — distinct shingles in the doc, n_hit — shingles also in
+    the eval set, contamination — n_hit/n_grams). Only contaminated docs
+    (n_hit > 0) are returned: at corpus scale the clean rows are the bulk
+    and the report must stay small."""
+    corpus_grams = shingle_hashes(corpus, text_col, id_col, n)
+    eval_grams = F.broadcast(
+        shingle_hashes(eval_set, text_col, id_col, n).select("gram").distinct()
+    )
+    totals = corpus_grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        corpus_grams.join(eval_grams, "gram")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return hits.join(totals, "id").select(
+        "id",
+        "n_grams",
+        "n_hit",
+        (F.col("n_hit").cast("double") / F.col("n_grams")).alias("contamination"),
+    )

@@ -1,0 +1,61 @@
+"""PII detection and redaction for training corpora (north-star extras; the
+standard pre-training scrub pass — emails / phone numbers / IP addresses —
+as narrow JVM-side column expressions).
+
+Patterns are deliberately restricted to regex syntax with identical
+semantics in Java's engine (Spark) and RE2 (the DuckDB oracle): character
+classes, bounded quantifiers, ``\\b`` word boundaries — no backreferences,
+no lookaround. Detection is ``regexp_count`` per pattern; redaction is a
+fixed-order ``regexp_replace`` chain (email → ip → phone, so a replaced
+token can never be re-matched by a later pattern).
+
+100 TB shape: one codegen'd projection per row — no shuffle, no UDF; the
+scrub composes with any downstream sink as a free map stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# label -> (pattern, replacement); ORDER MATTERS for redaction
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[0-9A-Za-z._%+-]+@[0-9A-Za-z.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b", "<PHONE>"),
+]
+
+
+def detect_pii(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, n_email, n_ip, n_phone) — match counts per PII class."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col).alias("id"),
+        *[
+            F.regexp_count(t, F.lit(pat)).alias(f"n_{label}")
+            for label, pat, _ in PII_PATTERNS
+        ],
+    )
+
+
+def scrub_expr(text: Column) -> Column:
+    """The redacted-text expression: sequential replace in PII_PATTERNS
+    order (same chain the oracle runs)."""
+    out = text
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def scrub_pii(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, text — redacted, n_email, n_ip, n_phone): the scrub pass plus
+    its audit counts in one projection."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col).alias("id"),
+        scrub_expr(t).alias(text_col),
+        *[
+            F.regexp_count(t, F.lit(pat)).alias(f"n_{label}")
+            for label, pat, _ in PII_PATTERNS
+        ],
+    )

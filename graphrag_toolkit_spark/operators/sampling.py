@@ -28,13 +28,18 @@ from pyspark.sql import functions as F
 HASH_DOMAIN = 1 << 28  # md5 first 7 hex chars
 
 
+def hash_value(id_col: Column) -> Column:
+    """Raw deterministic hash ∈ [0, 2^28) from a row id (md5 first 7 hex
+    chars) — the full-resolution value behind ``hash_bucket``."""
+    return F.conv(F.substring(F.md5(id_col.cast("string")), 1, 7), 16, 10).cast(
+        "long"
+    )
+
+
 def hash_bucket(id_col: Column, denominator: int = 10_000) -> Column:
     """Deterministic bucket ∈ [0, denominator) from a row id: uniform,
     engine-portable (md5 + integer mod), stable across runs/partitioning."""
-    h = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 7), 16, 10).cast(
-        "long"
-    )
-    return (h % F.lit(denominator)).alias("bucket")
+    return (hash_value(id_col) % F.lit(denominator)).alias("bucket")
 
 
 def deterministic_sample(
@@ -90,3 +95,49 @@ def stratified_sample(
             F.col(strata_col) == value, F.lit(int(round(frac * denominator)))
         ).otherwise(cut)
     return df.filter(b < cut)
+
+
+def resample_to_mix(
+    df: DataFrame,
+    id_col: str,
+    class_col: str,
+    weights: dict[str, int],
+    domain: int = HASH_DOMAIN,
+) -> DataFrame:
+    """Downsample to a TARGET CLASS MIX (domain/language rebalancing — the
+    'data mixture' step of a pre-training pipeline): keep the largest corpus
+    whose class proportions equal ``weights`` (integer target ratios, e.g.
+    ``{"en": 2, "fr": 1}`` = two parts en to one part fr) without
+    upsampling any class.
+
+    Exact integer arithmetic end-to-end (engine-portable, no float rates):
+    with ``n_c`` the class counts, ``m = min_c floor(n_c / w_c)`` sets the
+    binding class; class quota = ``m·w_c`` rows; a row is kept iff
+    ``hash(id) < floor(m·w_c·domain / n_c)`` — the deterministic-sample
+    rule at full 28-bit hash resolution. Quota attainment is approximate
+    (hash uniformity, same < 1/2^14-bias bound as ``hash_bucket``); the
+    MIX is what's guaranteed, proportionally across classes. Classes
+    absent from ``weights`` have target share zero and are dropped.
+
+    Scale shape: one k-row class-count aggregate, a k-row broadcast of the
+    per-class thresholds, then a narrow filter — the corpus itself is
+    never shuffled. Threshold arithmetic is int64: exact while
+    ``m·w_c·domain`` < 2^63, i.e. class counts up to ~3·10^10 at the
+    default 2^28 domain; beyond that pass a smaller ``domain`` (the
+    precision of the keep-rate, not of the mix ratios).
+    """
+    spark = df.sparkSession
+    w = spark.createDataFrame(
+        [{"cls": c, "w": int(wt)} for c, wt in sorted(weights.items())]
+    )
+    counts = df.groupBy(F.col(class_col).alias("cls")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per = counts.join(w, "cls").select("cls", "n", "w", F.expr("n div w").alias("per"))
+    m = per.agg(F.min("per").alias("m"))
+    thr = per.crossJoin(m).select(
+        "cls", F.expr(f"(m * w * {domain}L) div n").alias("thr")
+    )
+    return df.join(
+        F.broadcast(thr), F.col(class_col) == F.col("cls"), "inner"
+    ).filter(hash_value(F.col(id_col)) < F.col("thr")).drop("cls", "thr")

@@ -7,7 +7,7 @@ oracle-expressible (each has a DuckDB-equivalent formulation in
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -102,6 +102,74 @@ def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             F.coalesce(F.col("lang_pred"), F.lit("und")).alias("lang_pred"),
             F.coalesce(F.col("hits"), F.lit(0)).alias("hits"),
         )
+    )
+
+
+def _word_grams(toks: Column, n: int) -> Column:
+    """Word n-gram array from a token array (empty when len(toks) < n).
+    ``element_at`` lookups, not ``F.slice`` — O(1) per gram."""
+    gram = lambda i: F.concat_ws(
+        " ", *[F.element_at(toks, i + j) for j in range(n)]
+    )
+    grams = F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)), gram)
+    # guard: sequence(1, 0) is descending in Spark, not empty
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _max_run(sorted_arr: Column) -> Column:
+    """Longest run of equal adjacent elements in a SORTED array = the max
+    multiplicity of any element — computed in one O(n) fold (struct
+    accumulator: previous element, current run, best run), so the whole
+    frequency question stays a narrow per-row expression with no explode,
+    no shuffle, and no per-distinct-element rescan."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+
+def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A.1.1, public):
+    duplicate-word / duplicate-bigram fractions and top-word / top-bigram
+    coverage. High values ⇒ boilerplate or degenerate generation — standard
+    training-corpus quality filters.
+
+    100 TB shape: ONE narrow projection per document (split → sort → fold);
+    no explode, no groupBy — the operator is shuffle-free at any scale and
+    its cost is O(len · log len) per document, independent of corpus size.
+    """
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    words = F.array_sort(toks)
+    grams = F.array_sort(_word_grams(toks, 2))
+    n_words = F.size(words)
+    n_grams = F.size(grams)
+    wd = F.greatest(n_words, F.lit(1)).cast("double")
+    gd = F.greatest(n_grams, F.lit(1)).cast("double")
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_words.alias("n_words"),
+        (F.lit(1.0) - F.size(F.array_distinct(words)).cast("double") / wd).alias(
+            "dup_word_frac"
+        ),
+        F.when(
+            n_grams > 0,
+            F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / gd,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_frac"),
+        (_max_run(words).cast("double") / wd).alias("top_word_frac"),
+        (_max_run(grams).cast("double") / gd).alias("top_bigram_frac"),
     )
 
 

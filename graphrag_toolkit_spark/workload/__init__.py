@@ -41,6 +41,11 @@ _MODULES = [relational, graphish, lexical, vector, dataprep, events, lifecycle, 
 # entries. Names absent from the registry are ignored; everything not
 # listed keeps module order after these.
 _CHECK_FIRST = [
+    # new in round 3 — never driver-checked
+    "repetition_stats_documents",
+    "decontaminate_documents",
+    "pii_scrub_documents",
+    "resample_mix_documents",
     # never driver-checked as of round 2
     "beam_search_attention",
     "embedding_neardup_lsh",

@@ -10,8 +10,10 @@ from pyspark.sql import functions as F
 
 from graphrag_toolkit_spark.operators import (
     ann,
+    decontam,
     dedup,
     multimodal,
+    pii,
     sampling,
     textstats,
 )
@@ -233,6 +235,34 @@ WHERE b < CASE WHEN lang = 'en' THEN 2000 ELSE 10000 END
 """
 
 
+MIX_WEIGHTS = {"de": 1, "en": 2, "es": 1, "fr": 1, "zh": 1}
+
+
+def resample_mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix rebalancing: largest corpus with lang proportions
+    2:1:1:1:1 (en-heavy), no upsampling — the pre-training 'data mixture'
+    step (see ``sampling.resample_to_mix``)."""
+    docs = load(spark, sf_dir, "documents")
+    return sampling.resample_to_mix(docs, "doc_id", "lang", MIX_WEIGHTS).select(
+        "doc_id", "lang"
+    )
+
+
+_MIX_VALUES = ", ".join(f"('{c}', {w})" for c, w in sorted(MIX_WEIGHTS.items()))
+RESAMPLE_MIX_ORACLE = f"""
+WITH w(cls, w) AS (VALUES {_MIX_VALUES}),
+c AS (SELECT lang AS cls, COUNT(*) AS n FROM documents GROUP BY lang),
+p AS (SELECT cls, n, w, n // w AS per FROM c JOIN w USING (cls)),
+m AS (SELECT MIN(per) AS m FROM p),
+thr AS (SELECT cls, (m.m * p.w * {sampling.HASH_DOMAIN}) // p.n AS thr FROM p, m)
+SELECT d.doc_id, d.lang
+FROM documents d
+JOIN thr ON thr.cls = d.lang
+WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 7) AS BIGINT)
+      < thr.thr
+"""
+
+
 # --- n-gram Jaccard (inverted-index exact leg) -------------------------------
 
 NGRAM_K = 3
@@ -421,6 +451,173 @@ best AS (
 SELECT d.doc_id, COALESCE(b.lang, 'und') AS lang_pred,
        CAST(COALESCE(b.hits, 0) AS BIGINT) AS hits
 FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id
+"""
+
+
+def repetition_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document — shuffle-free
+    narrow projection (see ``textstats.repetition_stats``)."""
+    docs = load(spark, sf_dir, "documents")
+    return textstats.repetition_stats(docs, "text", "doc_id").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+# The oracle takes the explode-and-count road (unnest + GROUP BY): same
+# numbers as the Spark sorted-run fold, arrived at relationally — a genuine
+# cross-check of the narrow implementation, not a restatement of it.
+REPETITION_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws FROM documents
+),
+g AS (
+  SELECT doc_id, ws,
+         CASE WHEN len(ws) >= 2 THEN
+           list_transform(generate_series(1, len(ws) - 1),
+                          i -> ws[i] || ' ' || ws[i+1])
+         ELSE [] END AS gs
+  FROM t
+),
+wcnt AS (
+  SELECT doc_id, MAX(c) AS max_w, SUM(c) AS tot_w, COUNT(*) AS dist_w
+  FROM (SELECT doc_id, w, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(ws) AS w FROM g) GROUP BY doc_id, w)
+  GROUP BY doc_id
+),
+gcnt AS (
+  SELECT doc_id, MAX(c) AS max_g, SUM(c) AS tot_g, COUNT(*) AS dist_g
+  FROM (SELECT doc_id, gm, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(gs) AS gm FROM g) GROUP BY doc_id, gm)
+  GROUP BY doc_id
+)
+SELECT g.doc_id,
+       CAST(len(g.ws) AS INTEGER) AS n_words,
+       1.0 - CAST(COALESCE(w.dist_w, 0) AS DOUBLE)
+           / greatest(CAST(len(g.ws) AS DOUBLE), 1.0) AS dup_word_frac,
+       CASE WHEN len(g.gs) > 0 THEN
+         1.0 - CAST(COALESCE(c.dist_g, 0) AS DOUBLE)
+             / greatest(CAST(len(g.gs) AS DOUBLE), 1.0)
+       ELSE 0.0 END AS dup_bigram_frac,
+       CAST(COALESCE(w.max_w, 0) AS DOUBLE)
+           / greatest(CAST(len(g.ws) AS DOUBLE), 1.0) AS top_word_frac,
+       CAST(COALESCE(c.max_g, 0) AS DOUBLE)
+           / greatest(CAST(len(g.gs) AS DOUBLE), 1.0) AS top_bigram_frac
+FROM g LEFT JOIN wcnt w USING (doc_id) LEFT JOIN gcnt c USING (doc_id)
+"""
+
+
+DECONTAM_N = 4
+DECONTAM_EVAL_CUT = 1000  # hash buckets [0, 1000) of 10000 = the 10% eval set
+
+
+def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C recipe): flag training
+    docs sharing any word 4-gram with the held-out eval split. The eval set
+    is the same deterministic hash split as ``split_documents`` — the
+    operator composes the two primitives exactly the way a real pipeline
+    would (eval split → shingle → broadcast collide)."""
+    docs = load(spark, sf_dir, "documents")
+    b = sampling.hash_bucket(F.col("doc_id"))
+    eval_set = docs.filter(b < DECONTAM_EVAL_CUT)
+    corpus = docs.filter(b >= DECONTAM_EVAL_CUT)
+    return (
+        decontam.contamination(
+            corpus, eval_set, text_col="text", id_col="doc_id", n=DECONTAM_N
+        )
+        .withColumnRenamed("id", "doc_id")
+        .select("doc_id", "n_grams", "n_hit", "contamination")
+    )
+
+
+DECONTAM_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws,
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)
+           % 10000 AS b
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, b, g FROM (
+    SELECT doc_id, b, unnest(CASE WHEN len(ws) >= {DECONTAM_N} THEN
+      list_transform(generate_series(1, len(ws) - {DECONTAM_N} + 1),
+        i -> md5(array_to_string(ws[i:i+{DECONTAM_N}-1], ' ')))
+      ELSE [] END) AS g
+    FROM t)
+),
+ev AS (SELECT DISTINCT g FROM sh WHERE b < {DECONTAM_EVAL_CUT}),
+tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM sh
+        WHERE b >= {DECONTAM_EVAL_CUT} GROUP BY doc_id),
+hits AS (SELECT s.doc_id, COUNT(*) AS n_hit
+         FROM sh s JOIN ev USING (g)
+         WHERE s.b >= {DECONTAM_EVAL_CUT} GROUP BY s.doc_id)
+SELECT h.doc_id, t.n_grams, h.n_hit,
+       CAST(h.n_hit AS DOUBLE) / t.n_grams AS contamination
+FROM hits h JOIN tot t USING (doc_id)
+"""
+
+
+def pii_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass (emails / IPs / phone numbers → typed placeholders,
+    plus audit counts). The synthetic corpus contains no organic PII, so the
+    query first plants deterministic PII derived from ``doc_id`` (pure
+    integer/string arithmetic — the oracle plants the identical tokens);
+    the scrub operator itself is data-independent."""
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 3 == 0,
+                F.concat(F.lit(" contact user"), s(d), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 4 == 1,
+                F.concat(
+                    F.lit(" call 555-"), s(d % 900 + 100), F.lit("-"), s(d % 9000 + 1000)
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 5 == 2,
+                F.concat(
+                    F.lit(" from 10."), s(d % 256), F.lit("."), s((d * 3) % 256),
+                    F.lit("."), s(d % 254 + 1),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii.scrub_pii(aug, "text", "doc_id").withColumnRenamed("id", "doc_id")
+
+
+_PII_EMAIL, _PII_IP, _PII_PHONE = (p for _, p, _ in pii.PII_PATTERNS)
+PII_SCRUB_ORACLE = rf"""
+WITH aug AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+            ELSE '' END
+    || CASE WHEN doc_id % 4 = 1
+            THEN ' call 555-' || CAST(doc_id % 900 + 100 AS VARCHAR)
+                 || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 2
+            THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                 || '.' || CAST((doc_id * 3) % 256 AS VARCHAR)
+                 || '.' || CAST(doc_id % 254 + 1 AS VARCHAR)
+            ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(
+         t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+            '{_PII_IP}', '<IP>', 'g'),
+            '{_PII_PHONE}', '<PHONE>', 'g') AS text,
+       len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_email,
+       len(regexp_extract_all(t, '{_PII_IP}')) AS n_ip,
+       len(regexp_extract_all(t, '{_PII_PHONE}')) AS n_phone
+FROM aug
 """
 
 
@@ -815,6 +1012,10 @@ QUERIES = {
     "quality_score_documents": quality_score_documents,
     "language_id_documents": language_id_documents,
     "fingerprint_documents": fingerprint_documents,
+    "repetition_stats_documents": repetition_stats_documents,
+    "decontaminate_documents": decontaminate_documents,
+    "pii_scrub_documents": pii_scrub_documents,
+    "resample_mix_documents": resample_mix_documents,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_kmeans_topk": ann_ivf_kmeans_topk,
@@ -838,6 +1039,10 @@ ORACLES = {
     "quality_score_documents": QUALITY_ORACLE,
     "language_id_documents": LANGID_ORACLE,
     "fingerprint_documents": FINGERPRINT_ORACLE,
+    "repetition_stats_documents": REPETITION_ORACLE,
+    "decontaminate_documents": DECONTAM_ORACLE,
+    "pii_scrub_documents": PII_SCRUB_ORACLE,
+    "resample_mix_documents": RESAMPLE_MIX_ORACLE,
     "ann_lsh_topk": ANN_LSH_ORACLE,
     "ann_ivf_topk": ANN_IVF_ORACLE,
     "multimodal_decode": MULTIMODAL_DECODE_ORACLE,

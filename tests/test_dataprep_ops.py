@@ -448,3 +448,121 @@ class TestBandedLSH:
         ).collect()
         pairs = [(r["id_a"], r["id_b"]) for r in out]
         assert len(pairs) == len(set(pairs))
+
+
+class TestRepetitionStats:
+    def test_values_exact(self, spark):
+        df = spark.createDataFrame(
+            [
+                {"doc_id": 1, "text": "a a a b"},        # words: a×3, b×1
+                {"doc_id": 2, "text": "x y x y x"},      # bigrams: 'x y'×2, 'y x'×2
+                {"doc_id": 3, "text": "solo"},           # no bigrams
+            ]
+        )
+        rows = {
+            r["id"]: r.asDict()
+            for r in textstats.repetition_stats(df, "text", "doc_id").collect()
+        }
+        r1 = rows[1]
+        assert r1["n_words"] == 4
+        assert r1["dup_word_frac"] == pytest.approx(1 - 2 / 4)
+        assert r1["top_word_frac"] == pytest.approx(3 / 4)
+        # doc1 bigrams: 'a a','a a','a b' -> 3 total, 2 distinct, top run 2
+        assert r1["dup_bigram_frac"] == pytest.approx(1 - 2 / 3)
+        assert r1["top_bigram_frac"] == pytest.approx(2 / 3)
+        r2 = rows[2]
+        assert r2["top_word_frac"] == pytest.approx(3 / 5)
+        assert r2["top_bigram_frac"] == pytest.approx(2 / 4)
+        r3 = rows[3]
+        assert r3["n_words"] == 1
+        assert r3["dup_bigram_frac"] == 0.0
+        assert r3["top_bigram_frac"] == 0.0
+
+    def test_no_shuffle_plan(self, spark):
+        df = spark.createDataFrame([{"doc_id": 1, "text": "a b c"}])
+        plan = textstats.repetition_stats(df, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestDecontamination:
+    def test_planted_overlap_flagged(self, spark):
+        from graphrag_toolkit_spark.operators import decontam
+
+        corpus = spark.createDataFrame(
+            [
+                {"doc_id": 10, "text": "alpha beta gamma delta epsilon"},
+                {"doc_id": 11, "text": "zeta eta theta iota kappa"},
+            ]
+        )
+        eval_set = spark.createDataFrame(
+            [{"doc_id": 90, "text": "x alpha beta gamma delta y"}]
+        )
+        out = {
+            r["id"]: r.asDict()
+            for r in decontam.contamination(
+                corpus, eval_set, "text", "doc_id", n=4
+            ).collect()
+        }
+        # doc 10 shares the 4-gram 'alpha beta gamma delta'; doc 11 is clean
+        assert set(out) == {10}
+        assert out[10]["n_hit"] == 1
+        assert out[10]["n_grams"] == 2
+        assert out[10]["contamination"] == pytest.approx(0.5)
+
+    def test_short_docs_no_grams(self, spark):
+        from graphrag_toolkit_spark.operators import decontam
+
+        corpus = spark.createDataFrame([{"doc_id": 1, "text": "a b"}])
+        ev = spark.createDataFrame([{"doc_id": 2, "text": "a b"}])
+        assert decontam.contamination(corpus, ev, "text", "doc_id", n=4).count() == 0
+
+
+class TestPiiScrub:
+    def test_detect_and_redact(self, spark):
+        from graphrag_toolkit_spark.operators import pii
+
+        df = spark.createDataFrame(
+            [
+                {
+                    "doc_id": 1,
+                    "text": "mail bob.smith+x@corp.example.org from 192.168.0.1 "
+                    "call 555-123-4567 twice 555-999-0000",
+                },
+                {"doc_id": 2, "text": "no pii here 1.2 v3.4.5 a-b-c"},
+            ]
+        )
+        out = {r["id"]: r.asDict() for r in pii.scrub_pii(df, "text", "doc_id").collect()}
+        assert out[1]["n_email"] == 1
+        assert out[1]["n_ip"] == 1
+        assert out[1]["n_phone"] == 2
+        assert (
+            out[1]["text"]
+            == "mail <EMAIL> from <IP> call <PHONE> twice <PHONE>"
+        )
+        assert out[2]["n_email"] == out[2]["n_ip"] == out[2]["n_phone"] == 0
+        assert out[2]["text"] == "no pii here 1.2 v3.4.5 a-b-c"
+
+
+class TestResampleToMix:
+    def test_mix_proportions_and_determinism(self, spark):
+        rows = [
+            {"doc_id": i, "lang": ("en" if i % 3 != 0 else "fr")} for i in range(600)
+        ]
+        df = spark.createDataFrame(rows)
+        out = sampling.resample_to_mix(df, "doc_id", "lang", {"en": 1, "fr": 1})
+        counts = {r["lang"]: r["cnt"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+        # fr is binding (200 rows): both classes target 200; rate-based keep
+        # lands near quota, and the two class counts are near-equal
+        assert abs(counts["en"] - counts["fr"]) <= 20
+        assert counts["fr"] <= 200
+        # deterministic: same ids on re-run
+        a = sorted(r["doc_id"] for r in out.collect())
+        b = sorted(r["doc_id"] for r in sampling.resample_to_mix(df, "doc_id", "lang", {"en": 1, "fr": 1}).collect())
+        assert a == b
+
+    def test_unlisted_class_dropped(self, spark):
+        df = spark.createDataFrame(
+            [{"doc_id": i, "lang": ("en" if i % 2 else "xx")} for i in range(40)]
+        )
+        out = sampling.resample_to_mix(df, "doc_id", "lang", {"en": 1})
+        assert out.filter(F.col("lang") == "xx").count() == 0
