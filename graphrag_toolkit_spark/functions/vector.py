@@ -92,6 +92,17 @@ def prequantize(vec: Column) -> Column:
     return _quantize(vec)
 
 
+def l2sq_quantized(a: Column, b: Column) -> Column:
+    """Squared L2 distance Σ (a_i − b_i)² on the decimal grid: quantize both
+    inputs to scale 6, diff and square exactly, accumulate in decimal (exact
+    in any order), cast to double last — same oracle-parity discipline as
+    ``dot_quantized``."""
+    diffs = F.zip_with(_quantize(a), _quantize(b), lambda x, y: (x - y) * (x - y))
+    return F.aggregate(
+        diffs, F.lit(0).cast(_DEC_ACC), lambda acc, v: (acc + v).cast(_DEC_ACC)
+    ).cast("double")
+
+
 def dot_prequantized(a: Column, b: Column) -> Column:
     """Dot of two already-quantized decimal arrays (see ``prequantize``)."""
     products = F.zip_with(a, b, lambda x, y: x * y)

@@ -1,0 +1,141 @@
+"""Product quantization for embedding columns (north-star similarity-search
+extras; the compressed-index leg beside ``ann.py``'s LSH/IVF candidates —
+public recipe: Jégou et al., "Product Quantization for Nearest Neighbor
+Search", TPAMI 2011; the codebook-as-constant design mirrors FAISS).
+
+A 64-dim float vector becomes ``n_sub`` small integer codes (here 8 codes of
+4 bits at the default 16 centroids/subspace — 64×4 B → 8 B, a 32×
+compression). Search uses **asymmetric distance computation** (ADC): the
+query stays exact, each database vector contributes only its codes, and the
+per-subspace distances come from a precomputed query→centroid lookup table.
+
+100 TB shape — the whole point of PQ is that the codebook is TINY (n_sub ×
+n_cent × sub_dim floats = 4 KB here), so it rides along as **expression
+literals**, never a join side:
+
+- **encode** is ONE narrow projection (no shuffle, no window): per subspace
+  the 16 quantized distances are an inline array and the code is
+  ``array_position(min)``. A petabyte corpus encodes as a map stage.
+- **ADC scan** is likewise narrow: the LUT is a constant-foldable array
+  expression; score = 8 ``element_at`` lookups summed. Top-k is the one
+  ``TakeOrderedAndProject`` at the end.
+
+Codebook "training" follows ``ann.first_c_centroids``: subvectors of the
+first ``n_cent`` vectors by id — the deterministic, oracle-expressible
+stand-in (relationally: ``ROW_NUMBER() OVER (ORDER BY id) <= C``); a
+k-means upgrade per subspace would slot in exactly like
+``ann.train_centroids_kmeans``.
+
+All distance arithmetic uses the repo's decimal-quantization discipline
+(``functions.vector.l2sq_quantized``) so codes and scores hash-match the
+DuckDB oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from graphrag_toolkit_spark.functions.vector import l2sq_quantized
+
+N_SUB = 8
+N_CENT = 16
+
+
+def codebook_first_c(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_sub: int = N_SUB,
+    n_cent: int = N_CENT,
+) -> list[list[list[float]]]:
+    """``codebook[s][c]`` = subvector ``s`` of the ``c``-th vector by id
+    order. One tiny driver action (``n_cent`` rows) — the codebook is an
+    index constant, like the LSH hyperplanes."""
+    rows = (
+        emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy("_id")
+        .limit(n_cent)
+        .collect()
+    )
+    dim = len(rows[0]["_v"])
+    sub_dim = dim // n_sub
+    return [
+        [
+            [float(x) for x in r["_v"][s * sub_dim : (s + 1) * sub_dim]]
+            for r in rows
+        ]
+        for s in range(n_sub)
+    ]
+
+
+def _lit_vec(vals: list[float]) -> Column:
+    return F.array(*[F.lit(v) for v in vals])
+
+
+def _sub_codes(vec: Column, codebook: list[list[list[float]]]) -> list[Column]:
+    """One code column per subspace: argmin of the quantized squared L2 to
+    each centroid literal; first-position tie-break = lowest centroid id."""
+    n_sub = len(codebook)
+    sub_dim = len(codebook[0][0])
+    cols = []
+    for s, cents in enumerate(codebook):
+        sub = F.slice(vec, s * sub_dim + 1, sub_dim)
+        dists = F.array(*[l2sq_quantized(sub, _lit_vec(c)) for c in cents])
+        cols.append(
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int")
+            .alias(f"code_{s}")
+        )
+    return cols
+
+
+def encode(
+    emb: DataFrame,
+    codebook: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, code_0..code_{n_sub-1}) — the compressed representation."""
+    return emb.select(
+        F.col(id_col).alias("id"), *_sub_codes(F.col(vec_col), codebook)
+    )
+
+
+def adc_topk(
+    codes: DataFrame,
+    query_vec: list[float],
+    codebook: list[list[list[float]]],
+    k: int = 10,
+) -> DataFrame:
+    """ADC top-k over encoded vectors: (id, adc_dist, rank), ascending
+    approximate distance, deterministic id tie-break. The LUT is a constant
+    array expression per subspace — Catalyst folds it once; the scan never
+    touches the original vectors."""
+    n_sub = len(codebook)
+    sub_dim = len(codebook[0][0])
+    luts = [
+        F.array(
+            *[
+                l2sq_quantized(
+                    _lit_vec(query_vec[s * sub_dim : (s + 1) * sub_dim]),
+                    _lit_vec(c),
+                )
+                for c in codebook[s]
+            ]
+        )
+        for s in range(n_sub)
+    ]
+    score = F.element_at(luts[0], F.col("code_0") + 1)
+    for s in range(1, n_sub):
+        score = score + F.element_at(luts[s], F.col(f"code_{s}") + 1)
+    scored = codes.withColumn("adc_dist", score)
+    # sort+limit first → TakeOrderedAndProject (distributed per-partition
+    # top-k, no single-partition window over the corpus); the rank window
+    # then runs over just k rows
+    top = scored.orderBy(F.asc("adc_dist"), F.asc("id")).limit(k)
+    w = Window.orderBy(F.asc("adc_dist"), F.asc("id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "id", "adc_dist", "rank"
+    )

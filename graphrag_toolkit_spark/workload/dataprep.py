@@ -14,6 +14,7 @@ from graphrag_toolkit_spark.operators import (
     dedup,
     multimodal,
     pii,
+    pq,
     sampling,
     textstats,
 )
@@ -960,6 +961,118 @@ SELECT query_id, vec_id AS id, score, rank FROM (
 
 # --- multimodal plumbing -----------------------------------------------------
 
+# --- product quantization ----------------------------------------------------
+
+PQ_SUB = 8
+PQ_CENT = 16
+PQ_SUB_DIM = 64 // PQ_SUB
+PQ_K = 10
+
+
+def _pq_codebook(spark: SparkSession, sf_dir: str):
+    emb = load(spark, sf_dir, "embeddings")
+    return pq.codebook_first_c(emb, "vec_id", "embedding", PQ_SUB, PQ_CENT)
+
+
+def pq_codes_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-encode the embedding table: 64 floats → 8 nibble codes (32×
+    compression), one narrow projection against the literal codebook."""
+    emb = load(spark, sf_dir, "embeddings")
+    codebook = _pq_codebook(spark, sf_dir)
+    return pq.encode(emb, codebook, "vec_id", "embedding").withColumnRenamed(
+        "id", "vec_id"
+    )
+
+
+_PQ_Q = _EMB_Q  # same decimal grid as every other embedding oracle
+# one (vec, sub, cid) distance CTE shared by both PQ oracles; the codebook
+# is derived relationally (first PQ_CENT vectors by id = ann.first_c
+# semantics), so the oracle string stays static
+_PQ_DIST_SQL = f"""
+cent AS (
+  SELECT CAST(rn - 1 AS INTEGER) AS cid, embedding AS ce FROM (
+    SELECT embedding, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM embeddings
+  ) WHERE rn <= {PQ_CENT}
+),
+subs AS (SELECT unnest(generate_series(0, {PQ_SUB - 1})) AS s),
+dims AS (SELECT unnest(generate_series(1, {PQ_SUB_DIM})) AS j),
+pdist AS (
+  SELECT e.vec_id, sub.s, c.cid,
+         CAST(SUM(
+           ({_PQ_Q.format(x=f'e.embedding[sub.s*{PQ_SUB_DIM}+d.j]')}
+            - {_PQ_Q.format(x=f'c.ce[sub.s*{PQ_SUB_DIM}+d.j]')})
+           * ({_PQ_Q.format(x=f'e.embedding[sub.s*{PQ_SUB_DIM}+d.j]')}
+              - {_PQ_Q.format(x=f'c.ce[sub.s*{PQ_SUB_DIM}+d.j]')})
+         ) AS DOUBLE) AS d
+  FROM embeddings e, subs sub, cent c, dims d
+  GROUP BY e.vec_id, sub.s, c.cid
+),
+pcodes AS (
+  SELECT vec_id,
+         {", ".join(f"MAX(CASE WHEN s = {s} THEN cid END) AS code_{s}" for s in range(PQ_SUB))}
+  FROM (
+    SELECT vec_id, s, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, cid) AS rn
+    FROM pdist
+  ) WHERE rn = 1
+  GROUP BY vec_id
+)
+"""
+
+PQ_CODES_ORACLE = f"""
+WITH {_PQ_DIST_SQL}
+SELECT vec_id, {", ".join(f"code_{s}" for s in range(PQ_SUB))} FROM pcodes
+"""
+
+
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-{PQ_K}: approximate distances from the query→centroid lookup
+    table over the 8-code compressed vectors — the original embeddings are
+    never touched in the scan."""
+    from graphrag_toolkit_spark.fixtures import pseudo_embedding
+
+    emb = load(spark, sf_dir, "embeddings")
+    codebook = _pq_codebook(spark, sf_dir)
+    codes = pq.encode(emb, codebook, "vec_id", "embedding")
+    q = pseudo_embedding("pq-query", 64)
+    return pq.adc_topk(codes, q, codebook, k=PQ_K).withColumnRenamed("id", "vec_id")
+
+
+def _pq_adc_oracle() -> str:
+    from graphrag_toolkit_spark.fixtures import pseudo_embedding
+
+    q = pseudo_embedding("pq-query", 64)
+    q_values = ", ".join(f"({i + 1}, {v!r})" for i, v in enumerate(q))
+    # score = left-associative 8-term chain of scalar LUT lookups — same
+    # evaluation order as the Spark expression, so the double sum is
+    # bit-identical (the per-term LUT values are exact decimal sums)
+    chain = f"(SELECT d FROM lut WHERE s = 0 AND cid = pcodes.code_0)"
+    for s in range(1, PQ_SUB):
+        chain = f"({chain} + (SELECT d FROM lut WHERE s = {s} AND cid = pcodes.code_{s}))"
+    return f"""
+WITH {_PQ_DIST_SQL},
+qv(i, val) AS (VALUES {q_values}),
+lut AS (
+  SELECT sub.s, c.cid,
+         CAST(SUM(
+           ({_PQ_Q.format(x=f'q.val')} - {_PQ_Q.format(x=f'c.ce[sub.s*{PQ_SUB_DIM}+d.j]')})
+           * ({_PQ_Q.format(x=f'q.val')} - {_PQ_Q.format(x=f'c.ce[sub.s*{PQ_SUB_DIM}+d.j]')})
+         ) AS DOUBLE) AS d
+  FROM subs sub, cent c, dims d, qv q
+  WHERE q.i = sub.s * {PQ_SUB_DIM} + d.j
+  GROUP BY sub.s, c.cid
+),
+scored AS (
+  SELECT vec_id, {chain} AS adc_dist FROM pcodes
+)
+SELECT vec_id, adc_dist, rank FROM (
+  SELECT vec_id, adc_dist,
+         ROW_NUMBER() OVER (ORDER BY adc_dist, vec_id) AS rank
+  FROM scored
+) WHERE rank <= {PQ_K}
+"""
+
+
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.text bytes as a stand-in binary payload → mapInPandas decode
     stub (Arrow-batched); metadata is content-derived so the oracle can
@@ -1016,6 +1129,8 @@ QUERIES = {
     "decontaminate_documents": decontaminate_documents,
     "pii_scrub_documents": pii_scrub_documents,
     "resample_mix_documents": resample_mix_documents,
+    "pq_codes_embeddings": pq_codes_embeddings,
+    "pq_adc_topk": pq_adc_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_kmeans_topk": ann_ivf_kmeans_topk,
@@ -1043,6 +1158,8 @@ ORACLES = {
     "decontaminate_documents": DECONTAM_ORACLE,
     "pii_scrub_documents": PII_SCRUB_ORACLE,
     "resample_mix_documents": RESAMPLE_MIX_ORACLE,
+    "pq_codes_embeddings": PQ_CODES_ORACLE,
+    "pq_adc_topk": _pq_adc_oracle(),
     "ann_lsh_topk": ANN_LSH_ORACLE,
     "ann_ivf_topk": ANN_IVF_ORACLE,
     "multimodal_decode": MULTIMODAL_DECODE_ORACLE,

@@ -566,3 +566,83 @@ class TestResampleToMix:
         )
         out = sampling.resample_to_mix(df, "doc_id", "lang", {"en": 1})
         assert out.filter(F.col("lang") == "xx").count() == 0
+
+
+class TestProductQuantization:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        # clustered corpus (the regime PQ is for): 8 base directions, each
+        # vector a small deterministic perturbation of its cluster's base.
+        # The first 8 vectors are the unperturbed bases, so the first-C
+        # codebook is exactly the cluster structure.
+        import math
+
+        def mix(i):
+            base = fixtures.pseudo_embedding(f"pq-base{i % 8}", 16)
+            noise = fixtures.pseudo_embedding(f"pq-noise{i}", 16)
+            eps = 0.0 if i < 8 else 0.25
+            v = [b + eps * n for b, n in zip(base, noise)]
+            nrm = math.sqrt(sum(x * x for x in v))
+            return [x / nrm for x in v]
+
+        rows = [{"vec_id": i, "embedding": mix(i)} for i in range(60)]
+        return spark.createDataFrame(rows)
+
+    @pytest.fixture(scope="class")
+    def codebook(self, emb):
+        from graphrag_toolkit_spark.operators import pq
+
+        return pq.codebook_first_c(emb, "vec_id", "embedding", n_sub=4, n_cent=8)
+
+    def test_codebook_shape(self, codebook):
+        assert len(codebook) == 4
+        assert all(len(s) == 8 for s in codebook)
+        assert all(len(c) == 4 for s in codebook for c in s)
+
+    def test_encode_codes_in_range(self, emb, codebook):
+        from graphrag_toolkit_spark.operators import pq
+
+        out = pq.encode(emb, codebook).collect()
+        assert len(out) == 60
+        for r in out:
+            for s in range(4):
+                assert 0 <= r[f"code_{s}"] < 8
+
+    def test_first_vectors_encode_to_themselves(self, emb, codebook):
+        from graphrag_toolkit_spark.operators import pq
+
+        # vector c is centroid c in every subspace -> zero distance -> code c
+        out = {r["id"]: r for r in pq.encode(emb, codebook).collect()}
+        for c in range(8):
+            assert all(out[c][f"code_{s}"] == c for s in range(4))
+
+    def test_encode_plan_is_narrow(self, emb, codebook):
+        from graphrag_toolkit_spark.operators import pq
+
+        plan = (
+            pq.encode(emb, codebook)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+
+    def test_adc_topk_recall_vs_exact(self, spark, emb, codebook):
+        from graphrag_toolkit_spark.functions.vector import l2sq_quantized
+        from graphrag_toolkit_spark.operators import pq
+
+        q = fixtures.pseudo_embedding("pq-test-query", 16)
+        codes = pq.encode(emb, codebook)
+        approx = pq.adc_topk(codes, q, codebook, k=10).collect()
+        assert [r["rank"] for r in approx] == list(range(1, 11))
+        qlit = F.array(*[F.lit(v) for v in q])
+        exact = (
+            emb.withColumn("d", l2sq_quantized(F.col("embedding"), qlit))
+            .orderBy(F.asc("d"), F.asc("vec_id"))
+            .limit(10)
+            .collect()
+        )
+        exact_ids = {r["vec_id"] for r in exact}
+        approx_ids = {r["id"] for r in approx}
+        # clustered corpus: ADC should recover most of the exact top-10
+        assert len(exact_ids & approx_ids) >= 7
