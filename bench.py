@@ -46,6 +46,9 @@ HEADLINE = [
     "ann_lsh_topk",
     "embedding_neardup_lsh",
     "token_stats_documents",
+    "repetition_stats_documents",
+    "decontaminate_documents",
+    "pq_adc_topk",
     # events
     "tumbling_window_events",
     "sessionize_events",

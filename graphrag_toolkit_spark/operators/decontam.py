@@ -61,19 +61,32 @@ def contamination(
     the eval set, contamination — n_hit/n_grams). Only contaminated docs
     (n_hit > 0) are returned: at corpus scale the clean rows are the bulk
     and the report must stay small."""
-    corpus_grams = shingle_hashes(corpus, text_col, id_col, n)
+    from graphrag_toolkit_spark.functions.skew import widen_partitions
+
+    # widen before the explode so the shingle fan-out parallelizes even off
+    # a single input file; the pre-explode shuffle moves only compact rows
+    corpus_grams = shingle_hashes(widen_partitions(corpus), text_col, id_col, n)
     eval_grams = F.broadcast(
-        shingle_hashes(eval_set, text_col, id_col, n).select("gram").distinct()
+        shingle_hashes(eval_set, text_col, id_col, n)
+        .select("gram")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
     )
-    totals = corpus_grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
-    hits = (
-        corpus_grams.join(eval_grams, "gram")
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
-    )
-    return hits.join(totals, "id").select(
-        "id",
-        "n_grams",
-        "n_hit",
-        (F.col("n_hit").cast("double") / F.col("n_grams")).alias("contamination"),
+    # ONE pass over the corpus shingles: broadcast mark-join, then a single
+    # per-doc aggregate counting total and hit shingles together (the naive
+    # totals ⋈ hits formulation re-runs the whole explode+distinct twice)
+    marked = corpus_grams.join(eval_grams, "gram", "left")
+    return (
+        marked.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_hit").alias("n_hit"),
+        )
+        .filter(F.col("n_hit") > 0)
+        .select(
+            "id",
+            "n_grams",
+            "n_hit",
+            (F.col("n_hit").cast("double") / F.col("n_grams")).alias("contamination"),
+        )
     )

@@ -37,7 +37,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from graphrag_toolkit_spark.functions.vector import l2sq_quantized
+from graphrag_toolkit_spark.functions.vector import (
+    _DEC,
+    _DEC_ACC,
+    _quantize,
+)
 
 N_SUB = 8
 N_CENT = 16
@@ -74,17 +78,54 @@ def _lit_vec(vals: list[float]) -> Column:
     return F.array(*[F.lit(v) for v in vals])
 
 
-def _sub_codes(vec: Column, codebook: list[list[list[float]]]) -> list[Column]:
-    """One code column per subspace: argmin of the quantized squared L2 to
-    each centroid literal; first-position tie-break = lowest centroid id."""
-    n_sub = len(codebook)
+def _cent_lit(cents: list[list[float]]) -> Column:
+    """Quantized centroid matrix literal (n_cent × sub_dim decimals) —
+    generated as ONE parsed SQL expression. Building it from per-element
+    ``F.lit``/``F.round`` calls costs ~1000 py4j round-trips per subspace
+    and dominates query construction time; a single ``expr`` parse is
+    milliseconds. ``repr(float)`` round-trips exactly and the
+    ROUND→DECIMAL cast is the same quantization the oracle applies."""
+    inner = ",".join(
+        "array("
+        + ",".join(
+            f"CAST(ROUND(CAST({float(x)!r} AS DOUBLE), 6) AS DECIMAL(12,6))"
+            for x in c
+        )
+        + ")"
+        for c in cents
+    )
+    return F.expr(f"array({inner})")
+
+
+def _dists_to_cents(sub: Column, cents: list[list[float]]) -> Column:
+    """Array of exact-decimal squared L2 distances from a quantized
+    subvector to every centroid — ONE compact higher-order-function
+    expression, not n_cent unrolled chains. Per-row work is tiny (n_cent ×
+    sub_dim decimal ops); what matters is the EXPRESSION size: an unrolled
+    form is ~1000 nodes per subspace and pushes plan compile time past any
+    plausible scan time, while this stays a handful of nodes. Exactness is
+    unchanged — decimal arithmetic is exact in any association."""
+    return F.transform(
+        _cent_lit(cents),
+        lambda c: F.aggregate(
+            F.zip_with(sub, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast(_DEC_ACC),
+            lambda acc, v: (acc + v).cast(_DEC_ACC),
+        ).cast("double"),
+    )
+
+
+def _sub_codes(qv: Column, codebook: list[list[list[float]]]) -> list[Column]:
+    """One code column per subspace from a PRE-QUANTIZED decimal vector
+    column: argmin of the squared L2 to each centroid literal;
+    first-position tie-break = lowest centroid id."""
     sub_dim = len(codebook[0][0])
     cols = []
     for s, cents in enumerate(codebook):
-        sub = F.slice(vec, s * sub_dim + 1, sub_dim)
-        dists = F.array(*[l2sq_quantized(sub, _lit_vec(c)) for c in cents])
+        sub = F.slice(qv, s * sub_dim + 1, sub_dim)
+        arr = _dists_to_cents(sub, cents)
         cols.append(
-            (F.array_position(dists, F.array_min(dists)) - 1)
+            (F.array_position(arr, F.array_min(arr)) - 1)
             .cast("int")
             .alias(f"code_{s}")
         )
@@ -96,11 +137,23 @@ def encode(
     codebook: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    widen: bool = True,
 ) -> DataFrame:
-    """(id, code_0..code_{n_sub-1}) — the compressed representation."""
-    return emb.select(
-        F.col(id_col).alias("id"), *_sub_codes(F.col(vec_col), codebook)
+    """(id, code_0..code_{n_sub-1}) — the compressed representation.
+    The quantized vector is staged as one aliased column (referenced by
+    every code expression, so CollapseProject keeps it materialized — one
+    quantization pass per row). ``widen`` balances a narrow (few-file)
+    input across the cluster before the CPU-heavy code computation; it is
+    a no-op on already-wide scans, so the operator itself stays
+    shuffle-free at real scale."""
+    from graphrag_toolkit_spark.functions.skew import widen_partitions
+
+    if widen:
+        emb = widen_partitions(emb)
+    pre = emb.select(
+        F.col(id_col).alias("id"), _quantize(F.col(vec_col)).alias("_qv")
     )
+    return pre.select("id", *_sub_codes(F.col("_qv"), codebook))
 
 
 def adc_topk(
@@ -115,16 +168,29 @@ def adc_topk(
     touches the original vectors."""
     n_sub = len(codebook)
     sub_dim = len(codebook[0][0])
-    luts = [
-        F.array(
+    # distance expressions on literals are NOT constant-folded by Catalyst —
+    # left inline they would re-evaluate the whole LUT per row. Evaluate the
+    # n_sub×n_cent distances ONCE through a 1-row Spark job (same decimal
+    # semantics as the oracle's SUM, so parity is preserved) and embed the
+    # resulting doubles as plain literals.
+    spark = codes.sparkSession
+    lut_row = (
+        spark.range(1)
+        .select(
             *[
-                l2sq_quantized(
-                    _lit_vec(query_vec[s * sub_dim : (s + 1) * sub_dim]),
-                    _lit_vec(c),
-                )
-                for c in codebook[s]
+                _dists_to_cents(
+                    _quantize(
+                        _lit_vec(query_vec[s * sub_dim : (s + 1) * sub_dim])
+                    ),
+                    codebook[s],
+                ).alias(f"d_{s}")
+                for s in range(n_sub)
             ]
         )
+        .head()
+    )
+    luts = [
+        F.array(*[F.lit(float(v)) for v in lut_row[f"d_{s}"]])
         for s in range(n_sub)
     ]
     score = F.element_at(luts[0], F.col("code_0") + 1)

@@ -139,7 +139,9 @@ def _max_run(sorted_arr: Column) -> Column:
     return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
 
 
-def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def repetition_stats(
+    df: DataFrame, text_col: str, id_col: str, widen: bool = True
+) -> DataFrame:
     """Gopher-style repetition signals (Rae et al. 2021 §A.1.1, public):
     duplicate-word / duplicate-bigram fractions and top-word / top-bigram
     coverage. High values ⇒ boilerplate or degenerate generation — standard
@@ -149,27 +151,45 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     no explode, no groupBy — the operator is shuffle-free at any scale and
     its cost is O(len · log len) per document, independent of corpus size.
     """
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
-    words = F.array_sort(toks)
-    grams = F.array_sort(_word_grams(toks, 2))
-    n_words = F.size(words)
-    n_grams = F.size(grams)
-    wd = F.greatest(n_words, F.lit(1)).cast("double")
-    gd = F.greatest(n_grams, F.lit(1)).cast("double")
-    return df.select(
+    # staged projections: each expensive array (tokenize, gram build, sorts)
+    # is an aliased column referenced more than once downstream, so Catalyst's
+    # CollapseProject keeps it materialized instead of re-evaluating it per
+    # consumer expression — one tokenize + two sorts per row, total
+    from graphrag_toolkit_spark.functions.skew import widen_partitions
+
+    # CPU-heavy per-row stage: optionally widen a narrow (few-file) input so
+    # the fold work spreads across the cluster — a no-op on already-wide
+    # scans, so the operator itself stays shuffle-free at real scale
+    # (``widen=False`` pins that contract in tests/test_plans.py)
+    if widen:
+        df = widen_partitions(df)
+    toks_df = df.select(
         F.col(id_col).alias("id"),
-        n_words.alias("n_words"),
-        (F.lit(1.0) - F.size(F.array_distinct(words)).cast("double") / wd).alias(
-            "dup_word_frac"
-        ),
+        F.split(F.lower(F.col(text_col)), r"\s+").alias("_w"),
+    ).select("id", "_w", _word_grams(F.col("_w"), 2).alias("_g"))
+    arr = toks_df.select(
+        "id",
+        F.size("_w").alias("n_words"),
+        F.size("_g").alias("n_grams"),
+        F.size(F.array_distinct("_w")).alias("d_words"),
+        F.size(F.array_distinct("_g")).alias("d_grams"),
+        _max_run(F.array_sort("_w")).alias("r_words"),
+        _max_run(F.array_sort("_g")).alias("r_grams"),
+    )
+    wd = F.greatest(F.col("n_words"), F.lit(1)).cast("double")
+    gd = F.greatest(F.col("n_grams"), F.lit(1)).cast("double")
+    return arr.select(
+        "id",
+        "n_words",
+        (F.lit(1.0) - F.col("d_words").cast("double") / wd).alias("dup_word_frac"),
         F.when(
-            n_grams > 0,
-            F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / gd,
+            F.col("n_grams") > 0,
+            F.lit(1.0) - F.col("d_grams").cast("double") / gd,
         )
         .otherwise(F.lit(0.0))
         .alias("dup_bigram_frac"),
-        (_max_run(words).cast("double") / wd).alias("top_word_frac"),
-        (_max_run(grams).cast("double") / gd).alias("top_bigram_frac"),
+        (F.col("r_words").cast("double") / wd).alias("top_word_frac"),
+        (F.col("r_grams").cast("double") / gd).alias("top_bigram_frac"),
     )
 
 

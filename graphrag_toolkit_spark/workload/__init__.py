@@ -46,6 +46,8 @@ _CHECK_FIRST = [
     "decontaminate_documents",
     "pii_scrub_documents",
     "resample_mix_documents",
+    "pq_codes_embeddings",
+    "pq_adc_topk",
     # never driver-checked as of round 2
     "beam_search_attention",
     "embedding_neardup_lsh",

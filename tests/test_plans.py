@@ -209,3 +209,53 @@ def test_embedding_neardup_lsh_is_bucket_equijoin(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_repetition_stats_shuffle_free(spark, sf_dir):
+    """Quality signals must ride the scan: one narrow projection, zero
+    Exchange — the 100 TB contract for per-doc text statistics."""
+    from graphrag_toolkit_spark.operators import textstats
+
+    docs = load(spark, sf_dir, "documents")
+    plan = plan_of(textstats.repetition_stats(docs, "text", "doc_id", widen=False))
+    assert "Exchange" not in plan
+    schemas = read_schemas(plan)
+    assert schemas and all(s <= {"doc_id", "text"} for s in schemas)
+
+
+def test_decontamination_broadcasts_eval_side(spark, sf_dir):
+    """The eval shingle set (MBs) must broadcast; the corpus must never be
+    on the build side or in a nested-loop pair stage."""
+    from graphrag_toolkit_spark.operators import decontam, sampling
+
+    docs = load(spark, sf_dir, "documents")
+    b = sampling.hash_bucket(F.col("doc_id"))
+    plan = plan_of(
+        decontam.contamination(
+            docs.filter(b >= 1000), docs.filter(b < 1000), "text", "doc_id", n=4
+        )
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pq_encode_narrow_and_adc_distributed_topk(spark):
+    """PQ encode = one shuffle-free projection (codebook is literals);
+    the ADC scan ends in TakeOrderedAndProject, not a global-sort or a
+    single-partition window over the corpus."""
+    from graphrag_toolkit_spark import fixtures
+    from graphrag_toolkit_spark.operators import pq
+
+    emb = spark.createDataFrame(
+        [
+            {"vec_id": i, "embedding": fixtures.pseudo_embedding(f"pqp{i}", 16)}
+            for i in range(50)
+        ]
+    )
+    cb = pq.codebook_first_c(emb, "vec_id", "embedding", n_sub=4, n_cent=8)
+    enc_plan = plan_of(pq.encode(emb, cb, widen=False))
+    assert "Exchange" not in enc_plan
+    q = fixtures.pseudo_embedding("pqp-query", 16)
+    adc_plan = plan_of(pq.adc_topk(pq.encode(emb, cb), q, cb, k=5))
+    assert "TakeOrderedAndProject" in adc_plan
