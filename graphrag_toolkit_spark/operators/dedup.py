@@ -663,3 +663,29 @@ def embedding_near_dup_pairs_lsh_banded(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def cluster_representatives(
+    cc: DataFrame, scores: DataFrame, score_col: str = "quality"
+) -> DataFrame:
+    """Quality-aware survivor selection: for each near-dup cluster keep the
+    member with the highest score (deterministic id tie-break) — the
+    keep-BEST-per-cluster refinement of ``connected_components``'s
+    keep-min-id rule (real pipelines keep the best text, not the smallest
+    id). ``cc(id, component)`` ⋈ ``scores(id, <score_col>)`` →
+    (cluster_id, id, <score_col>) one row per cluster.
+
+    Scale shape: the join is id-equi (co-partitionable) and the argmax is
+    one window over clusters — cardinality already reduced to the near-dup
+    subgraph by the time this runs."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("component").orderBy(
+        F.desc(score_col), F.asc("id")
+    )
+    return (
+        cc.join(scores, "id")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("component").alias("cluster_id"), "id", score_col)
+    )

@@ -48,6 +48,8 @@ _CHECK_FIRST = [
     "resample_mix_documents",
     "pq_codes_embeddings",
     "pq_adc_topk",
+    "pack_sequences_documents",
+    "dedup_keep_best_documents",
     # never driver-checked as of round 2
     "beam_search_attention",
     "embedding_neardup_lsh",

@@ -13,12 +13,15 @@ from graphrag_toolkit_spark.operators import (
     decontam,
     dedup,
     multimodal,
+    packing,
     pii,
     pq,
     sampling,
     textstats,
 )
 from graphrag_toolkit_spark.session import load
+
+_STOP_PAT = r"\b(" + "|".join(textstats.STOPWORDS) + r")\b"
 
 NUM_HASHES = 12
 BANDS = 6  # 6 bands x 2 rows: catch prob ~0.93 at j=0.6, ~1.0 at j=0.9
@@ -264,6 +267,112 @@ WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 7) AS BIGINT)
 """
 
 
+PACK_SEQ_LEN = 512
+PACK_BUCKETS = 8
+
+
+def pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: every doc's (bucket, sequence, offset)
+    position in the sharded packed token stream (see
+    ``packing.pack_sequences``)."""
+    docs = load(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(textstats.WORD_RE)).alias("n_tok"),
+    )
+    return packing.pack_sequences(
+        with_tokens, "doc_id", "n_tok", seq_len=PACK_SEQ_LEN, n_buckets=PACK_BUCKETS
+    ).withColumnRenamed("id", "doc_id")
+
+
+PACK_SEQUENCES_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{textstats.WORD_RE}')) AS n_tok,
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) AS h
+  FROM documents
+),
+b AS (
+  SELECT doc_id, n_tok, h, CAST(h % {PACK_BUCKETS} AS INTEGER) AS bucket FROM t
+),
+c AS (
+  SELECT doc_id, bucket, n_tok,
+         SUM(n_tok) OVER (PARTITION BY bucket ORDER BY h, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM b
+)
+SELECT doc_id, bucket,
+       (cum - n_tok) // {PACK_SEQ_LEN} AS seq_in_bucket,
+       CAST((cum - n_tok) % {PACK_SEQ_LEN} AS INTEGER) AS offset
+FROM c
+"""
+
+
+def dedup_keep_best_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivors: MinHash near-dup clusters, keep the
+    highest-quality member per cluster — the composition a real corpus
+    pipeline runs (near-dup → transitive closure → best-text survivor)."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_dup_pairs(
+        docs, "text", "doc_id", k=SHINGLE_K,
+        num_hashes=NUM_HASHES, bands=BANDS, threshold=JACCARD_THRESHOLD,
+    )
+    cc = dedup.connected_components(pairs)
+    scores = (
+        textstats.quality_score(docs, "text", "doc_id")
+        .select("id", "quality")
+    )
+    return dedup.cluster_representatives(cc, scores).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+DEDUP_KEEP_BEST_ORACLE = f"""
+WITH RECURSIVE {_SHINGLES_SQL}, {_SIG_SQL}, {_BANDED_SQL}, {_CAND_SQL},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+),
+pairs AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE i.n_inter / (sa.n + sb.n - i.n_inter) >= {JACCARD_THRESHOLD}
+),
+und AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT u.id, e.dst FROM reach u JOIN und e ON e.src = u.r
+),
+cc AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+q AS (
+  SELECT doc_id,
+         least(CAST(len(regexp_extract_all(text, '{textstats.WORD_RE}')) AS DOUBLE) / 100.0, 1.0) * 0.4
+           + (1.0 - least(CAST(len(regexp_extract_all(text, '[^\\s0-9a-zA-Z]')) AS DOUBLE) / length(text) * 5.0, 1.0)) * 0.3
+           + least(CAST(len(regexp_extract_all(lower(text), '{_STOP_PAT}')) AS DOUBLE)
+               / greatest(len(regexp_extract_all(text, '{textstats.WORD_RE}')), 1) * 5.0, 1.0) * 0.3 AS quality
+  FROM documents
+)
+SELECT cluster_id, doc_id, quality FROM (
+  SELECT cc.cluster_id, cc.doc_id, q.quality,
+         ROW_NUMBER() OVER (PARTITION BY cc.cluster_id
+                            ORDER BY q.quality DESC, cc.doc_id) AS rn
+  FROM cc JOIN q USING (doc_id)
+) WHERE rn = 1
+"""
+
+
 # --- n-gram Jaccard (inverted-index exact leg) -------------------------------
 
 NGRAM_K = 3
@@ -399,7 +508,6 @@ def quality_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.quality_score(docs, "text", "doc_id").withColumnRenamed("id", "doc_id")
 
 
-_STOP_PAT = r"\b(" + "|".join(textstats.STOPWORDS) + r")\b"
 QUALITY_ORACLE = rf"""
 WITH c AS (
   SELECT doc_id,
@@ -1131,6 +1239,8 @@ QUERIES = {
     "resample_mix_documents": resample_mix_documents,
     "pq_codes_embeddings": pq_codes_embeddings,
     "pq_adc_topk": pq_adc_topk,
+    "pack_sequences_documents": pack_sequences_documents,
+    "dedup_keep_best_documents": dedup_keep_best_documents,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_kmeans_topk": ann_ivf_kmeans_topk,
@@ -1160,6 +1270,8 @@ ORACLES = {
     "resample_mix_documents": RESAMPLE_MIX_ORACLE,
     "pq_codes_embeddings": PQ_CODES_ORACLE,
     "pq_adc_topk": _pq_adc_oracle(),
+    "pack_sequences_documents": PACK_SEQUENCES_ORACLE,
+    "dedup_keep_best_documents": DEDUP_KEEP_BEST_ORACLE,
     "ann_lsh_topk": ANN_LSH_ORACLE,
     "ann_ivf_topk": ANN_IVF_ORACLE,
     "multimodal_decode": MULTIMODAL_DECODE_ORACLE,

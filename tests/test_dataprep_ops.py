@@ -646,3 +646,78 @@ class TestProductQuantization:
         approx_ids = {r["id"] for r in approx}
         # clustered corpus: ADC should recover most of the exact top-10
         assert len(exact_ids & approx_ids) >= 7
+
+
+class TestSequencePacking:
+    def test_positions_consistent(self, spark):
+        from graphrag_toolkit_spark.operators import packing
+
+        df = spark.createDataFrame(
+            [{"doc_id": i, "n_tok": 100 + i} for i in range(200)]
+        )
+        out = packing.pack_sequences(df, "doc_id", "n_tok", seq_len=256, n_buckets=4)
+        rows = out.collect()
+        assert len(rows) == 200
+        assert all(0 <= r["offset"] < 256 for r in rows)
+        assert all(0 <= r["bucket"] < 4 for r in rows)
+        # within a bucket, positions are a prefix-sum layout: recompute the
+        # running sum in Python over the same deterministic order
+        import hashlib
+
+        def h(i):
+            return int(hashlib.md5(str(i).encode()).hexdigest()[:7], 16)
+
+        toks = {i: 100 + i for i in range(200)}
+        by_bucket: dict[int, list[int]] = {}
+        for i in toks:
+            by_bucket.setdefault(h(i) % 4, []).append(i)
+        expect = {}
+        for b, ids in by_bucket.items():
+            cum = 0
+            for i in sorted(ids, key=lambda x: (h(x), x)):
+                expect[i] = (b, cum // 256, cum % 256)
+                cum += toks[i]
+        got = {r["id"]: (r["bucket"], r["seq_in_bucket"], r["offset"]) for r in rows}
+        assert got == expect
+
+    def test_stable_under_repartition(self, spark):
+        from graphrag_toolkit_spark.operators import packing
+
+        df = spark.createDataFrame([{"doc_id": i, "n_tok": 50} for i in range(100)])
+        a = {
+            r["id"]: (r["bucket"], r["seq_in_bucket"], r["offset"])
+            for r in packing.pack_sequences(df, "doc_id", "n_tok").collect()
+        }
+        b = {
+            r["id"]: (r["bucket"], r["seq_in_bucket"], r["offset"])
+            for r in packing.pack_sequences(
+                df.repartition(13), "doc_id", "n_tok"
+            ).collect()
+        }
+        assert a == b
+
+
+class TestClusterRepresentatives:
+    def test_keeps_best_quality(self, spark):
+        cc = spark.createDataFrame(
+            [
+                {"id": 1, "component": 1},
+                {"id": 2, "component": 1},
+                {"id": 3, "component": 1},
+                {"id": 7, "component": 7},
+            ]
+        )
+        scores = spark.createDataFrame(
+            [
+                {"id": 1, "quality": 0.2},
+                {"id": 2, "quality": 0.9},
+                {"id": 3, "quality": 0.9},
+                {"id": 7, "quality": 0.1},
+            ]
+        )
+        out = {
+            r["cluster_id"]: (r["id"], r["quality"])
+            for r in dedup.cluster_representatives(cc, scores).collect()
+        }
+        # cluster 1: quality tie 2 vs 3 -> lower id wins
+        assert out == {1: (2, 0.9), 7: (7, 0.1)}
