@@ -46,6 +46,7 @@ HEADLINE = [
     "ann_lsh_topk",
     "embedding_neardup_lsh",
     "token_stats_documents",
+    "dup_span_coverage_documents",
     "repetition_stats_documents",
     "decontaminate_documents",
     "pq_adc_topk",

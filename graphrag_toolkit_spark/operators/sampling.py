@@ -97,6 +97,43 @@ def stratified_sample(
     return df.filter(b < cut)
 
 
+def shard_corpus(
+    df: DataFrame, id_col: str, n_shards: int, salt: str = "shard"
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training export:
+    appends ``shard`` ∈ [0, n_shards) and ``seq`` (0-based position within
+    the shard). Reading shards in shard/seq order replays one fixed
+    pseudo-random permutation of the corpus — the "shuffle once, globally"
+    step before SGD consumption, reproducible across runs, engines, and
+    input partitioning (same content-hash discipline as the samplers above;
+    ``salt`` decouples the shuffle order from the sample/split buckets so a
+    row's split never correlates with its batch position).
+
+    Scale shape: the hash + shard assignment is a narrow map; the only
+    shuffle is the per-shard sequence window, partitioned by shard —
+    balanced by hash uniformity, so partitions stay even at any corpus
+    size (grow ``n_shards`` with the corpus to bound shard size; a shard
+    is one training-data file). Writing is then
+    ``.repartition("shard").sortWithinPartitions("seq")`` +
+    ``partitionBy("shard")`` — no further shuffle."""
+    from pyspark.sql.window import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))), 1, 7
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("shard").orderBy("_h", id_col)
+    return (
+        df.withColumn("_h", h)
+        .withColumn("shard", (F.col("_h") % n_shards).cast("int"))
+        .withColumn("seq", F.row_number().over(w) - 1)
+        .drop("_h")
+    )
+
+
 def resample_to_mix(
     df: DataFrame,
     id_col: str,

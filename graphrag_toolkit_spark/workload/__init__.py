@@ -42,6 +42,9 @@ _MODULES = [relational, graphish, lexical, vector, dataprep, events, lifecycle, 
 # listed keeps module order after these.
 _CHECK_FIRST = [
     # new in round 3 — never driver-checked
+    "dup_span_coverage_documents",
+    "scrub_dup_spans_documents",
+    "shard_corpus_documents",
     "repetition_stats_documents",
     "decontaminate_documents",
     "pii_scrub_documents",

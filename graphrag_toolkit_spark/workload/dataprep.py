@@ -17,6 +17,7 @@ from graphrag_toolkit_spark.operators import (
     pii,
     pq,
     sampling,
+    spans,
     textstats,
 )
 from graphrag_toolkit_spark.session import load
@@ -236,6 +237,31 @@ FROM (
   FROM documents
 )
 WHERE b < CASE WHEN lang = 'en' THEN 2000 ELSE 10000 END
+"""
+
+
+N_SHARDS = 16
+
+
+def shard_corpus_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + shard/sequence assignment — the
+    training-export ordering step (see ``sampling.shard_corpus``)."""
+    docs = load(spark, sf_dir, "documents")
+    return sampling.shard_corpus(docs, "doc_id", N_SHARDS).select(
+        "doc_id", "shard", "seq"
+    )
+
+
+SHARD_CORPUS_ORACLE = f"""
+SELECT doc_id, CAST(h % {N_SHARDS} AS INT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY h % {N_SHARDS} ORDER BY h, doc_id) - 1
+            AS INT) AS seq
+FROM (
+  SELECT doc_id,
+         CAST('0x' || substring(md5('shard|' || CAST(doc_id AS VARCHAR)), 1, 7)
+              AS BIGINT) AS h
+  FROM documents
+)
 """
 
 
@@ -749,6 +775,104 @@ FROM t
 """
 
 
+# --- exact-substring (duplicated n-gram span) dedup --------------------------
+
+SPAN_N = 6
+
+# shared CTE prefix: n-gram starts -> corpus-duplicated grams (word 6-grams,
+# md5 keys; DuckDB list slice t[i : i+5] == Spark slice(toks, i, 6))
+_SPAN_STARTS_SQL = rf"""
+toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+),
+starts AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t) - {SPAN_N - 2}), i -> i)) - 1 AS pos,
+         unnest(list_transform(range(1, len(t) - {SPAN_N - 2}),
+                i -> md5(array_to_string(t[i : i + {SPAN_N - 1}], ' ')))) AS gram
+  FROM toks WHERE len(t) >= {SPAN_N}
+),
+dup AS (
+  SELECT gram FROM starts GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+)
+"""
+
+
+def dup_span_coverage_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return spans.duplicated_span_coverage(
+        docs, "text", "doc_id", n=SPAN_N
+    ).withColumnRenamed("id", "doc_id")
+
+
+DUP_SPAN_COVERAGE_ORACLE = rf"""
+WITH {_SPAN_STARTS_SQL},
+marked AS (
+  SELECT s.doc_id, s.pos,
+         (s.pos + {SPAN_N - 1}) - GREATEST(s.pos - 1,
+             COALESCE(MAX(s.pos) OVER (PARTITION BY s.doc_id ORDER BY s.pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + {SPAN_N - 1},
+                 -1)) AS contrib
+  FROM starts s JOIN dup USING (gram)
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS dup_starts, SUM(contrib) AS covered
+  FROM marked GROUP BY doc_id
+)
+SELECT d.doc_id,
+       len(string_split_regex(lower(d.text), '\s+')) AS n_tokens,
+       CAST(COALESCE(p.dup_starts, 0) AS BIGINT) AS dup_starts,
+       CAST(COALESCE(p.covered, 0) AS BIGINT) AS covered_tokens,
+       CAST(COALESCE(p.covered, 0) AS DOUBLE)
+         / CAST(len(string_split_regex(lower(d.text), '\s+')) AS DOUBLE) AS dup_fraction
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+def scrub_dup_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return spans.scrub_duplicated_spans(
+        docs, "text", "doc_id", n=SPAN_N
+    ).withColumnRenamed("id", "doc_id")
+
+
+SCRUB_DUP_SPANS_ORACLE = rf"""
+WITH {_SPAN_STARTS_SQL},
+firsts AS (
+  SELECT gram, doc_id AS first_id, pos AS first_pos FROM (
+    SELECT s.gram, s.doc_id, s.pos,
+           ROW_NUMBER() OVER (PARTITION BY s.gram ORDER BY s.doc_id, s.pos) AS rn
+    FROM starts s JOIN dup USING (gram)
+  ) WHERE rn = 1
+),
+removals AS (
+  SELECT s.doc_id, s.pos FROM starts s JOIN firsts f USING (gram)
+  WHERE NOT (s.doc_id = f.first_id AND s.pos = f.first_pos)
+),
+tokpos AS (
+  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) - 1 AS pos FROM toks
+),
+merged AS (
+  SELECT doc_id, pos, tok, CAST(NULL AS INT) AS endp, 1 AS kind FROM tokpos
+  UNION ALL
+  SELECT doc_id, pos, NULL, pos + {SPAN_N - 1}, 0 FROM removals
+),
+reach AS (
+  SELECT doc_id, pos, tok, kind,
+         MAX(endp) OVER (PARTITION BY doc_id ORDER BY pos, kind
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r
+  FROM merged
+),
+kept AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_scrubbed
+  FROM reach WHERE kind = 1 AND COALESCE(r, -1) < pos
+  GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(k.text_scrubbed, '') AS text_scrubbed
+FROM documents d LEFT JOIN kept k USING (doc_id)
+"""
+
+
 # --- ANN ---------------------------------------------------------------------
 
 N_PLANES = 4
@@ -1241,6 +1365,9 @@ QUERIES = {
     "pq_adc_topk": pq_adc_topk,
     "pack_sequences_documents": pack_sequences_documents,
     "dedup_keep_best_documents": dedup_keep_best_documents,
+    "dup_span_coverage_documents": dup_span_coverage_documents,
+    "scrub_dup_spans_documents": scrub_dup_spans_documents,
+    "shard_corpus_documents": shard_corpus_documents,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_kmeans_topk": ann_ivf_kmeans_topk,
@@ -1272,6 +1399,9 @@ ORACLES = {
     "pq_adc_topk": _pq_adc_oracle(),
     "pack_sequences_documents": PACK_SEQUENCES_ORACLE,
     "dedup_keep_best_documents": DEDUP_KEEP_BEST_ORACLE,
+    "dup_span_coverage_documents": DUP_SPAN_COVERAGE_ORACLE,
+    "scrub_dup_spans_documents": SCRUB_DUP_SPANS_ORACLE,
+    "shard_corpus_documents": SHARD_CORPUS_ORACLE,
     "ann_lsh_topk": ANN_LSH_ORACLE,
     "ann_ivf_topk": ANN_IVF_ORACLE,
     "multimodal_decode": MULTIMODAL_DECODE_ORACLE,

@@ -721,3 +721,118 @@ class TestClusterRepresentatives:
         }
         # cluster 1: quality tie 2 vs 3 -> lower id wins
         assert out == {1: (2, 0.9), 7: (7, 0.1)}
+
+
+class TestDuplicatedSpans:
+    """Exact-substring dedup (operators/spans.py): planted shared spans with
+    a hand-computed golden expectation, plus short-doc and overlap edges."""
+
+    CORPUS = [
+        # docs 1+2 share the 8-token span "alpha beta gamma delta epsilon
+        # zeta eta theta" (3 duplicated 6-gram starts each); doc 1 is the
+        # global first occurrence
+        {"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta eta theta one two"},
+        {"doc_id": 2, "text": "x y alpha beta gamma delta epsilon zeta eta theta"},
+        {"doc_id": 3, "text": "no shared content in this document at all"},
+        {"doc_id": 4, "text": "too short"},                      # < n tokens
+        {"doc_id": 5, "text": "alpha beta gamma delta epsilon zeta"},  # 1 dup 6-gram
+    ]
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        return spark.createDataFrame(self.CORPUS)
+
+    def test_coverage(self, corpus):
+        from graphrag_toolkit_spark.operators import spans
+
+        out = {
+            r["id"]: r
+            for r in spans.duplicated_span_coverage(
+                corpus, "text", "doc_id", n=6
+            ).collect()
+        }
+        assert len(out) == 5
+        # doc 1: starts 0,1,2 (span tokens 0..7) + nothing else → 8 covered
+        assert (out[1]["dup_starts"], out[1]["covered_tokens"]) == (3, 8)
+        assert out[1]["n_tokens"] == 10
+        # doc 2: same span at offset 2 → starts 2,3,4, 8 covered of 10
+        assert (out[2]["dup_starts"], out[2]["covered_tokens"]) == (3, 8)
+        # doc 5: one duplicated 6-gram, fully covered
+        assert (out[5]["dup_starts"], out[5]["covered_tokens"]) == (1, 6)
+        assert out[5]["dup_fraction"] == 1.0
+        # clean and short docs: zeros
+        assert out[3]["covered_tokens"] == 0 and out[4]["covered_tokens"] == 0
+
+    def test_scrub_keeps_global_first_occurrence(self, corpus):
+        from graphrag_toolkit_spark.operators import spans
+
+        out = {
+            r["id"]: r["text_scrubbed"]
+            for r in spans.scrub_duplicated_spans(
+                corpus, "text", "doc_id", n=6
+            ).collect()
+        }
+        # doc 1 holds the first occurrence of every duplicated gram → intact
+        assert out[1] == self.CORPUS[0]["text"]
+        # doc 2 loses the whole shared span, keeps its unique prefix
+        assert out[2] == "x y"
+        # doc 5 was one duplicated gram → fully scrubbed
+        assert out[5] == ""
+        # untouched docs round-trip (lowercased token join)
+        assert out[3] == self.CORPUS[2]["text"]
+        assert out[4] == self.CORPUS[3]["text"]
+
+    def test_single_doc_repeat_not_duplicated(self, spark):
+        """A gram repeated only WITHIN one document is not corpus-duplicated
+        (count distinct doc >= 2) — stays uncovered."""
+        from graphrag_toolkit_spark.operators import spans
+
+        df = spark.createDataFrame(
+            [{"doc_id": 1, "text": "a b c d e f a b c d e f"}]
+        )
+        row = spans.duplicated_span_coverage(df, "text", "doc_id", n=6).collect()[0]
+        assert row["dup_starts"] == 0 and row["covered_tokens"] == 0
+
+
+class TestShardCorpus:
+    def test_assignment_stable_and_dense(self, spark):
+        df = spark.createDataFrame([{"doc_id": i, "text": f"d{i}"} for i in range(200)])
+        out = sampling.shard_corpus(df, "doc_id", 8).collect()
+        assert len(out) == 200
+        by_shard = {}
+        for r in out:
+            assert 0 <= r["shard"] < 8
+            by_shard.setdefault(r["shard"], []).append(r["seq"])
+        # seq is dense 0..k-1 within every shard
+        for seqs in by_shard.values():
+            assert sorted(seqs) == list(range(len(seqs)))
+        # all 8 shards populated and roughly balanced at n=200
+        assert len(by_shard) == 8
+
+    def test_partition_invariant(self, spark):
+        df = spark.createDataFrame([{"doc_id": i, "text": f"d{i}"} for i in range(100)])
+        a = {
+            (r["doc_id"]): (r["shard"], r["seq"])
+            for r in sampling.shard_corpus(df, "doc_id", 4).collect()
+        }
+        b = {
+            (r["doc_id"]): (r["shard"], r["seq"])
+            for r in sampling.shard_corpus(df.repartition(13), "doc_id", 4).collect()
+        }
+        assert a == b
+
+    def test_salt_decorrelates_from_split_buckets(self, spark):
+        """The shuffle hash must not be the split-bucket hash: otherwise a
+        row's batch position would leak its train/val/test membership."""
+        df = spark.createDataFrame([{"doc_id": i} for i in range(64)])
+        shard_h = {
+            r["doc_id"]: r["shard"]
+            for r in sampling.shard_corpus(df, "doc_id", 4).collect()
+        }
+        bucket = {
+            r["doc_id"]: r["b"]
+            for r in df.select(
+                "doc_id", sampling.hash_bucket(F.col("doc_id"), 4).alias("b")
+            ).collect()
+        }
+        assert any(shard_h[i] != bucket[i] for i in shard_h)

@@ -259,3 +259,33 @@ def test_pq_encode_narrow_and_adc_distributed_topk(spark):
     q = fixtures.pseudo_embedding("pqp-query", 16)
     adc_plan = plan_of(pq.adc_topk(pq.encode(emb, cb), q, cb, k=5))
     assert "TakeOrderedAndProject" in adc_plan
+
+
+def test_span_dedup_no_pair_theta_join_no_python(spark, sf_dir):
+    """Exact-substring dedup must stay a gram-equi-join + per-doc windows:
+    no nested-loop token⋈interval stage, no cartesian corpus pair stage,
+    and everything JVM-side (oracle-critical md5/window arithmetic)."""
+    from graphrag_toolkit_spark.operators import spans
+
+    docs = load(spark, sf_dir, "documents")
+    for df in (
+        spans.duplicated_span_coverage(docs, "text", "doc_id", n=6),
+        spans.scrub_duplicated_spans(docs, "text", "doc_id", n=6),
+    ):
+        plan = plan_of(df)
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "EvalPython" not in plan
+
+
+def test_shard_corpus_single_shuffle(spark, sf_dir):
+    """Shard assignment is a narrow map; the per-shard sequence window is
+    the ONE shuffle (partitioned by shard, never a global sort)."""
+    from graphrag_toolkit_spark.operators import sampling
+
+    docs = load(spark, sf_dir, "documents")
+    plan = plan_of(sampling.shard_corpus(docs, "doc_id", 16))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "hashpartitioning(shard" in plan
+    assert "rangepartitioning" not in plan
+    assert "EvalPython" not in plan
