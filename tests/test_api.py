@@ -1,0 +1,124 @@
+"""Top-level façade (api.py): the reference's entry-point classes wired over
+the DataFrame operators — a reference user's calling code should port 1:1."""
+
+from __future__ import annotations
+
+import pytest
+
+from graphrag_toolkit_spark.api import (
+    ByoKGQueryEngine,
+    LexicalGraphIndex,
+    LexicalGraphQueryEngine,
+    Response,
+)
+
+DOCS = [
+    {"doc_id": 1, "lang": "en", "source": "a",
+     "text": "alpha engine merges tables fast under heavy load"},
+    {"doc_id": 2, "lang": "en", "source": "b",
+     "text": "beta stream joins windows slowly while reading events"},
+    {"doc_id": 3, "lang": "en", "source": "a",
+     "text": "gamma scans filter tables daily before nightly loads gamma writes output partitions hourly after compaction finishes"},
+]
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    docs = spark.createDataFrame(DOCS)
+    return LexicalGraphIndex(embed_dim=16).extract_and_build(docs)
+
+
+class TestLexicalGraphIndex:
+    def test_extract_then_build_equals_fused(self, spark, graph):
+        docs = spark.createDataFrame(DOCS)
+        idx = LexicalGraphIndex(embed_dim=16)
+        staged = idx.extract(docs)
+        assert set(staged) >= {
+            "sources", "chunks", "topics", "statements", "facts", "entities",
+            "edges",
+        }
+        g2 = idx.build(staged)
+        assert sorted(r["statement_id"] for r in g2.statements.collect()) == sorted(
+            r["statement_id"] for r in graph.statements.collect()
+        )
+
+    def test_build_filters_pass_through(self, spark):
+        docs = spark.createDataFrame(DOCS)
+        idx = LexicalGraphIndex(embed_dim=16, ignore_statements_matching="gamma")
+        g = idx.extract_and_build(docs)
+        assert not [
+            r for r in g.statements.collect() if "gamma" in r["value"]
+        ]
+
+
+class TestLexicalGraphQueryEngine:
+    def test_traversal_retrieve_returns_nested_rows(self, graph):
+        eng = LexicalGraphQueryEngine.for_traversal_based_search(graph)
+        rows = eng.retrieve("tables merge engine").collect()
+        assert rows
+        assert {"source_id", "score", "topics"} <= set(rows[0].asDict())
+
+    def test_query_returns_response_with_timing(self, graph):
+        eng = LexicalGraphQueryEngine.for_traversal_based_search(graph)
+        resp = eng.query("tables merge engine")
+        assert isinstance(resp, Response)
+        # default LLM echoes the context: statement text must flow through
+        assert resp.response
+        assert {"retrieve_ms", "answer_ms", "total_ms", "num_results"} <= set(
+            resp.metadata
+        )
+        assert resp.metadata["num_results"] == len(resp.results.collect())
+
+    def test_query_injected_llm_sees_question_and_context(self, graph):
+        prompts: list[str] = []
+
+        def llm(p: str) -> str:
+            prompts.append(p)
+            return "ANSWER"
+
+        eng = LexicalGraphQueryEngine.for_traversal_based_search(graph, llm=llm)
+        resp = eng.query("tables merge engine")
+        assert resp.response == "ANSWER"
+        assert "<question>" in prompts[0] and "<context>" in prompts[0]
+
+    def test_semantic_guided_retrieve(self, graph):
+        eng = LexicalGraphQueryEngine.for_semantic_guided_search(
+            graph, beam_width=5, max_depth=2
+        )
+        rows = eng.retrieve("tables merge engine").collect()
+        assert rows
+        assert {"source_id", "score", "topics"} <= set(rows[0].asDict())
+
+
+class TestByoKGQueryEngine:
+    @pytest.fixture(scope="class")
+    def kg(self, spark):
+        triples = spark.createDataFrame(
+            [("paris", "capital_of", "france"), ("berlin", "capital_of", "germany")],
+            ["src", "rel", "dst"],
+        )
+        names = spark.createDataFrame(
+            [{"node_id": "paris", "name": "Paris"},
+             {"node_id": "france", "name": "France"}]
+        )
+        return triples, names
+
+    def test_query_round_trip(self, kg):
+        triples, names = kg
+        calls: list[str] = []
+
+        def llm(p: str) -> str:
+            calls.append(p)
+            if "<context>" in p:
+                return "France"           # answer generation
+            if "capital_of" in p:
+                return "FINISH"           # loop saw its context → stop
+            return "Paris"                # first round: propose the mention
+
+        eng = ByoKGQueryEngine(triples, names, llm)
+        answer, context = eng.query("What is Paris the capital of?")
+        assert answer == "France"
+        lines = [r["context"] for r in context.collect()]
+        assert any("capital_of" in line for line in lines)
+        # final call is generation over the accumulated context
+        assert "<context>" in calls[-1]
