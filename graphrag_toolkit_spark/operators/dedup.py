@@ -665,6 +665,32 @@ def embedding_near_dup_pairs_lsh_banded(
     )
 
 
+def soft_dedup_weights(
+    cc: DataFrame, corpus: DataFrame, id_col: str
+) -> DataFrame:
+    """Soft dedup: instead of dropping near-duplicates, DOWN-WEIGHT them —
+    (id, weight) with weight = 1/|cluster| for clustered documents and 1.0
+    for singletons, so each near-dup cluster contributes one document's
+    worth of sampling mass in expectation (the keep-information-but-
+    don't-overcount alternative to ``connected_components`` + survivor
+    filtering; pairs well with ``sampling.resample_to_mix``-style
+    weighted consumption).
+
+    Scale shape: one groupBy over the (tiny) cluster assignment, an
+    id-equi join back to it, and a left join against corpus ids — the
+    corpus side is never shuffled beyond the id join; clean docs never
+    touch the cluster tables (left-join null → 1.0)."""
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("_n"))
+    w = cc.join(sizes, "component").select(
+        "id", (F.lit(1.0) / F.col("_n").cast("double")).alias("weight")
+    )
+    return (
+        corpus.select(F.col(id_col).alias("id"))
+        .join(w, "id", "left")
+        .select("id", F.coalesce("weight", F.lit(1.0)).alias("weight"))
+    )
+
+
 def cluster_representatives(
     cc: DataFrame, scores: DataFrame, score_col: str = "quality"
 ) -> DataFrame:

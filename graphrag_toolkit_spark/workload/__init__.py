@@ -45,6 +45,7 @@ _CHECK_FIRST = [
     "dup_span_coverage_documents",
     "scrub_dup_spans_documents",
     "shard_corpus_documents",
+    "soft_dedup_weights_documents",
     "repetition_stats_documents",
     "decontaminate_documents",
     "pii_scrub_documents",

@@ -194,6 +194,59 @@ FROM reach GROUP BY id
 """
 
 
+def soft_dedup_weights_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup: near-dup clusters down-weighted to 1/|cluster| instead of
+    dropped (``dedup.soft_dedup_weights`` over the MinHash pair graph)."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_dup_pairs(
+        docs, "text", "doc_id", k=SHINGLE_K,
+        num_hashes=NUM_HASHES, bands=BANDS, threshold=JACCARD_THRESHOLD,
+    )
+    cc = dedup.connected_components(pairs)
+    return dedup.soft_dedup_weights(cc, docs, "doc_id").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+# same pair/component derivation as NEARDUP_CLUSTERS_ORACLE, then
+# weight = 1/|cluster| (clean docs absent from the pair graph -> 1.0)
+SOFT_DEDUP_WEIGHTS_ORACLE = f"""
+WITH RECURSIVE {_SHINGLES_SQL}, {_SIG_SQL}, {_BANDED_SQL}, {_CAND_SQL},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+),
+pairs AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE i.n_inter / (sa.n + sb.n - i.n_inter) >= {JACCARD_THRESHOLD}
+),
+und AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT u.id, e.dst FROM reach u JOIN und e ON e.src = u.r
+),
+cc AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+csize AS (SELECT component, COUNT(*) AS n FROM cc GROUP BY component)
+SELECT d.doc_id,
+       COALESCE(1.0 / CAST(s.n AS DOUBLE), 1.0) AS weight
+FROM documents d
+LEFT JOIN cc ON cc.id = d.doc_id
+LEFT JOIN csize s ON s.component = cc.component
+"""
+
+
 # --- deterministic sampling / splits -----------------------------------------
 
 def split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1368,6 +1421,7 @@ QUERIES = {
     "dup_span_coverage_documents": dup_span_coverage_documents,
     "scrub_dup_spans_documents": scrub_dup_spans_documents,
     "shard_corpus_documents": shard_corpus_documents,
+    "soft_dedup_weights_documents": soft_dedup_weights_documents,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_kmeans_topk": ann_ivf_kmeans_topk,
@@ -1402,6 +1456,7 @@ ORACLES = {
     "dup_span_coverage_documents": DUP_SPAN_COVERAGE_ORACLE,
     "scrub_dup_spans_documents": SCRUB_DUP_SPANS_ORACLE,
     "shard_corpus_documents": SHARD_CORPUS_ORACLE,
+    "soft_dedup_weights_documents": SOFT_DEDUP_WEIGHTS_ORACLE,
     "ann_lsh_topk": ANN_LSH_ORACLE,
     "ann_ivf_topk": ANN_IVF_ORACLE,
     "multimodal_decode": MULTIMODAL_DECODE_ORACLE,

@@ -836,3 +836,22 @@ class TestShardCorpus:
             ).collect()
         }
         assert any(shard_h[i] != bucket[i] for i in shard_h)
+
+
+class TestSoftDedupWeights:
+    def test_weights(self, spark):
+        cc = spark.createDataFrame(
+            [{"id": 1, "component": 1}, {"id": 2, "component": 1},
+             {"id": 3, "component": 1}, {"id": 7, "component": 7},
+             {"id": 8, "component": 7}]
+        )
+        corpus = spark.createDataFrame([{"doc_id": i} for i in [1, 2, 3, 7, 8, 9]])
+        out = {
+            r["id"]: r["weight"]
+            for r in dedup.soft_dedup_weights(cc, corpus, "doc_id").collect()
+        }
+        assert out[1] == out[2] == out[3] == pytest.approx(1 / 3)
+        assert out[7] == out[8] == 0.5
+        assert out[9] == 1.0          # singleton never in the pair graph
+        # total mass = one doc per cluster + singletons
+        assert sum(out.values()) == pytest.approx(3.0)
