@@ -288,3 +288,69 @@ class TestTokenSetProperty:
         }
         for i, (a, b) in enumerate(pairs):
             assert got[i] == pytest.approx(self._py_token_set(a, b), abs=1e-12)
+
+
+class TestSpanDedupProperties:
+    """Exact-substring dedup vs a direct Python reference: random small-vocab
+    corpora (high n-gram collision rate by construction), whole corpus in one
+    DataFrame per example."""
+
+    @staticmethod
+    def _py_reference(texts: dict[int, str], n: int):
+        """Golden: per-doc duplicated starts/coverage and the scrubbed text
+        with the global-first occurrence kept."""
+        grams: dict[tuple, list[tuple[int, int]]] = {}
+        toks = {i: t.lower().split(" ") for i, t in texts.items()}
+        for i in sorted(toks):
+            ts = toks[i]
+            for p in range(len(ts) - n + 1):
+                grams.setdefault(tuple(ts[p : p + n]), []).append((i, p))
+        dup = {g: occ for g, occ in grams.items() if len({i for i, _ in occ}) >= 2}
+        cov, scrub = {}, {}
+        for i in sorted(toks):
+            starts = sorted(p for g, occ in dup.items() for d, p in occ if d == i)
+            covered = set()
+            for p in starts:
+                covered.update(range(p, p + n))
+            removed = set()
+            for g, occ in dup.items():
+                first = min(occ)
+                for d, p in occ:
+                    if d == i and (d, p) != first:
+                        removed.update(range(p, p + n))
+            cov[i] = (len(starts), len(covered))
+            scrub[i] = " ".join(
+                t for p, t in enumerate(toks[i]) if p not in removed
+            )
+        return cov, scrub
+
+    @given(
+        st.lists(
+            st.lists(
+                st.sampled_from("a b c d".split()), min_size=1, max_size=12
+            ).map(" ".join),
+            min_size=2, max_size=8,
+        )
+    )
+    @settings(**SETTINGS)
+    def test_coverage_and_scrub_match_python(self, spark, texts_list):
+        from graphrag_toolkit_spark.operators import spans
+
+        n = 3
+        texts = {i: t for i, t in enumerate(texts_list)}
+        df = spark.createDataFrame(
+            [{"doc_id": i, "text": t} for i, t in texts.items()]
+        )
+        want_cov, want_scrub = self._py_reference(texts, n)
+
+        got_cov = {
+            r["id"]: (r["dup_starts"], r["covered_tokens"])
+            for r in spans.duplicated_span_coverage(df, "text", "doc_id", n=n).collect()
+        }
+        assert got_cov == want_cov
+
+        got_scrub = {
+            r["id"]: r["text_scrubbed"]
+            for r in spans.scrub_duplicated_spans(df, "text", "doc_id", n=n).collect()
+        }
+        assert got_scrub == want_scrub
