@@ -69,6 +69,67 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return out.withColumn("quality", score)
 
 
+def linear_quality_classifier(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    weights: dict[str, float],
+    bias: float = 0.0,
+) -> DataFrame:
+    """Model-based quality filter with a LINEAR text classifier — the
+    fasttext-classifier leg of public corpus pipelines (GPT-3 appendix A /
+    CCNet use a trained linear model over bag-of-words to keep "high
+    quality" documents), behind an injected weight vector so the operator
+    is deterministic and engine-exact: logit = bias + Σ_tokens tf(w)·weight(w)
+    computed in DECIMAL (weights quantized to 6 decimals), decision =
+    logit ≥ 0. Returns (id, logit, keep). Sigmoid is monotone, so
+    thresholding the logit IS thresholding the probability — the exactness
+    discipline stays intact by never evaluating exp().
+
+    Scale shape: tokens explode narrow, the weight vector (vocabulary-sized,
+    KBs-MBs) broadcasts, one per-doc sum — the corpus text never shuffles.
+    A trained model drops in as a bigger ``weights`` dict; at extreme vocab
+    sizes swap the broadcast join for a shuffle join (same contract)."""
+    spark = df.sparkSession
+    from graphrag_toolkit_spark.functions.skew import widen_partitions
+
+    w = F.broadcast(
+        spark.createDataFrame(
+            [
+                {"token": t, "w": float(round(wt, 6))}
+                for t, wt in sorted(weights.items())
+            ]
+        ).select("token", F.col("w").cast("decimal(12,6)").alias("w"))
+    )
+    tf = (
+        widen_partitions(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    b = F.lit(str(round(bias, 6))).cast("decimal(12,6)")
+    scored = (
+        tf.join(w, "token")
+        .groupBy("id")
+        .agg(F.sum(F.col("tf") * F.col("w")).alias("_dot"))
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            "id",
+            (F.coalesce(F.col("_dot"), F.lit(0).cast("decimal(12,6)")) + b)
+            .cast("double")
+            .alias("logit"),
+        )
+        .withColumn("keep", F.col("logit") >= 0.0)
+    )
+
+
 def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Language ID: lexicon-hit argmax. Explode tokens → broadcast-join the
     (lang, word) lexicon → per-(doc, lang) hit counts → window argmax with

@@ -46,6 +46,7 @@ _CHECK_FIRST = [
     "scrub_dup_spans_documents",
     "shard_corpus_documents",
     "soft_dedup_weights_documents",
+    "quality_classifier_documents",
     "repetition_stats_documents",
     "decontaminate_documents",
     "pii_scrub_documents",

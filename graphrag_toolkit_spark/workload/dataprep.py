@@ -608,6 +608,47 @@ FROM c
 """
 
 
+CLASSIFIER_WEIGHTS = {
+    "spark": 1.5, "vector": 0.75, "table": 0.25, "stream": 0.5,
+    "the": -0.1, "slow": -1.0, "dup": -2.0,
+}
+CLASSIFIER_BIAS = -0.5
+
+
+def quality_classifier_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (fasttext-style) quality classifier with injected literal
+    weights — exact decimal logit, keep = logit ≥ 0
+    (``textstats.linear_quality_classifier``)."""
+    docs = load(spark, sf_dir, "documents")
+    return textstats.linear_quality_classifier(
+        docs, "text", "doc_id", CLASSIFIER_WEIGHTS, bias=CLASSIFIER_BIAS
+    ).withColumnRenamed("id", "doc_id")
+
+
+_W_VALUES = ", ".join(
+    f"('{t}', CAST({round(w, 6)} AS DECIMAL(12,6)))"
+    for t, w in sorted(CLASSIFIER_WEIGHTS.items())
+)
+QUALITY_CLASSIFIER_ORACLE = rf"""
+WITH w(token, w) AS (VALUES {_W_VALUES}),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+    FROM documents
+  ) WHERE token <> '' GROUP BY doc_id, token
+),
+dot AS (
+  SELECT doc_id, SUM(tf * w) AS d FROM tf JOIN w USING (token) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(dot.d, CAST(0 AS DECIMAL(12,6)))
+            + CAST({CLASSIFIER_BIAS} AS DECIMAL(12,6)) AS DOUBLE) AS logit,
+       CAST(COALESCE(dot.d, CAST(0 AS DECIMAL(12,6)))
+            + CAST({CLASSIFIER_BIAS} AS DECIMAL(12,6)) AS DOUBLE) >= 0.0 AS keep
+FROM documents d LEFT JOIN dot ON dot.doc_id = d.doc_id
+"""
+
+
 def language_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return textstats.language_id(docs, "text", "doc_id").withColumnRenamed("id", "doc_id")
@@ -1422,6 +1463,7 @@ QUERIES = {
     "scrub_dup_spans_documents": scrub_dup_spans_documents,
     "shard_corpus_documents": shard_corpus_documents,
     "soft_dedup_weights_documents": soft_dedup_weights_documents,
+    "quality_classifier_documents": quality_classifier_documents,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_kmeans_topk": ann_ivf_kmeans_topk,
@@ -1457,6 +1499,7 @@ ORACLES = {
     "scrub_dup_spans_documents": SCRUB_DUP_SPANS_ORACLE,
     "shard_corpus_documents": SHARD_CORPUS_ORACLE,
     "soft_dedup_weights_documents": SOFT_DEDUP_WEIGHTS_ORACLE,
+    "quality_classifier_documents": QUALITY_CLASSIFIER_ORACLE,
     "ann_lsh_topk": ANN_LSH_ORACLE,
     "ann_ivf_topk": ANN_IVF_ORACLE,
     "multimodal_decode": MULTIMODAL_DECODE_ORACLE,

@@ -855,3 +855,30 @@ class TestSoftDedupWeights:
         assert out[9] == 1.0          # singleton never in the pair graph
         # total mass = one doc per cluster + singletons
         assert sum(out.values()) == pytest.approx(3.0)
+
+
+class TestLinearQualityClassifier:
+    def test_logit_and_decision(self, spark):
+        df = spark.createDataFrame(
+            [{"doc_id": 1, "text": "spark spark table"},    # 2*1.5 + 0.25 - 0.5 = 2.75
+             {"doc_id": 2, "text": "dup slow"},             # -2 - 1 - 0.5 = -3.5
+             {"doc_id": 3, "text": "unknown words only"}]   # bias only = -0.5
+        )
+        out = {
+            r["id"]: (r["logit"], r["keep"])
+            for r in textstats.linear_quality_classifier(
+                df, "text", "doc_id",
+                {"spark": 1.5, "table": 0.25, "dup": -2.0, "slow": -1.0},
+                bias=-0.5,
+            ).collect()
+        }
+        assert out[1] == (2.75, True)
+        assert out[2] == (-3.5, False)
+        assert out[3] == (-0.5, False)
+
+    def test_tf_counts_not_presence(self, spark):
+        df = spark.createDataFrame([{"doc_id": 1, "text": "good good good"}])
+        row = textstats.linear_quality_classifier(
+            df, "text", "doc_id", {"good": 1.0}, bias=0.0
+        ).collect()[0]
+        assert row["logit"] == 3.0
