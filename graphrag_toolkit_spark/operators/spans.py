@@ -59,6 +59,39 @@ def ngram_starts(
     )
 
 
+def hot_grams(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, k: int = 20
+) -> DataFrame:
+    """Boilerplate report: the ``k`` most document-frequent word n-grams
+    (gram TEXT, not hash — this is a human-facing report), with total and
+    document frequencies. Makes the cutoffs elsewhere observable: the grams
+    dropped by n-gram-Jaccard's doc-freq cutoff or flagged by span dedup
+    are exactly the head of this list — at 100 TB you read this before
+    choosing ``max_doc_freq``/span ``n``, instead of guessing.
+
+    Shape: one groupBy(gram) with partial aggregation, then a global top-k
+    (orderBy.limit → per-partition partial top-k merge, no full sort)."""
+    toks = _tokens(text_col)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        widen_partitions(df)
+        .select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.count_distinct("id").alias("df"),
+        )
+        .orderBy(F.desc("df"), F.desc("tf"), F.asc("gram"))
+        .limit(k)
+    )
+
+
 def duplicated_grams(starts: DataFrame) -> DataFrame:
     """Grams seen in ≥ 2 documents, with the global first occurrence
     (lexicographic min (id, pos)) elected as the canonical copy:

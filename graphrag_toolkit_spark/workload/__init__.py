@@ -47,6 +47,7 @@ _CHECK_FIRST = [
     "shard_corpus_documents",
     "soft_dedup_weights_documents",
     "quality_classifier_documents",
+    "hot_grams_documents",
     "repetition_stats_documents",
     "decontaminate_documents",
     "pii_scrub_documents",

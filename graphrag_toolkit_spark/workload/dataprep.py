@@ -923,6 +923,31 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+def hot_grams_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate report: top-20 most document-frequent word trigrams
+    (``spans.hot_grams``) — the observability query behind the dedup
+    family's doc-frequency cutoffs."""
+    docs = load(spark, sf_dir, "documents")
+    return spans.hot_grams(docs, "text", "doc_id", n=3, k=20)
+
+
+HOT_GRAMS_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws) - 1),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+  FROM t WHERE len(ws) >= 3
+)
+SELECT gram, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+FROM g GROUP BY gram
+ORDER BY df DESC, tf DESC, gram ASC
+LIMIT 20
+"""
+
+
 def scrub_dup_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return spans.scrub_duplicated_spans(
@@ -1464,6 +1489,7 @@ QUERIES = {
     "shard_corpus_documents": shard_corpus_documents,
     "soft_dedup_weights_documents": soft_dedup_weights_documents,
     "quality_classifier_documents": quality_classifier_documents,
+    "hot_grams_documents": hot_grams_documents,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_kmeans_topk": ann_ivf_kmeans_topk,
@@ -1500,6 +1526,7 @@ ORACLES = {
     "shard_corpus_documents": SHARD_CORPUS_ORACLE,
     "soft_dedup_weights_documents": SOFT_DEDUP_WEIGHTS_ORACLE,
     "quality_classifier_documents": QUALITY_CLASSIFIER_ORACLE,
+    "hot_grams_documents": HOT_GRAMS_ORACLE,
     "ann_lsh_topk": ANN_LSH_ORACLE,
     "ann_ivf_topk": ANN_IVF_ORACLE,
     "multimodal_decode": MULTIMODAL_DECODE_ORACLE,

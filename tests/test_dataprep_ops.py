@@ -882,3 +882,18 @@ class TestLinearQualityClassifier:
             df, "text", "doc_id", {"good": 1.0}, bias=0.0
         ).collect()[0]
         assert row["logit"] == 3.0
+
+
+class TestHotGrams:
+    def test_topk_order_and_counts(self, spark):
+        from graphrag_toolkit_spark.operators import spans
+
+        df = spark.createDataFrame(
+            [{"doc_id": 1, "text": "x y z x y z"},      # 'x y z' tf=2 here
+             {"doc_id": 2, "text": "x y z only"},
+             {"doc_id": 3, "text": "a b c"}]
+        )
+        out = spans.hot_grams(df, "text", "doc_id", n=3, k=2).collect()
+        assert [r["gram"] for r in out] == ["x y z", "a b c"]
+        top = out[0]
+        assert (top["tf"], top["df"]) == (3, 2)   # 2 in doc1 + 1 in doc2
