@@ -42,6 +42,8 @@ _MODULES = [relational, graphish, lexical, vector, dataprep, events, lifecycle, 
 # listed keeps module order after these.
 _CHECK_FIRST = [
     # new in round 3 — never driver-checked
+    "asof_join_events",
+    "interval_join_events",
     "dup_span_coverage_documents",
     "scrub_dup_spans_documents",
     "shard_corpus_documents",

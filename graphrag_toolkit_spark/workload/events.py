@@ -144,11 +144,107 @@ FROM r WHERE rn <= 10 GROUP BY user_id
 """
 
 
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every purchase gains the user's most recent prior (or
+    simultaneous) view — `temporal.asof_join`'s union+carry-forward plan,
+    one shuffle on user_id, no range theta-join. The view side is deduped
+    to one row per (user_id, ts) (latest event_id wins) so the match is
+    well-defined; gap_us is the exact integer lag in microseconds."""
+    from graphrag_toolkit_spark.operators.temporal import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    vw = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .withColumn("rn", F.row_number().over(vw))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", F.col("value").alias("view_value"))
+    )
+    joined = asof_join(
+        purchases, views, on=["user_id"], ts_col="ts",
+        right_cols=["view_value"], tiebreak="event_id", suffix="_view",
+    )
+    return joined.select(
+        "event_id", "user_id", "ts", "value",
+        F.col("ts_view").alias("view_ts"),
+        F.col("view_value_view").alias("view_value"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_view"))).alias("gap_us"),
+    )
+
+
+ASOF_ORACLE = """
+WITH views AS (
+  SELECT user_id, ts, value AS view_value FROM (
+    SELECT user_id, ts, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'view'
+  ) WHERE rn = 1
+)
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       v.ts AS view_ts, v.view_value,
+       epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN views v ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
+TOP_SESSIONS = 20
+
+
+def interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: system-wide event-type counts inside the 20 busiest
+    sessions — `temporal.interval_join`'s cell-bucketed equi-join (intervals
+    explode into hour cells, each event maps to one cell; exact containment
+    filter after the join), not a theta-join."""
+    from graphrag_toolkit_spark.operators.temporal import interval_join
+
+    ev = load(spark, sf_dir, "events")
+    sessions = sessionize_events(spark, sf_dir)
+    top = (
+        sessions.orderBy(
+            F.col("n_events").desc(), F.col("user_id"), F.col("session_idx")
+        )
+        .limit(TOP_SESSIONS)
+        .select(
+            F.col("user_id").alias("s_user_id"),
+            F.col("session_idx").cast("bigint").alias("session_idx"),
+            F.col("session_start").alias("start"),
+            F.col("session_end").alias("end"),
+        )
+    )
+    matched = interval_join(
+        ev.select("event_id", "ts", "event_type"),
+        F.broadcast(top),
+        start_col="start", end_col="end", ts_col="ts", cell_seconds=3600,
+    )
+    return matched.groupBy("s_user_id", "session_idx", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+INTERVAL_ORACLE = f"""
+WITH sess AS ({SESSIONIZE_ORACLE}),
+top_s AS (
+  SELECT user_id AS s_user_id, session_idx, session_start, session_end
+  FROM sess ORDER BY n_events DESC, user_id, session_idx LIMIT {TOP_SESSIONS}
+)
+SELECT t.s_user_id, t.session_idx, e.event_type, COUNT(*) AS n
+FROM events e JOIN top_s t
+  ON e.ts >= t.session_start AND e.ts <= t.session_end
+GROUP BY t.s_user_id, t.session_idx, e.event_type
+"""
+
+
 QUERIES = {
     "tumbling_window_events": tumbling_window_events,
     "sliding_window_events": sliding_window_events,
     "sessionize_events": sessionize_events,
     "event_type_funnel": event_type_funnel,
+    "asof_join_events": asof_join_events,
+    "interval_join_events": interval_join_events,
 }
 
 ORACLES = {
@@ -156,4 +252,6 @@ ORACLES = {
     "sliding_window_events": SLIDING_ORACLE,
     "sessionize_events": SESSIONIZE_ORACLE,
     "event_type_funnel": FUNNEL_ORACLE,
+    "asof_join_events": ASOF_ORACLE,
+    "interval_join_events": INTERVAL_ORACLE,
 }

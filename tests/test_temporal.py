@@ -1,0 +1,164 @@
+"""Temporal join operators: as-of (union+carry-forward) and interval
+(cell-bucketed) joins — semantics pinned against hand-computed expectations
+and a pandas merge_asof cross-check."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from graphrag_toolkit_spark.operators.temporal import asof_join, interval_join
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def sides(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", _ts("2024-01-01 10:00:00"), 5.0),
+            (2, "u1", _ts("2024-01-01 12:00:00"), 6.0),
+            (3, "u2", _ts("2024-01-01 09:00:00"), 7.0),  # before any right row
+            (4, "u3", _ts("2024-01-01 10:00:00"), 8.0),  # key absent on right
+        ],
+        "event_id long, user_id string, ts timestamp, value double",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01 09:30:00"), 100.0),
+            ("u1", _ts("2024-01-01 12:00:00"), 200.0),  # equal-ts match for event 2
+            ("u2", _ts("2024-01-01 11:00:00"), 300.0),  # after event 3
+        ],
+        "user_id string, ts timestamp, ref double",
+    )
+    return left, right
+
+
+def test_asof_backward_inclusive(sides):
+    left, right = sides
+    out = asof_join(
+        left, right, on=["user_id"], ts_col="ts",
+        right_cols=["ref"], tiebreak="event_id",
+    )
+    rows = {r["event_id"]: r for r in out.collect()}
+    assert len(rows) == 4
+    assert rows[1]["ref_right"] == 100.0          # latest at-or-before
+    assert rows[2]["ref_right"] == 200.0          # equal timestamp included
+    assert rows[3]["ref_right"] is None           # no prior right row
+    assert rows[3]["ts_right"] is None
+    assert rows[4]["ref_right"] is None           # key never on right
+
+
+def test_asof_tolerance(sides):
+    left, right = sides
+    out = asof_join(
+        left, right, on=["user_id"], ts_col="ts",
+        right_cols=["ref"], tiebreak="event_id",
+        tolerance_seconds=600,
+    )
+    rows = {r["event_id"]: r for r in out.collect()}
+    assert rows[1]["ref_right"] is None           # 30 min > 10 min tolerance
+    assert rows[2]["ref_right"] == 200.0          # 0 s lag passes
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """Randomized cross-check against pandas merge_asof(direction='backward')."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    n_l, n_r = 200, 120
+    lp = pd.DataFrame({
+        "k": rng.randint(0, 5, n_l).astype(str),
+        "ts": pd.to_datetime(rng.randint(0, 100_000, n_l), unit="s"),
+    }).sort_values("ts").reset_index(drop=True)
+    lp["event_id"] = range(n_l)
+    rp = pd.DataFrame({
+        "k": rng.randint(0, 5, n_r).astype(str),
+        "ts": pd.to_datetime(rng.randint(0, 100_000, n_r), unit="s"),
+        "payload": rng.randint(0, 1000, n_r).astype("int64"),
+    })
+    # unique (k, ts) on the right, as the operator contract requires
+    rp = rp.sort_values(["k", "ts", "payload"]).drop_duplicates(["k", "ts"], keep="last")
+
+    expected = pd.merge_asof(
+        lp.sort_values("ts"), rp.sort_values("ts"),
+        on="ts", by="k", direction="backward", suffixes=("", "_r"),
+    ).sort_values("event_id")
+
+    out = asof_join(
+        spark.createDataFrame(lp, "k string, ts timestamp, event_id long"),
+        spark.createDataFrame(rp, "k string, ts timestamp, payload long"),
+        on=["k"], ts_col="ts", right_cols=["payload"], tiebreak="event_id",
+    ).toPandas().sort_values("event_id")
+
+    got = out["payload_right"].reset_index(drop=True)
+    want = expected["payload"].reset_index(drop=True)
+    assert got.where(got.notna(), -1).astype("int64").tolist() == \
+        want.where(want.notna(), -1).astype("int64").tolist()
+
+
+def test_interval_join_boundaries(spark):
+    events = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00")),   # == start (inclusive)
+            (2, _ts("2024-01-01 11:30:00")),   # inside, different cell
+            (3, _ts("2024-01-01 12:00:00")),   # == end (inclusive by default)
+            (4, _ts("2024-01-01 12:00:01")),   # just after end
+            (5, _ts("2024-01-01 09:59:59")),   # just before start
+        ],
+        "event_id long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [("iv1", _ts("2024-01-01 10:00:00"), _ts("2024-01-01 12:00:00"))],
+        "iv string, start timestamp, end timestamp",
+    )
+    got = sorted(
+        r["event_id"]
+        for r in interval_join(events, intervals, cell_seconds=3600).collect()
+    )
+    assert got == [1, 2, 3]
+
+    exclusive = sorted(
+        r["event_id"]
+        for r in interval_join(
+            events, intervals, cell_seconds=3600, inclusive_end=False
+        ).collect()
+    )
+    assert exclusive == [1, 2]
+
+
+def test_interval_join_no_duplicate_matches(spark):
+    """An event in a cell covered by a long interval matches exactly once
+    regardless of how many cells the interval explodes into."""
+    events = spark.createDataFrame(
+        [(1, _ts("2024-01-01 05:00:00"))], "event_id long, ts timestamp"
+    )
+    intervals = spark.createDataFrame(
+        [("iv", _ts("2024-01-01 00:00:00"), _ts("2024-01-02 00:00:00"))],
+        "iv string, start timestamp, end timestamp",
+    )
+    out = interval_join(events, intervals, cell_seconds=600)
+    assert out.count() == 1
+
+
+def test_interval_join_plan_is_equi_join(spark):
+    """The physical plan must join on the cell (hash/sort-merge or broadcast
+    HASH join) — never a BroadcastNestedLoopJoin from the range predicate."""
+    events = spark.range(100).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(F.col("id") * 60).alias("ts"),
+    )
+    intervals = spark.range(5).select(
+        F.col("id").alias("iv"),
+        F.timestamp_seconds(F.col("id") * 1200).alias("start"),
+        F.timestamp_seconds(F.col("id") * 1200 + 900).alias("end"),
+    )
+    plan = interval_join(events, intervals)._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
