@@ -1,0 +1,92 @@
+"""KMV (k-minimum-values) distinct-count sketch.
+
+North-star engine extension: corpus-scale cardinality profiling (distinct
+users per segment, distinct n-grams per shard, vocabulary growth curves)
+without holding the distinct set. A KMV sketch keeps the k smallest values
+of a uniform hash; the k-th smallest value estimates the cardinality as
+``(k-1) / kth_normalized`` (Bar-Yossef et al. 2002, the classic "distinct
+elements in a stream" bottom-k estimator). Standard error ≈ 1/sqrt(k-2).
+
+Why KMV and not HyperLogLog here: HLL implementations differ across engines
+(register widths, bias correction), so ``approx_count_distinct`` can never
+be oracle-gated. KMV is pure order statistics over md5 — both engines
+compute the identical integers, so the ESTIMATE itself is hash-exact
+against DuckDB while remaining a true sublinear sketch.
+
+Scale shape: the map side reduces to distinct (group, hash) pairs (partial
+dedup before the shuffle), the reduce side keeps k values per group — state
+is O(groups × k) regardless of corpus size. Sketches are MERGEABLE: union
+two groups' value lists and re-take the k smallest (``merge_sketches``),
+which is how per-partition / per-day sketches roll up without re-scanning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# 13 hex chars = 52 bits: exactly representable in a double, so the
+# normalization divide (by 2^52, a power of two) is exact in IEEE double
+# and both engines produce bit-identical estimates.
+_HASH_HEX_CHARS = 13
+_HASH_SPACE = float(1 << 52)
+
+
+def kmv_hash(value: Column) -> Column:
+    """Uniform 52-bit hash of any value via md5 of its string form."""
+    return F.conv(
+        F.substring(F.md5(value.cast("string")), 1, _HASH_HEX_CHARS), 16, 10
+    ).cast("long")
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Build one sketch row per group: ``(group_cols..., kmv: array<long>)``
+    where ``kmv`` holds the (at most) k smallest distinct hash values,
+    ascending. State per group is bounded by k."""
+    group_cols = list(group_cols)
+    d = df.select(
+        *group_cols, kmv_hash(F.col(value_col)).alias("__h")
+    ).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("__h")
+    return (
+        d.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .groupBy(*group_cols)
+        .agg(F.array_sort(F.collect_list("__h")).alias("kmv"))
+    )
+
+
+def merge_sketches(a: Column, b: Column, k: int = 64) -> Column:
+    """Merge two kmv arrays: union distinct, sort, keep the k smallest —
+    the lossless roll-up (equal to sketching the unioned inputs)."""
+    return F.slice(F.array_sort(F.array_distinct(F.concat(a, b))), 1, k)
+
+
+def estimate_from_sketch(kmv: Column, k: int = 64) -> Column:
+    """Distinct-count estimate from a sketch array: exact count when the
+    group had fewer than k distinct values, else (k-1)/normalized-kth."""
+    kth = F.element_at(kmv, k)
+    return F.when(
+        F.size(kmv) < k, F.size(kmv).cast("double")
+    ).otherwise(F.lit(float(k - 1)) / (kth.cast("double") / F.lit(_HASH_SPACE)))
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group distinct-count estimate: ``(group_cols..., distinct_est)``."""
+    sk = kmv_sketch(df, group_cols, value_col, k)
+    return sk.select(
+        *group_cols, estimate_from_sketch(F.col("kmv"), k).alias("distinct_est")
+    )

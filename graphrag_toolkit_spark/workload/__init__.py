@@ -44,6 +44,7 @@ _CHECK_FIRST = [
     # new in round 3 — never driver-checked
     "asof_join_events",
     "interval_join_events",
+    "kmv_distinct_users_events",
     "dup_span_coverage_documents",
     "scrub_dup_spans_documents",
     "shard_corpus_documents",

@@ -238,6 +238,53 @@ GROUP BY t.s_user_id, t.session_idx, e.event_type
 """
 
 
+KMV_K = 64
+_KMV_SPACE = float(1 << 52)
+
+
+def kmv_distinct_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k distinct-count sketch (`operators/sketch.py`): estimated
+    vs exact distinct users per event_type. The estimate itself is
+    hash-gated — KMV is pure order statistics over md5, so unlike HLL the
+    sketch output is engine-portable and bit-exact."""
+    from graphrag_toolkit_spark.operators import sketch
+
+    ev = load(spark, sf_dir, "events")
+    est = sketch.kmv_distinct(ev, ["event_type"], "user_id", k=KMV_K)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return exact.join(est, "event_type")
+
+
+KMV_ORACLE = f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 13) AS BIGINT) AS hv
+  FROM events
+),
+r AS (
+  SELECT event_type, hv,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+  FROM h
+),
+agg AS (
+  SELECT event_type, COUNT(*) AS n_seen,
+         MAX(CASE WHEN rn = {KMV_K} THEN hv END) AS kth
+  FROM r WHERE rn <= {KMV_K} GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM events
+  GROUP BY event_type
+)
+SELECT e.event_type, e.n_exact,
+       CASE WHEN a.n_seen < {KMV_K} THEN CAST(a.n_seen AS DOUBLE)
+            ELSE {float(KMV_K - 1)} / (CAST(a.kth AS DOUBLE) / {_KMV_SPACE})
+       END AS distinct_est
+FROM exact e JOIN agg a USING (event_type)
+"""
+
+
 QUERIES = {
     "tumbling_window_events": tumbling_window_events,
     "sliding_window_events": sliding_window_events,
@@ -245,6 +292,7 @@ QUERIES = {
     "event_type_funnel": event_type_funnel,
     "asof_join_events": asof_join_events,
     "interval_join_events": interval_join_events,
+    "kmv_distinct_users_events": kmv_distinct_users_events,
 }
 
 ORACLES = {
@@ -254,4 +302,5 @@ ORACLES = {
     "event_type_funnel": FUNNEL_ORACLE,
     "asof_join_events": ASOF_ORACLE,
     "interval_join_events": INTERVAL_ORACLE,
+    "kmv_distinct_users_events": KMV_ORACLE,
 }
