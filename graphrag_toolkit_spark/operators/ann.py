@@ -92,7 +92,7 @@ def first_c_centroids(
     """Deterministic centroid stand-in (the oracle leg): the first
     ``n_centroids`` vectors by id. Honest fixture-scale substitute for
     k-means; the production trainer is ``train_centroids_kmeans``."""
-    w = Window.orderBy(F.asc(id_col))
+    w = Window.orderBy(F.asc("_id"))
     return (
         emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("embedding"))
         .withColumn("_rn", F.row_number().over(w))

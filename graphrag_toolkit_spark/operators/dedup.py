@@ -715,3 +715,67 @@ def cluster_representatives(
         .filter(F.col("_rn") == 1)
         .select(F.col("component").alias("cluster_id"), "id", score_col)
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup that
+    only ever compares WITHIN a cluster. Vectors are assigned to their
+    nearest centroid (`ann.ivf_assign`, broadcast centroids — one narrow
+    map), intra-cluster pairs above the cosine threshold form a near-dup
+    graph, and `connected_components` picks one deterministic survivor per
+    group (min id; compose with `cluster_representatives` to keep-best
+    instead). Returns one row per input vector:
+    ``(id, cid, cluster_rep, is_survivor)``.
+
+    Scale shape: the pair stage shuffles on cid and is quadratic only in
+    CLUSTER size — the paper's regime scales k with n to keep clusters
+    bounded (~corpus/k rows each), so no all-pairs stage ever touches the
+    corpus. Norms/quantization are computed once per vector before the
+    pair join. Deterministic end-to-end with `first_c_centroids`; with the
+    KMeans trainer the assignment inherits its partitioning caveat.
+    """
+    from graphrag_toolkit_spark.operators.ann import ivf_assign
+
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    prepped = assigned.select(
+        "id",
+        "cid",
+        prequantize(F.col("embedding")).alias("qv"),
+        l2_norm_quantized(F.col("embedding")).alias("norm"),
+    )
+    a = prepped.withColumnsRenamed({"id": "id_a", "qv": "qa", "norm": "na"})
+    b = prepped.select(
+        F.col("cid"),
+        F.col("id").alias("id_b"),
+        F.col("qv").alias("qb"),
+        F.col("norm").alias("nb"),
+    )
+    pairs = (
+        a.join(b, ["cid"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos",
+            dot_prequantized(F.col("qa"), F.col("qb")) / (F.col("na") * F.col("nb")),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b")
+    )
+    comps = connected_components(pairs)
+    return (
+        assigned.select("id", "cid")
+        .join(comps, "id", "left")
+        .select(
+            "id",
+            "cid",
+            F.coalesce(F.col("component"), F.col("id")).alias("cluster_rep"),
+            (F.coalesce(F.col("component"), F.col("id")) == F.col("id")).alias(
+                "is_survivor"
+            ),
+        )
+    )

@@ -45,6 +45,7 @@ _CHECK_FIRST = [
     "asof_join_events",
     "interval_join_events",
     "kmv_distinct_users_events",
+    "semantic_dedup_embeddings",
     "dup_span_coverage_documents",
     "scrub_dup_spans_documents",
     "shard_corpus_documents",

@@ -565,6 +565,86 @@ SELECT id_a, id_b, cos FROM scores WHERE cos >= {EMBED_DUP_THRESHOLD}
 """
 
 
+# --- SemDeDup ----------------------------------------------------------------
+
+SEMDEDUP_CENTROIDS = 8
+
+
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (cluster-then-prune semantic dedup, Abbas et al. 2023):
+    nearest-centroid bucketing (deterministic first-C centroids — the
+    oracle leg; swap in `ann.train_centroids_kmeans` for production),
+    intra-cluster cosine pairs, one survivor per connected component."""
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = ann.first_c_centroids(
+        emb, SEMDEDUP_CENTROIDS, id_col="vec_id", vec_col="embedding"
+    )
+    return (
+        dedup.semantic_dedup(
+            emb, centroids, id_col="vec_id", vec_col="embedding",
+            threshold=EMBED_DUP_THRESHOLD,
+        )
+        .withColumnRenamed("id", "vec_id")
+    )
+
+
+def _semdedup_cos(src: str, key_a: str, key_b: str) -> str:
+    return f"""
+  SELECT l.{key_a} AS key_a, l.{key_b} AS key_b,
+         CAST(SUM({_EMB_Q.format(x='l.ea[i]')} * {_EMB_Q.format(x='l.eb[i]')}) AS DOUBLE)
+           / (sqrt(CAST(SUM({_EMB_Q.format(x='l.ea[i]')} * {_EMB_Q.format(x='l.ea[i]')}) AS DOUBLE))
+              * sqrt(CAST(SUM({_EMB_Q.format(x='l.eb[i]')} * {_EMB_Q.format(x='l.eb[i]')}) AS DOUBLE))) AS score
+  FROM {src} l, generate_series(1, 64) AS t(i)
+  GROUP BY l.{key_a}, l.{key_b}
+"""
+
+
+SEMDEDUP_ORACLE = f"""
+WITH RECURSIVE
+cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+         WHERE vec_id < {SEMDEDUP_CENTROIDS}),
+apairs AS (
+  SELECT e.vec_id, c.cid, e.embedding AS ea, c.cemb AS eb
+  FROM embeddings e, cent c
+),
+assign_scores AS ({_semdedup_cos('apairs', 'vec_id', 'cid')}),
+assigned AS (
+  SELECT key_a AS vec_id, key_b AS cid FROM (
+    SELECT key_a, key_b, score,
+           ROW_NUMBER() OVER (PARTITION BY key_a ORDER BY score DESC, key_b) AS rn
+    FROM assign_scores
+  ) WHERE rn = 1
+),
+cpairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, x.embedding AS ea, y.embedding AS eb
+  FROM assigned a
+  JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN embeddings x ON x.vec_id = a.vec_id
+  JOIN embeddings y ON y.vec_id = b.vec_id
+),
+pair_scores AS ({_semdedup_cos('cpairs', 'id_a', 'id_b')}),
+pairs AS (
+  SELECT key_a AS id_a, key_b AS id_b FROM pair_scores
+  WHERE score >= {EMBED_DUP_THRESHOLD}
+),
+und AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT u.id, e.dst FROM reach u JOIN und e ON e.src = u.r
+),
+comp AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id)
+SELECT a.vec_id, a.cid,
+       COALESCE(c.rep, a.vec_id) AS cluster_rep,
+       COALESCE(c.rep, a.vec_id) = a.vec_id AS is_survivor
+FROM assigned a LEFT JOIN comp c ON c.id = a.vec_id
+"""
+
+
 # --- text analysis -----------------------------------------------------------
 
 def token_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1470,6 +1550,7 @@ QUERIES = {
     "split_documents": split_documents,
     "stratified_sample_documents": stratified_sample_documents,
     "embedding_neardup_pairs": embedding_neardup_pairs,
+    "semantic_dedup_embeddings": semantic_dedup_embeddings,
     "embedding_neardup_lsh": embedding_neardup_lsh,
     "embedding_neardup_recall": embedding_neardup_recall,
     "token_stats_documents": token_stats_documents,
@@ -1507,6 +1588,7 @@ ORACLES = {
     "split_documents": SPLIT_ORACLE,
     "stratified_sample_documents": STRATIFIED_ORACLE,
     "embedding_neardup_pairs": EMBED_NEARDUP_ORACLE,
+    "semantic_dedup_embeddings": SEMDEDUP_ORACLE,
     "embedding_neardup_lsh": EMBED_NEARDUP_LSH_ORACLE,
     "embedding_neardup_recall": EMBED_NEARDUP_RECALL_ORACLE,
     "token_stats_documents": TOKEN_STATS_ORACLE,

@@ -897,3 +897,65 @@ class TestHotGrams:
         assert [r["gram"] for r in out] == ["x y z", "a b c"]
         top = out[0]
         assert (top["tf"], top["df"]) == (3, 2)   # 2 in doc1 + 1 in doc2
+
+
+class TestSemanticDedup:
+    def test_survivors_and_cluster_scoping(self, spark):
+        """Two tight groups plus a singleton; groups land in different
+        clusters, so cross-cluster similarity is never even computed."""
+        vecs = [
+            # cluster around +x: 1,2 near-identical; 3 distinct
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.999, 0.01, 0.0, 0.0]),
+            (3, [0.7, 0.7, 0.0, 0.0]),
+            # cluster around +y: 4,5 near-identical
+            (4, [0.0, 1.0, 0.01, 0.0]),
+            (5, [0.0, 0.999, 0.0, 0.01]),
+        ]
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in vecs],
+            "id long, embedding array<float>",
+        )
+        centroids = spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+            "cid long, embedding array<float>",
+        )
+        out = {
+            r["id"]: r
+            for r in dedup.semantic_dedup(
+                emb, centroids, id_col="id", vec_col="embedding", threshold=0.98
+            ).collect()
+        }
+        assert len(out) == 5
+        assert [out[i]["cid"] for i in (1, 2, 3)] == [0, 0, 0]
+        assert [out[i]["cid"] for i in (4, 5)] == [1, 1]
+        # 1-2 collapse (rep 1), 4-5 collapse (rep 4), 3 survives alone
+        assert out[1]["is_survivor"] and out[1]["cluster_rep"] == 1
+        assert not out[2]["is_survivor"] and out[2]["cluster_rep"] == 1
+        assert out[3]["is_survivor"]
+        assert out[4]["is_survivor"] and out[4]["cluster_rep"] == 4
+        assert not out[5]["is_survivor"] and out[5]["cluster_rep"] == 4
+
+    def test_no_pairs_means_all_survive(self, spark):
+        emb = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+            "id long, embedding array<float>",
+        )
+        centroids = spark.createDataFrame(
+            [(0, [1.0, 0.0])], "cid long, embedding array<float>"
+        )
+        out = dedup.semantic_dedup(
+            emb, centroids, id_col="id", vec_col="embedding", threshold=0.99
+        ).collect()
+        assert all(r["is_survivor"] for r in out)
+
+
+class TestFirstCCentroids:
+    def test_orders_by_renamed_id(self, spark):
+        emb = spark.createDataFrame(
+            [(30, [3.0]), (10, [1.0]), (20, [2.0])],
+            "vec_id long, embedding array<float>",
+        )
+        out = ann.first_c_centroids(emb, 2, id_col="vec_id").collect()
+        got = {r["cid"]: r["embedding"] for r in out}
+        assert got == {0: [1.0], 1: [2.0]}
