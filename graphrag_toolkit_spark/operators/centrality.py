@@ -1,0 +1,82 @@
+"""Iterative graph centrality (truncated Katz index).
+
+North-star analytics extension beyond the reference's degree scoring
+(`rollup.entity_degree`, reference `entity_context_provider.py:126-141`):
+a PageRank-family importance score that weighs paths, not just immediate
+edges — ranking hub entities/suppliers for retrieval seeding or corpus
+curation. Truncated Katz with attenuation α = 1/2^b over K iterations:
+
+    r_0(v)     = 1
+    r_{t+1}(v) = 1 + α · Σ_{u→v} r_t(u)
+
+Why Katz and not PageRank here: PageRank divides by out-degree, and
+decimal/double division rounds differently across engines, so no PageRank
+score can be hash-gated. Katz with a power-of-two α needs NO division at
+all once ranks are pre-scaled by 2^(b·K): every value stays an exact
+BIGINT through all iterations (each halving hits an even number by
+induction), so the scores are bit-identical in any engine and in any
+partitioning. The final divide by 2^(b·K) is an exact power-of-two double
+operation.
+
+Scale shape: the classic message-passing loop — per iteration one
+edge⋈ranks equi-join and one sum per destination (map-side partial
+aggregation applies; longs sum associatively). Ranks are localCheckpointed
+per round to keep lineage flat; the edge table is persisted across rounds.
+Skewed in-degree is ordinary aggregation skew (AQE / two-phase salting via
+`functions/skew.py` if a hub dominates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def katz_centrality(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 6,
+    alpha_log2: int = 1,
+) -> DataFrame:
+    """Truncated Katz index over a directed simple graph (dedup edges first
+    if multi-edges should not multiply influence). Returns
+    ``(node_id, katz: double)`` for every node appearing as src or dst;
+    α = 1/2^alpha_log2, K = iters terms."""
+    if iters < 0 or alpha_log2 < 1:
+        raise ValueError("iters must be >= 0 and alpha_log2 >= 1")
+    scale = 1 << (alpha_log2 * iters)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e.persist()
+    try:
+        nodes = (
+            e.select(F.col("src").alias("node_id"))
+            .unionByName(e.select(F.col("dst").alias("node_id")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        ranks = nodes.withColumn("r", F.lit(scale).cast("long"))
+        for _ in range(iters):
+            msgs = e.join(
+                ranks.withColumnRenamed("node_id", "src"), "src"
+            ).select(F.col("dst").alias("node_id"), "r")
+            sums = msgs.groupBy("node_id").agg(F.sum("r").alias("s"))
+            ranks = (
+                nodes.join(sums, "node_id", "left")
+                .select(
+                    "node_id",
+                    (
+                        F.lit(scale)
+                        + F.expr(
+                            f"coalesce(s, 0L) div {1 << alpha_log2}"
+                        )
+                    ).cast("long").alias("r"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        return ranks.select(
+            "node_id",
+            (F.col("r").cast("double") / F.lit(float(scale))).alias("katz"),
+        )
+    finally:
+        e.unpersist()

@@ -46,6 +46,7 @@ _CHECK_FIRST = [
     "interval_join_events",
     "kmv_distinct_users_events",
     "semantic_dedup_embeddings",
+    "katz_centrality_graph",
     "dup_span_coverage_documents",
     "scrub_dup_spans_documents",
     "shard_corpus_documents",

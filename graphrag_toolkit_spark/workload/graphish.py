@@ -485,8 +485,51 @@ SELECT user_id, event_type, event_id FROM (
 """
 
 
+# --- truncated Katz centrality ----------------------------------------------
+
+KATZ_ITERS = 6
+
+
+def katz_centrality_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated Katz index (α=1/2, 6 terms) over the typed-edge graph —
+    `centrality.katz_centrality`'s pure-BIGINT message-passing loop, so the
+    iterative scores hash-match an unrolled-CTE oracle exactly (no float
+    accumulation anywhere). Simple-graph semantics: deduped edges, since
+    multi-edges would multiply influence."""
+    from graphrag_toolkit_spark.operators import centrality
+
+    return centrality.katz_centrality(
+        _triples(spark, sf_dir), iters=KATZ_ITERS, alpha_log2=1
+    )
+
+
+def _katz_oracle() -> str:
+    scale = 1 << KATZ_ITERS
+    steps = []
+    for t in range(1, KATZ_ITERS + 1):
+        steps.append(f"""
+k{t} AS (
+  SELECT n.node_id, {scale} + COALESCE(SUM(p.r), 0) // 2 AS r
+  FROM nodes n
+  LEFT JOIN e ON e.dst = n.node_id
+  LEFT JOIN k{t - 1} p ON p.node_id = e.src
+  GROUP BY n.node_id
+)""")
+    return f"""
+WITH e AS ({EDGES_SQL}),
+nodes AS (SELECT src AS node_id FROM e UNION SELECT dst FROM e),
+k0 AS (SELECT node_id, CAST({scale} AS BIGINT) AS r FROM nodes),
+{','.join(steps)}
+SELECT node_id, CAST(r AS DOUBLE) / {float(scale)} AS katz FROM k{KATZ_ITERS}
+"""
+
+
+KATZ_ORACLE = _katz_oracle()
+
+
 QUERIES = {
     "bfs_shortest_paths": bfs_shortest_paths,
+    "katz_centrality_graph": katz_centrality_graph,
     "entity_lookup_parts": entity_lookup_parts,
     "ordered_dedup_events": ordered_dedup_events,
     "metapath_follow": metapath_follow,
@@ -501,6 +544,7 @@ QUERIES = {
 
 ORACLES = {
     "bfs_shortest_paths": BFS_ORACLE,
+    "katz_centrality_graph": KATZ_ORACLE,
     "entity_lookup_parts": ENTITY_LOOKUP_ORACLE,
     "ordered_dedup_events": ORDERED_DEDUP_ORACLE,
     "metapath_follow": METAPATH_ORACLE,

@@ -369,3 +369,37 @@ class TestLinking:
         assert out[0]["node_id"] == first["id"]
         assert out[0]["score"] == pytest.approx(1.0)
         assert [r["rank"] for r in out] == [1, 2, 3]
+
+
+class TestKatzCentrality:
+    def test_hand_computed_two_iterations(self, spark):
+        from graphrag_toolkit_spark.operators.centrality import katz_centrality
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("a", "c"), ("b", "c")], "src string, dst string"
+        )
+        # r0=1 everywhere; r1 = (a:1, b:1.5, c:2); r2 = (a:1, b:1.5, c:2.25)
+        out = {
+            r["node_id"]: r["katz"]
+            for r in katz_centrality(edges, iters=2).collect()
+        }
+        assert out == {"a": 1.0, "b": 1.5, "c": 2.25}
+
+    def test_zero_iterations_is_ones(self, spark):
+        from graphrag_toolkit_spark.operators.centrality import katz_centrality
+
+        edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+        out = {r["node_id"]: r["katz"] for r in katz_centrality(edges, iters=0).collect()}
+        assert out == {"a": 1.0, "b": 1.0}
+
+    def test_scores_are_exact_dyadics(self, spark):
+        """Every score times 2^(K) must be an integer — the no-rounding
+        invariant that makes the operator hash-gateable."""
+        from graphrag_toolkit_spark.operators.centrality import katz_centrality
+
+        edges = spark.createDataFrame(
+            [(f"n{i}", f"n{(i * 7 + 3) % 20}") for i in range(40)],
+            "src string, dst string",
+        ).distinct()
+        ks = [r["katz"] * (1 << 6) for r in katz_centrality(edges, iters=6).collect()]
+        assert all(v == int(v) for v in ks)
