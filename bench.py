@@ -59,6 +59,12 @@ HEADLINE = [
     "processor_chain_statements",
     "extract_build_statements",
     "beam_search_embeddings",
+    # temporal / sketch / centrality / semantic-dedup (round-3 additions)
+    "asof_join_events",
+    "interval_join_events",
+    "kmv_distinct_users_events",
+    "katz_centrality_graph",
+    "semantic_dedup_embeddings",
 ]
 
 

@@ -46,7 +46,13 @@ def katz_centrality(
     if iters < 0 or alpha_log2 < 1:
         raise ValueError("iters must be >= 0 and alpha_log2 >= 1")
     scale = 1 << (alpha_log2 * iters)
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # pre-shuffle the (loop-invariant) edge table by the join key ONCE:
+    # the persisted hash distribution satisfies every round's join
+    # requirement, so only the (much smaller) rank table moves per round.
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .repartition(F.col("src"))
+    )
     e.persist()
     try:
         nodes = (
@@ -55,22 +61,24 @@ def katz_centrality(
             .distinct()
             .localCheckpoint(eager=True)
         )
+        # zero-contribution row per node folded into the aggregate: one
+        # shuffle per round (the message sum) instead of sum + a second
+        # nodes-left-join shuffle, with identical results (0 adds nothing,
+        # but guarantees every node — in-edges or not — gets a rank row).
+        zeros = nodes.withColumn("r", F.lit(0).cast("long"))
         ranks = nodes.withColumn("r", F.lit(scale).cast("long"))
         for _ in range(iters):
             msgs = e.join(
                 ranks.withColumnRenamed("node_id", "src"), "src"
             ).select(F.col("dst").alias("node_id"), "r")
-            sums = msgs.groupBy("node_id").agg(F.sum("r").alias("s"))
             ranks = (
-                nodes.join(sums, "node_id", "left")
-                .select(
-                    "node_id",
+                msgs.unionByName(zeros)
+                .groupBy("node_id")
+                .agg(
                     (
                         F.lit(scale)
-                        + F.expr(
-                            f"coalesce(s, 0L) div {1 << alpha_log2}"
-                        )
-                    ).cast("long").alias("r"),
+                        + F.expr(f"sum(r) div {1 << alpha_log2}")
+                    ).cast("long").alias("r")
                 )
                 .localCheckpoint(eager=True)
             )

@@ -162,3 +162,23 @@ def test_interval_join_plan_is_equi_join(spark):
     plan = interval_join(events, intervals)._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_asof_plan_single_carry_shuffle(spark):
+    """The as-of join itself must cost ONE exchange (on the key) — the
+    union+carry-forward contract; and never a nested-loop range join."""
+    left = spark.range(100).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 10).cast("string").alias("k"),
+        F.timestamp_seconds(F.col("id") * 60).alias("ts"),
+    )
+    right = spark.range(50).select(
+        (F.col("id") % 10).cast("string").alias("k"),
+        F.timestamp_seconds(F.col("id") * 97).alias("ts"),
+        F.col("id").alias("payload"),
+    )
+    plan = asof_join(
+        left, right, on=["k"], ts_col="ts", right_cols=["payload"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
+    assert plan.count("Exchange") == 1
