@@ -157,3 +157,51 @@ def neardup_candidates_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def kmv_distinct_stream(
+    events: DataFrame, key_col: str, value_col: str, k: int = 64
+) -> DataFrame:
+    """Streaming KMV distinct-count sketch: per-key running cardinality
+    estimate surviving across micro-batches. The 52-bit hash is computed
+    JVM-side (narrow expression — the Python stage only sees longs); state
+    per key is the bottom-k hash array, merged with each batch exactly as
+    ``sketch.merge_sketches`` merges batch sketches. Because KMV merge is
+    lossless, the emitted estimate after any number of micro-batches is
+    BIT-IDENTICAL to ``sketch.kmv_distinct`` over the union of all rows —
+    a stream==batch equality the HLL family cannot offer. State size:
+    O(keys × k) longs, no timeout needed.
+
+    Emits (key, n_kept, distinct_est) per key per batch (update mode)."""
+    from graphrag_toolkit_spark.operators.sketch import _HASH_SPACE, kmv_hash
+
+    out_schema = f"{key_col} string, n_kept integer, distinct_est double"
+    state_schema = "kmv array<long>"
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        kept: list[int] = list(state.get[0]) if state.exists else []
+        merged = set(kept)
+        for pdf in pdfs:
+            merged.update(int(h) for h in pdf["__h"])
+        kept = sorted(merged)[:k]
+        state.update((kept,))
+        if len(kept) < k:
+            est = float(len(kept))
+        else:
+            est = float(k - 1) / (kept[k - 1] / _HASH_SPACE)
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n_kept": [len(kept)], "distinct_est": [est]}
+        )
+
+    hashed = events.select(
+        F.col(key_col), kmv_hash(F.col(value_col)).alias("__h")
+    )
+    return hashed.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

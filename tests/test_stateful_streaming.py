@@ -157,3 +157,37 @@ class TestNarrowSignatures:
             for r in dedup.minhash_signatures(sh, 12).collect()
         }
         assert narrow == wide
+
+
+class TestKmvStream:
+    def test_stream_estimate_equals_batch_sketch(self, spark, stream_dir):
+        """After all micro-batches, the per-key streaming estimate is
+        bit-identical to the batch KMV over the union of rows — the
+        lossless-merge property, exercised through real micro-batches."""
+        from graphrag_toolkit_spark.operators import sketch
+
+        src = read_jsonl_stream(spark, stream_dir, SCHEMA, max_files_per_trigger=1)
+        _run(
+            stateful.kmv_distinct_stream(src, "event_type", "text_hash", k=3),
+            "kmv_out",
+            "update",
+        )
+        # update mode keeps one row per (key, batch); last batch wins
+        rows = spark.sql("SELECT * FROM kmv_out").collect()
+        latest: dict[str, float] = {}
+        for r in rows:  # memory sink appends in batch order
+            latest[r["event_type"]] = r["distinct_est"]
+
+        all_rows = spark.createDataFrame(
+            [*BATCH1, *BATCH2],
+            "id long, text_hash string, event_type string, value double",
+        )
+        batch = {
+            r["event_type"]: r["distinct_est"]
+            for r in sketch.kmv_distinct(
+                all_rows, ["event_type"], "text_hash", k=3
+            ).collect()
+        }
+        assert latest == batch
+        # k=3 and 'view' saw 3 distinct hashes (h_a,h_c,h_d) -> estimator leg
+        assert latest["view"] != 3.0 or latest["click"] <= 3.0
