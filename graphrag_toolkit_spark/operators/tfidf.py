@@ -178,3 +178,92 @@ def diversity_filter(
     )
     drop = sims.select(F.col("id_b").alias(id_col)).distinct()
     return flat.join(drop, id_col, "left_anti")
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_text: str,
+    text_col: str,
+    id_col: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    quantize: int = 6,
+) -> DataFrame:
+    """BM25 keyword scoring (Robertson idf, Lucene-style) against
+    ``query_text`` — the relational twin of the reference's OpenSearch
+    keyword/hybrid leg (`opensearch_vector_indexes.py` keyword queries are
+    BM25-ranked by the service; here the ranking function itself is a
+    DataFrame aggregation). Returns (id, bm25) for every doc, 0.0 when no
+    query term matches.
+
+        idf(t)   = ln(1 + (N - df + 0.5)/(df + 0.5))
+        tfn(t,d) = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+        bm25     = Σ_t idf·tfn     (per-term scores rounded to ``quantize``
+                                    decimals, summed in DECIMAL — exact in
+                                    any order, engine-identical)
+
+    Scale shape: tokens materialized once; df stats and the (tiny) query
+    term list are broadcast; per-doc length and the final sum are id-grouped
+    aggregates — one token-shuffle end to end, same as TF-IDF above.
+    """
+    n_docs = docs.count()
+    doc_tokens = tokenize(docs, text_col, id_col)
+    doc_tokens.persist()
+
+    dl = doc_tokens.groupBy("id").agg(F.sum("tf").alias("dl"))
+    total_row = dl.select(
+        F.sum("dl").cast("double").alias("s"), F.count(F.lit(1)).alias("n")
+    ).head()
+    # avg over docs WITH tokens; exact-int operands -> identical division
+    avgdl = float(total_row["s"] or 0.0) / float(total_row["n"] or 1)
+
+    q_terms = sorted(
+        {t for t in __import__("re").split(r"[^0-9a-z]+", query_text.lower()) if t}
+    )
+    if not q_terms or avgdl == 0.0:
+        return docs.select(F.col(id_col).alias("id"), F.lit(0.0).alias("bm25"))
+    spark = docs.sparkSession
+    qdf = F.broadcast(spark.createDataFrame([{"token": t} for t in q_terms]))
+
+    dfreq = F.broadcast(
+        doc_tokens.join(qdf, "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    term = (
+        doc_tokens.join(dfreq, "token")
+        .join(dl, "id")
+        .withColumn(
+            "idf",
+            F.log(
+                1.0
+                + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "tfn",
+            (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+            ),
+        )
+        .withColumn(
+            "s",
+            F.round(F.col("idf") * F.col("tfn"), quantize).cast(
+                f"decimal(18,{quantize})"
+            ),
+        )
+    )
+    scores = (
+        term.groupBy("id")
+        .agg(F.sum("s").cast("double").alias("bm25"))
+        .localCheckpoint(eager=True)
+    )
+    doc_tokens.unpersist()
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(scores, "id", "left")
+        .fillna(0.0, subset=["bm25"])
+    )

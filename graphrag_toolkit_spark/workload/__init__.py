@@ -47,6 +47,7 @@ _CHECK_FIRST = [
     "kmv_distinct_users_events",
     "semantic_dedup_embeddings",
     "katz_centrality_graph",
+    "bm25_documents",
     "dup_span_coverage_documents",
     "scrub_dup_spans_documents",
     "shard_corpus_documents",

@@ -305,8 +305,64 @@ LEFT JOIN dnorm dn ON dn.doc_id = d.doc_id, qnorm
 """
 
 
+# --- BM25 keyword scoring ----------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking over the documents table — the relational twin of the
+    reference's OpenSearch keyword leg (service-side BM25). Per-term scores
+    quantized to the decimal grid before the per-doc sum, so the scores are
+    engine- and order-exact."""
+    from graphrag_toolkit_spark.operators.tfidf import bm25_scores
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        bm25_scores(docs, TFIDF_QUERY, text_col="text", id_col="doc_id",
+                    k1=_BM25_K1, b=_BM25_B, quantize=_TFIDF_QUANT)
+        .withColumnRenamed("id", "doc_id")
+    )
+
+
+BM25_ORACLE = f"""
+WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+toks AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '[^0-9a-z]+')) AS token
+    FROM documents
+  ) WHERE token <> '' GROUP BY doc_id, token
+),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM toks GROUP BY doc_id),
+ad AS (SELECT CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM dl),
+qt AS (
+  SELECT DISTINCT token FROM (
+    SELECT unnest(string_split_regex(lower('{TFIDF_QUERY}'), '[^0-9a-z]+')) AS token
+  ) WHERE token <> ''
+),
+dfr AS (SELECT token, COUNT(*) AS df FROM toks JOIN qt USING (token) GROUP BY token),
+term AS (
+  SELECT t.doc_id,
+         ln(1.0 + (CAST(n.n_docs AS DOUBLE) - f.df + 0.5) / (f.df + 0.5)) AS idf,
+         (t.tf * {_BM25_K1 + 1.0})
+           / (t.tf + {_BM25_K1} * ({1.0 - _BM25_B} + {_BM25_B} * d.dl / ad.avgdl)) AS tfn
+  FROM toks t JOIN dfr f USING (token) JOIN dl d ON d.doc_id = t.doc_id, n, ad
+),
+sc AS (
+  SELECT doc_id,
+         CAST(SUM(CAST(ROUND(idf * tfn, {_TFIDF_QUANT})
+                       AS DECIMAL(18,{_TFIDF_QUANT}))) AS DOUBLE) AS bm25
+  FROM term GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(sc.bm25, 0.0) AS bm25
+FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+"""
+
+
 QUERIES = {
     "cosine_topk": cosine_topk,
+    "bm25_documents": bm25_documents,
     "cosine_topk_diverse": cosine_topk_diverse,
     "dense_link_embeddings": dense_link_embeddings,
     "beam_search_embeddings": beam_search_embeddings,
@@ -316,6 +372,7 @@ QUERIES = {
 
 ORACLES = {
     "cosine_topk": COSINE_TOPK_ORACLE,
+    "bm25_documents": BM25_ORACLE,
     "cosine_topk_diverse": DIVERSITY_ORACLE,
     "dense_link_embeddings": DENSE_LINK_ORACLE,
     "beam_search_embeddings": BEAM_ORACLE,

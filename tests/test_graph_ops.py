@@ -278,6 +278,38 @@ class TestTfidf:
         assert kept == {"a", "c"}
 
 
+class TestBm25:
+    def test_ranking_properties(self, spark):
+        from graphrag_toolkit_spark.operators.tfidf import bm25_scores
+
+        docs = spark.createDataFrame(
+            [
+                (1, "spark joins and spark windows"),        # 2x 'spark'
+                (2, "spark joins in one line"),              # 1x 'spark'
+                (3, "cooking pasta recipes tonight again"),  # no match
+                (4, "rareword appears here once only"),      # rare term
+                (5, "spark spark spark spark spark spark"),  # tf saturation
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["id"]: r["bm25"]
+            for r in bm25_scores(docs, "spark rareword", "text", "doc_id").collect()
+        }
+        assert out[3] == 0.0                       # no query term -> 0
+        assert out[1] > out[2] > 0.0               # higher tf wins
+        assert out[4] > out[1]                     # rarer term outweighs
+        # k1 saturation: 6x tf must NOT score ~6x the 1x doc
+        assert out[5] < 3 * out[2]
+
+    def test_zero_query_terms(self, spark):
+        from graphrag_toolkit_spark.operators.tfidf import bm25_scores
+
+        docs = spark.createDataFrame([(1, "anything")], "doc_id long, text string")
+        out = bm25_scores(docs, "!!!", "text", "doc_id").collect()
+        assert out[0]["bm25"] == 0.0
+
+
 class TestMinimumSlice:
     def test_end_to_end_deterministic(self, g):
         cfg = RetrievalConfig(max_search_results=3)
