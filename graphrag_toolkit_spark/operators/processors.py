@@ -175,3 +175,40 @@ def ordered_dedup(df: DataFrame, key: str, order: str) -> DataFrame:
     Reference: ``byokg_query_engine.py:101-116``."""
     w = Window.partitionBy(key).orderBy(F.asc(order))
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def rrf_fuse(
+    legs: list[DataFrame],
+    id_col: str = "id",
+    score_col: str = "score",
+    k: int = 60,
+    quantize: int = 9,
+) -> DataFrame:
+    """Reciprocal-rank fusion of retriever legs (the hybrid-search merge:
+    keyword BM25 + vector + any other ranked leg): per leg, rank under the
+    total order (score desc, id asc); fused score = Σ 1/(k + rank).
+
+    Contributions are rounded to the decimal grid before the per-id sum, so
+    the fused score is order- and engine-exact. Ranking is inherently
+    GLOBAL — fuse after each leg's bounded top-N (TakeOrderedAndProject),
+    exactly as the reference's processor chain fuses already-truncated
+    result sets; never hand this a full corpus leg.
+    """
+    parts = []
+    for leg in legs:
+        w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+        parts.append(
+            leg.withColumn("_rank", F.row_number().over(w)).select(
+                F.col(id_col).alias("id"),
+                F.round(F.lit(1.0) / (F.lit(k) + F.col("_rank")), quantize)
+                .cast(f"decimal(12,{quantize})")
+                .alias("_c"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("id").agg(
+        F.sum("_c").cast("double").alias("rrf"),
+        F.count(F.lit(1)).alias("n_legs"),
+    )

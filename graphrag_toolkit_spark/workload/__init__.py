@@ -48,6 +48,7 @@ _CHECK_FIRST = [
     "semantic_dedup_embeddings",
     "katz_centrality_graph",
     "bm25_documents",
+    "hybrid_rrf_documents",
     "dup_span_coverage_documents",
     "scrub_dup_spans_documents",
     "shard_corpus_documents",

@@ -360,9 +360,65 @@ FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
 """
 
 
+# --- hybrid search: reciprocal-rank fusion -----------------------------------
+
+_RRF_K = 60
+_RRF_TOP = 100
+_RRF_QUANT = 9
+
+
+def hybrid_rrf_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval merge: BM25 leg + TF-IDF leg, each truncated to its
+    top-100 under a total order (TakeOrderedAndProject — the bounded-pool
+    contract), fused with `processors.rrf_fuse` reciprocal-rank scores."""
+    from graphrag_toolkit_spark.operators.processors import rrf_fuse
+
+    bm = (
+        bm25_documents(spark, sf_dir)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(_RRF_TOP)
+        .select(F.col("doc_id").alias("id"), F.col("bm25").alias("score"))
+    )
+    tf = (
+        tfidf_documents(spark, sf_dir)
+        .orderBy(F.desc("tfidf_score"), F.asc("doc_id"))
+        .limit(_RRF_TOP)
+        .select(F.col("doc_id").alias("id"), F.col("tfidf_score").alias("score"))
+    )
+    return rrf_fuse([bm, tf], k=_RRF_K, quantize=_RRF_QUANT).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+HYBRID_RRF_ORACLE = f"""
+WITH bm_full AS ({BM25_ORACLE}),
+tf_full AS ({TFIDF_ORACLE}),
+bm AS (SELECT doc_id, bm25 AS score FROM bm_full
+       ORDER BY bm25 DESC, doc_id LIMIT {_RRF_TOP}),
+tf AS (SELECT doc_id, tfidf_score AS score FROM tf_full
+       ORDER BY tfidf_score DESC, doc_id LIMIT {_RRF_TOP}),
+bmr AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank FROM bm),
+tfr AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank FROM tf),
+u AS (
+  SELECT doc_id,
+         CAST(ROUND(1.0 / ({_RRF_K} + rank), {_RRF_QUANT})
+              AS DECIMAL(12,{_RRF_QUANT})) AS c
+  FROM bmr
+  UNION ALL
+  SELECT doc_id,
+         CAST(ROUND(1.0 / ({_RRF_K} + rank), {_RRF_QUANT})
+              AS DECIMAL(12,{_RRF_QUANT})) AS c
+  FROM tfr
+)
+SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS rrf, COUNT(*) AS n_legs
+FROM u GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "cosine_topk": cosine_topk,
     "bm25_documents": bm25_documents,
+    "hybrid_rrf_documents": hybrid_rrf_documents,
     "cosine_topk_diverse": cosine_topk_diverse,
     "dense_link_embeddings": dense_link_embeddings,
     "beam_search_embeddings": beam_search_embeddings,
@@ -373,6 +429,7 @@ QUERIES = {
 ORACLES = {
     "cosine_topk": COSINE_TOPK_ORACLE,
     "bm25_documents": BM25_ORACLE,
+    "hybrid_rrf_documents": HYBRID_RRF_ORACLE,
     "cosine_topk_diverse": DIVERSITY_ORACLE,
     "dense_link_embeddings": DENSE_LINK_ORACLE,
     "beam_search_embeddings": BEAM_ORACLE,

@@ -310,6 +310,28 @@ class TestBm25:
         assert out[0]["bm25"] == 0.0
 
 
+class TestRrfFuse:
+    def test_fusion_scores_and_leg_counts(self, spark):
+        from graphrag_toolkit_spark.operators.processors import rrf_fuse
+
+        a = spark.createDataFrame([(1, 9.0), (2, 5.0), (3, 1.0)], "id long, score double")
+        b = spark.createDataFrame([(2, 8.0), (4, 3.0)], "id long, score double")
+        out = {r["id"]: r for r in rrf_fuse([a, b], k=60).collect()}
+        # doc 2: rank 2 in a, rank 1 in b
+        assert out[2]["n_legs"] == 2
+        assert out[2]["rrf"] == round(1 / 62, 9) + round(1 / 61, 9)
+        assert out[1]["n_legs"] == 1 and out[1]["rrf"] == round(1 / 61, 9)
+        # the doubly-ranked doc outscores every single-leg doc here
+        assert out[2]["rrf"] > max(out[1]["rrf"], out[3]["rrf"], out[4]["rrf"])
+
+    def test_tie_break_is_deterministic(self, spark):
+        from graphrag_toolkit_spark.operators.processors import rrf_fuse
+
+        a = spark.createDataFrame([(5, 1.0), (3, 1.0)], "id long, score double")
+        out = {r["id"]: r["rrf"] for r in rrf_fuse([a]).collect()}
+        assert out[3] > out[5]  # equal score -> smaller id ranks first
+
+
 class TestMinimumSlice:
     def test_end_to_end_deterministic(self, g):
         cfg = RetrievalConfig(max_search_results=3)
