@@ -281,3 +281,114 @@ def fingerprint(
             "fingerprint"
         ),
     )
+
+
+def ngram_lm_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bigram_logp: dict[tuple[str, str], float],
+    unigram_logp: dict[str, float],
+    unk_logp: float = -8.0,
+) -> DataFrame:
+    """Perplexity-style quality scoring with an injected back-off bigram LM
+    — the KenLM-filter leg of public corpus pipelines (CCNet buckets
+    documents by LM perplexity), behind precomputed DECIMAL log-probs so
+    the operator is deterministic and engine-exact:
+
+        logp(doc) = Σ_i coalesce(logp(w_i | w_{i-1}), logp(w_i), unk)
+
+    (first word scores through the unigram/unk back-off). Decimal sums are
+    exact in any order; ``avg_logp`` divides two exact operands. Returns
+    (id, n_words, logp_sum, avg_logp) — bucket/filter on avg_logp exactly
+    as CCNet does on perplexity (monotone transform; exp() never needed).
+
+    Scale shape: positions explode narrow from the token array, the LM
+    tables broadcast (a real KenLM table is GBs — swap the broadcast joins
+    for shuffle joins on the same contract), one per-doc sum; the corpus
+    never shuffles.
+    """
+    spark = df.sparkSession
+    from graphrag_toolkit_spark.functions.skew import widen_partitions
+
+    def _dec(x: float) -> float:
+        return float(round(x, 6))
+
+    bi = F.broadcast(
+        spark.createDataFrame(
+            [
+                {"bg": f"{a} {b}", "blp": _dec(lp)}
+                for (a, b), lp in sorted(bigram_logp.items())
+            ]
+            or [{"bg": "", "blp": 0.0}]
+        ).select("bg", F.col("blp").cast("decimal(12,6)").alias("blp"))
+    )
+    uni = F.broadcast(
+        spark.createDataFrame(
+            [
+                {"w": w, "ulp": _dec(lp)}
+                for w, lp in sorted(unigram_logp.items())
+            ]
+            or [{"w": "", "ulp": 0.0}]
+        ).select("w", F.col("ulp").cast("decimal(12,6)").alias("ulp"))
+    )
+    ws = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^0-9a-z]+"), lambda x: x != ""
+    )
+    pos = (
+        widen_partitions(df)
+        .select(F.col(id_col).alias("id"), ws.alias("ws"))
+        .select(
+            "id",
+            # sequence(1, 0) would generate a DESCENDING [1, 0] for empty
+            # docs — emit no positions instead
+            F.explode(
+                F.transform(
+                    F.when(
+                        F.size("ws") > 0, F.sequence(F.lit(1), F.size("ws"))
+                    ).otherwise(F.array().cast("array<int>")),
+                    lambda i: F.struct(
+                        F.when(
+                            i > 1,
+                            F.concat(
+                                F.element_at(F.col("ws"), (i - 1).cast("int")),
+                                F.lit(" "),
+                                F.element_at(F.col("ws"), i.cast("int")),
+                            ),
+                        ).alias("bg"),
+                        F.element_at(F.col("ws"), i.cast("int")).alias("w"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("id", F.col("p.bg").alias("bg"), F.col("p.w").alias("w"))
+    )
+    scored = (
+        pos.join(bi, "bg", "left")
+        .join(uni, "w", "left")
+        .withColumn(
+            "lp",
+            F.coalesce(
+                F.col("blp"),
+                F.col("ulp"),
+                F.lit(_dec(unk_logp)).cast("decimal(12,6)"),
+            ),
+        )
+    )
+    agg = scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("lp").cast("double").alias("logp_sum"),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(agg, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("n_words"), F.lit(0)).alias("n_words"),
+            F.coalesce(F.col("logp_sum"), F.lit(0.0)).alias("logp_sum"),
+            F.when(
+                F.col("n_words") > 0,
+                F.col("logp_sum") / F.col("n_words").cast("double"),
+            ).otherwise(F.lit(0.0)).alias("avg_logp"),
+        )
+    )

@@ -49,6 +49,9 @@ _CHECK_FIRST = [
     "katz_centrality_graph",
     "bm25_documents",
     "hybrid_rrf_documents",
+    "cube_stats_orders",
+    "pivot_orders_by_priority",
+    "ngram_lm_documents",
     "dup_span_coverage_documents",
     "scrub_dup_spans_documents",
     "shard_corpus_documents",

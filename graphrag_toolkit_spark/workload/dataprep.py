@@ -645,6 +645,80 @@ FROM assigned a LEFT JOIN comp c ON c.id = a.vec_id
 """
 
 
+# --- n-gram LM quality scoring -----------------------------------------------
+
+_LM_BIGRAMS = {
+    ("spark", "filter"): -1.2, ("filter", "join"): -1.5,
+    ("join", "window"): -1.8, ("batch", "stream"): -2.0,
+    ("table", "value"): -1.1, ("key", "scan"): -2.5,
+    ("the", "line"): -0.9, ("a", "row"): -1.3,
+}
+_LM_UNIGRAMS = {
+    "spark": -3.0, "table": -2.5, "value": -2.75, "the": -2.0, "a": -1.9,
+    "row": -3.1, "data": -2.8, "query": -3.2, "slow": -4.5, "fast": -4.0,
+}
+_LM_UNK = -8.0
+
+
+def ngram_lm_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Back-off bigram LM scoring (CCNet-style perplexity filter stand-in,
+    `textstats.ngram_lm_score`): injected decimal log-prob tables, exact
+    per-doc sums, avg_logp for bucketing."""
+    docs = load(spark, sf_dir, "documents")
+    return textstats.ngram_lm_score(
+        docs, "text", "doc_id", _LM_BIGRAMS, _LM_UNIGRAMS, _LM_UNK
+    ).withColumnRenamed("id", "doc_id")
+
+
+def _lm_oracle() -> str:
+    bi = ", ".join(
+        f"('{a} {b}', CAST({round(lp, 6)} AS DECIMAL(12,6)))"
+        for (a, b), lp in sorted(_LM_BIGRAMS.items())
+    )
+    uni = ", ".join(
+        f"('{w}', CAST({round(lp, 6)} AS DECIMAL(12,6)))"
+        for w, lp in sorted(_LM_UNIGRAMS.items())
+    )
+    return f"""
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^0-9a-z]+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+withprev AS (
+  SELECT doc_id, p.w AS w, p.bg AS bg FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(ws)),
+             i -> struct_pack(
+               w := ws[i],
+               bg := CASE WHEN i > 1 THEN ws[i - 1] || ' ' || ws[i] END
+             ))) AS p
+    FROM arr
+  )
+),
+bi(bg, blp) AS (VALUES {bi}),
+uni(w, ulp) AS (VALUES {uni}),
+s AS (
+  SELECT doc_id,
+         COALESCE(b.blp, u.ulp, CAST({_LM_UNK} AS DECIMAL(12,6))) AS lp
+  FROM withprev p LEFT JOIN bi b ON b.bg = p.bg LEFT JOIN uni u ON u.w = p.w
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(lp) AS DOUBLE) AS logp_sum
+  FROM s GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(a.n_words, 0) AS n_words,
+       COALESCE(a.logp_sum, 0.0) AS logp_sum,
+       CASE WHEN a.n_words > 0 THEN a.logp_sum / CAST(a.n_words AS DOUBLE)
+            ELSE 0.0 END AS avg_logp
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+
+
+NGRAM_LM_ORACLE = _lm_oracle()
+
+
 # --- text analysis -----------------------------------------------------------
 
 def token_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1551,6 +1625,7 @@ QUERIES = {
     "stratified_sample_documents": stratified_sample_documents,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "semantic_dedup_embeddings": semantic_dedup_embeddings,
+    "ngram_lm_documents": ngram_lm_documents,
     "embedding_neardup_lsh": embedding_neardup_lsh,
     "embedding_neardup_recall": embedding_neardup_recall,
     "token_stats_documents": token_stats_documents,
@@ -1589,6 +1664,7 @@ ORACLES = {
     "stratified_sample_documents": STRATIFIED_ORACLE,
     "embedding_neardup_pairs": EMBED_NEARDUP_ORACLE,
     "semantic_dedup_embeddings": SEMDEDUP_ORACLE,
+    "ngram_lm_documents": NGRAM_LM_ORACLE,
     "embedding_neardup_lsh": EMBED_NEARDUP_LSH_ORACLE,
     "embedding_neardup_recall": EMBED_NEARDUP_RECALL_ORACLE,
     "token_stats_documents": TOKEN_STATS_ORACLE,

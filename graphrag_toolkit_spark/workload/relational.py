@@ -367,8 +367,61 @@ ORDER BY n_orders
 """
 
 
+def cube_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): counts + exact decimal totals at every
+    grouping-set level incl. grand total — OLAP rollup surface the engine
+    gets from Catalyst for free (single pass, map-side partials per set)."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("total"),
+    )
+
+
+CUBE_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+PIVOT_PRIORITIES = [
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+]
+
+
+def pivot_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one row per order status, one count column per priority (fixed
+    pivot-value list ⇒ stable schema; Spark evaluates it as conditional
+    aggregates in one pass, same as the FILTER-clause oracle)."""
+    orders = load(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", PIVOT_PRIORITIES)
+        .agg(F.count(F.lit(1)))
+    )
+    renames = {p: f"p{p[0]}" for p in PIVOT_PRIORITIES}
+    out = piv
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    return out.fillna(0, subset=list(renames.values()))
+
+
+PIVOT_ORACLE = """
+SELECT o_orderstatus,
+       COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p1,
+       COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p2,
+       COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p3,
+       COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p4,
+       COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p5
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "cube_stats_orders": cube_stats_orders,
+    "pivot_orders_by_priority": pivot_orders_by_priority,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "filter_tree_orders": filter_tree_orders,
@@ -383,6 +436,8 @@ QUERIES = {
 
 ORACLES = {
     "q1_pricing_summary": Q1_ORACLE,
+    "cube_stats_orders": CUBE_ORACLE,
+    "pivot_orders_by_priority": PIVOT_ORACLE,
     "q3_shipping_priority": Q3_ORACLE,
     "q5_local_supplier_volume": Q5_ORACLE,
     "filter_tree_orders": FILTER_TREE_ORACLE,

@@ -959,3 +959,38 @@ class TestFirstCCentroids:
         out = ann.first_c_centroids(emb, 2, id_col="vec_id").collect()
         got = {r["cid"]: r["embedding"] for r in out}
         assert got == {0: [1.0], 1: [2.0]}
+
+
+class TestNgramLm:
+    def test_backoff_chain(self, spark):
+        """bigram hit > unigram backoff > unk, scored per position."""
+        docs = spark.createDataFrame(
+            [(1, "spark filter mystery"), (2, "")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["id"]: r
+            for r in textstats.ngram_lm_score(
+                docs, "text", "doc_id",
+                bigram_logp={("spark", "filter"): -1.0},
+                unigram_logp={"spark": -2.0},
+                unk_logp=-8.0,
+            ).collect()
+        }
+        # pos1 'spark' -> unigram -2; pos2 bigram hit -1; pos3 unk -8
+        assert out[1]["n_words"] == 3
+        assert out[1]["logp_sum"] == -11.0
+        assert out[1]["avg_logp"] == -11.0 / 3
+        # empty doc: zero words, zero scores
+        assert out[2]["n_words"] == 0 and out[2]["logp_sum"] == 0.0
+
+    def test_bigram_only_matches_adjacent(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "filter spark")], "doc_id long, text string"
+        )
+        out = textstats.ngram_lm_score(
+            docs, "text", "doc_id",
+            bigram_logp={("spark", "filter"): -1.0},  # wrong order in doc
+            unigram_logp={}, unk_logp=-5.0,
+        ).collect()[0]
+        assert out["logp_sum"] == -10.0  # both words unk; bigram not reversed
