@@ -24,6 +24,8 @@ LANG_LEXICON: dict[str, list[str]] = {
 
 STOPWORDS = LANG_LEXICON["en"]
 
+LN2 = 0.6931471805599453  # shared literal so no engine evaluates ln(2) itself
+
 WORD_RE = r"[0-9a-zA-Z]+"
 # BPE-ish segmentation: word pieces OR single non-space symbols
 BPE_ISH_RE = r"[0-9a-zA-Z]+|[^\s0-9a-zA-Z]"
@@ -390,5 +392,64 @@ def ngram_lm_score(
                 F.col("n_words") > 0,
                 F.col("logp_sum") / F.col("n_words").cast("double"),
             ).otherwise(F.lit(0.0)).alias("avg_logp"),
+        )
+    )
+
+
+def word_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Shannon entropy of each document's word distribution (bits) — the
+    gibberish/repetition signal quality pipelines bucket on (low entropy =
+    repeated boilerplate, high = uniform noise). Computed as
+
+        H = log2(n) − (Σ_tokens tf·log2(tf)) / n
+
+    with the per-token terms rounded to the decimal grid before the exact
+    decimal sum, and the outer ops on exact operands — engine-identical.
+    Returns (id, n_words, word_entropy).
+
+    Logs are taken in NATS and converted to bits by one division by a
+    shared ln(2) literal — ``log2`` intrinsics differ across engines
+    (Spark computes ln(x)/ln(2)), and even ``ln`` itself can differ in the
+    last ulp between the JVM and libm (observed at ln(3)). So EVERY log
+    evaluation is quantized to the 6-decimal grid immediately
+    (``round(ln(x), 6)`` as DECIMAL): integer×decimal products and the
+    decimal sum are then exact, and the one remaining ulp-risk is a log
+    value within 5e-16 of a rounding boundary — absent from these inputs
+    and vanishingly unlikely in general."""
+    from graphrag_toolkit_spark.functions.skew import widen_partitions
+
+    tf = (
+        widen_partitions(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.lower(F.col(text_col)), r"[^0-9a-z]+")).alias(
+                "token"
+            ),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    lnq = lambda c: F.round(F.log(c), 6).cast("decimal(12,6)")  # noqa: E731
+    agg = tf.groupBy("id").agg(
+        F.sum("tf").alias("n"),
+        F.sum(
+            (F.col("tf") * lnq(F.col("tf"))).cast("decimal(18,6)")
+        ).cast("double").alias("s"),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(agg, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_words"),
+            F.when(
+                F.col("n") > 0,
+                (
+                    lnq(F.col("n")).cast("double")
+                    - F.col("s") / F.col("n").cast("double")
+                )
+                / F.lit(LN2),
+            ).otherwise(F.lit(0.0)).alias("word_entropy"),
         )
     )

@@ -52,6 +52,8 @@ _CHECK_FIRST = [
     "cube_stats_orders",
     "pivot_orders_by_priority",
     "ngram_lm_documents",
+    "word_entropy_documents",
+    "corpus_diff_documents",
     "dup_span_coverage_documents",
     "scrub_dup_spans_documents",
     "shard_corpus_documents",

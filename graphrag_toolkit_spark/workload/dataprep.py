@@ -719,6 +719,72 @@ FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
 NGRAM_LM_ORACLE = _lm_oracle()
 
 
+# --- word entropy ------------------------------------------------------------
+
+def word_entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon entropy of the word distribution
+    (`textstats.word_entropy`) — the gibberish/boilerplate bucketing signal."""
+    docs = load(spark, sf_dir, "documents")
+    return textstats.word_entropy(docs, "text", "doc_id").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+WORD_ENTROPY_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '[^0-9a-z]+')) AS token
+    FROM documents
+  ) WHERE token <> '' GROUP BY doc_id, token
+),
+agg AS (
+  SELECT doc_id, SUM(tf) AS n,
+         CAST(SUM(CAST(tf * CAST(ROUND(ln(tf), 6) AS DECIMAL(12,6))
+                       AS DECIMAL(18,6))) AS DOUBLE) AS s
+  FROM toks GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(a.n, 0) AS n_words,
+       CASE WHEN a.n > 0
+            THEN (CAST(CAST(ROUND(ln(a.n), 6) AS DECIMAL(12,6)) AS DOUBLE)
+                  - a.s / CAST(a.n AS DOUBLE))
+                 / {textstats.LN2!r}
+            ELSE 0.0 END AS word_entropy
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+
+
+# --- corpus snapshot diff ----------------------------------------------------
+
+def corpus_diff_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit of a cleaning pass: diff the corpus against its span-scrubbed
+    version (`diffing.corpus_diff` — content-hash full-outer join; here
+    every id survives, so statuses are changed/unchanged; added/removed
+    are exercised in unit tests)."""
+    from graphrag_toolkit_spark.operators import diffing
+
+    docs = load(spark, sf_dir, "documents")
+    cleaned = spans.scrub_duplicated_spans(
+        docs, "text", "doc_id", n=SPAN_N
+    ).withColumnRenamed("id", "doc_id")
+    return diffing.corpus_diff(
+        docs, cleaned, "doc_id", "text", new_text_col="text_scrubbed"
+    ).withColumnRenamed("id", "doc_id")
+
+
+CORPUS_DIFF_ORACLE = f"""
+WITH new_t AS ({{scrub}}),
+a AS (SELECT doc_id, md5(text) AS old_hash FROM documents),
+b AS (SELECT doc_id, md5(text_scrubbed) AS new_hash FROM new_t)
+SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN a.doc_id IS NULL THEN 'added'
+            WHEN b.doc_id IS NULL THEN 'removed'
+            WHEN a.old_hash = b.new_hash THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       a.old_hash, b.new_hash
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+"""
+
+
 # --- text analysis -----------------------------------------------------------
 
 def token_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1626,6 +1692,8 @@ QUERIES = {
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "semantic_dedup_embeddings": semantic_dedup_embeddings,
     "ngram_lm_documents": ngram_lm_documents,
+    "word_entropy_documents": word_entropy_documents,
+    "corpus_diff_documents": corpus_diff_documents,
     "embedding_neardup_lsh": embedding_neardup_lsh,
     "embedding_neardup_recall": embedding_neardup_recall,
     "token_stats_documents": token_stats_documents,
@@ -1665,6 +1733,10 @@ ORACLES = {
     "embedding_neardup_pairs": EMBED_NEARDUP_ORACLE,
     "semantic_dedup_embeddings": SEMDEDUP_ORACLE,
     "ngram_lm_documents": NGRAM_LM_ORACLE,
+    "word_entropy_documents": WORD_ENTROPY_ORACLE,
+    "corpus_diff_documents": CORPUS_DIFF_ORACLE.format(
+        scrub=SCRUB_DUP_SPANS_ORACLE
+    ),
     "embedding_neardup_lsh": EMBED_NEARDUP_LSH_ORACLE,
     "embedding_neardup_recall": EMBED_NEARDUP_RECALL_ORACLE,
     "token_stats_documents": TOKEN_STATS_ORACLE,

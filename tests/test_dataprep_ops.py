@@ -994,3 +994,48 @@ class TestNgramLm:
             unigram_logp={}, unk_logp=-5.0,
         ).collect()[0]
         assert out["logp_sum"] == -10.0  # both words unk; bigram not reversed
+
+
+class TestWordEntropy:
+    def test_hand_computed(self, spark):
+        import math
+
+        docs = spark.createDataFrame(
+            [(1, "a a b b"), (2, "x x x x"), (3, "p q r s"), (4, "")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["id"]: r
+            for r in textstats.word_entropy(docs, "text", "doc_id").collect()
+        }
+        assert out[1]["word_entropy"] == pytest.approx(1.0, abs=1e-5)   # 2x2 uniform
+        assert out[2]["word_entropy"] == pytest.approx(0.0, abs=1e-5)   # single word
+        assert out[3]["word_entropy"] == pytest.approx(2.0, abs=1e-5)   # 4 uniform
+        assert out[4]["n_words"] == 0 and out[4]["word_entropy"] == 0.0
+
+
+class TestCorpusDiff:
+    def test_all_statuses(self, spark):
+        from graphrag_toolkit_spark.operators.diffing import corpus_diff, diff_summary
+
+        old = spark.createDataFrame(
+            [(1, "same"), (2, "before"), (3, "gone")],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [(1, "same"), (2, "after"), (4, "fresh")],
+            "doc_id long, text string",
+        )
+        d = corpus_diff(old, new, "doc_id", "text")
+        st = {r["id"]: r["status"] for r in d.collect()}
+        assert st == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+        summ = {r["status"]: r["n"] for r in diff_summary(d).collect()}
+        assert summ == {"unchanged": 1, "changed": 1, "removed": 1, "added": 1}
+
+    def test_renamed_new_column(self, spark):
+        from graphrag_toolkit_spark.operators.diffing import corpus_diff
+
+        old = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+        new = spark.createDataFrame([(1, "t")], "doc_id long, text_scrubbed string")
+        d = corpus_diff(old, new, "doc_id", "text", new_text_col="text_scrubbed")
+        assert d.collect()[0]["status"] == "unchanged"
