@@ -54,6 +54,7 @@ _CHECK_FIRST = [
     "ngram_lm_documents",
     "word_entropy_documents",
     "corpus_diff_documents",
+    "personalized_katz_graph",
     "dup_span_coverage_documents",
     "scrub_dup_spans_documents",
     "shard_corpus_documents",

@@ -527,9 +527,52 @@ SELECT node_id, CAST(r AS DOUBLE) / {float(scale)} AS katz FROM k{KATZ_ITERS}
 KATZ_ORACLE = _katz_oracle()
 
 
+PKATZ_ITERS = 4
+PKATZ_SEEDS = ["c1", "c2", "c3"]
+
+
+def personalized_katz_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Katz propagation from three customers — personalized-PageRank
+    analog ranking their order/part/supplier neighborhood; output is
+    frontier-sized, exact-integer mass (`centrality.personalized_katz`)."""
+    from graphrag_toolkit_spark.operators import centrality
+
+    seeds = spark.createDataFrame([{"node_id": s} for s in PKATZ_SEEDS])
+    return centrality.personalized_katz(
+        _triples(spark, sf_dir), seeds, iters=PKATZ_ITERS, alpha_log2=1
+    )
+
+
+def _pkatz_oracle() -> str:
+    scale = 1 << PKATZ_ITERS
+    seed_vals = ", ".join(f"('{s}')" for s in PKATZ_SEEDS)
+    steps = []
+    for t in range(1, PKATZ_ITERS + 1):
+        steps.append(f"""
+k{t} AS (
+  SELECT COALESCE(s.node_id, m.node_id) AS node_id,
+         (CASE WHEN s.node_id IS NOT NULL THEN {scale} ELSE 0 END)
+           + COALESCE(m.msum, 0) // 2 AS r
+  FROM (SELECT e.dst AS node_id, SUM(p.r) AS msum
+        FROM e JOIN k{t - 1} p ON p.node_id = e.src GROUP BY e.dst) m
+  FULL OUTER JOIN seeds s ON s.node_id = m.node_id
+)""")
+    return f"""
+WITH e AS ({EDGES_SQL}),
+seeds(node_id) AS (VALUES {seed_vals}),
+k0 AS (SELECT node_id, CAST({scale} AS BIGINT) AS r FROM seeds),
+{','.join(steps)}
+SELECT node_id, CAST(r AS DOUBLE) / {float(scale)} AS score FROM k{PKATZ_ITERS}
+"""
+
+
+PKATZ_ORACLE = _pkatz_oracle()
+
+
 QUERIES = {
     "bfs_shortest_paths": bfs_shortest_paths,
     "katz_centrality_graph": katz_centrality_graph,
+    "personalized_katz_graph": personalized_katz_graph,
     "entity_lookup_parts": entity_lookup_parts,
     "ordered_dedup_events": ordered_dedup_events,
     "metapath_follow": metapath_follow,
@@ -545,6 +588,7 @@ QUERIES = {
 ORACLES = {
     "bfs_shortest_paths": BFS_ORACLE,
     "katz_centrality_graph": KATZ_ORACLE,
+    "personalized_katz_graph": PKATZ_ORACLE,
     "entity_lookup_parts": ENTITY_LOOKUP_ORACLE,
     "ordered_dedup_events": ORDERED_DEDUP_ORACLE,
     "metapath_follow": METAPATH_ORACLE,

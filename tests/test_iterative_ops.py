@@ -403,3 +403,31 @@ class TestKatzCentrality:
         ).distinct()
         ks = [r["katz"] * (1 << 6) for r in katz_centrality(edges, iters=6).collect()]
         assert all(v == int(v) for v in ks)
+
+
+class TestPersonalizedKatz:
+    def test_hand_computed(self, spark):
+        from graphrag_toolkit_spark.operators.centrality import personalized_katz
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("x", "c")], "src string, dst string"
+        )
+        seeds = spark.createDataFrame([("a",)], "node_id string")
+        # K=2: r0={a:1}; r1={a:1, b:0.5}; r2={a:1, b:0.5, c:0.25}
+        out = {
+            r["node_id"]: r["score"]
+            for r in personalized_katz(edges, seeds, iters=2).collect()
+        }
+        assert out == {"a": 1.0, "b": 0.5, "c": 0.25}
+        # x never reached: frontier-sized output
+        assert "x" not in out
+
+    def test_seed_restart_not_attenuated(self, spark):
+        from graphrag_toolkit_spark.operators.centrality import personalized_katz
+
+        # self-reinforcing seed: a -> a; r_{t+1}(a) = 1 + r_t(a)/2
+        edges = spark.createDataFrame([("a", "a")], "src string, dst string")
+        seeds = spark.createDataFrame([("a",)], "node_id string")
+        out = personalized_katz(edges, seeds, iters=3).collect()[0]
+        # r0=1, r1=1.5, r2=1.75, r3=1.875
+        assert out["score"] == 1.875
