@@ -90,3 +90,72 @@ def kmv_distinct(
     return sk.select(
         *group_cols, estimate_from_sketch(F.col("kmv"), k).alias("distinct_est")
     )
+
+
+# --- count-min sketch --------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def cms_bucket(value: Column, row: int, width: int = CMS_WIDTH) -> Column:
+    """Row-salted uniform bucket: md5("cms<row>|" + value) mod width."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"cms{row}|"), value.cast("string"))), 1, 13),
+        16,
+        10,
+    ).cast("long")
+    return (h % width).cast("int")
+
+
+def cms_build(
+    df: DataFrame,
+    value_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-min sketch of a value stream (Cormode & Muthukrishnan 2005):
+    ``depth`` salted hash rows × ``width`` buckets of exact integer counts —
+    (row, bucket, cnt). Point estimate = min over rows of the bucket count:
+    never under-counts, over-counts by collisions bounded by 2N/width with
+    probability 1−2^−depth.
+
+    Why this sketch is oracle-gateable when most are not: it is pure
+    integer arithmetic over md5 buckets — no floats anywhere — and
+    MERGEABLE by plain (row, bucket) count addition, so per-shard sketches
+    roll up with one groupBy. State is depth×width cells regardless of
+    corpus size; the build is one narrow explode + one groupBy."""
+    rows = None
+    for r in range(depth):
+        part = df.select(
+            F.lit(r).alias("row"),
+            cms_bucket(F.col(value_col), r, width).alias("bucket"),
+            (F.col(weight_col) if weight_col else F.lit(1)).cast("long").alias("w"),
+        )
+        rows = part if rows is None else rows.unionByName(part)
+    return rows.groupBy("row", "bucket").agg(F.sum("w").alias("cnt"))
+
+
+def cms_estimate(
+    cms: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point estimates for query values: (value, est) with
+    est = min over rows of that row's bucket count (0 if bucket absent)."""
+    probes = None
+    for r in range(depth):
+        part = queries.select(
+            F.col(value_col).alias("value"),
+            F.lit(r).alias("row"),
+            cms_bucket(F.col(value_col), r, width).alias("bucket"),
+        )
+        probes = part if probes is None else probes.unionByName(part)
+    return (
+        probes.join(cms, ["row", "bucket"], "left")
+        .groupBy("value")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )

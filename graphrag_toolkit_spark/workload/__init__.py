@@ -55,6 +55,7 @@ _CHECK_FIRST = [
     "word_entropy_documents",
     "corpus_diff_documents",
     "personalized_katz_graph",
+    "cms_heavy_hitters_documents",
     "dup_span_coverage_documents",
     "scrub_dup_spans_documents",
     "shard_corpus_documents",

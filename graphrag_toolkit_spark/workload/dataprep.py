@@ -17,6 +17,7 @@ from graphrag_toolkit_spark.operators import (
     pii,
     pq,
     sampling,
+    sketch as sketch_mod,
     spans,
     textstats,
 )
@@ -782,6 +783,64 @@ SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
             ELSE 'changed' END AS status,
        a.old_hash, b.new_hash
 FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+"""
+
+
+# --- count-min sketch heavy hitters ------------------------------------------
+
+CMS_TOP = 20
+
+
+def cms_heavy_hitters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream
+    (`sketch.cms_build`/`cms_estimate`): estimated vs true counts for the
+    20 most frequent words. Pure-integer md5 bucketing, so the sketch AND
+    its estimates are hash-gated (never under-counts; over-count bounded
+    by collisions)."""
+    from graphrag_toolkit_spark.operators import sketch
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"[^0-9a-z]+")).alias("token")
+    ).filter(F.col("token") != "")
+    truec = toks.groupBy("token").agg(F.count(F.lit(1)).alias("true_cnt"))
+    top = truec.orderBy(F.desc("true_cnt"), F.asc("token")).limit(CMS_TOP)
+    cms = sketch.cms_build(toks, "token")
+    est = sketch.cms_estimate(cms, top.select("token"), "token")
+    return top.join(est, top["token"] == est["value"]).select(
+        "token", "true_cnt", "est"
+    )
+
+
+CMS_ORACLE = f"""
+WITH toks AS (
+  SELECT token FROM (
+    SELECT unnest(string_split_regex(lower(text), '[^0-9a-z]+')) AS token
+    FROM documents
+  ) WHERE token <> ''
+),
+truec AS (SELECT token, COUNT(*) AS true_cnt FROM toks GROUP BY token),
+top AS (SELECT token, true_cnt FROM truec
+        ORDER BY true_cnt DESC, token LIMIT {CMS_TOP}),
+cells AS (
+  SELECT r.r AS row,
+         CAST('0x' || substring(md5('cms' || r.r || '|' || t.token), 1, 13)
+              AS BIGINT) % {sketch_mod.CMS_WIDTH} AS bucket
+  FROM toks t CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) r
+),
+cms AS (SELECT row, bucket, COUNT(*) AS cnt FROM cells GROUP BY row, bucket),
+probes AS (
+  SELECT t.token, r.r AS row,
+         CAST('0x' || substring(md5('cms' || r.r || '|' || t.token), 1, 13)
+              AS BIGINT) % {sketch_mod.CMS_WIDTH} AS bucket
+  FROM top t CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) r
+),
+est AS (
+  SELECT p.token, MIN(COALESCE(c.cnt, 0)) AS est
+  FROM probes p LEFT JOIN cms c ON c.row = p.row AND c.bucket = p.bucket
+  GROUP BY p.token
+)
+SELECT t.token, t.true_cnt, e.est FROM top t JOIN est e ON e.token = t.token
 """
 
 
@@ -1694,6 +1753,7 @@ QUERIES = {
     "ngram_lm_documents": ngram_lm_documents,
     "word_entropy_documents": word_entropy_documents,
     "corpus_diff_documents": corpus_diff_documents,
+    "cms_heavy_hitters_documents": cms_heavy_hitters_documents,
     "embedding_neardup_lsh": embedding_neardup_lsh,
     "embedding_neardup_recall": embedding_neardup_recall,
     "token_stats_documents": token_stats_documents,
@@ -1737,6 +1797,7 @@ ORACLES = {
     "corpus_diff_documents": CORPUS_DIFF_ORACLE.format(
         scrub=SCRUB_DUP_SPANS_ORACLE
     ),
+    "cms_heavy_hitters_documents": CMS_ORACLE,
     "embedding_neardup_lsh": EMBED_NEARDUP_LSH_ORACLE,
     "embedding_neardup_recall": EMBED_NEARDUP_RECALL_ORACLE,
     "token_stats_documents": TOKEN_STATS_ORACLE,

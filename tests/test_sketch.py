@@ -70,3 +70,50 @@ def test_merge_equals_resketch(spark, values):
         for r in sketch.kmv_distinct(values, ["g"], "v", k).collect()
     }
     assert est_m == est_full
+
+
+class TestCountMin:
+    def test_never_undercounts_and_merges(self, spark):
+        from pyspark.sql import functions as F
+
+        from graphrag_toolkit_spark.operators import sketch
+
+        vals = spark.createDataFrame(
+            [(f"v{i % 50}",) for i in range(500)], "v string"
+        )
+        cms = sketch.cms_build(vals, "v", width=64)
+        qs = vals.select("v").distinct()
+        est = {
+            r["value"]: r["est"]
+            for r in sketch.cms_estimate(cms, qs, "v", width=64).collect()
+        }
+        true = {
+            r["v"]: r["n"]
+            for r in vals.groupBy("v").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert all(est[v] >= true[v] for v in true)          # CMS invariant
+        assert sum(est[v] - true[v] for v in true) < 50 * 20  # collisions bounded
+
+        # mergeability: sketches of two halves sum to the full sketch
+        h1 = vals.limit(250)
+        h2 = vals.exceptAll(h1)
+        c1 = sketch.cms_build(h1, "v", width=64)
+        c2 = sketch.cms_build(h2, "v", width=64)
+        merged = {
+            (r["row"], r["bucket"]): r["cnt"]
+            for r in c1.unionByName(c2)
+            .groupBy("row", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+            .collect()
+        }
+        full = {(r["row"], r["bucket"]): r["cnt"] for r in cms.collect()}
+        assert merged == full
+
+    def test_absent_value_estimates_low(self, spark):
+        from graphrag_toolkit_spark.operators import sketch
+
+        vals = spark.createDataFrame([("a",), ("b",)], "v string")
+        cms = sketch.cms_build(vals, "v")
+        qs = spark.createDataFrame([("zz",)], "v string")
+        est = sketch.cms_estimate(cms, qs, "v").collect()[0]["est"]
+        assert est <= 2  # at most total mass; usually 0 with width 256
