@@ -159,3 +159,93 @@ def cms_estimate(
         .groupBy("value")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )
+
+
+# --- Bloom filter ------------------------------------------------------------
+
+BLOOM_BITS = 4096            # m: power of two so mod is a mask
+BLOOM_HASHES = 5             # k
+
+
+def _bloom_positions(value: Column, k: int, m: int) -> list[Column]:
+    out = []
+    for i in range(k):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"bloom{i}|"), value.cast("string"))), 1, 13
+            ),
+            16,
+            10,
+        ).cast("long")
+        out.append(h % m)
+    return out
+
+
+def bloom_build(
+    df: DataFrame,
+    value_col: str,
+    k: int = BLOOM_HASHES,
+    m: int = BLOOM_BITS,
+) -> DataFrame:
+    """Bloom filter over a key column — the build side of a runtime join
+    filter (ship the KB-sized bitmap instead of shuffling the big side for
+    a semi-join; false positives only re-admit rows the real join later
+    drops, never lose one). Returned as (word_idx, word) — the m-bit map
+    packed 32 bits per BIGINT word via bit-OR aggregation (32, not 64,
+    so `1 << pos` never touches the sign bit in any engine): pure integer md5
+    arithmetic, mergeable by ORing word pairs, engine-exact.
+
+    Scale shape: k narrow projections + one m/64-cell aggregate; the word
+    table is broadcast to probes. m and k follow the standard fp-rate
+    calculus ((1−e^{−kn/m})^k) — size m to the build-side cardinality."""
+    pos = None
+    for p in _bloom_positions(F.col(value_col), k, m):
+        part = df.select(p.alias("__p")).select(
+            F.expr("__p div 32").alias("word_idx"),
+            F.expr("shiftleft(1L, cast(__p % 32 as int))").alias("bit"),
+        )
+        pos = part if pos is None else pos.unionByName(part)
+    return pos.groupBy("word_idx").agg(
+        F.bit_or("bit").alias("word")
+    )
+
+
+def bloom_might_contain(
+    df: DataFrame,
+    bloom: DataFrame,
+    value_col: str,
+    k: int = BLOOM_HASHES,
+    m: int = BLOOM_BITS,
+) -> DataFrame:
+    """Append ``might_contain`` (boolean) per row: true iff ALL k bit
+    positions are set. The bloom word table is broadcast; each probe is k
+    narrow lookups — no shuffle of ``df``."""
+    out = df
+    conds = []
+    b = F.broadcast(bloom)
+    for i, p in enumerate(_bloom_positions(F.col(value_col), k, m)):
+        colname = f"__b{i}"
+        out = (
+            out.withColumn("__p", p)
+            .withColumn("__widx", F.expr("__p div 32"))
+            .withColumn("__bit", F.expr("shiftleft(1L, cast(__p % 32 as int))"))
+            .drop("__p")
+            .join(
+                b.withColumnsRenamed({"word_idx": "__widx", "word": colname}),
+                "__widx",
+                "left",
+            )
+            .withColumn(
+                colname,
+                F.coalesce(F.col(colname), F.lit(0)).bitwiseAND(F.col("__bit"))
+                != 0,
+            )
+            .drop("__widx", "__bit")
+        )
+        conds.append(F.col(colname))
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond & c
+    return out.withColumn("might_contain", cond).drop(
+        *[f"__b{i}" for i in range(k)]
+    )

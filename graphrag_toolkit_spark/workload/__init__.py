@@ -56,6 +56,7 @@ _CHECK_FIRST = [
     "corpus_diff_documents",
     "personalized_katz_graph",
     "cms_heavy_hitters_documents",
+    "bloom_filter_orders",
     "dup_span_coverage_documents",
     "scrub_dup_spans_documents",
     "shard_corpus_documents",

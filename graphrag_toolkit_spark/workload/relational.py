@@ -418,10 +418,74 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def bloom_filter_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning (`sketch.bloom_build`/
+    `bloom_might_contain`): build the filter on urgent-order keys, probe
+    every lineitem order key WITHOUT shuffling lineitem, and report the
+    2×2 (might_contain × actually_urgent) confusion counts — the
+    never-false-negative invariant and the measured FP rate, hash-exact."""
+    from graphrag_toolkit_spark.operators import sketch
+
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("key")
+    )
+    bloom = sketch.bloom_build(urgent, "key")
+    probes = li.select(F.col("l_orderkey").alias("key")).distinct()
+    probed = sketch.bloom_might_contain(probes, bloom, "key")
+    truth = probed.join(
+        urgent.distinct().withColumn("_u", F.lit(1)), "key", "left"
+    ).withColumn("actually_urgent", F.col("_u").isNotNull())
+    return truth.groupBy("might_contain", "actually_urgent").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+_BLOOM_HASH = (
+    "CAST('0x' || substring(md5('bloom' || i || '|' || CAST({key} AS VARCHAR)), 1, 13)"
+    " AS BIGINT) % 4096"
+)
+
+BLOOM_ORACLE = f"""
+WITH hashes(i) AS (VALUES (0), (1), (2), (3), (4)),
+urgent AS (SELECT DISTINCT o_orderkey AS key FROM orders
+           WHERE o_orderpriority = '1-URGENT'),
+pos AS (
+  SELECT {_BLOOM_HASH.format(key='key')} AS p FROM urgent, hashes
+),
+bloom AS (
+  SELECT p // 32 AS word_idx,
+         bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS word
+  FROM pos GROUP BY p // 32
+),
+probes AS (SELECT DISTINCT l_orderkey AS key FROM lineitem),
+pp AS (
+  SELECT key, {_BLOOM_HASH.format(key='key')} AS p FROM probes, hashes
+),
+hit AS (
+  SELECT key,
+         BOOL_AND((COALESCE(b.word, 0) & (1::BIGINT << CAST(x.p % 32 AS INT))) <> 0)
+           AS might_contain
+  FROM (SELECT key, p, p // 32 AS widx FROM pp) x
+  LEFT JOIN bloom b ON b.word_idx = x.widx
+  GROUP BY key
+),
+truth AS (
+  SELECT p.key, (u.key IS NOT NULL) AS actually_urgent
+  FROM probes p LEFT JOIN urgent u ON u.key = p.key
+)
+SELECT h.might_contain, t.actually_urgent, COUNT(*) AS n
+FROM hit h JOIN truth t USING (key)
+GROUP BY h.might_contain, t.actually_urgent
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "cube_stats_orders": cube_stats_orders,
     "pivot_orders_by_priority": pivot_orders_by_priority,
+    "bloom_filter_orders": bloom_filter_orders,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "filter_tree_orders": filter_tree_orders,
@@ -438,6 +502,7 @@ ORACLES = {
     "q1_pricing_summary": Q1_ORACLE,
     "cube_stats_orders": CUBE_ORACLE,
     "pivot_orders_by_priority": PIVOT_ORACLE,
+    "bloom_filter_orders": BLOOM_ORACLE,
     "q3_shipping_priority": Q3_ORACLE,
     "q5_local_supplier_volume": Q5_ORACLE,
     "filter_tree_orders": FILTER_TREE_ORACLE,

@@ -117,3 +117,50 @@ class TestCountMin:
         qs = spark.createDataFrame([("zz",)], "v string")
         est = sketch.cms_estimate(cms, qs, "v").collect()[0]["est"]
         assert est <= 2  # at most total mass; usually 0 with width 256
+
+
+class TestBloom:
+    def test_no_false_negatives(self, spark):
+        from pyspark.sql import functions as F
+
+        from graphrag_toolkit_spark.operators import sketch
+
+        keys = spark.range(200).select(F.concat(F.lit("k"), F.col("id")).alias("v"))
+        bloom = sketch.bloom_build(keys, "v")
+        probed = sketch.bloom_might_contain(keys, bloom, "v")
+        assert probed.filter(~F.col("might_contain")).count() == 0
+
+    def test_absent_keys_mostly_rejected(self, spark):
+        from pyspark.sql import functions as F
+
+        from graphrag_toolkit_spark.operators import sketch
+
+        keys = spark.range(200).select(F.concat(F.lit("k"), F.col("id")).alias("v"))
+        bloom = sketch.bloom_build(keys, "v")
+        absent = spark.range(200).select(
+            F.concat(F.lit("absent"), F.col("id")).alias("v")
+        )
+        fp = (
+            sketch.bloom_might_contain(absent, bloom, "v")
+            .filter(F.col("might_contain"))
+            .count()
+        )
+        # n=200, m=4096, k=5 -> theoretical fp ~0.3%; allow generous slack
+        assert fp <= 10
+
+    def test_merge_is_word_or(self, spark):
+        from pyspark.sql import functions as F
+
+        from graphrag_toolkit_spark.operators import sketch
+
+        a = spark.createDataFrame([("x",)], "v string")
+        b = spark.createDataFrame([("y",)], "v string")
+        both = a.unionByName(b)
+        merged = (
+            sketch.bloom_build(a, "v")
+            .unionByName(sketch.bloom_build(b, "v"))
+            .groupBy("word_idx")
+            .agg(F.bit_or("word").alias("word"))
+        )
+        full = sketch.bloom_build(both, "v")
+        assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
