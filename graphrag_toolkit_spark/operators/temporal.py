@@ -151,3 +151,48 @@ def interval_join(
         .filter((F.col(ts_col) >= F.col(start_col)) & upper)
         .drop("__cell")
     )
+
+
+def time_grid(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    cell_seconds: int = 3600,
+) -> DataFrame:
+    """Dense per-key time grid: one row per (keys..., cell_start) for every
+    cell between each key's min and max timestamp — the gap-filling
+    skeleton for resampling (left-join per-cell aggregates onto it, fill
+    zeros / carry forward). Grid size per key = span / cell_seconds; the
+    explode is bounded and the build is one aggregate over the keys."""
+    key_cols = list(key_cols)
+    cell = F.floor(F.col(ts_col).cast("long") / F.lit(cell_seconds))
+    bounds = df.groupBy(*key_cols).agg(
+        F.min(cell).alias("__c0"), F.max(cell).alias("__c1")
+    )
+    return bounds.select(
+        *key_cols,
+        F.explode(F.sequence(F.col("__c0"), F.col("__c1"))).alias("__cell"),
+    ).select(
+        *key_cols,
+        F.timestamp_seconds(F.col("__cell") * cell_seconds).alias("cell_start"),
+    )
+
+
+def ffill(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Carry-forward fill: latest non-null ``value_col`` per key up to each
+    row (pandas ffill) — one running window, the standard Spark shape."""
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(
+        out_col or f"{value_col}_ffill",
+        F.last(F.col(value_col), True).over(w),
+    )

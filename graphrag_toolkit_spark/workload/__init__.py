@@ -57,6 +57,7 @@ _CHECK_FIRST = [
     "personalized_katz_graph",
     "cms_heavy_hitters_documents",
     "bloom_filter_orders",
+    "resample_gapfill_events",
     "dup_span_coverage_documents",
     "scrub_dup_spans_documents",
     "shard_corpus_documents",

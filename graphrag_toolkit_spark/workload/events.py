@@ -285,8 +285,66 @@ FROM exact e JOIN agg a USING (event_type)
 """
 
 
+def resample_gapfill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample: dense hourly grid per event_type
+    (`temporal.time_grid`), per-cell count/sum zero-filled, per-cell max
+    carried forward across gaps (`temporal.ffill`) — the pandas
+    resample+ffill shape as two windows and one bounded explode."""
+    from graphrag_toolkit_spark.operators.temporal import ffill, time_grid
+
+    ev = load(spark, sf_dir, "events")
+    grid = time_grid(ev, ["event_type"], "ts", 3600)
+    cell = F.floor(F.col("ts").cast("long") / F.lit(3600))
+    agg = ev.groupBy("event_type", cell.alias("__cell")).agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.round(F.sum(_dec("value")), 2).cast("double").alias("total_raw"),
+        F.max("value").alias("vmax"),
+    ).select(
+        "event_type",
+        F.timestamp_seconds(F.col("__cell") * 3600).alias("cell_start"),
+        "n_raw", "total_raw", "vmax",
+    )
+    j = grid.join(agg, ["event_type", "cell_start"], "left")
+    return ffill(j, ["event_type"], "cell_start", "vmax").select(
+        "event_type",
+        "cell_start",
+        F.coalesce(F.col("n_raw"), F.lit(0)).alias("n"),
+        F.coalesce(F.col("total_raw"), F.lit(0.0)).alias("total"),
+        "vmax_ffill",
+    )
+
+
+RESAMPLE_ORACLE = """
+WITH b AS (
+  SELECT event_type,
+         CAST(floor(epoch(MIN(ts)) / 3600) AS BIGINT) AS c0,
+         CAST(floor(epoch(MAX(ts)) / 3600) AS BIGINT) AS c1
+  FROM events GROUP BY event_type
+),
+grid AS (SELECT event_type, unnest(generate_series(c0, c1)) AS cell FROM b),
+agg AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS cell,
+         COUNT(*) AS n_raw,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_raw,
+         MAX(value) AS vmax
+  FROM events GROUP BY event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT)
+),
+j AS (
+  SELECT g.event_type, g.cell, a.n_raw, a.total_raw, a.vmax
+  FROM grid g LEFT JOIN agg a ON a.event_type = g.event_type AND a.cell = g.cell
+)
+SELECT event_type, make_timestamp(cell * 3600 * 1000000) AS cell_start,
+       COALESCE(n_raw, 0) AS n, COALESCE(total_raw, 0.0) AS total,
+       last_value(vmax IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY cell
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vmax_ffill
+FROM j
+"""
+
+
 QUERIES = {
     "tumbling_window_events": tumbling_window_events,
+    "resample_gapfill_events": resample_gapfill_events,
     "sliding_window_events": sliding_window_events,
     "sessionize_events": sessionize_events,
     "event_type_funnel": event_type_funnel,
@@ -303,4 +361,5 @@ ORACLES = {
     "asof_join_events": ASOF_ORACLE,
     "interval_join_events": INTERVAL_ORACLE,
     "kmv_distinct_users_events": KMV_ORACLE,
+    "resample_gapfill_events": RESAMPLE_ORACLE,
 }

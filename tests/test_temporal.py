@@ -182,3 +182,40 @@ def test_asof_plan_single_carry_shuffle(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan
     assert plan.count("Exchange") == 1
+
+
+def test_time_grid_and_ffill(spark):
+    """Grid densifies gaps; ffill carries the last observation across them."""
+    from graphrag_toolkit_spark.operators.temporal import ffill, time_grid
+
+    ev = spark.createDataFrame(
+        [
+            ("a", _ts("2024-01-01 00:30:00"), 1.0),
+            ("a", _ts("2024-01-01 03:10:00"), 5.0),   # 2-hour gap before
+            ("b", _ts("2024-01-01 01:00:00"), 2.0),
+        ],
+        "k string, ts timestamp, v double",
+    )
+    grid = time_grid(ev, ["k"], "ts", 3600)
+    cells = {r["k"]: [] for r in grid.collect()}
+    for r in grid.collect():
+        cells[r["k"]].append(r["cell_start"])
+    assert len(cells["a"]) == 4        # hours 00..03 inclusive
+    assert len(cells["b"]) == 1
+
+    agg = ev.groupBy(
+        "k",
+        F.timestamp_seconds(
+            F.floor(F.col("ts").cast("long") / 3600) * 3600
+        ).alias("cell_start"),
+    ).agg(F.max("v").alias("v"))
+    j = grid.join(agg, ["k", "cell_start"], "left")
+    out = ffill(j, ["k"], "cell_start", "v")
+    a = {
+        r["cell_start"].hour: (r["v"], r["v_ffill"])
+        for r in out.filter(F.col("k") == "a").collect()
+    }
+    assert a[0] == (1.0, 1.0)
+    assert a[1] == (None, 1.0)   # gap: carried
+    assert a[2] == (None, 1.0)
+    assert a[3] == (5.0, 5.0)
