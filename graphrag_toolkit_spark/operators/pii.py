@@ -59,3 +59,34 @@ def scrub_pii(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             for label, pat, _ in PII_PATTERNS
         ],
     )
+
+
+def k_anonymity(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination: one row per
+    equivalence class — (quasi_cols..., class_size, is_k_anonymous) — a
+    release is k-anonymous iff every class has size ≥ k (Sweeney 2002).
+    One groupBy; at 100 TB the class table is the distinct QI combinations,
+    orders of magnitude smaller than the data."""
+    return df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("class_size"),
+    ).withColumn("is_k_anonymous", F.col("class_size") >= k)
+
+
+def k_anonymity_summary(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """Release-level audit: total classes, violating classes, rows at risk
+    (rows in classes smaller than k), and the minimum class size."""
+    classes = k_anonymity(df, quasi_cols, k)
+    return classes.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(F.when(~F.col("is_k_anonymous"), 1).otherwise(0)).alias(
+            "violating_classes"
+        ),
+        F.sum(
+            F.when(~F.col("is_k_anonymous"), F.col("class_size")).otherwise(0)
+        ).alias("rows_at_risk"),
+        F.min("class_size").alias("min_class_size"),
+    )

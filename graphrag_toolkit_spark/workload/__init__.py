@@ -58,6 +58,8 @@ _CHECK_FIRST = [
     "cms_heavy_hitters_documents",
     "bloom_filter_orders",
     "resample_gapfill_events",
+    "zscore_anomalies_events",
+    "k_anonymity_documents",
     "dup_span_coverage_documents",
     "scrub_dup_spans_documents",
     "shard_corpus_documents",

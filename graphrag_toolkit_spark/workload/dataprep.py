@@ -844,6 +844,25 @@ SELECT t.token, t.true_cnt, e.est FROM top t JOIN est e ON e.token = t.token
 """
 
 
+# --- k-anonymity audit -------------------------------------------------------
+
+K_ANON = 5
+
+
+def k_anonymity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the (lang, source) quasi-identifier combination
+    (`pii.k_anonymity`): per-equivalence-class sizes + the ≥k flag."""
+    docs = load(spark, sf_dir, "documents")
+    return pii.k_anonymity(docs, ["lang", "source"], k=K_ANON)
+
+
+K_ANONYMITY_ORACLE = f"""
+SELECT lang, source, COUNT(*) AS class_size,
+       COUNT(*) >= {K_ANON} AS is_k_anonymous
+FROM documents GROUP BY lang, source
+"""
+
+
 # --- text analysis -----------------------------------------------------------
 
 def token_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1754,6 +1773,7 @@ QUERIES = {
     "word_entropy_documents": word_entropy_documents,
     "corpus_diff_documents": corpus_diff_documents,
     "cms_heavy_hitters_documents": cms_heavy_hitters_documents,
+    "k_anonymity_documents": k_anonymity_documents,
     "embedding_neardup_lsh": embedding_neardup_lsh,
     "embedding_neardup_recall": embedding_neardup_recall,
     "token_stats_documents": token_stats_documents,
@@ -1798,6 +1818,7 @@ ORACLES = {
         scrub=SCRUB_DUP_SPANS_ORACLE
     ),
     "cms_heavy_hitters_documents": CMS_ORACLE,
+    "k_anonymity_documents": K_ANONYMITY_ORACLE,
     "embedding_neardup_lsh": EMBED_NEARDUP_LSH_ORACLE,
     "embedding_neardup_recall": EMBED_NEARDUP_RECALL_ORACLE,
     "token_stats_documents": TOKEN_STATS_ORACLE,

@@ -342,9 +342,57 @@ FROM j
 """
 
 
+Z_THRESHOLD = 3.0
+
+
+def zscore_anomalies_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly detection: events whose value is > 3σ from their type's
+    mean. Moments come from exact decimal sums (value is 2-decimal, so v
+    and v² are exact on the decimal grid) cast to double once; the z
+    expression mirrors the oracle op-for-op, so the flagged set is
+    hash-exact."""
+    ev = load(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.sum(_dec("value")).cast("double").alias("s1"),
+        F.sum((_dec("value") * _dec("value")).cast("decimal(24,4)"))
+        .cast("double")
+        .alias("s2"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    j = ev.join(F.broadcast(stats), "event_type")
+    mean = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    z = (F.col("value") - mean) / std
+    return (
+        j.withColumn("z", z)
+        .filter((std > 0) & (F.abs(F.col("z")) > Z_THRESHOLD))
+        .select("event_id", "event_type", "value", "z")
+    )
+
+
+ZSCORE_ORACLE = f"""
+WITH stats AS (
+  SELECT event_type,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))
+                       AS DECIMAL(24,4))) AS DOUBLE) AS s2,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       (e.value - s1 / n) / sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) AS z
+FROM events e JOIN stats s USING (event_type)
+WHERE sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) > 0
+  AND abs((e.value - s1 / n)
+          / sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0))) > {Z_THRESHOLD}
+"""
+
+
 QUERIES = {
     "tumbling_window_events": tumbling_window_events,
     "resample_gapfill_events": resample_gapfill_events,
+    "zscore_anomalies_events": zscore_anomalies_events,
     "sliding_window_events": sliding_window_events,
     "sessionize_events": sessionize_events,
     "event_type_funnel": event_type_funnel,
@@ -362,4 +410,5 @@ ORACLES = {
     "interval_join_events": INTERVAL_ORACLE,
     "kmv_distinct_users_events": KMV_ORACLE,
     "resample_gapfill_events": RESAMPLE_ORACLE,
+    "zscore_anomalies_events": ZSCORE_ORACLE,
 }

@@ -1039,3 +1039,28 @@ class TestCorpusDiff:
         new = spark.createDataFrame([(1, "t")], "doc_id long, text_scrubbed string")
         d = corpus_diff(old, new, "doc_id", "text", new_text_col="text_scrubbed")
         assert d.collect()[0]["status"] == "unchanged"
+
+
+class TestKAnonymity:
+    def test_classes_and_summary(self, spark):
+        from graphrag_toolkit_spark.operators.pii import (
+            k_anonymity,
+            k_anonymity_summary,
+        )
+
+        rows = spark.createDataFrame(
+            [("us", "a")] * 5 + [("us", "b")] * 2 + [("de", "a")] * 1,
+            "lang string, source string",
+        )
+        cls = {
+            (r["lang"], r["source"]): (r["class_size"], r["is_k_anonymous"])
+            for r in k_anonymity(rows, ["lang", "source"], k=3).collect()
+        }
+        assert cls == {
+            ("us", "a"): (5, True),
+            ("us", "b"): (2, False),
+            ("de", "a"): (1, False),
+        }
+        s = k_anonymity_summary(rows, ["lang", "source"], k=3).collect()[0]
+        assert (s["n_classes"], s["violating_classes"], s["rows_at_risk"],
+                s["min_class_size"]) == (3, 2, 3, 1)
