@@ -453,3 +453,52 @@ def word_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             ).otherwise(F.lit(0.0)).alias("word_entropy"),
         )
     )
+
+
+def zipf_fit(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Power-law (Zipf) fit of the corpus token-frequency distribution:
+    least-squares slope/intercept of ln(freq) against ln(rank) — the
+    standard corpus-health diagnostic (natural text ≈ slope −1; synthetic
+    or templated corpora drift toward 0). Closed-form regression over
+    points quantized to the decimal grid (same ln-quantization rationale
+    as `word_entropy`): all four moment sums are exact decimals, the final
+    slope/intercept arithmetic runs on exact double operands, mirrored
+    op-for-op by the oracle. Returns one row:
+    (n_points, slope, intercept).
+
+    Scale shape: one token groupBy + a global rank window over the VOCAB
+    (not the corpus) + a scalar aggregate."""
+    tf = (
+        df.select(
+            F.explode(F.split(F.lower(F.col(text_col)), r"[^0-9a-z]+")).alias(
+                "token"
+            )
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    lnq = lambda c: F.round(F.log(c), 6).cast("decimal(12,6)")  # noqa: E731
+    pts = tf.withColumn("rank", F.row_number().over(w)).select(
+        lnq(F.col("rank")).alias("x"), lnq(F.col("freq")).alias("y")
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_points"),
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
+    )

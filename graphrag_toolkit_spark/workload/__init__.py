@@ -60,6 +60,7 @@ _CHECK_FIRST = [
     "resample_gapfill_events",
     "zscore_anomalies_events",
     "k_anonymity_documents",
+    "zipf_fit_documents",
     "dup_span_coverage_documents",
     "scrub_dup_spans_documents",
     "shard_corpus_documents",

@@ -863,6 +863,44 @@ FROM documents GROUP BY lang, source
 """
 
 
+# --- Zipf power-law fit ------------------------------------------------------
+
+def zipf_fit_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health diagnostic: least-squares power-law fit of the token
+    frequency-vs-rank curve (`textstats.zipf_fit`) — natural text sits
+    near slope −1; drift flags templated/synthetic corpora."""
+    docs = load(spark, sf_dir, "documents")
+    return textstats.zipf_fit(docs, "text", "doc_id")
+
+
+ZIPF_ORACLE = """
+WITH tf AS (
+  SELECT token, COUNT(*) AS freq FROM (
+    SELECT unnest(string_split_regex(lower(text), '[^0-9a-z]+')) AS token
+    FROM documents
+  ) WHERE token <> '' GROUP BY token
+),
+pts AS (
+  SELECT CAST(ROUND(ln(ROW_NUMBER() OVER (ORDER BY freq DESC, token)), 6)
+              AS DECIMAL(12,6)) AS x,
+         CAST(ROUND(ln(freq), 6) AS DECIMAL(12,6)) AS y
+  FROM tf
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS sxx
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_points,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+       (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept
+FROM agg
+"""
+
+
 # --- text analysis -----------------------------------------------------------
 
 def token_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1774,6 +1812,7 @@ QUERIES = {
     "corpus_diff_documents": corpus_diff_documents,
     "cms_heavy_hitters_documents": cms_heavy_hitters_documents,
     "k_anonymity_documents": k_anonymity_documents,
+    "zipf_fit_documents": zipf_fit_documents,
     "embedding_neardup_lsh": embedding_neardup_lsh,
     "embedding_neardup_recall": embedding_neardup_recall,
     "token_stats_documents": token_stats_documents,
@@ -1819,6 +1858,7 @@ ORACLES = {
     ),
     "cms_heavy_hitters_documents": CMS_ORACLE,
     "k_anonymity_documents": K_ANONYMITY_ORACLE,
+    "zipf_fit_documents": ZIPF_ORACLE,
     "embedding_neardup_lsh": EMBED_NEARDUP_LSH_ORACLE,
     "embedding_neardup_recall": EMBED_NEARDUP_RECALL_ORACLE,
     "token_stats_documents": TOKEN_STATS_ORACLE,

@@ -1064,3 +1064,25 @@ class TestKAnonymity:
         s = k_anonymity_summary(rows, ["lang", "source"], k=3).collect()[0]
         assert (s["n_classes"], s["violating_classes"], s["rows_at_risk"],
                 s["min_class_size"]) == (3, 2, 3, 1)
+
+
+class TestZipfFit:
+    def test_exact_power_law_recovered(self, spark):
+        """A corpus engineered so freq(rank) = 64 >> rank-ish: freqs 8,4,2,1
+        over ranks 1..4 gives ln f = ln 8 - (3/ln-span) ln r shape; check
+        slope is negative and intercept positive, and n_points exact."""
+        words = (["a"] * 8) + (["b"] * 4) + (["c"] * 2) + (["d"] * 1)
+        docs = spark.createDataFrame(
+            [(1, " ".join(words))], "doc_id long, text string"
+        )
+        out = textstats.zipf_fit(docs, "text", "doc_id").collect()[0]
+        assert out["n_points"] == 4
+        assert out["slope"] < -1.0          # steep engineered decay
+        assert out["intercept"] > 1.5       # ~ln 8
+
+    def test_uniform_corpus_slope_zero(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b c d a b c d")], "doc_id long, text string"
+        )
+        out = textstats.zipf_fit(docs, "text", "doc_id").collect()[0]
+        assert out["slope"] == pytest.approx(0.0, abs=1e-9)
