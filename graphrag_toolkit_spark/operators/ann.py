@@ -141,12 +141,33 @@ def ivf_assign(
     emb: DataFrame, centroids: DataFrame, id_col: str = "id", vec_col: str = "embedding"
 ) -> DataFrame:
     """Assign every vector to its nearest centroid (quantized cosine,
-    deterministic tie-break on centroid id). ``centroids(cid, embedding)``."""
-    c = F.broadcast(centroids.select("cid", F.col("embedding").alias("c_embedding")))
+    deterministic tie-break on centroid id). ``centroids(cid, embedding)``.
+
+    Both sides are quantized and normed ONCE before the vector×centroid
+    stage (identical values to quantizing inside it — the fold sees the
+    same decimal inputs), so the per-pair work is a single dot fold
+    instead of re-quantizing and re-norming each side C times."""
+    from graphrag_toolkit_spark.functions.vector import (
+        dot_prequantized,
+        l2_norm_quantized,
+        prequantize,
+    )
+
+    c = F.broadcast(
+        centroids.select(
+            "cid",
+            prequantize(F.col("embedding")).alias("qc"),
+            l2_norm_quantized(F.col("embedding")).alias("nc"),
+        )
+    )
     scored = emb.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("embedding")
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("embedding"),
+        prequantize(F.col(vec_col)).alias("qv"),
+        l2_norm_quantized(F.col(vec_col)).alias("nv"),
     ).crossJoin(c).withColumn(
-        "c_score", cosine_similarity_quantized(F.col("embedding"), F.col("c_embedding"))
+        "c_score",
+        dot_prequantized(F.col("qv"), F.col("qc")) / (F.col("nv") * F.col("nc")),
     )
     w = Window.partitionBy("id").orderBy(F.desc("c_score"), F.asc("cid"))
     return (

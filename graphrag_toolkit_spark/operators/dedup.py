@@ -737,28 +737,46 @@ def semantic_dedup(
     CLUSTER size — the paper's regime scales k with n to keep clusters
     bounded (~corpus/k rows each), so no all-pairs stage ever touches the
     corpus. Norms/quantization are computed once per vector before the
-    pair join. Deterministic end-to-end with `first_c_centroids`; with the
-    KMeans trainer the assignment inherits its partitioning caveat.
+    pair join, and the full pair space first passes a CHEAP double-cosine
+    prefilter at threshold − margin (margin ≫ the ≤1e-5 quantization
+    error, so no true pair can be lost); the exact decimal verify — the
+    expensive fold that decides ≥ threshold — runs only on survivors.
+    Deterministic end-to-end with `first_c_centroids`; with the KMeans
+    trainer the assignment inherits its partitioning caveat.
     """
+    from graphrag_toolkit_spark.functions.vector import dot, l2_norm
     from graphrag_toolkit_spark.operators.ann import ivf_assign
 
     assigned = ivf_assign(emb, centroids, id_col, vec_col)
     prepped = assigned.select(
         "id",
         "cid",
+        F.col("embedding").alias("dv"),
+        l2_norm(F.col("embedding")).alias("dn"),
         prequantize(F.col("embedding")).alias("qv"),
         l2_norm_quantized(F.col("embedding")).alias("norm"),
+    ).localCheckpoint(eager=True)  # quantize/norm each vector ONCE, not per pair
+    a = prepped.withColumnsRenamed(
+        {"id": "id_a", "dv": "da", "dn": "dna", "qv": "qa", "norm": "na"}
     )
-    a = prepped.withColumnsRenamed({"id": "id_a", "qv": "qa", "norm": "na"})
     b = prepped.select(
         F.col("cid"),
         F.col("id").alias("id_b"),
+        F.col("dv").alias("db"),
+        F.col("dn").alias("dnb"),
         F.col("qv").alias("qb"),
         F.col("norm").alias("nb"),
     )
+    margin = 1e-3
     pairs = (
         a.join(b, ["cid"])
         .filter(F.col("id_a") < F.col("id_b"))
+        # cheap prefilter: one double dot per pair (norms precomputed;
+        # multiply across instead of dividing per pair)
+        .filter(
+            dot(F.col("da"), F.col("db"))
+            >= F.lit(threshold - margin) * F.col("dna") * F.col("dnb")
+        )
         .withColumn(
             "cos",
             dot_prequantized(F.col("qa"), F.col("qb")) / (F.col("na") * F.col("nb")),
