@@ -219,3 +219,43 @@ def test_time_grid_and_ffill(spark):
     assert a[1] == (None, 1.0)   # gap: carried
     assert a[2] == (None, 1.0)
     assert a[3] == (5.0, 5.0)
+
+
+def test_interval_join_matches_bruteforce_random(spark):
+    """Randomized cross-check: cell-bucketed interval join == brute-force
+    theta join over the same rows."""
+    import random
+
+    rng = random.Random(11)
+    events = [(i, rng.randint(0, 50_000)) for i in range(300)]
+    intervals = []
+    for j in range(40):
+        s = rng.randint(0, 45_000)
+        intervals.append((j, s, s + rng.randint(0, 8_000)))
+
+    ev = spark.createDataFrame(
+        [(i, __import__("datetime").datetime.utcfromtimestamp(t)) for i, t in events],
+        "event_id long, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [
+            (
+                j,
+                __import__("datetime").datetime.utcfromtimestamp(s),
+                __import__("datetime").datetime.utcfromtimestamp(e),
+            )
+            for j, s, e in intervals
+        ],
+        "iv long, start timestamp, end timestamp",
+    )
+    got = sorted(
+        (r["event_id"], r["iv"])
+        for r in interval_join(ev, iv, cell_seconds=600).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, t in events
+        for j, s, e in intervals
+        if s <= t <= e
+    )
+    assert got == want
