@@ -61,6 +61,9 @@ _CHECK_FIRST = [
     "zscore_anomalies_events",
     "k_anonymity_documents",
     "zipf_fit_documents",
+    "cohort_retention_events",
+    "json_stats_events",
+    "association_rules_parts",
     "dup_span_coverage_documents",
     "scrub_dup_spans_documents",
     "shard_corpus_documents",

@@ -389,10 +389,77 @@ WHERE sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) > 0
 """
 
 
+WEEK_S = 7 * 24 * 3600
+
+
+def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-activity week; retention
+    cell (cohort_week, week_offset) = distinct active users. Two groupBys
+    (first-seen, then cells) — the cohort table is user-sized, cells are
+    weeks², both ≪ the event log."""
+    ev = load(spark, sf_dir, "events")
+    week = F.floor(F.col("ts").cast("long") / F.lit(WEEK_S))
+    first = ev.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    return (
+        ev.select("user_id", week.alias("week"))
+        .distinct()
+        .join(first, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+COHORT_ORACLE = f"""
+WITH w AS (
+  SELECT user_id, CAST(floor(epoch(ts) / {WEEK_S}) AS BIGINT) AS week
+  FROM events
+),
+first AS (SELECT user_id, MIN(week) AS cohort_week FROM w GROUP BY user_id),
+active AS (SELECT DISTINCT user_id, week FROM w)
+SELECT f.cohort_week, a.week - f.cohort_week AS week_offset,
+       COUNT(DISTINCT a.user_id) AS n_users
+FROM active a JOIN first f USING (user_id)
+GROUP BY f.cohort_week, a.week - f.cohort_week
+"""
+
+
+def json_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction (`props` is a JSON object): per event_type
+    stats over `$.k` — count, min/max, exact integer sum, double mean."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.sum("k").alias("k_sum"),
+            (F.sum("k").cast("double") / F.count(F.lit(1))).alias("k_mean"),
+        )
+    )
+
+
+JSON_STATS_ORACLE = """
+WITH x AS (
+  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n, MIN(k) AS k_min, MAX(k) AS k_max,
+       SUM(k) AS k_sum,
+       CAST(SUM(k) AS DOUBLE) / COUNT(*) AS k_mean
+FROM x WHERE k IS NOT NULL GROUP BY event_type
+"""
+
+
 QUERIES = {
     "tumbling_window_events": tumbling_window_events,
     "resample_gapfill_events": resample_gapfill_events,
     "zscore_anomalies_events": zscore_anomalies_events,
+    "cohort_retention_events": cohort_retention_events,
+    "json_stats_events": json_stats_events,
     "sliding_window_events": sliding_window_events,
     "sessionize_events": sessionize_events,
     "event_type_funnel": event_type_funnel,
@@ -411,4 +478,6 @@ ORACLES = {
     "kmv_distinct_users_events": KMV_ORACLE,
     "resample_gapfill_events": RESAMPLE_ORACLE,
     "zscore_anomalies_events": ZSCORE_ORACLE,
+    "cohort_retention_events": COHORT_ORACLE,
+    "json_stats_events": JSON_STATS_ORACLE,
 }

@@ -569,10 +569,82 @@ SELECT node_id, CAST(r AS DOUBLE) / {float(scale)} AS score FROM k{PKATZ_ITERS}
 PKATZ_ORACLE = _pkatz_oracle()
 
 
+MINSUP = 3
+
+
+def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order→part baskets: every
+    directed rule a→b with pair support ≥ MINSUP, plus
+    confidence = n_ab/n_a and lift = n_ab·N/(n_a·n_b) — all ratios of
+    exact integer counts, so hash-gated. The pair space is the basket
+    self-join (quadratic in BASKET size, ~4 items here; the classic
+    a<b + per-item-frequency pruning bounds it at scale)."""
+    li = load(spark, sf_dir, "lineitem")
+    bi = li.select("l_orderkey", "l_partkey").distinct()
+    n_baskets = bi.select("l_orderkey").distinct().count()
+    item = bi.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_i"))
+    a = bi.withColumnsRenamed({"l_partkey": "pa"})
+    b = bi.withColumnsRenamed({"l_partkey": "pb"})
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= MINSUP)
+    )
+    na = item.withColumnsRenamed({"l_partkey": "pa", "n_i": "n_a"})
+    nb = item.withColumnsRenamed({"l_partkey": "pb", "n_i": "n_b"})
+    both = pairs.join(F.broadcast(na), "pa").join(F.broadcast(nb), "pb")
+    fwd = both.select(
+        F.col("pa").alias("antecedent"), F.col("pb").alias("consequent"),
+        "n_ab", F.col("n_a").alias("n_ante"), F.col("n_b").alias("n_cons"),
+    )
+    rev = both.select(
+        F.col("pb").alias("antecedent"), F.col("pa").alias("consequent"),
+        "n_ab", F.col("n_b").alias("n_ante"), F.col("n_a").alias("n_cons"),
+    )
+    rules = fwd.unionByName(rev)
+    return rules.select(
+        "antecedent", "consequent", "n_ab",
+        (F.col("n_ab").cast("double") / F.col("n_ante")).alias("confidence"),
+        (
+            (F.col("n_ab") * F.lit(n_baskets)).cast("double")
+            / (F.col("n_ante") * F.col("n_cons"))
+        ).alias("lift"),
+    )
+
+
+ASSOC_ORACLE = f"""
+WITH bi AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM bi),
+item AS (SELECT l_partkey, COUNT(*) AS n_i FROM bi GROUP BY l_partkey),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n_ab
+  FROM bi a JOIN bi b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey HAVING COUNT(*) >= {MINSUP}
+),
+pairstats AS (
+  SELECT p.pa, p.pb, p.n_ab, ia.n_i AS n_a, ib.n_i AS n_b
+  FROM pairs p JOIN item ia ON ia.l_partkey = p.pa
+  JOIN item ib ON ib.l_partkey = p.pb
+),
+rules AS (
+  SELECT pa AS antecedent, pb AS consequent, n_ab, n_a AS n_ante, n_b AS n_cons FROM pairstats
+  UNION ALL
+  SELECT pb, pa, n_ab, n_b, n_a FROM pairstats
+)
+SELECT antecedent, consequent, n_ab,
+       CAST(n_ab AS DOUBLE) / n_ante AS confidence,
+       CAST(n_ab * nb.n AS DOUBLE) / (n_ante * n_cons) AS lift
+FROM rules, nb
+"""
+
+
 QUERIES = {
     "bfs_shortest_paths": bfs_shortest_paths,
     "katz_centrality_graph": katz_centrality_graph,
     "personalized_katz_graph": personalized_katz_graph,
+    "association_rules_parts": association_rules_parts,
     "entity_lookup_parts": entity_lookup_parts,
     "ordered_dedup_events": ordered_dedup_events,
     "metapath_follow": metapath_follow,
@@ -589,6 +661,7 @@ ORACLES = {
     "bfs_shortest_paths": BFS_ORACLE,
     "katz_centrality_graph": KATZ_ORACLE,
     "personalized_katz_graph": PKATZ_ORACLE,
+    "association_rules_parts": ASSOC_ORACLE,
     "entity_lookup_parts": ENTITY_LOOKUP_ORACLE,
     "ordered_dedup_events": ORDERED_DEDUP_ORACLE,
     "metapath_follow": METAPATH_ORACLE,
