@@ -192,3 +192,48 @@ def versions_at(history: DataFrame, ts: int) -> DataFrame:
     return history.filter(
         (F.col("valid_from") <= ts) & (F.col("valid_to") > ts)
     )
+
+
+def apply_changelog(
+    base: DataFrame,
+    changes: DataFrame,
+    key_col: str,
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """CDC apply: fold an ordered changelog (op ∈ I/U/D, one sequence
+    number per change) onto a base snapshot and return the new snapshot —
+    the engine side of a Debezium/binlog ingestion path.
+
+    Semantics: per key, the change with the highest ``seq`` wins; a final
+    D deletes the key; a final I/U upserts its payload columns; keys
+    untouched by the log pass through. One window over the (small)
+    changelog + one full-outer join on the key — the base never shuffles
+    more than the join requires, and the log is usually broadcastable.
+    """
+    payload = [c for c in changes.columns if c not in (key_col, seq_col, op_col)]
+    w = Window.partitionBy(key_col).orderBy(F.desc(seq_col))
+    last = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(key_col, op_col, *payload)
+    )
+    joined = base.join(
+        last.withColumnsRenamed({c: f"_new_{c}" for c in payload}),
+        key_col,
+        "full_outer",
+    )
+    kept = joined.filter(
+        F.col(op_col).isNull() | (F.col(op_col) != "D")
+    )
+    cols = [F.col(key_col)]
+    for c in [c for c in base.columns if c != key_col]:
+        if c in payload:
+            cols.append(
+                F.when(F.col(op_col).isNotNull(), F.col(f"_new_{c}"))
+                .otherwise(F.col(c))
+                .alias(c)
+            )
+        else:
+            cols.append(F.col(c))
+    return kept.select(*cols)

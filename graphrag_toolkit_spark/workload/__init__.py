@@ -64,6 +64,7 @@ _CHECK_FIRST = [
     "cohort_retention_events",
     "json_stats_events",
     "association_rules_parts",
+    "cdc_apply_orders",
     "dup_span_coverage_documents",
     "scrub_dup_spans_documents",
     "shard_corpus_documents",

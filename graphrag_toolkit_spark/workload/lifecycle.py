@@ -405,8 +405,78 @@ SELECT n_statements, COUNT(*) AS n_topics FROM per_topic GROUP BY n_statements
 """
 
 
+def cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog apply (`sink.apply_changelog`): a deterministic
+    Debezium-style log derived from the orders table — every %100 key gets
+    an U (+1000.00 exact decimal), every %200 key a later D (delete wins),
+    every %500 key spawns an I under a shifted key — folded onto the base
+    snapshot; the full resulting snapshot is hash-compared."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    newprice = (
+        F.col("o_totalprice").cast("decimal(12,2)")
+        + F.lit("1000.00").cast("decimal(12,2)")
+    ).cast("double")
+    upd = orders.filter(F.col("o_orderkey") % 100 == 0).select(
+        F.col("o_orderkey").alias("key"),
+        F.lit(1).alias("seq"),
+        F.lit("U").alias("op"),
+        F.col("o_orderstatus").alias("o_orderstatus"),
+        newprice.alias("o_totalprice"),
+    )
+    dels = orders.filter(F.col("o_orderkey") % 200 == 0).select(
+        F.col("o_orderkey").alias("key"),
+        F.lit(2).alias("seq"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    ins = orders.filter(F.col("o_orderkey") % 500 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("key"),
+        F.lit(1).alias("seq"),
+        F.lit("I").alias("op"),
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(123.45).alias("o_totalprice"),
+    )
+    changes = upd.unionByName(dels).unionByName(ins)
+    base = orders.withColumnRenamed("o_orderkey", "key")
+    return sink.apply_changelog(base, changes, "key").withColumnRenamed(
+        "key", "o_orderkey"
+    )
+
+
+CDC_ORACLE = """
+WITH ch AS (
+  SELECT o_orderkey AS key, 1 AS seq, 'U' AS op, o_orderstatus AS st,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) + CAST('1000.00' AS DECIMAL(12,2))
+              AS DOUBLE) AS price
+  FROM orders WHERE o_orderkey % 100 = 0
+  UNION ALL
+  SELECT o_orderkey, 2, 'D', NULL, NULL FROM orders WHERE o_orderkey % 200 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, 1, 'I', 'N', 123.45
+  FROM orders WHERE o_orderkey % 500 = 0
+),
+last AS (
+  SELECT key, op, st, price FROM (
+    SELECT key, op, st, price,
+           ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+    FROM ch
+  ) WHERE rn = 1
+),
+base AS (SELECT o_orderkey AS key, o_orderstatus, o_totalprice FROM orders)
+SELECT COALESCE(b.key, l.key) AS o_orderkey,
+       CASE WHEN l.op IS NOT NULL THEN l.st ELSE b.o_orderstatus END AS o_orderstatus,
+       CASE WHEN l.op IS NOT NULL THEN l.price ELSE b.o_totalprice END AS o_totalprice
+FROM base b FULL OUTER JOIN last l ON l.key = b.key
+WHERE l.op IS NULL OR l.op <> 'D'
+"""
+
+
 QUERIES = {
     "scd2_versioning_orders": scd2_versioning_orders,
+    "cdc_apply_orders": cdc_apply_orders,
     "versions_at_snapshot": versions_at_snapshot,
     "statements_per_topic_histogram": statements_per_topic_histogram,
     "cascade_delete_counts": cascade_delete_counts,
@@ -418,6 +488,7 @@ QUERIES = {
 
 ORACLES = {
     "scd2_versioning_orders": SCD2_ORACLE,
+    "cdc_apply_orders": CDC_ORACLE,
     "versions_at_snapshot": SNAPSHOT_ORACLE,
     "statements_per_topic_histogram": HISTOGRAM_ORACLE,
     "cascade_delete_counts": CASCADE_ORACLE,

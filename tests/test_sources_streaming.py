@@ -409,3 +409,41 @@ class TestEventsTimezoneGuard:
                 load(spark, tmp, "events")
         finally:
             spark.conf.set("spark.sql.session.timeZone", orig)
+
+
+class TestApplyChangelog:
+    def test_upsert_delete_insert_and_seq_wins(self, spark):
+        from pyspark.sql import functions as F
+
+        from graphrag_toolkit_spark.sources.sink import apply_changelog
+
+        base = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "key long, status string, price double",
+        )
+        changes = spark.createDataFrame(
+            [
+                (1, 1, "U", "a2", 11.0),     # update
+                (2, 1, "U", "b2", 21.0),     # update then...
+                (2, 2, "D", None, None),     # ...delete wins by seq
+                (4, 1, "I", "d", 40.0),      # insert new key
+                (3, 2, "U", "c3", 33.0),     # later seq wins over...
+                (3, 1, "U", "c2", 32.0),     # ...earlier
+            ],
+            "key long, seq int, op string, status string, price double",
+        )
+        out = {
+            r["key"]: (r["status"], r["price"])
+            for r in apply_changelog(base, changes, "key").collect()
+        }
+        assert out == {1: ("a2", 11.0), 3: ("c3", 33.0), 4: ("d", 40.0)}
+
+    def test_untouched_keys_pass_through(self, spark):
+        from graphrag_toolkit_spark.sources.sink import apply_changelog
+
+        base = spark.createDataFrame([(9, "z", 1.5)], "key long, status string, price double")
+        changes = spark.createDataFrame(
+            [], "key long, seq int, op string, status string, price double"
+        )
+        out = apply_changelog(base, changes, "key").collect()
+        assert [(r["key"], r["status"], r["price"]) for r in out] == [(9, "z", 1.5)]
