@@ -65,6 +65,8 @@ _CHECK_FIRST = [
     "json_stats_events",
     "association_rules_parts",
     "cdc_apply_orders",
+    "triangle_count_parts",
+    "boolean_and_search_documents",
     "dup_span_coverage_documents",
     "scrub_dup_spans_documents",
     "shard_corpus_documents",

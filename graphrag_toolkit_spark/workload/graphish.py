@@ -640,11 +640,56 @@ FROM rules, nb
 """
 
 
+TRI_MIN_SHARED = 2
+
+
+def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the part co-occurrence graph (edges = part
+    pairs sharing ≥2 baskets): the canonical a<b<c edge-join enumeration —
+    each triangle counted once, no orientation dedup needed. Per-part
+    triangle membership + the global total in one result."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.withColumnsRenamed({"l_partkey": "pa"})
+    b = li.withColumnsRenamed({"l_partkey": "pb"})
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= TRI_MIN_SHARED)
+        .select("pa", "pb")
+    )
+    e1 = edges
+    e2 = edges.select(F.col("pa").alias("pb"), F.col("pb").alias("pc"))
+    e3 = edges.select("pa", F.col("pb").alias("pc"))
+    tri = (
+        e1.join(e2, "pb")
+        .join(e3, ["pa", "pc"])
+        .select("pa", "pb", "pc")
+    )
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+TRIANGLE_ORACLE = f"""
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY pa, pb HAVING COUNT(*) >= {TRI_MIN_SHARED}
+)
+SELECT COUNT(*) AS n_triangles
+FROM edges e1
+JOIN edges e2 ON e2.pa = e1.pb
+JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+"""
+
+
 QUERIES = {
     "bfs_shortest_paths": bfs_shortest_paths,
     "katz_centrality_graph": katz_centrality_graph,
     "personalized_katz_graph": personalized_katz_graph,
     "association_rules_parts": association_rules_parts,
+    "triangle_count_parts": triangle_count_parts,
     "entity_lookup_parts": entity_lookup_parts,
     "ordered_dedup_events": ordered_dedup_events,
     "metapath_follow": metapath_follow,
@@ -662,6 +707,7 @@ ORACLES = {
     "katz_centrality_graph": KATZ_ORACLE,
     "personalized_katz_graph": PKATZ_ORACLE,
     "association_rules_parts": ASSOC_ORACLE,
+    "triangle_count_parts": TRIANGLE_ORACLE,
     "entity_lookup_parts": ENTITY_LOOKUP_ORACLE,
     "ordered_dedup_events": ORDERED_DEDUP_ORACLE,
     "metapath_follow": METAPATH_ORACLE,

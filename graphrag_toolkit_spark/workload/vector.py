@@ -415,10 +415,50 @@ FROM u GROUP BY doc_id
 """
 
 
+BOOL_TERMS = ["spark", "join", "window"]
+
+
+def boolean_and_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index boolean retrieval: documents containing ALL query
+    terms — distinct (doc, matched-term) postings grouped per doc, kept
+    when the distinct-term count equals the query size. The conjunctive
+    complement to BM25's ranked scoring."""
+    docs = load(spark, sf_dir, "documents")
+    terms = F.broadcast(
+        spark.createDataFrame([{"token": t} for t in sorted(set(BOOL_TERMS))])
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"[^0-9a-z]+")).alias("token"),
+    ).filter(F.col("token") != "")
+    return (
+        toks.join(terms, "token")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("token").alias("n_terms"))
+        .filter(F.col("n_terms") == len(set(BOOL_TERMS)))
+        .select("doc_id")
+    )
+
+
+BOOL_AND_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '[^0-9a-z]+')) AS token
+    FROM documents
+  ) WHERE token <> ''
+)
+SELECT doc_id FROM toks
+WHERE token IN ({", ".join(repr(t) for t in sorted(set(BOOL_TERMS)))})
+GROUP BY doc_id
+HAVING COUNT(DISTINCT token) = {len(set(BOOL_TERMS))}
+"""
+
+
 QUERIES = {
     "cosine_topk": cosine_topk,
     "bm25_documents": bm25_documents,
     "hybrid_rrf_documents": hybrid_rrf_documents,
+    "boolean_and_search_documents": boolean_and_search_documents,
     "cosine_topk_diverse": cosine_topk_diverse,
     "dense_link_embeddings": dense_link_embeddings,
     "beam_search_embeddings": beam_search_embeddings,
@@ -430,6 +470,7 @@ ORACLES = {
     "cosine_topk": COSINE_TOPK_ORACLE,
     "bm25_documents": BM25_ORACLE,
     "hybrid_rrf_documents": HYBRID_RRF_ORACLE,
+    "boolean_and_search_documents": BOOL_AND_ORACLE,
     "cosine_topk_diverse": DIVERSITY_ORACLE,
     "dense_link_embeddings": DENSE_LINK_ORACLE,
     "beam_search_embeddings": BEAM_ORACLE,
