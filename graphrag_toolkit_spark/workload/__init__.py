@@ -67,6 +67,8 @@ _CHECK_FIRST = [
     "cdc_apply_orders",
     "triangle_count_parts",
     "boolean_and_search_documents",
+    "decile_stats_orders",
+    "event_transitions",
     "dup_span_coverage_documents",
     "scrub_dup_spans_documents",
     "shard_corpus_documents",

@@ -454,12 +454,47 @@ FROM x WHERE k IS NOT NULL GROUP BY event_type
 """
 
 
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    adjacent (from → to) pairs via one lag window, counts plus the row-
+    normalized transition probability (ratio of exact integer counts)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNotNull())
+        .groupBy(F.col("prev").alias("from_type"), F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return pairs.join(totals, "from_type").select(
+        "from_type", "to_type", "n",
+        (F.col("n").cast("double") / F.col("n_from")).alias("p"),
+    )
+
+
+TRANSITIONS_ORACLE = """
+WITH pairs AS (
+  SELECT prev AS from_type, event_type AS to_type, COUNT(*) AS n FROM (
+    SELECT event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events
+  ) WHERE prev IS NOT NULL GROUP BY prev, event_type
+),
+totals AS (SELECT from_type, SUM(n) AS n_from FROM pairs GROUP BY from_type)
+SELECT p.from_type, p.to_type, p.n,
+       CAST(p.n AS DOUBLE) / t.n_from AS p
+FROM pairs p JOIN totals t USING (from_type)
+"""
+
+
 QUERIES = {
     "tumbling_window_events": tumbling_window_events,
     "resample_gapfill_events": resample_gapfill_events,
     "zscore_anomalies_events": zscore_anomalies_events,
     "cohort_retention_events": cohort_retention_events,
     "json_stats_events": json_stats_events,
+    "event_transitions": event_transitions,
     "sliding_window_events": sliding_window_events,
     "sessionize_events": sessionize_events,
     "event_type_funnel": event_type_funnel,
@@ -480,4 +515,5 @@ ORACLES = {
     "zscore_anomalies_events": ZSCORE_ORACLE,
     "cohort_retention_events": COHORT_ORACLE,
     "json_stats_events": JSON_STATS_ORACLE,
+    "event_transitions": TRANSITIONS_ORACLE,
 }

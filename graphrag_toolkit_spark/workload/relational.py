@@ -481,11 +481,41 @@ GROUP BY h.might_contain, t.actually_urgent
 """
 
 
+def decile_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency bucketing: NTILE(10) deciles of order value under a
+    total order, with per-decile counts and exact decimal sums/bounds."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("total"),
+        )
+    )
+
+
+DECILE_ORACLE = """
+SELECT decile, COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+FROM (
+  SELECT o_totalprice,
+         NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders
+)
+GROUP BY decile
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "cube_stats_orders": cube_stats_orders,
     "pivot_orders_by_priority": pivot_orders_by_priority,
     "bloom_filter_orders": bloom_filter_orders,
+    "decile_stats_orders": decile_stats_orders,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "filter_tree_orders": filter_tree_orders,
@@ -503,6 +533,7 @@ ORACLES = {
     "cube_stats_orders": CUBE_ORACLE,
     "pivot_orders_by_priority": PIVOT_ORACLE,
     "bloom_filter_orders": BLOOM_ORACLE,
+    "decile_stats_orders": DECILE_ORACLE,
     "q3_shipping_priority": Q3_ORACLE,
     "q5_local_supplier_volume": Q5_ORACLE,
     "filter_tree_orders": FILTER_TREE_ORACLE,
