@@ -65,6 +65,7 @@ HEADLINE = [
     "kmv_distinct_users_events",
     "katz_centrality_graph",
     "semantic_dedup_embeddings",
+    "training_data_pipeline",
 ]
 
 

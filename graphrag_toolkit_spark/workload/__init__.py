@@ -69,6 +69,7 @@ _CHECK_FIRST = [
     "boolean_and_search_documents",
     "decile_stats_orders",
     "event_transitions",
+    "training_data_pipeline",
     "dup_span_coverage_documents",
     "scrub_dup_spans_documents",
     "shard_corpus_documents",

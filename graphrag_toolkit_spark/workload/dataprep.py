@@ -1121,6 +1121,112 @@ FROM hits h JOIN tot t USING (doc_id)
 """
 
 
+# --- end-to-end training-data pipeline ---------------------------------------
+
+def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data export as ONE composed DataFrame plan —
+    every stage is a declared primitive with its own green oracle, chained
+    the way a real pipeline runs them:
+
+        quality gate (linear classifier keep)
+      → exact dedup (min-id survivor per content hash)
+      → train split (content-hash buckets; eval/val held out)
+      → benchmark decontamination (drop any train doc sharing a 4-gram
+        with the held-out eval split)
+      → deterministic shuffle + shard/sequence assignment
+
+    Output: (doc_id, shard, seq) for the exported corpus. One Catalyst
+    plan end-to-end — no materialization between stages — and the full
+    lineage is hash-compared against a single chained-CTE oracle."""
+    docs = load(spark, sf_dir, "documents")
+    quality = (
+        textstats.linear_quality_classifier(
+            docs, "text", "doc_id", CLASSIFIER_WEIGHTS, bias=CLASSIFIER_BIAS
+        )
+        .filter(F.col("keep"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    qd = docs.join(quality, "doc_id")
+    deduped = dedup.exact_dedup(qd, "text", "doc_id")
+    b = sampling.hash_bucket(F.col("doc_id"))
+    train = deduped.filter(b >= 2000)
+    eval_set = docs.filter(b < DECONTAM_EVAL_CUT)
+    contaminated = decontam.contamination(
+        train, eval_set, text_col="text", id_col="doc_id", n=DECONTAM_N
+    ).select(F.col("id").alias("doc_id"))
+    clean = train.join(contaminated, "doc_id", "left_anti")
+    return sampling.shard_corpus(clean, "doc_id", N_SHARDS).select(
+        "doc_id", "shard", "seq"
+    )
+
+
+TRAINING_PIPELINE_ORACLE = rf"""
+WITH w(token, w) AS (VALUES {_W_VALUES}),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+    FROM documents
+  ) WHERE token <> '' GROUP BY doc_id, token
+),
+dot AS (
+  SELECT doc_id, SUM(tf * w) AS d FROM tf JOIN w USING (token) GROUP BY doc_id
+),
+q AS (
+  SELECT d.doc_id, d.text FROM documents d LEFT JOIN dot ON dot.doc_id = d.doc_id
+  WHERE CAST(COALESCE(dot.d, CAST(0 AS DECIMAL(12,6)))
+             + CAST({CLASSIFIER_BIAS} AS DECIMAL(12,6)) AS DOUBLE) >= 0.0
+),
+surv AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM q
+  ) WHERE rn = 1
+),
+train AS (
+  SELECT doc_id, text FROM surv
+  WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)
+          % 10000 >= 2000
+),
+evdocs AS (
+  SELECT doc_id, text FROM documents
+  WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)
+          % 10000 < {DECONTAM_EVAL_CUT}
+),
+evsh AS (
+  SELECT DISTINCT g FROM (
+    SELECT unnest(CASE WHEN len(ws) >= {DECONTAM_N} THEN
+      list_transform(generate_series(1, len(ws) - {DECONTAM_N} + 1),
+        i -> md5(array_to_string(ws[i:i+{DECONTAM_N}-1], ' ')))
+      ELSE [] END) AS g
+    FROM (SELECT string_split_regex(lower(text), '\s+') AS ws FROM evdocs))
+),
+trsh AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id, unnest(CASE WHEN len(ws) >= {DECONTAM_N} THEN
+      list_transform(generate_series(1, len(ws) - {DECONTAM_N} + 1),
+        i -> md5(array_to_string(ws[i:i+{DECONTAM_N}-1], ' ')))
+      ELSE [] END) AS g
+    FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws FROM train))
+),
+cont AS (SELECT DISTINCT t.doc_id FROM trsh t JOIN evsh USING (g)),
+clean AS (
+  SELECT doc_id FROM train WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+)
+SELECT doc_id, CAST(h % {N_SHARDS} AS INT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY h % {N_SHARDS} ORDER BY h, doc_id) - 1
+            AS INT) AS seq
+FROM (
+  SELECT doc_id,
+         CAST('0x' || substring(md5('shard|' || CAST(doc_id AS VARCHAR)), 1, 7)
+              AS BIGINT) AS h
+  FROM clean
+)
+"""
+
+
+
+
 def pii_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub pass (emails / IPs / phone numbers → typed placeholders,
     plus audit counts). The synthetic corpus contains no organic PII, so the
@@ -1813,6 +1919,7 @@ QUERIES = {
     "cms_heavy_hitters_documents": cms_heavy_hitters_documents,
     "k_anonymity_documents": k_anonymity_documents,
     "zipf_fit_documents": zipf_fit_documents,
+    "training_data_pipeline": training_data_pipeline,
     "embedding_neardup_lsh": embedding_neardup_lsh,
     "embedding_neardup_recall": embedding_neardup_recall,
     "token_stats_documents": token_stats_documents,
@@ -1859,6 +1966,7 @@ ORACLES = {
     "cms_heavy_hitters_documents": CMS_ORACLE,
     "k_anonymity_documents": K_ANONYMITY_ORACLE,
     "zipf_fit_documents": ZIPF_ORACLE,
+    "training_data_pipeline": TRAINING_PIPELINE_ORACLE,
     "embedding_neardup_lsh": EMBED_NEARDUP_LSH_ORACLE,
     "embedding_neardup_recall": EMBED_NEARDUP_RECALL_ORACLE,
     "token_stats_documents": TOKEN_STATS_ORACLE,
