@@ -70,6 +70,7 @@ _CHECK_FIRST = [
     "decile_stats_orders",
     "event_transitions",
     "training_data_pipeline",
+    "validate_orders",
     "dup_span_coverage_documents",
     "scrub_dup_spans_documents",
     "shard_corpus_documents",

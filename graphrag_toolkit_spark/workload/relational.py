@@ -510,8 +510,64 @@ GROUP BY decile
 """
 
 
+def validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate (`operators/validate.py`): null/domain/range/
+    regex/uniqueness/referential rules over orders compiled into one
+    conditional-count scan + one groupBy + one FK anti-join; the report
+    (rule, n_violations, n_rows) is what a publish step would assert on."""
+    from graphrag_toolkit_spark.operators import validate as V
+
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    rules = [
+        V.not_null("o_orderkey"),
+        V.in_set("o_orderstatus", ["O", "F", "P"]),
+        V.in_range("o_totalprice", 0.0, 1_000_000.0),
+        V.regexp("o_orderpriority", "^[1-5]-"),
+        V.unique("o_orderkey"),
+        V.foreign_key("o_custkey", customer, "c_custkey"),
+    ]
+    return V.validate(orders, rules)
+
+
+VALIDATE_ORACLE = """
+WITH n AS (SELECT COUNT(*) AS n_rows FROM orders)
+SELECT 'not_null_o_orderkey' AS rule,
+       (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL) AS n_violations,
+       n_rows FROM n
+UNION ALL
+SELECT 'in_set_o_orderstatus',
+       (SELECT COUNT(*) FROM orders
+        WHERE o_orderstatus IS NULL OR o_orderstatus NOT IN ('O', 'F', 'P')),
+       n_rows FROM n
+UNION ALL
+SELECT 'range_o_totalprice',
+       (SELECT COUNT(*) FROM orders
+        WHERE o_totalprice IS NULL OR o_totalprice < 0.0
+           OR o_totalprice > 1000000.0),
+       n_rows FROM n
+UNION ALL
+SELECT 'regexp_o_orderpriority',
+       (SELECT COUNT(*) FROM orders
+        WHERE o_orderpriority IS NULL
+           OR NOT regexp_matches(o_orderpriority, '^[1-5]-')),
+       n_rows FROM n
+UNION ALL
+SELECT 'unique_o_orderkey',
+       (SELECT COALESCE(SUM(c - 1), 0) FROM
+         (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey) WHERE c > 1),
+       n_rows FROM n
+UNION ALL
+SELECT 'fk_o_custkey',
+       (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+       n_rows FROM n
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "validate_orders": validate_orders,
     "cube_stats_orders": cube_stats_orders,
     "pivot_orders_by_priority": pivot_orders_by_priority,
     "bloom_filter_orders": bloom_filter_orders,
@@ -534,6 +590,7 @@ ORACLES = {
     "pivot_orders_by_priority": PIVOT_ORACLE,
     "bloom_filter_orders": BLOOM_ORACLE,
     "decile_stats_orders": DECILE_ORACLE,
+    "validate_orders": VALIDATE_ORACLE,
     "q3_shipping_priority": Q3_ORACLE,
     "q5_local_supplier_volume": Q5_ORACLE,
     "filter_tree_orders": FILTER_TREE_ORACLE,

@@ -1086,3 +1086,50 @@ class TestZipfFit:
         )
         out = textstats.zipf_fit(docs, "text", "doc_id").collect()[0]
         assert out["slope"] == pytest.approx(0.0, abs=1e-9)
+
+
+class TestValidate:
+    def test_all_rule_kinds_count_violations(self, spark):
+        from graphrag_toolkit_spark.operators import validate as V
+
+        df = spark.createDataFrame(
+            [
+                (1, "O", 10.0, "1-URGENT", 100),
+                (2, None, -5.0, "9-BAD", 100),     # in_set + range + regexp
+                (2, "X", 20.0, "2-HIGH", 999),     # dup key + bad status + missing FK
+                (None, "F", None, None, 100),      # null key + null range + null regexp
+            ],
+            "k long, status string, price double, prio string, fk long",
+        )
+        dim = spark.createDataFrame([(100,)], "d long")
+        rules = [
+            V.not_null("k"),
+            V.in_set("status", ["O", "F", "P"]),
+            V.in_range("price", 0.0, 100.0),
+            V.regexp("prio", "^[1-5]-"),
+            V.unique("k"),
+            V.foreign_key("fk", dim, "d"),
+        ]
+        out = {r["rule"]: r["n_violations"] for r in V.validate(df, rules).collect()}
+        assert out == {
+            "not_null_k": 1,
+            "in_set_status": 2,      # None and 'X'
+            "range_price": 2,        # -5.0 and None
+            "regexp_prio": 2,        # '9-BAD' and None
+            "unique_k": 1,           # one extra row for k=2
+            "fk_fk": 1,              # 999
+        }
+        rows = V.validate(df, rules).collect()
+        assert all(r["n_rows"] == 4 for r in rows)
+
+    def test_assert_valid_raises(self, spark):
+        import pytest as _pytest
+
+        from graphrag_toolkit_spark.operators import validate as V
+
+        df = spark.createDataFrame([(None,)], "k long")
+        with _pytest.raises(ValueError, match="not_null_k"):
+            V.assert_valid(df, [V.not_null("k")])
+        # clean data passes
+        ok = spark.createDataFrame([(1,)], "k long")
+        V.assert_valid(ok, [V.not_null("k")])
