@@ -188,6 +188,7 @@ def bm25_scores(
     k1: float = 1.2,
     b: float = 0.75,
     quantize: int = 6,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """BM25 keyword scoring (Robertson idf, Lucene-style) against
     ``query_text`` — the relational twin of the reference's OpenSearch
@@ -256,12 +257,13 @@ def bm25_scores(
             ),
         )
     )
-    scores = (
-        term.groupBy("id")
-        .agg(F.sum("s").cast("double").alias("bm25"))
-        .localCheckpoint(eager=True)
-    )
-    doc_tokens.unpersist()
+    scores = term.groupBy("id").agg(F.sum("s").cast("double").alias("bm25"))
+    if checkpoint:
+        # materialize so the token cache can be released immediately
+        # (same cache-hygiene rationale as tfidf_cosine_scores above);
+        # checkpoint=False keeps the full lazy plan visible for plan tests
+        scores = scores.localCheckpoint(eager=True)
+        doc_tokens.unpersist()
     return (
         docs.select(F.col(id_col).alias("id"))
         .join(scores, "id", "left")

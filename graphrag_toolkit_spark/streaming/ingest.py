@@ -103,3 +103,16 @@ def stream_to_merge_sink(
     )
     q.processAllAvailable()
     q.stop()
+
+
+def enrich_stream(
+    stream: DataFrame, dim: DataFrame, on: str, how: str = "left"
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch joins against the
+    static dimension (Structured Streaming re-plans the static side per
+    batch, so a dimension refreshed in place is picked up on the next
+    trigger). Small dims broadcast — the stream side never shuffles; the
+    standard feature-lookup shape for event enrichment at any scale."""
+    from pyspark.sql import functions as F
+
+    return stream.join(F.broadcast(dim), on, how)

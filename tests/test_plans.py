@@ -289,3 +289,64 @@ def test_shard_corpus_single_shuffle(spark, sf_dir):
     assert "hashpartitioning(shard" in plan
     assert "rangepartitioning" not in plan
     assert "EvalPython" not in plan
+
+
+def test_bm25_broadcasts_stats_and_stays_jvm(spark, sf_dir):
+    """BM25: df stats + query terms broadcast (no shuffle of the token
+    table for them), no nested-loop anywhere, no Python in the plan
+    (checkpoint=False exposes the full lazy pipeline to explain)."""
+    from graphrag_toolkit_spark.operators.tfidf import bm25_scores
+    from graphrag_toolkit_spark.workload.vector import TFIDF_QUERY
+
+    docs = load(spark, sf_dir, "documents")
+    plan = plan_of(
+        bm25_scores(docs, TFIDF_QUERY, "text", "doc_id", checkpoint=False)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_training_pipeline_single_relational_plan(spark, sf_dir):
+    """The composed export pipeline must stay one relational Catalyst plan:
+    no Python eval, no cartesian products, and the anti-join for
+    decontamination present as a hash/broadcast join."""
+    from graphrag_toolkit_spark.workload.dataprep import training_data_pipeline
+
+    plan = plan_of(training_data_pipeline(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+
+
+def test_validate_row_local_rules_single_scan(spark, sf_dir):
+    """All row-local rules fuse into ONE aggregate over ONE orders scan
+    (unique/fk legs add their own, but the conditional counts must not
+    multiply the input)."""
+    from graphrag_toolkit_spark.operators import validate as V
+
+    orders = load(spark, sf_dir, "orders")
+    rules = [
+        V.not_null("o_orderkey"),
+        V.in_set("o_orderstatus", ["O", "F", "P"]),
+        V.in_range("o_totalprice", 0.0, 1_000_000.0),
+    ]
+    plan = plan_of(V.validate(orders, rules))
+    assert len(read_schemas(plan)) == 1
+    assert "EvalPython" not in plan
+
+
+def test_katz_round_reuses_edge_partitioning(spark):
+    """One Katz round: the persisted pre-partitioned edge table must not
+    acquire a second exchange for the join (only ranks move)."""
+    from graphrag_toolkit_spark.operators.centrality import katz_centrality
+
+    edges = spark.range(500).selectExpr(
+        "cast(id % 50 as string) src", "cast((id * 7) % 50 as string) dst"
+    )
+    out = katz_centrality(edges, iters=1)
+    try:
+        plan = plan_of(out)
+        assert "NestedLoop" not in plan and "EvalPython" not in plan
+    finally:
+        pass

@@ -191,3 +191,31 @@ class TestKmvStream:
         assert latest == batch
         # k=3 and 'view' saw 3 distinct hashes (h_a,h_c,h_d) -> estimator leg
         assert latest["view"] != 3.0 or latest["click"] <= 3.0
+
+
+class TestEnrichStream:
+    def test_stream_static_join_equals_batch(self, spark, stream_dir):
+        from graphrag_toolkit_spark.streaming.ingest import enrich_stream
+
+        dim = spark.createDataFrame(
+            [("click", 1.5), ("view", 0.5)], "event_type string, weight double"
+        )
+        src = read_jsonl_stream(spark, stream_dir, SCHEMA, max_files_per_trigger=1)
+        _run(
+            enrich_stream(src, dim, "event_type").select(
+                "id", "event_type", "weight"
+            ),
+            "enrich_out",
+            "append",
+        )
+        got = {
+            r["id"]: r["weight"]
+            for r in spark.sql("SELECT * FROM enrich_out").collect()
+        }
+        batch = spark.createDataFrame(
+            [*BATCH1, *BATCH2],
+            "id long, text_hash string, event_type string, value double",
+        ).join(dim, "event_type", "left")
+        want = {r["id"]: r["weight"] for r in batch.collect()}
+        assert got == want
+        assert len(got) == len(BATCH1) + len(BATCH2)
