@@ -71,6 +71,7 @@ _CHECK_FIRST = [
     "event_transitions",
     "training_data_pipeline",
     "validate_orders",
+    "moving_avg_events",
     "dup_span_coverage_documents",
     "scrub_dup_spans_documents",
     "shard_corpus_documents",

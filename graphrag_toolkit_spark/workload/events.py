@@ -488,6 +488,46 @@ FROM pairs p JOIN totals t USING (from_type)
 """
 
 
+def moving_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling window: per event_type hourly totals with a trailing 3-cell
+    moving average — frame sums in exact decimal, the divide on exact
+    operands, mirrored op-for-op by the oracle's ROWS frame."""
+    ev = load(spark, sf_dir, "events")
+    cell = F.floor(F.col("ts").cast("long") / F.lit(3600))
+    hourly = ev.groupBy("event_type", cell.alias("cell")).agg(
+        F.sum(_dec("value")).alias("total_dec"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cell")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return hourly.select(
+        "event_type",
+        F.timestamp_seconds(F.col("cell") * 3600).alias("cell_start"),
+        F.col("total_dec").cast("double").alias("total"),
+        (
+            F.sum("total_dec").over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("ma3"),
+    )
+
+
+MOVING_AVG_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS cell,
+         SUM(CAST(value AS DECIMAL(12,2))) AS total_dec
+  FROM events GROUP BY event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT)
+)
+SELECT event_type, make_timestamp(cell * 3600 * 1000000) AS cell_start,
+       CAST(total_dec AS DOUBLE) AS total,
+       CAST(SUM(total_dec) OVER w AS DOUBLE) / COUNT(*) OVER w AS ma3
+FROM hourly
+WINDOW w AS (PARTITION BY event_type ORDER BY cell
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "tumbling_window_events": tumbling_window_events,
     "resample_gapfill_events": resample_gapfill_events,
@@ -495,6 +535,7 @@ QUERIES = {
     "cohort_retention_events": cohort_retention_events,
     "json_stats_events": json_stats_events,
     "event_transitions": event_transitions,
+    "moving_avg_events": moving_avg_events,
     "sliding_window_events": sliding_window_events,
     "sessionize_events": sessionize_events,
     "event_type_funnel": event_type_funnel,
@@ -516,4 +557,5 @@ ORACLES = {
     "cohort_retention_events": COHORT_ORACLE,
     "json_stats_events": JSON_STATS_ORACLE,
     "event_transitions": TRANSITIONS_ORACLE,
+    "moving_avg_events": MOVING_AVG_ORACLE,
 }
