@@ -455,7 +455,9 @@ def word_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def zipf_fit(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def zipf_fit(
+    df: DataFrame, text_col: str, id_col: str, top_n: int | None = None
+) -> DataFrame:
     """Power-law (Zipf) fit of the corpus token-frequency distribution:
     least-squares slope/intercept of ln(freq) against ln(rank) — the
     standard corpus-health diagnostic (natural text ≈ slope −1; synthetic
@@ -466,8 +468,11 @@ def zipf_fit(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     op-for-op by the oracle. Returns one row:
     (n_points, slope, intercept).
 
-    Scale shape: one token groupBy + a global rank window over the VOCAB
-    (not the corpus) + a scalar aggregate."""
+    Scale shape: one token groupBy + a rank window over the VOCAB (not the
+    corpus) + a scalar aggregate. At web-corpus vocab sizes pass ``top_n``:
+    the fit then uses only the head of the distribution (standard Zipf
+    practice — the tail is noise anyway) and the global sort becomes a
+    TakeOrderedAndProject over N rows instead of a full vocab sort."""
     tf = (
         df.select(
             F.explode(F.split(F.lower(F.col(text_col)), r"[^0-9a-z]+")).alias(
@@ -478,6 +483,8 @@ def zipf_fit(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+    if top_n is not None:
+        tf = tf.orderBy(F.desc("freq"), F.asc("token")).limit(top_n)
     w = Window.orderBy(F.desc("freq"), F.asc("token"))
     lnq = lambda c: F.round(F.log(c), 6).cast("decimal(12,6)")  # noqa: E731
     pts = tf.withColumn("rank", F.row_number().over(w)).select(
