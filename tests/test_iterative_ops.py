@@ -431,3 +431,29 @@ class TestPersonalizedKatz:
         out = personalized_katz(edges, seeds, iters=3).collect()[0]
         # r0=1, r1=1.5, r2=1.75, r3=1.875
         assert out["score"] == 1.875
+
+
+class TestKatzPartitionInvariance:
+    def test_scores_identical_across_partitionings(self, spark):
+        """The exact-BIGINT discipline's point: iterative scores must be
+        bit-identical no matter how the data is partitioned."""
+        import random
+
+        from graphrag_toolkit_spark.operators.centrality import katz_centrality
+
+        rng = random.Random(3)
+        rows = [
+            (f"n{rng.randint(0, 30)}", f"n{rng.randint(0, 30)}")
+            for _ in range(150)
+        ]
+        base = spark.createDataFrame(rows, "src string, dst string").distinct()
+        a = {r["node_id"]: r["katz"] for r in katz_centrality(base, iters=5).collect()}
+        b = {
+            r["node_id"]: r["katz"]
+            for r in katz_centrality(base.repartition(13), iters=5).collect()
+        }
+        c = {
+            r["node_id"]: r["katz"]
+            for r in katz_centrality(base.coalesce(1), iters=5).collect()
+        }
+        assert a == b == c

@@ -164,3 +164,21 @@ class TestBloom:
         )
         full = sketch.bloom_build(both, "v")
         assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_kmv_partition_invariance(spark):
+    from pyspark.sql import functions as F
+
+    base = spark.range(3000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.concat(F.lit("v"), (F.col("id") * 17) % 900).alias("v"),
+    )
+    a = {
+        r["g"]: r["distinct_est"]
+        for r in sketch.kmv_distinct(base, ["g"], "v", k=32).collect()
+    }
+    b = {
+        r["g"]: r["distinct_est"]
+        for r in sketch.kmv_distinct(base.repartition(11), ["g"], "v", k=32).collect()
+    }
+    assert a == b
