@@ -72,6 +72,7 @@ _CHECK_FIRST = [
     "training_data_pipeline",
     "validate_orders",
     "moving_avg_events",
+    "funnel_conversion_events",
     "dup_span_coverage_documents",
     "scrub_dup_spans_documents",
     "shard_corpus_documents",

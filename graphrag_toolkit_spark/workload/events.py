@@ -528,6 +528,87 @@ WINDOW w AS (PARTITION BY event_type ORDER BY cell
 """
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion: per step, how many users reached it IN
+    ORDER (first view ≤ first subsequent click ≤ first subsequent
+    purchase) plus the step-over-step conversion rate. One pass builds
+    each user's first-occurrence times with conditional mins; the ordered
+    reach is a row-local cascade — no joins, no explosion."""
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"t{i}")
+            for i, s in enumerate(FUNNEL_STEPS)
+        ]
+    )
+    # reached step i iff t0 <= t1 <= ... <= ti (all present, in order);
+    # "subsequent" uses first-occurrence times — the standard loose funnel
+    reach = firsts.select(
+        F.col("t0").isNotNull().alias("r0"),
+        (F.col("t0").isNotNull() & F.col("t1").isNotNull()
+         & (F.col("t0") <= F.col("t1"))).alias("r1"),
+        (F.col("t0").isNotNull() & F.col("t1").isNotNull()
+         & F.col("t2").isNotNull() & (F.col("t0") <= F.col("t1"))
+         & (F.col("t1") <= F.col("t2"))).alias("r2"),
+    )
+    agg = reach.agg(
+        *[F.sum(F.when(F.col(f"r{i}"), 1).otherwise(0)).alias(f"n{i}")
+          for i in range(len(FUNNEL_STEPS))]
+    )
+    rows = []
+    for i, s in enumerate(FUNNEL_STEPS):
+        prev = F.col(f"n{i - 1}") if i else F.col("n0")
+        rows.append(
+            F.struct(
+                F.lit(i).alias("step"),
+                F.lit(s).alias("event_type"),
+                F.col(f"n{i}").alias("n_users"),
+                F.when(
+                    prev > 0, F.col(f"n{i}").cast("double") / prev
+                ).otherwise(F.lit(0.0)).alias("conversion"),
+            )
+        )
+    return agg.select(F.explode(F.array(*rows)).alias("s")).select(
+        "s.step", "s.event_type", "s.n_users", "s.conversion"
+    )
+
+
+FUNNEL_CONVERSION_ORACLE = """
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t1,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+  FROM events GROUP BY user_id
+),
+reach AS (
+  SELECT t0 IS NOT NULL AS r0,
+         (t0 IS NOT NULL AND t1 IS NOT NULL AND t0 <= t1) AS r1,
+         (t0 IS NOT NULL AND t1 IS NOT NULL AND t2 IS NOT NULL
+          AND t0 <= t1 AND t1 <= t2) AS r2
+  FROM firsts
+),
+agg AS (
+  SELECT SUM(CASE WHEN r0 THEN 1 ELSE 0 END) AS n0,
+         SUM(CASE WHEN r1 THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN r2 THEN 1 ELSE 0 END) AS n2
+  FROM reach
+)
+SELECT 0 AS step, 'view' AS event_type, n0 AS n_users,
+       CASE WHEN n0 > 0 THEN CAST(n0 AS DOUBLE) / n0 ELSE 0.0 END AS conversion
+FROM agg
+UNION ALL
+SELECT 1, 'click', n1,
+       CASE WHEN n0 > 0 THEN CAST(n1 AS DOUBLE) / n0 ELSE 0.0 END FROM agg
+UNION ALL
+SELECT 2, 'purchase', n2,
+       CASE WHEN n1 > 0 THEN CAST(n2 AS DOUBLE) / n1 ELSE 0.0 END FROM agg
+"""
+
+
 QUERIES = {
     "tumbling_window_events": tumbling_window_events,
     "resample_gapfill_events": resample_gapfill_events,
@@ -536,6 +617,7 @@ QUERIES = {
     "json_stats_events": json_stats_events,
     "event_transitions": event_transitions,
     "moving_avg_events": moving_avg_events,
+    "funnel_conversion_events": funnel_conversion_events,
     "sliding_window_events": sliding_window_events,
     "sessionize_events": sessionize_events,
     "event_type_funnel": event_type_funnel,
@@ -558,4 +640,5 @@ ORACLES = {
     "json_stats_events": JSON_STATS_ORACLE,
     "event_transitions": TRANSITIONS_ORACLE,
     "moving_avg_events": MOVING_AVG_ORACLE,
+    "funnel_conversion_events": FUNNEL_CONVERSION_ORACLE,
 }
