@@ -509,3 +509,50 @@ def zipf_fit(
         slope.alias("slope"),
         ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
     )
+
+
+def train_bigram_lm(
+    df: DataFrame, text_col: str, id_col: str, min_count: int = 1
+) -> DataFrame:
+    """Train a maximum-likelihood bigram LM from the corpus: one row per
+    observed (prev, w) with its count and conditional probability
+    p(w|prev) = c(prev,w)/c(prev·) — exact-integer ratios, so the trained
+    table is engine-identical. The output feeds `ngram_lm_score` (round
+    trip: train on the corpus, score documents with what was learned);
+    add smoothing/backoff weights downstream as decimal literals.
+
+    Scale shape: bigrams explode narrowly from the token array (same
+    position trick as the scorer), one (prev, w) groupBy + one prev-level
+    aggregate — the classic count-based LM-training shape; at web scale the
+    count table is the shuffle, exactly as in public n-gram pipelines."""
+    from graphrag_toolkit_spark.functions.skew import widen_partitions
+
+    ws = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^0-9a-z]+"), lambda x: x != ""
+    )
+    bigrams = (
+        widen_partitions(df)
+        .select(ws.alias("ws"))
+        .select(
+            F.explode(
+                F.transform(
+                    F.when(
+                        F.size("ws") >= 2, F.sequence(F.lit(2), F.size("ws"))
+                    ).otherwise(F.array().cast("array<int>")),
+                    lambda i: F.struct(
+                        F.element_at(F.col("ws"), (i - 1).cast("int")).alias("prev"),
+                        F.element_at(F.col("ws"), i.cast("int")).alias("w"),
+                    ),
+                )
+            ).alias("b")
+        )
+        .select("b.prev", "b.w")
+    )
+    counts = bigrams.groupBy("prev", "w").agg(F.count(F.lit(1)).alias("n"))
+    if min_count > 1:
+        counts = counts.filter(F.col("n") >= min_count)
+    totals = counts.groupBy("prev").agg(F.sum("n").alias("n_prev"))
+    return counts.join(totals, "prev").select(
+        "prev", "w", "n",
+        (F.col("n").cast("double") / F.col("n_prev")).alias("p"),
+    )

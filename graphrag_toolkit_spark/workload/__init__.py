@@ -73,6 +73,7 @@ _CHECK_FIRST = [
     "validate_orders",
     "moving_avg_events",
     "funnel_conversion_events",
+    "train_bigram_lm_documents",
     "dup_span_coverage_documents",
     "scrub_dup_spans_documents",
     "shard_corpus_documents",

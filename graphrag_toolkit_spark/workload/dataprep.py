@@ -720,6 +720,44 @@ FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
 NGRAM_LM_ORACLE = _lm_oracle()
 
 
+# --- bigram LM training ------------------------------------------------------
+
+LM_MIN_COUNT = 3
+
+
+def train_bigram_lm_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based bigram LM training (`textstats.train_bigram_lm`): the
+    table `ngram_lm_score` consumes, learned from the corpus itself —
+    exact-count conditional probabilities, min-count pruned."""
+    docs = load(spark, sf_dir, "documents")
+    return textstats.train_bigram_lm(docs, "text", "doc_id", min_count=LM_MIN_COUNT)
+
+
+TRAIN_LM_ORACLE = rf"""
+WITH arr AS (
+  SELECT list_filter(string_split_regex(lower(text), '[^0-9a-z]+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+bi AS (
+  SELECT p.prev, p.w FROM (
+    SELECT unnest(CASE WHEN len(ws) >= 2 THEN
+      list_transform(generate_series(2, len(ws)),
+        i -> struct_pack(prev := ws[i - 1], w := ws[i]))
+      ELSE [] END) AS p
+    FROM arr
+  )
+),
+counts AS (
+  SELECT prev, w, COUNT(*) AS n FROM bi GROUP BY prev, w
+  HAVING COUNT(*) >= {LM_MIN_COUNT}
+),
+totals AS (SELECT prev, SUM(n) AS n_prev FROM counts GROUP BY prev)
+SELECT c.prev, c.w, c.n, CAST(c.n AS DOUBLE) / t.n_prev AS p
+FROM counts c JOIN totals t USING (prev)
+"""
+
+
 # --- word entropy ------------------------------------------------------------
 
 def word_entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1920,6 +1958,7 @@ QUERIES = {
     "k_anonymity_documents": k_anonymity_documents,
     "zipf_fit_documents": zipf_fit_documents,
     "training_data_pipeline": training_data_pipeline,
+    "train_bigram_lm_documents": train_bigram_lm_documents,
     "embedding_neardup_lsh": embedding_neardup_lsh,
     "embedding_neardup_recall": embedding_neardup_recall,
     "token_stats_documents": token_stats_documents,
@@ -1967,6 +2006,7 @@ ORACLES = {
     "k_anonymity_documents": K_ANONYMITY_ORACLE,
     "zipf_fit_documents": ZIPF_ORACLE,
     "training_data_pipeline": TRAINING_PIPELINE_ORACLE,
+    "train_bigram_lm_documents": TRAIN_LM_ORACLE,
     "embedding_neardup_lsh": EMBED_NEARDUP_LSH_ORACLE,
     "embedding_neardup_recall": EMBED_NEARDUP_RECALL_ORACLE,
     "token_stats_documents": TOKEN_STATS_ORACLE,

@@ -1133,3 +1133,43 @@ class TestValidate:
         # clean data passes
         ok = spark.createDataFrame([(1,)], "k long")
         V.assert_valid(ok, [V.not_null("k")])
+
+
+class TestTrainBigramLm:
+    def test_counts_and_probabilities(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b a b a c"), (2, "a b")], "doc_id long, text string"
+        )
+        # bigrams: d1: ab, ba, ab, ba, ac ; d2: ab -> ab:3 ba:2 ac:1
+        out = {
+            (r["prev"], r["w"]): (r["n"], r["p"])
+            for r in textstats.train_bigram_lm(docs, "text", "doc_id").collect()
+        }
+        assert out[("a", "b")] == (3, 0.75)
+        assert out[("a", "c")] == (1, 0.25)
+        assert out[("b", "a")] == (2, 1.0)
+
+    def test_round_trip_with_scorer(self, spark):
+        """Score with the table we just trained: probabilities convert to
+        6-decimal log-probs, and a doc made of high-p bigrams outscores a
+        doc of unseen ones."""
+        import math
+
+        corpus = spark.createDataFrame(
+            [(1, "x y x y x y"), (2, "x y")], "doc_id long, text string"
+        )
+        lm = textstats.train_bigram_lm(corpus, "text", "doc_id").collect()
+        bigram_logp = {
+            (r["prev"], r["w"]): round(math.log(r["p"]), 6) for r in lm
+        }
+        scored = {
+            r["id"]: r["avg_logp"]
+            for r in textstats.ngram_lm_score(
+                spark.createDataFrame(
+                    [(10, "x y x y"), (11, "q r s t")],
+                    "doc_id long, text string",
+                ),
+                "text", "doc_id", bigram_logp, {}, unk_logp=-9.0,
+            ).collect()
+        }
+        assert scored[10] > scored[11]
