@@ -74,6 +74,7 @@ _CHECK_FIRST = [
     "moving_avg_events",
     "funnel_conversion_events",
     "train_bigram_lm_documents",
+    "ranking_eval_embeddings",
     "dup_span_coverage_documents",
     "scrub_dup_spans_documents",
     "shard_corpus_documents",

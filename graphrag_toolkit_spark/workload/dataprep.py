@@ -882,6 +882,132 @@ SELECT t.token, t.true_cnt, e.est FROM top t JOIN est e ON e.token = t.token
 """
 
 
+# --- ranking evaluation (NDCG / MRR / recall) --------------------------------
+
+EVAL_K = 10
+
+
+def ranking_eval_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR evaluation harness (`operators/ranking_eval.py`): brute-force
+    cosine top-10 for three query vectors, judged against cluster labels
+    (rel=1 iff same label) — per-query NDCG@10 / MRR / recall with the
+    quantized-discount DCG, all hash-exact."""
+    from graphrag_toolkit_spark.functions.vector import (
+        dot_prequantized,
+        l2_norm_quantized,
+        prequantize,
+    )
+    from graphrag_toolkit_spark.operators.ranking_eval import ranking_metrics
+    from pyspark.sql.window import Window as W
+
+    emb = load(spark, sf_dir, "embeddings")
+    cat = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        prequantize(F.col("embedding")).alias("qv"),
+        l2_norm_quantized(F.col("embedding")).alias("nv"),
+    )
+    qs = F.broadcast(
+        emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"),
+            prequantize(F.col("embedding")).alias("qq"),
+            l2_norm_quantized(F.col("embedding")).alias("nq"),
+            F.col("label").alias("qlabel"),
+        )
+    )
+    scored = cat.crossJoin(qs.drop("qlabel")).withColumn(
+        "score",
+        dot_prequantized(F.col("qv"), F.col("qq")) / (F.col("nv") * F.col("nq")),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    results = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= EVAL_K)
+        .select("query_id", "doc_id", "rank")
+    )
+    judgments = (
+        qs.select("query_id", "qlabel")
+        .join(
+            emb.select(F.col("vec_id").alias("doc_id"), F.col("label").alias("qlabel")),
+            "qlabel",
+        )
+        .select("query_id", "doc_id", F.lit(1).alias("rel"))
+    )
+    return ranking_metrics(results, judgments, k=EVAL_K)
+
+
+def _rank_disc(rank: str) -> str:
+    from graphrag_toolkit_spark.operators.textstats import LN2
+
+    return (
+        f"CAST(ROUND(1.0 / ROUND(ln(1.0 + {rank}) / {LN2!r}, 6), 6)"
+        " AS DECIMAL(12,6))"
+    )
+
+
+RANKING_EVAL_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qemb, label AS qlabel
+  FROM embeddings WHERE vec_id < 3
+),
+terms AS (
+  SELECT q.query_id, e.vec_id,
+         {_EMB_Q.format(x='e.embedding[i]')} AS xe,
+         {_EMB_Q.format(x='q.qemb[i]')} AS xq
+  FROM embeddings e, q, generate_series(1, 64) AS t(i)
+),
+scores AS (
+  SELECT query_id, vec_id,
+         CAST(SUM(xe * xq) AS DOUBLE)
+           / (sqrt(CAST(SUM(xe * xe) AS DOUBLE)) * sqrt(CAST(SUM(xq * xq) AS DOUBLE))) AS score
+  FROM terms GROUP BY query_id, vec_id
+),
+res AS (
+  SELECT query_id, vec_id AS doc_id, rank FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+    FROM scores
+  ) WHERE rank <= {EVAL_K}
+),
+judg AS (
+  SELECT q.query_id, e.vec_id AS doc_id, 1 AS rel
+  FROM q JOIN embeddings e ON e.label = q.qlabel
+),
+joined AS (
+  SELECT r.query_id, r.rank, COALESCE(j.rel, 0) AS rel
+  FROM res r LEFT JOIN judg j ON j.query_id = r.query_id AND j.doc_id = r.doc_id
+),
+perq AS (
+  SELECT query_id,
+         CAST(SUM(CAST(rel * {_rank_disc('rank')} AS DECIMAL(18,6))) AS DOUBLE) AS dcg,
+         MIN(CASE WHEN rel > 0 THEN rank END) AS firstrel,
+         SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS n_retrieved_relevant
+  FROM joined GROUP BY query_id
+),
+ideal AS (
+  SELECT query_id,
+         CAST(SUM(CASE WHEN irank <= {EVAL_K}
+                  THEN CAST(rel * {_rank_disc('irank')} AS DECIMAL(18,6))
+                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS idcg,
+         COUNT(*) AS n_relevant
+  FROM (
+    SELECT query_id, rel, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id) AS irank
+    FROM judg WHERE rel > 0
+  ) GROUP BY query_id
+)
+SELECT p.query_id, p.dcg,
+       COALESCE(i.idcg, 0.0) AS idcg,
+       CASE WHEN COALESCE(i.idcg, 0.0) > 0 THEN p.dcg / i.idcg ELSE 0.0 END AS ndcg,
+       CASE WHEN p.firstrel IS NOT NULL THEN 1.0 / p.firstrel ELSE 0.0 END AS mrr,
+       COALESCE(i.n_relevant, 0) AS n_relevant,
+       p.n_retrieved_relevant,
+       CASE WHEN COALESCE(i.n_relevant, 0) > 0
+            THEN CAST(p.n_retrieved_relevant AS DOUBLE) / i.n_relevant
+            ELSE 0.0 END AS recall
+FROM perq p LEFT JOIN ideal i ON i.query_id = p.query_id
+"""
+
+
 # --- k-anonymity audit -------------------------------------------------------
 
 K_ANON = 5
@@ -1959,6 +2085,7 @@ QUERIES = {
     "zipf_fit_documents": zipf_fit_documents,
     "training_data_pipeline": training_data_pipeline,
     "train_bigram_lm_documents": train_bigram_lm_documents,
+    "ranking_eval_embeddings": ranking_eval_embeddings,
     "embedding_neardup_lsh": embedding_neardup_lsh,
     "embedding_neardup_recall": embedding_neardup_recall,
     "token_stats_documents": token_stats_documents,
@@ -2007,6 +2134,7 @@ ORACLES = {
     "zipf_fit_documents": ZIPF_ORACLE,
     "training_data_pipeline": TRAINING_PIPELINE_ORACLE,
     "train_bigram_lm_documents": TRAIN_LM_ORACLE,
+    "ranking_eval_embeddings": RANKING_EVAL_ORACLE,
     "embedding_neardup_lsh": EMBED_NEARDUP_LSH_ORACLE,
     "embedding_neardup_recall": EMBED_NEARDUP_RECALL_ORACLE,
     "token_stats_documents": TOKEN_STATS_ORACLE,

@@ -85,3 +85,40 @@ def test_scores_are_cosine(spark):
     out = {r["id"]: r["score"] for r in top_k(make_emb(spark, rows), q, id_col="id", k=2).collect()}
     assert out["a"] == pytest.approx(1.0)
     assert out["b"] == pytest.approx((12 + 12) / (5 * 5))
+
+
+class TestRankingEval:
+    def test_perfect_and_degraded_rankings(self, spark):
+        from graphrag_toolkit_spark.operators.ranking_eval import ranking_metrics
+
+        judgments = spark.createDataFrame(
+            [("q", 1, 1), ("q", 2, 1)], "query_id string, doc_id long, rel int"
+        )
+        perfect = spark.createDataFrame(
+            [("q", 1, 1), ("q", 2, 2), ("q", 9, 3)],
+            "query_id string, doc_id long, rank int",
+        )
+        m = ranking_metrics(perfect, judgments, k=3).collect()[0]
+        assert m["ndcg"] == 1.0 and m["mrr"] == 1.0 and m["recall"] == 1.0
+
+        degraded = spark.createDataFrame(
+            [("q", 9, 1), ("q", 8, 2), ("q", 1, 3)],
+            "query_id string, doc_id long, rank int",
+        )
+        d = ranking_metrics(degraded, judgments, k=3).collect()[0]
+        assert 0.0 < d["ndcg"] < 1.0
+        assert d["mrr"] == 1.0 / 3
+        assert d["recall"] == 0.5          # found 1 of 2 relevant
+        assert d["n_relevant"] == 2 and d["n_retrieved_relevant"] == 1
+
+    def test_no_relevant_judged(self, spark):
+        from graphrag_toolkit_spark.operators.ranking_eval import ranking_metrics
+
+        judgments = spark.createDataFrame(
+            [], "query_id string, doc_id long, rel int"
+        )
+        res = spark.createDataFrame(
+            [("q", 1, 1)], "query_id string, doc_id long, rank int"
+        )
+        m = ranking_metrics(res, judgments, k=5).collect()[0]
+        assert m["ndcg"] == 0.0 and m["mrr"] == 0.0 and m["recall"] == 0.0
