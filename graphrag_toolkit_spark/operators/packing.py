@@ -65,3 +65,85 @@ def pack_sequences(
         ((start - offset) / F.lit(seq_len)).cast("long").alias("seq_in_bucket"),
         offset.cast("int").alias("offset"),
     )
+
+
+def build_vocab(
+    df: DataFrame, text_col: str, min_count: int = 1
+) -> DataFrame:
+    """Frequency-ranked vocabulary: (token, token_id, freq) with DENSE ids
+    assigned by (freq desc, token asc) — id 0 is the most frequent token,
+    deterministic under any partitioning. The word→id table every training
+    export needs; min_count prunes the tail before ids are assigned so the
+    id space stays dense.
+
+    Scale shape: one token groupBy; the rank is a window over the VOCAB
+    (≪ corpus). At open-web vocab sizes, cap with min_count so the sort
+    stays small — pruned tokens map to an UNK id downstream."""
+    tf = (
+        df.select(
+            F.explode(F.split(F.lower(F.col(text_col)), r"[^0-9a-z]+")).alias(
+                "token"
+            )
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= min_count)
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    return tf.withColumn("token_id", F.row_number().over(w) - 1).select(
+        "token", "token_id", "freq"
+    )
+
+
+def encode_documents(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str,
+    id_col: str,
+    unk_id: int = -1,
+) -> DataFrame:
+    """Encode text into dense token-id sequences using a `build_vocab`
+    table: (id, n_tokens, ids) with ``ids`` the ordered token-id array
+    (out-of-vocab → ``unk_id``) — the tensor precursor `pack_sequences`
+    consumes.
+
+    Scale shape: positions explode narrowly, the vocab broadcasts (GB-scale
+    vocabs swap to a shuffle join on the same contract), and the sequence
+    reassembles per doc with one sorted-collect — order pinned by position,
+    partition-invariant."""
+    pos = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), r"[^0-9a-z]+"),
+                    lambda x: x != "",
+                )
+            ).alias("pos", "token"),
+        )
+    )
+    enc = pos.join(F.broadcast(vocab.select("token", "token_id")), "token", "left")
+    agg = enc.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("pos"),
+                        F.coalesce(F.col("token_id"), F.lit(unk_id)).alias("tid"),
+                    )
+                )
+            ),
+            lambda s: s["tid"],
+        ).alias("ids"),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(agg, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.coalesce(F.col("ids"), F.array().cast("array<int>")).alias("ids"),
+        )
+    )

@@ -75,6 +75,8 @@ _CHECK_FIRST = [
     "funnel_conversion_events",
     "train_bigram_lm_documents",
     "ranking_eval_embeddings",
+    "build_vocab_documents",
+    "encode_documents_corpus",
     "dup_span_coverage_documents",
     "scrub_dup_spans_documents",
     "shard_corpus_documents",

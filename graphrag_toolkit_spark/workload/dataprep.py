@@ -882,6 +882,85 @@ SELECT t.token, t.true_cnt, e.est FROM top t JOIN est e ON e.token = t.token
 """
 
 
+# --- vocab + document encoding -----------------------------------------------
+
+VOCAB_MIN_COUNT = 2
+UNK_ID = -1
+
+
+def build_vocab_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked dense vocabulary (`packing.build_vocab`): the
+    word→id table for training export, min-count pruned."""
+    docs = load(spark, sf_dir, "documents")
+    return packing.build_vocab(docs, "text", min_count=VOCAB_MIN_COUNT)
+
+
+_VOCAB_SQL = f"""
+vtf AS (
+  SELECT token, COUNT(*) AS freq FROM (
+    SELECT unnest(string_split_regex(lower(text), '[^0-9a-z]+')) AS token
+    FROM documents
+  ) WHERE token <> '' GROUP BY token HAVING COUNT(*) >= {VOCAB_MIN_COUNT}
+),
+vocab AS (
+  SELECT token,
+         CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) - 1 AS INT) AS token_id,
+         freq
+  FROM vtf
+)"""
+
+BUILD_VOCAB_ORACLE = f"""
+WITH {_VOCAB_SQL}
+SELECT token, token_id, freq FROM vocab
+"""
+
+
+def encode_documents_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus → dense token-id sequences (`packing.encode_documents`):
+    ordered ids per doc (OOV → {UNK_ID}), emitted as a comma string for
+    the order-sensitive hash compare."""
+    docs = load(spark, sf_dir, "documents")
+    vocab = packing.build_vocab(docs, "text", min_count=VOCAB_MIN_COUNT)
+    return packing.encode_documents(
+        docs, vocab, "text", "doc_id", unk_id=UNK_ID
+    ).select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        F.concat_ws(",", F.col("ids")).alias("ids_str"),
+    )
+
+
+ENCODE_ORACLE = f"""
+WITH {_VOCAB_SQL},
+arr AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^0-9a-z]+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, p.pos AS pos, p.tok AS tok FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(ws)),
+             i -> struct_pack(pos := i, tok := ws[i]))) AS p
+    FROM arr
+  )
+),
+enc AS (
+  SELECT p.doc_id, p.pos, COALESCE(v.token_id, {UNK_ID}) AS tid
+  FROM pos p LEFT JOIN vocab v ON v.token = p.tok
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos) AS ids_str
+  FROM enc GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
+       COALESCE(a.ids_str, '') AS ids_str
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+
+
 # --- ranking evaluation (NDCG / MRR / recall) --------------------------------
 
 EVAL_K = 10
@@ -2086,6 +2165,8 @@ QUERIES = {
     "training_data_pipeline": training_data_pipeline,
     "train_bigram_lm_documents": train_bigram_lm_documents,
     "ranking_eval_embeddings": ranking_eval_embeddings,
+    "build_vocab_documents": build_vocab_documents,
+    "encode_documents_corpus": encode_documents_corpus,
     "embedding_neardup_lsh": embedding_neardup_lsh,
     "embedding_neardup_recall": embedding_neardup_recall,
     "token_stats_documents": token_stats_documents,
@@ -2135,6 +2216,8 @@ ORACLES = {
     "training_data_pipeline": TRAINING_PIPELINE_ORACLE,
     "train_bigram_lm_documents": TRAIN_LM_ORACLE,
     "ranking_eval_embeddings": RANKING_EVAL_ORACLE,
+    "build_vocab_documents": BUILD_VOCAB_ORACLE,
+    "encode_documents_corpus": ENCODE_ORACLE,
     "embedding_neardup_lsh": EMBED_NEARDUP_LSH_ORACLE,
     "embedding_neardup_recall": EMBED_NEARDUP_RECALL_ORACLE,
     "token_stats_documents": TOKEN_STATS_ORACLE,

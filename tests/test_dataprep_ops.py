@@ -1173,3 +1173,34 @@ class TestTrainBigramLm:
             ).collect()
         }
         assert scored[10] > scored[11]
+
+
+class TestVocabEncode:
+    def test_dense_frequency_ranked_ids(self, spark):
+        from graphrag_toolkit_spark.operators import packing
+
+        docs = spark.createDataFrame(
+            [(1, "b b b a a c")], "doc_id long, text string"
+        )
+        v = {r["token"]: (r["token_id"], r["freq"])
+             for r in packing.build_vocab(docs, "text").collect()}
+        assert v == {"b": (0, 3), "a": (1, 2), "c": (2, 1)}
+
+    def test_encode_order_unk_and_empty(self, spark):
+        from graphrag_toolkit_spark.operators import packing
+
+        corpus = spark.createDataFrame(
+            [(1, "b a b"), (2, "zz a"), (3, "")],
+            "doc_id long, text string",
+        )
+        vocab = packing.build_vocab(corpus, "text", min_count=2)  # a:?, b:?
+        out = {
+            r["id"]: (r["n_tokens"], r["ids"])
+            for r in packing.encode_documents(
+                corpus, vocab, "text", "doc_id"
+            ).collect()
+        }
+        # freqs: b:2, a:2 -> tie broken by token asc: a=0, b=1; zz pruned -> UNK
+        assert out[1] == (3, [1, 0, 1])
+        assert out[2] == (2, [-1, 0])
+        assert out[3] == (0, [])
