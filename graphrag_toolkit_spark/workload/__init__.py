@@ -77,6 +77,7 @@ _CHECK_FIRST = [
     "ranking_eval_embeddings",
     "build_vocab_documents",
     "encode_documents_corpus",
+    "range_window_events",
     "dup_span_coverage_documents",
     "scrub_dup_spans_documents",
     "shard_corpus_documents",

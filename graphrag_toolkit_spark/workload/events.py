@@ -609,6 +609,37 @@ SELECT 2, 'purchase', n2,
 """
 
 
+def range_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: for every event, the exact decimal sum and
+    count of the same type's events in the trailing 2 hours — a
+    value-based (not row-count) frame, the sliding-lookback shape row
+    frames can't express. Ordered by epoch MICROSECONDS so equal-second
+    ties don't blur the frame edge between engines."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(us)
+        .rangeBetween(-2 * 3600 * 1_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.count(F.lit(1)).over(w).alias("n_2h"),
+        F.sum(_dec("value")).over(w).cast("double").alias("sum_2h"),
+    )
+
+
+RANGE_WINDOW_ORACLE = """
+SELECT event_id, event_type,
+       COUNT(*) OVER w AS n_2h,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_2h
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+             RANGE BETWEEN 7200000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "tumbling_window_events": tumbling_window_events,
     "resample_gapfill_events": resample_gapfill_events,
@@ -618,6 +649,7 @@ QUERIES = {
     "event_transitions": event_transitions,
     "moving_avg_events": moving_avg_events,
     "funnel_conversion_events": funnel_conversion_events,
+    "range_window_events": range_window_events,
     "sliding_window_events": sliding_window_events,
     "sessionize_events": sessionize_events,
     "event_type_funnel": event_type_funnel,
@@ -641,4 +673,5 @@ ORACLES = {
     "event_transitions": TRANSITIONS_ORACLE,
     "moving_avg_events": MOVING_AVG_ORACLE,
     "funnel_conversion_events": FUNNEL_CONVERSION_ORACLE,
+    "range_window_events": RANGE_WINDOW_ORACLE,
 }
