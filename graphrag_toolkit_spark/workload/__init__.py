@@ -78,6 +78,7 @@ _CHECK_FIRST = [
     "build_vocab_documents",
     "encode_documents_corpus",
     "range_window_events",
+    "unpivot_orders_by_priority",
     "dup_span_coverage_documents",
     "scrub_dup_spans_documents",
     "shard_corpus_documents",

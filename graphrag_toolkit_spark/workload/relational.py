@@ -565,9 +565,33 @@ SELECT 'fk_o_custkey',
 """
 
 
+def unpivot_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): fold the pivoted per-priority count columns back to
+    long form — the wide→long inverse of `pivot_orders_by_priority`, via
+    Spark's native `unpivot` against a manual UNION oracle."""
+    wide = pivot_orders_by_priority(spark, sf_dir)
+    return wide.unpivot(
+        ids=["o_orderstatus"],
+        values=[f"p{i}" for i in range(1, 6)],
+        variableColumnName="priority_bucket",
+        valueColumnName="n",
+    )
+
+
+UNPIVOT_ORACLE = f"""
+WITH wide AS ({PIVOT_ORACLE})
+SELECT o_orderstatus, 'p1' AS priority_bucket, p1 AS n FROM wide
+UNION ALL SELECT o_orderstatus, 'p2', p2 FROM wide
+UNION ALL SELECT o_orderstatus, 'p3', p3 FROM wide
+UNION ALL SELECT o_orderstatus, 'p4', p4 FROM wide
+UNION ALL SELECT o_orderstatus, 'p5', p5 FROM wide
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "validate_orders": validate_orders,
+    "unpivot_orders_by_priority": unpivot_orders_by_priority,
     "cube_stats_orders": cube_stats_orders,
     "pivot_orders_by_priority": pivot_orders_by_priority,
     "bloom_filter_orders": bloom_filter_orders,
@@ -591,6 +615,7 @@ ORACLES = {
     "bloom_filter_orders": BLOOM_ORACLE,
     "decile_stats_orders": DECILE_ORACLE,
     "validate_orders": VALIDATE_ORACLE,
+    "unpivot_orders_by_priority": UNPIVOT_ORACLE,
     "q3_shipping_priority": Q3_ORACLE,
     "q5_local_supplier_volume": Q5_ORACLE,
     "filter_tree_orders": FILTER_TREE_ORACLE,
