@@ -38,19 +38,28 @@ def katz_centrality(
     dst: str = "dst",
     iters: int = 6,
     alpha_log2: int = 1,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Truncated Katz index over a directed simple graph (dedup edges first
     if multi-edges should not multiply influence). Returns
     ``(node_id, katz: double)`` for every node appearing as src or dst;
-    α = 1/2^alpha_log2, K = iters terms."""
+    α = 1/2^alpha_log2, K = iters terms. ``weight_col`` (INTEGER edge
+    weights) scales each message by its edge's weight — integer products
+    preserve the power-of-two divisibility, so weighted propagation stays
+    bit-exact."""
     if iters < 0 or alpha_log2 < 1:
         raise ValueError("iters must be >= 0 and alpha_log2 >= 1")
     scale = 1 << (alpha_log2 * iters)
     # pre-shuffle the (loop-invariant) edge table by the join key ONCE:
     # the persisted hash distribution satisfies every round's join
     # requirement, so only the (much smaller) rank table moves per round.
+    wcol = (
+        F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    )
     e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        edges.select(
+            F.col(src).alias("src"), F.col(dst).alias("dst"), wcol.alias("w")
+        )
         .repartition(F.col("src"))
     )
     e.persist()
@@ -70,7 +79,10 @@ def katz_centrality(
         for _ in range(iters):
             msgs = e.join(
                 ranks.withColumnRenamed("node_id", "src"), "src"
-            ).select(F.col("dst").alias("node_id"), "r")
+            ).select(
+                F.col("dst").alias("node_id"),
+                (F.col("w") * F.col("r")).alias("r"),
+            )
             ranks = (
                 msgs.unionByName(zeros)
                 .groupBy("node_id")

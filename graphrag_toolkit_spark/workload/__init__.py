@@ -79,6 +79,7 @@ _CHECK_FIRST = [
     "encode_documents_corpus",
     "range_window_events",
     "unpivot_orders_by_priority",
+    "weighted_katz_parts",
     "dup_span_coverage_documents",
     "scrub_dup_spans_documents",
     "shard_corpus_documents",

@@ -684,10 +684,63 @@ JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
 """
 
 
+WKATZ_ITERS = 4
+
+
+def weighted_katz_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-weighted Katz over the order→part multigraph: weight = how
+    many lineitems carry the edge, so heavily-reordered parts accumulate
+    proportionally more mass. Integer weights preserve the power-of-two
+    divisibility — weighted iterative scores stay hash-exact."""
+    from graphrag_toolkit_spark.operators import centrality
+
+    li = load(spark, sf_dir, "lineitem")
+    edges = (
+        li.groupBy(
+            F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return centrality.katz_centrality(
+        edges, iters=WKATZ_ITERS, alpha_log2=1, weight_col="w"
+    )
+
+
+def _wkatz_oracle() -> str:
+    scale = 1 << WKATZ_ITERS
+    steps = []
+    for t in range(1, WKATZ_ITERS + 1):
+        steps.append(f"""
+k{t} AS (
+  SELECT n.node_id, {scale} + COALESCE(SUM(e.w * p.r), 0) // 2 AS r
+  FROM nodes n
+  LEFT JOIN e ON e.dst = n.node_id
+  LEFT JOIN k{t - 1} p ON p.node_id = e.src
+  GROUP BY n.node_id
+)""")
+    return f"""
+WITH e AS (
+  SELECT 'o' || CAST(l_orderkey AS VARCHAR) AS src,
+         'p' || CAST(l_partkey AS VARCHAR) AS dst,
+         COUNT(*) AS w
+  FROM lineitem GROUP BY src, dst
+),
+nodes AS (SELECT src AS node_id FROM e UNION SELECT dst FROM e),
+k0 AS (SELECT node_id, CAST({scale} AS BIGINT) AS r FROM nodes),
+{','.join(steps)}
+SELECT node_id, CAST(r AS DOUBLE) / {float(scale)} AS katz FROM k{WKATZ_ITERS}
+"""
+
+
+WKATZ_ORACLE = _wkatz_oracle()
+
+
 QUERIES = {
     "bfs_shortest_paths": bfs_shortest_paths,
     "katz_centrality_graph": katz_centrality_graph,
     "personalized_katz_graph": personalized_katz_graph,
+    "weighted_katz_parts": weighted_katz_parts,
     "association_rules_parts": association_rules_parts,
     "triangle_count_parts": triangle_count_parts,
     "entity_lookup_parts": entity_lookup_parts,
@@ -708,6 +761,7 @@ ORACLES = {
     "personalized_katz_graph": PKATZ_ORACLE,
     "association_rules_parts": ASSOC_ORACLE,
     "triangle_count_parts": TRIANGLE_ORACLE,
+    "weighted_katz_parts": WKATZ_ORACLE,
     "entity_lookup_parts": ENTITY_LOOKUP_ORACLE,
     "ordered_dedup_events": ORDERED_DEDUP_ORACLE,
     "metapath_follow": METAPATH_ORACLE,

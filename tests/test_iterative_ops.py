@@ -457,3 +457,21 @@ class TestKatzPartitionInvariance:
             for r in katz_centrality(base.coalesce(1), iters=5).collect()
         }
         assert a == b == c
+
+
+class TestWeightedKatz:
+    def test_weighted_vs_unweighted(self, spark):
+        from graphrag_toolkit_spark.operators.centrality import katz_centrality
+
+        edges = spark.createDataFrame(
+            [("a", "b", 3), ("x", "b", 1)], "src string, dst string, w int"
+        )
+        # unweighted: b = 1 + 0.5*(1+1) = 2 at K=1
+        u = {r["node_id"]: r["katz"]
+             for r in katz_centrality(edges, iters=1).collect()}
+        assert u["b"] == 2.0
+        # weighted: b = 1 + 0.5*(3*1 + 1*1) = 3
+        w = {r["node_id"]: r["katz"]
+             for r in katz_centrality(edges, iters=1, weight_col="w").collect()}
+        assert w["b"] == 3.0
+        assert w["a"] == 1.0 and w["x"] == 1.0
