@@ -80,6 +80,7 @@ _CHECK_FIRST = [
     "range_window_events",
     "unpivot_orders_by_priority",
     "weighted_katz_parts",
+    "robust_stats_events",
     "dup_span_coverage_documents",
     "scrub_dup_spans_documents",
     "shard_corpus_documents",

@@ -640,8 +640,44 @@ WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
 """
 
 
+def robust_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type statistics: exact linear-interpolation median plus
+    MAD (median absolute deviation) — the outlier-resistant companion to
+    the z-score query (z uses moments a single spike can drag; MAD does
+    not). Two exact-percentile passes: medians broadcast back for the
+    deviation pass; |v − med| on exact operands both engines."""
+    ev = load(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("median")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("median"))
+    )
+    return dev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("median").alias("median"),
+        F.expr("percentile(adev, 0.5)").alias("mad"),
+    )
+
+
+ROBUST_STATS_ORACLE = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS median
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, m.median, abs(e.value - m.median) AS adev
+  FROM events e JOIN med m USING (event_type)
+)
+SELECT event_type, COUNT(*) AS n, MIN(median) AS median,
+       quantile_cont(adev, 0.5) AS mad
+FROM dev GROUP BY event_type
+"""
+
+
 QUERIES = {
     "tumbling_window_events": tumbling_window_events,
+    "robust_stats_events": robust_stats_events,
     "resample_gapfill_events": resample_gapfill_events,
     "zscore_anomalies_events": zscore_anomalies_events,
     "cohort_retention_events": cohort_retention_events,
@@ -674,4 +710,5 @@ ORACLES = {
     "moving_avg_events": MOVING_AVG_ORACLE,
     "funnel_conversion_events": FUNNEL_CONVERSION_ORACLE,
     "range_window_events": RANGE_WINDOW_ORACLE,
+    "robust_stats_events": ROBUST_STATS_ORACLE,
 }
