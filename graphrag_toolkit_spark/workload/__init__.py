@@ -81,6 +81,7 @@ _CHECK_FIRST = [
     "unpivot_orders_by_priority",
     "weighted_katz_parts",
     "robust_stats_events",
+    "percent_rank_orders",
     "dup_span_coverage_documents",
     "scrub_dup_spans_documents",
     "shard_corpus_documents",

@@ -588,10 +588,36 @@ UNION ALL SELECT o_orderstatus, 'p5', p5 FROM wide
 """
 
 
+def percent_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENT_RANK / CUME_DIST per status under a total order — both are
+    exact integer ratios ((rank−1)/(n−1), rank/n), so the full per-row
+    distribution positions hash-match."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+PERCENT_RANK_ORACLE = """
+SELECT o_orderkey, o_orderstatus,
+       PERCENT_RANK() OVER w AS pr,
+       CUME_DIST() OVER w AS cd
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "validate_orders": validate_orders,
     "unpivot_orders_by_priority": unpivot_orders_by_priority,
+    "percent_rank_orders": percent_rank_orders,
     "cube_stats_orders": cube_stats_orders,
     "pivot_orders_by_priority": pivot_orders_by_priority,
     "bloom_filter_orders": bloom_filter_orders,
@@ -616,6 +642,7 @@ ORACLES = {
     "decile_stats_orders": DECILE_ORACLE,
     "validate_orders": VALIDATE_ORACLE,
     "unpivot_orders_by_priority": UNPIVOT_ORACLE,
+    "percent_rank_orders": PERCENT_RANK_ORACLE,
     "q3_shipping_priority": Q3_ORACLE,
     "q5_local_supplier_volume": Q5_ORACLE,
     "filter_tree_orders": FILTER_TREE_ORACLE,
