@@ -82,6 +82,8 @@ _CHECK_FIRST = [
     "weighted_katz_parts",
     "robust_stats_events",
     "percent_rank_orders",
+    "interarrival_stats_events",
+    "embedding_component_stats",
     "dup_span_coverage_documents",
     "scrub_dup_spans_documents",
     "shard_corpus_documents",

@@ -675,9 +675,46 @@ FROM dev GROUP BY event_type
 """
 
 
+def interarrival_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival analysis: per event_type, exact percentiles of the
+    per-user gap between consecutive events (lag diff in exact
+    microseconds) — the burstiness profile behind session-gap tuning."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.withColumn(
+            "gap_us",
+            F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w),
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.expr("percentile(gap_us, 0.5)").alias("gap_p50_us"),
+        F.expr("percentile(gap_us, 0.95)").alias("gap_p95_us"),
+        F.max("gap_us").alias("gap_max_us"),
+    )
+
+
+INTERARRIVAL_ORACLE = """
+WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n_gaps,
+       quantile_cont(gap_us, 0.5) AS gap_p50_us,
+       quantile_cont(gap_us, 0.95) AS gap_p95_us,
+       MAX(gap_us) AS gap_max_us
+FROM g WHERE gap_us IS NOT NULL GROUP BY event_type
+"""
+
+
 QUERIES = {
     "tumbling_window_events": tumbling_window_events,
     "robust_stats_events": robust_stats_events,
+    "interarrival_stats_events": interarrival_stats_events,
     "resample_gapfill_events": resample_gapfill_events,
     "zscore_anomalies_events": zscore_anomalies_events,
     "cohort_retention_events": cohort_retention_events,
@@ -711,4 +748,5 @@ ORACLES = {
     "funnel_conversion_events": FUNNEL_CONVERSION_ORACLE,
     "range_window_events": RANGE_WINDOW_ORACLE,
     "robust_stats_events": ROBUST_STATS_ORACLE,
+    "interarrival_stats_events": INTERARRIVAL_ORACLE,
 }

@@ -454,11 +454,47 @@ HAVING COUNT(DISTINCT token) = {len(set(BOOL_TERMS))}
 """
 
 
+def embedding_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector component statistics via higher-order array folds (no
+    explode): min/max via array functions, mean from the quantized-decimal
+    component sum — the embedding-health profile (dead dimensions, scale
+    drift) as narrow per-row expressions."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double"), 6).cast("decimal(12,6)"),
+    )
+    total = F.aggregate(
+        q, F.lit(0).cast("decimal(25,12)"),
+        lambda acc, v: (acc + v).cast("decimal(25,12)"),
+    ).cast("double")
+    return emb.select(
+        "vec_id",
+        F.array_min(F.col("embedding")).cast("double").alias("c_min"),
+        F.array_max(F.col("embedding")).cast("double").alias("c_max"),
+        (total / F.size(F.col("embedding"))).alias("c_mean"),
+    )
+
+
+_EMBQ6 = "CAST(ROUND(CAST({x} AS DOUBLE), 6) AS DECIMAL(12,6))"
+
+COMPONENT_STATS_ORACLE = f"""
+SELECT vec_id,
+       CAST(list_min(embedding) AS DOUBLE) AS c_min,
+       CAST(list_max(embedding) AS DOUBLE) AS c_max,
+       CAST((SELECT SUM({_EMBQ6.format(x='u.x')})
+             FROM unnest(embedding) AS u(x)) AS DOUBLE)
+         / len(embedding) AS c_mean
+FROM embeddings
+"""
+
+
 QUERIES = {
     "cosine_topk": cosine_topk,
     "bm25_documents": bm25_documents,
     "hybrid_rrf_documents": hybrid_rrf_documents,
     "boolean_and_search_documents": boolean_and_search_documents,
+    "embedding_component_stats": embedding_component_stats,
     "cosine_topk_diverse": cosine_topk_diverse,
     "dense_link_embeddings": dense_link_embeddings,
     "beam_search_embeddings": beam_search_embeddings,
@@ -471,6 +507,7 @@ ORACLES = {
     "bm25_documents": BM25_ORACLE,
     "hybrid_rrf_documents": HYBRID_RRF_ORACLE,
     "boolean_and_search_documents": BOOL_AND_ORACLE,
+    "embedding_component_stats": COMPONENT_STATS_ORACLE,
     "cosine_topk_diverse": DIVERSITY_ORACLE,
     "dense_link_embeddings": DENSE_LINK_ORACLE,
     "beam_search_embeddings": BEAM_ORACLE,
