@@ -84,6 +84,8 @@ _CHECK_FIRST = [
     "percent_rank_orders",
     "interarrival_stats_events",
     "embedding_component_stats",
+    "rfm_segments_customers",
+    "latest_order_per_customer",
     "dup_span_coverage_documents",
     "scrub_dup_spans_documents",
     "shard_corpus_documents",

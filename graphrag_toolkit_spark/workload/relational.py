@@ -613,11 +613,91 @@ WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
 """
 
 
+def rfm_segments_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer recency (days since last order,
+    against the corpus max date), frequency (order count), monetary
+    (exact decimal total) + NTILE(5) scores per dimension under total
+    orders — the classic customer-analytics rollup."""
+    orders = load(spark, sf_dir, "orders")
+    maxd = orders.agg(F.max("o_orderdate").alias("m"))
+    per_c = (
+        orders.crossJoin(F.broadcast(maxd))
+        .groupBy("o_custkey")
+        .agg(
+            F.min(
+                F.datediff(F.col("m"), F.col("o_orderdate"))
+            ).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("monetary"),
+        )
+    )
+    def score(col, asc):
+        order = [F.asc(col)] if asc else [F.desc(col)]
+        return F.ntile(5).over(
+            Window.orderBy(*order, F.asc("o_custkey"))
+        )
+    return per_c.select(
+        "o_custkey", "recency_days", "frequency", "monetary",
+        score("recency_days", asc=True).alias("r_score"),
+        score("frequency", asc=False).alias("f_score"),
+        score("monetary", asc=False).alias("m_score"),
+    )
+
+
+RFM_ORACLE = """
+WITH maxd AS (SELECT MAX(o_orderdate) AS m FROM orders),
+per_c AS (
+  SELECT o_custkey,
+         MIN(datediff('day', o_orderdate, maxd.m)) AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+           AS monetary
+  FROM orders, maxd GROUP BY o_custkey
+)
+SELECT o_custkey, recency_days, frequency, monetary,
+       NTILE(5) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+       NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+       NTILE(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+FROM per_c
+"""
+
+
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax aggregation parity: the latest order per customer in ONE
+    aggregate via MAX over a totally-ordered struct (date, key leading) —
+    no window, no self-join; struct comparison is lexicographic in both
+    engines, and (date, orderkey) is unique so the pick is deterministic."""
+    orders = load(spark, sf_dir, "orders")
+    pick = F.max(
+        F.struct(F.col("o_orderdate"), F.col("o_orderkey"), F.col("o_totalprice"))
+    )
+    return orders.groupBy("o_custkey").agg(
+        pick.getField("o_orderkey").alias("latest_orderkey"),
+        pick.getField("o_totalprice").alias("latest_totalprice"),
+        F.max("o_orderdate").alias("latest_date"),
+    )
+
+
+ARG_MAX_ORACLE = """
+WITH m AS (
+  SELECT o_custkey,
+         MAX(struct_pack(d := o_orderdate, k := o_orderkey,
+                         p := o_totalprice)) AS s,
+         MAX(o_orderdate) AS latest_date
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, s.k AS latest_orderkey, s.p AS latest_totalprice, latest_date
+FROM m
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "validate_orders": validate_orders,
     "unpivot_orders_by_priority": unpivot_orders_by_priority,
     "percent_rank_orders": percent_rank_orders,
+    "rfm_segments_customers": rfm_segments_customers,
+    "latest_order_per_customer": latest_order_per_customer,
     "cube_stats_orders": cube_stats_orders,
     "pivot_orders_by_priority": pivot_orders_by_priority,
     "bloom_filter_orders": bloom_filter_orders,
@@ -643,6 +723,8 @@ ORACLES = {
     "validate_orders": VALIDATE_ORACLE,
     "unpivot_orders_by_priority": UNPIVOT_ORACLE,
     "percent_rank_orders": PERCENT_RANK_ORACLE,
+    "rfm_segments_customers": RFM_ORACLE,
+    "latest_order_per_customer": ARG_MAX_ORACLE,
     "q3_shipping_priority": Q3_ORACLE,
     "q5_local_supplier_volume": Q5_ORACLE,
     "filter_tree_orders": FILTER_TREE_ORACLE,
