@@ -86,6 +86,7 @@ _CHECK_FIRST = [
     "embedding_component_stats",
     "rfm_segments_customers",
     "latest_order_per_customer",
+    "calendar_stats_orders",
     "dup_span_coverage_documents",
     "scrub_dup_spans_documents",
     "shard_corpus_documents",

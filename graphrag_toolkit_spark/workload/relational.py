@@ -691,6 +691,32 @@ FROM m
 """
 
 
+def calendar_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar feature extraction: orders bucketed by (year, month,
+    ISO day-of-week) with counts and exact decimal totals — the date-part
+    parity check (year/month/dow semantics align across engines when dow
+    is pinned to ISO Monday=1)."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofweek("o_orderdate").alias("dow_sun1"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("total"),
+    )
+
+
+CALENDAR_ORACLE = """
+SELECT CAST(year(o_orderdate) AS INT) AS y,
+       CAST(month(o_orderdate) AS INT) AS m,
+       CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow_sun1,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+FROM orders GROUP BY y, m, dow_sun1
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "validate_orders": validate_orders,
@@ -698,6 +724,7 @@ QUERIES = {
     "percent_rank_orders": percent_rank_orders,
     "rfm_segments_customers": rfm_segments_customers,
     "latest_order_per_customer": latest_order_per_customer,
+    "calendar_stats_orders": calendar_stats_orders,
     "cube_stats_orders": cube_stats_orders,
     "pivot_orders_by_priority": pivot_orders_by_priority,
     "bloom_filter_orders": bloom_filter_orders,
@@ -725,6 +752,7 @@ ORACLES = {
     "percent_rank_orders": PERCENT_RANK_ORACLE,
     "rfm_segments_customers": RFM_ORACLE,
     "latest_order_per_customer": ARG_MAX_ORACLE,
+    "calendar_stats_orders": CALENDAR_ORACLE,
     "q3_shipping_priority": Q3_ORACLE,
     "q5_local_supplier_volume": Q5_ORACLE,
     "filter_tree_orders": FILTER_TREE_ORACLE,
