@@ -35,13 +35,105 @@ from graphrag_toolkit_spark.workload import (
 
 _MODULES = [relational, graphish, lexical, vector, dataprep, events, lifecycle, pipeline]
 
-# Queries the driver's capped per-round check has NOT yet hash-verified
-# (new this round, or rotated out in every prior round) go FIRST so a
-# count- or time-capped checker reaches them before re-verifying old green
-# entries. Names absent from the registry are ignored; everything not
-# listed keeps module order after these.
+# Driver-check priority (the driver hash-verifies at most ~50 queries/round,
+# reading this dict in order). Ranking rule (round-4 lesson): queries RED at
+# their latest driver appearance come first, then queries the driver has NEVER
+# checked (new-this-round additions get inserted after the red block as they
+# land), then previously-green queries oldest-verified-first. Names absent
+# from the registry are ignored; unlisted queries keep module order at the end.
 _CHECK_FIRST = [
-    # new in round 3 — never driver-checked
+    # --- red at latest driver check (r3 hugeint hash-fails, now CAST-fixed;
+    # r1 TIMESTAMP(NANOS) window errors, fixed in r2, never re-verified) ---
+    "word_entropy_documents",
+    "json_stats_events",
+    "validate_orders",
+    "funnel_conversion_events",
+    "ranking_eval_embeddings",
+    "event_type_funnel",
+    "sessionize_events",
+    "sliding_window_events",
+    "tumbling_window_events",
+    # --- never driver-checked (r2/r3 rotation overflow + new this round) ---
+    "hot_grams_documents",
+    "repetition_stats_documents",
+    "decontaminate_documents",
+    "pii_scrub_documents",
+    "resample_mix_documents",
+    "pq_codes_embeddings",
+    "pq_adc_topk",
+    "pack_sequences_documents",
+    "dedup_keep_best_documents",
+    "beam_search_attention",
+    "embedding_neardup_lsh",
+    "nlp_keywords_customers",
+    "fuzzy_link_token_set",
+    "embedding_neardup_recall",
+    "ann_ivf_kmeans_topk",
+    "extract_build_counts",
+    "extract_build_fact_graph",
+    "extract_build_statements",
+    "percentile_stats_events",
+    "schema_summary_supplies",
+    # --- previously green, oldest driver verification first ---
+    "ann_ivf_topk",
+    "cascade_delete_counts",
+    "multimodal_decode",
+    "multimodal_frames",
+    "processor_chain_statements",
+    "scd2_versioning_orders",
+    "statements_per_topic_histogram",
+    "token_budget_truncate",
+    "versions_at_snapshot",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "filter_tree_orders",
+    "scalar_text_functions",
+    "content_ids",
+    "topn_orders_per_customer",
+    "rollup_customer_orders",
+    "anti_join_orders_without_lineitems",
+    "semi_join_urgent_customers",
+    "table_stats",
+    "bfs_shortest_paths",
+    "entity_lookup_parts",
+    "ordered_dedup_events",
+    "metapath_follow",
+    "merge_verbalize_orders",
+    "node_degree",
+    "part_cooccurrence",
+    "topn_part_neighbors",
+    "fuzzy_link_parts",
+    "entity_context_parts",
+    "chunk_statements_orders",
+    "statement_facts_orders",
+    "entity_fact_walk_suppliers",
+    "entity_pair_paths_parts",
+    "topic_adjacency_parts",
+    "topic_overlap_suppliers",
+    "topic_sources_parts",
+    "multi_hop_customers",
+    "graph_schema_relations",
+    "fetch_embeddings_by_id",
+    "cosine_topk",
+    "cosine_topk_diverse",
+    "dense_link_embeddings",
+    "beam_search_embeddings",
+    "tfidf_documents",
+    "dedup_exact_documents",
+    "minhash_signatures_documents",
+    "minhash_neardup_documents",
+    "neardup_clusters_documents",
+    "ngram_jaccard_neardup",
+    "simhash_documents",
+    "split_documents",
+    "stratified_sample_documents",
+    "embedding_neardup_pairs",
+    "token_stats_documents",
+    "quality_score_documents",
+    "language_id_documents",
+    "fingerprint_documents",
+    "ann_lsh_topk",
     "asof_join_events",
     "interval_join_events",
     "kmv_distinct_users_events",
@@ -52,7 +144,6 @@ _CHECK_FIRST = [
     "cube_stats_orders",
     "pivot_orders_by_priority",
     "ngram_lm_documents",
-    "word_entropy_documents",
     "corpus_diff_documents",
     "personalized_katz_graph",
     "cms_heavy_hitters_documents",
@@ -62,7 +153,6 @@ _CHECK_FIRST = [
     "k_anonymity_documents",
     "zipf_fit_documents",
     "cohort_retention_events",
-    "json_stats_events",
     "association_rules_parts",
     "cdc_apply_orders",
     "triangle_count_parts",
@@ -70,11 +160,8 @@ _CHECK_FIRST = [
     "decile_stats_orders",
     "event_transitions",
     "training_data_pipeline",
-    "validate_orders",
     "moving_avg_events",
-    "funnel_conversion_events",
     "train_bigram_lm_documents",
-    "ranking_eval_embeddings",
     "build_vocab_documents",
     "encode_documents_corpus",
     "range_window_events",
@@ -92,41 +179,6 @@ _CHECK_FIRST = [
     "shard_corpus_documents",
     "soft_dedup_weights_documents",
     "quality_classifier_documents",
-    "hot_grams_documents",
-    "repetition_stats_documents",
-    "decontaminate_documents",
-    "pii_scrub_documents",
-    "resample_mix_documents",
-    "pq_codes_embeddings",
-    "pq_adc_topk",
-    "pack_sequences_documents",
-    "dedup_keep_best_documents",
-    # never driver-checked as of round 2
-    "beam_search_attention",
-    "embedding_neardup_lsh",
-    "nlp_keywords_customers",
-    "fuzzy_link_token_set",
-    "embedding_neardup_recall",
-    "ann_ivf_kmeans_topk",
-    "extract_build_counts",
-    "extract_build_fact_graph",
-    "extract_build_statements",
-    "percentile_stats_events",
-    "schema_summary_supplies",
-    # green in round 1 but rotated out of round 2's 50
-    "ann_ivf_topk",
-    "cascade_delete_counts",
-    "event_type_funnel",
-    "multimodal_decode",
-    "multimodal_frames",
-    "processor_chain_statements",
-    "scd2_versioning_orders",
-    "sessionize_events",
-    "sliding_window_events",
-    "statements_per_topic_histogram",
-    "token_budget_truncate",
-    "tumbling_window_events",
-    "versions_at_snapshot",
 ]
 
 

@@ -383,7 +383,7 @@ c AS (
   FROM b
 )
 SELECT doc_id, bucket,
-       (cum - n_tok) // {PACK_SEQ_LEN} AS seq_in_bucket,
+       CAST((cum - n_tok) // {PACK_SEQ_LEN} AS BIGINT) AS seq_in_bucket,
        CAST((cum - n_tok) % {PACK_SEQ_LEN} AS INTEGER) AS offset
 FROM c
 """
@@ -782,7 +782,7 @@ agg AS (
                        AS DECIMAL(18,6))) AS DOUBLE) AS s
   FROM toks GROUP BY doc_id
 )
-SELECT d.doc_id, COALESCE(a.n, 0) AS n_words,
+SELECT d.doc_id, CAST(COALESCE(a.n, 0) AS BIGINT) AS n_words,
        CASE WHEN a.n > 0
             THEN (CAST(CAST(ROUND(ln(a.n), 6) AS DECIMAL(12,6)) AS DOUBLE)
                   - a.s / CAST(a.n AS DOUBLE))
@@ -1059,7 +1059,8 @@ perq AS (
   SELECT query_id,
          CAST(SUM(CAST(rel * {_rank_disc('rank')} AS DECIMAL(18,6))) AS DOUBLE) AS dcg,
          MIN(CASE WHEN rel > 0 THEN rank END) AS firstrel,
-         SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS n_retrieved_relevant
+         CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_retrieved_relevant
   FROM joined GROUP BY query_id
 ),
 ideal AS (

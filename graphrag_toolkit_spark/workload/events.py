@@ -448,7 +448,7 @@ WITH x AS (
   FROM events
 )
 SELECT event_type, COUNT(*) AS n, MIN(k) AS k_min, MAX(k) AS k_max,
-       SUM(k) AS k_sum,
+       CAST(SUM(k) AS BIGINT) AS k_sum,
        CAST(SUM(k) AS DOUBLE) / COUNT(*) AS k_mean
 FROM x WHERE k IS NOT NULL GROUP BY event_type
 """
@@ -592,9 +592,9 @@ reach AS (
   FROM firsts
 ),
 agg AS (
-  SELECT SUM(CASE WHEN r0 THEN 1 ELSE 0 END) AS n0,
-         SUM(CASE WHEN r1 THEN 1 ELSE 0 END) AS n1,
-         SUM(CASE WHEN r2 THEN 1 ELSE 0 END) AS n2
+  SELECT CAST(SUM(CASE WHEN r0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN r2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
   FROM reach
 )
 SELECT 0 AS step, 'view' AS event_type, n0 AS n_users,

@@ -554,7 +554,7 @@ SELECT 'regexp_o_orderpriority',
        n_rows FROM n
 UNION ALL
 SELECT 'unique_o_orderkey',
-       (SELECT COALESCE(SUM(c - 1), 0) FROM
+       (SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) FROM
          (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey) WHERE c > 1),
        n_rows FROM n
 UNION ALL

@@ -54,13 +54,35 @@ def value_hash(rows: list[dict]) -> str:
     return h.hexdigest()[:16]
 
 
+# DuckDB types whose Python/pandas/arrow mapping is engine-version-sensitive.
+# HUGEINT (SUM of integers) fetches as int via fetchall() but float64/Decimal
+# via pandas — the round-3 driver hash-fails were exactly the 5 oracles with a
+# HUGEINT column. Oracles must CAST to a type in the safe set.
+RISKY_DUCKDB_TYPES = {
+    "HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT",
+    "TINYINT", "SMALLINT", "TIME", "INTERVAL",
+}
+
+
+def risky_oracle_types(rel) -> list[tuple[str, str]]:
+    return [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if str(t).split("(")[0] in RISKY_DUCKDB_TYPES
+    ]
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    import pyspark
+
     import __spark_entry__ as entrymod
     from graphrag_toolkit_spark.session import build_session
 
+    print(f"gate env: duckdb={duckdb.__version__} pyspark={pyspark.__version__} "
+          f"python={sys.version.split()[0]}")
     spark = build_session("check")
     con = duckdb.connect()
     for t in TABLES:
@@ -84,6 +106,11 @@ def main() -> int:
             print(f"  {name:45s} rows={len(srows):6d}  (no oracle — rows-only) {t_spark:5.1f}s")
             if not srows:
                 failures.append((name, "empty result, no oracle"))
+            continue
+        risky = risky_oracle_types(con.sql(oracles[name]))
+        if risky:
+            print(f"  {name:45s} FAIL risky oracle types {risky} — CAST them")
+            failures.append((name, f"risky oracle types {risky}"))
             continue
         orel = con.execute(oracles[name])
         ocols = [d[0] for d in orel.description]
