@@ -20,6 +20,8 @@ itself is driver-side control flow, exactly like the reference — but each
 
 from __future__ import annotations
 
+import re
+import unicodedata
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -28,6 +30,41 @@ from pyspark.sql import functions as F
 from graphrag_toolkit_spark.operators import bfs, linking
 
 LLM = Callable[[str], str]
+
+# Spark SQL statements that mutate catalog/table/session state. The reference
+# blocks the Cypher mutation vocabulary (CREATE/MERGE/SET/DELETE/DROP/CALL...)
+# before executing any LLM-generated query
+# (byokg-rag/src/graphrag_toolkit/byokg_rag/graph_retrievers/graph_retrievers.py:376-413);
+# this is the same guard over the Spark SQL mutation vocabulary.
+_MODIFICATION_KEYWORDS = (
+    "CREATE", "DROP", "ALTER", "INSERT", "UPDATE", "DELETE", "MERGE",
+    "TRUNCATE", "SET", "RESET", "REFRESH", "CACHE", "UNCACHE", "GRANT",
+    "REVOKE", "MSCK", "LOAD", "ANALYZE", "CALL",
+)
+
+
+def is_query_safe(sql: str, block_modification: bool = True) -> bool:
+    """True unless the query contains a state-mutating Spark SQL keyword.
+
+    Mirrors the reference's ``is_query_safe``
+    (graph_retrievers.py:376-413) including its bypass hardening, tested
+    against the reference's attack suite
+    (integration-tests/.../byokg_cypher_safety.py:120-199):
+    comments are stripped FIRST (``SELECT /**/ ... DROP`` can't hide a verb
+    inside a comment, and a keyword split by an inline comment reassembles),
+    then NFKC normalization collapses fullwidth/lookalike Unicode
+    (``ＤＲＯＰ`` → ``DROP``) before the word-boundary keyword scan.
+    """
+    if not block_modification:
+        return True
+    q = re.sub(r"/\*.*?\*/", "", sql, flags=re.DOTALL)
+    q = re.sub(r"--[^\n]*", "", q)
+    q = re.sub(r"//[^\n]*", "", q)
+    q = unicodedata.normalize("NFKC", q).upper()
+    return not any(
+        re.search(r"\b" + kw + r"\b", q, re.MULTILINE)
+        for kw in _MODIFICATION_KEYWORDS
+    )
 
 
 def register_graph_views(
@@ -47,11 +84,17 @@ def generate_and_run_sql(
     llm: LLM,
     question: str,
     max_attempts: int = 2,
+    block_modification: bool = True,
 ) -> tuple[DataFrame | None, list[str]]:
     """§2.10: ask the LLM for a Spark SQL query answering ``question`` over
     the registered views; execute it; on AnalysisException / empty result,
     append the failure to the prompt and retry (≤ ``max_attempts``, the
     reference's error-feedback loop). Returns (result or None, transcript).
+
+    With ``block_modification`` (default, matching the reference's
+    ``block_graph_modification``), a generated query that fails
+    ``is_query_safe`` is never handed to ``spark.sql`` — the rejection is
+    fed back to the LLM like any other failure.
     """
     feedback: list[str] = []
     transcript: list[str] = []
@@ -61,6 +104,11 @@ def generate_and_run_sql(
         )
         sql = llm(prompt).strip().removeprefix("```sql").removesuffix("```").strip()
         transcript.append(sql)
+        if not is_query_safe(sql, block_modification):
+            feedback.append(
+                f"query `{sql}` rejected: modification statements are not allowed"
+            )
+            continue
         try:
             out = spark.sql(sql)
             rows_probe = out.limit(1).count()

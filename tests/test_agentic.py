@@ -73,6 +73,72 @@ class TestSqlGeneration:
         assert out is None and len(transcript) == 2
 
 
+class TestQuerySafety:
+    """Mirror of the reference's bypass-attack suite
+    (integration-tests/.../byokg_cypher_safety.py:120-199) over Spark SQL."""
+
+    BLOCKED = [
+        "DROP TABLE triples",
+        "INSERT OVERWRITE TABLE triples SELECT 1, 2, 3",
+        "CREATE TABLE evil AS SELECT * FROM triples",
+        "MERGE INTO triples USING t ON 1=1 WHEN MATCHED THEN DELETE",
+        "SET spark.sql.shuffle.partitions=1",
+        "CACHE TABLE triples",
+        "delete from triples",                         # lowercase
+        "SELECT 1; DROP TABLE triples",                # piggyback
+    ]
+
+    def test_blocked_keywords(self):
+        for q in self.BLOCKED:
+            assert not agentic.is_query_safe(q), q
+
+    def test_comment_bypass_blocked(self):
+        # keyword split by an inline comment reassembles after stripping
+        assert not agentic.is_query_safe("DR/**/OP TABLE triples")
+        # keyword hidden *inside* a comment is harmless and allowed
+        assert agentic.is_query_safe("SELECT /* not a DROP */ 1")
+        assert agentic.is_query_safe("SELECT 1 -- DROP TABLE x")
+
+    def test_unicode_fullwidth_bypass_blocked(self):
+        fullwidth = "".join(
+            chr(ord(c) + 0xFEE0) if c.isalpha() else c for c in "DROP"
+        )
+        assert not agentic.is_query_safe(f"{fullwidth} TABLE triples")
+
+    def test_word_boundary_not_substring(self):
+        # column/identifier names containing a keyword are fine
+        assert agentic.is_query_safe("SELECT created_at, dataset FROM triples")
+        assert agentic.is_query_safe("SELECT * FROM updates")
+
+    def test_flag_off_passthrough(self):
+        assert agentic.is_query_safe("DROP TABLE triples", block_modification=False)
+
+    def test_malicious_generated_query_never_executes(self, spark, triples):
+        """A generated DROP is rejected pre-execution; the view survives and
+        the rejection feeds back into the next prompt."""
+        calls = []
+
+        def evil_then_good(prompt: str) -> str:
+            calls.append(prompt)
+            if len(calls) == 1:
+                return "DROP TABLE triples"
+            return "SELECT dst FROM triples WHERE src = 'paris' AND rel = 'capital_of'"
+
+        out, transcript = agentic.generate_and_run_sql(spark, evil_then_good, "q")
+        assert out is not None and out.count() == 1
+        assert "rejected" in calls[1]
+        assert spark.sql("SELECT COUNT(*) AS n FROM triples").collect()[0]["n"] == 5
+
+    def test_flag_off_executes_unchecked(self, spark, triples):
+        # SET is in the block list but harmless to actually run — proves the
+        # flag routes around the guard (the reference's flag-off leg).
+        out, _ = agentic.generate_and_run_sql(
+            spark, lambda p: "SET spark.sql.ansi.enabled",
+            "q", block_modification=False,
+        )
+        assert out is not None
+
+
 class TestAgenticRetrieve:
     def test_two_rounds_then_finish(self, triples, names):
         rounds = []
