@@ -72,25 +72,30 @@ def ranking_metrics(
         )
     )
 
+    # Full outer: a query with judgments but nothing retrieved within top-k
+    # must still appear (all-zero metrics) — dropping it would silently
+    # inflate any macro-average taken over this table.
     return (
-        per_q.join(ideal, "query_id", "left")
+        per_q.join(ideal, "query_id", "full")
         .select(
             "query_id",
-            "dcg",
+            F.coalesce(F.col("dcg"), F.lit(0.0)).alias("dcg"),
             F.coalesce(F.col("idcg"), F.lit(0.0)).alias("idcg"),
             F.when(
                 F.coalesce(F.col("idcg"), F.lit(0.0)) > 0,
-                F.col("dcg") / F.col("idcg"),
+                F.coalesce(F.col("dcg"), F.lit(0.0)) / F.col("idcg"),
             ).otherwise(F.lit(0.0)).alias("ndcg"),
             F.when(
                 F.col("_first_rel").isNotNull(),
                 F.lit(1.0) / F.col("_first_rel").cast("double"),
             ).otherwise(F.lit(0.0)).alias("mrr"),
             F.coalesce(F.col("n_relevant"), F.lit(0)).alias("n_relevant"),
-            "n_retrieved_relevant",
+            F.coalesce(F.col("n_retrieved_relevant"), F.lit(0)).alias(
+                "n_retrieved_relevant"
+            ),
             F.when(
                 F.coalesce(F.col("n_relevant"), F.lit(0)) > 0,
-                F.col("n_retrieved_relevant").cast("double")
+                F.coalesce(F.col("n_retrieved_relevant"), F.lit(0)).cast("double")
                 / F.col("n_relevant"),
             ).otherwise(F.lit(0.0)).alias("recall"),
         )

@@ -52,9 +52,16 @@ def kmv_sketch(
     where ``kmv`` holds the (at most) k smallest distinct hash values,
     ascending. State per group is bounded by k."""
     group_cols = list(group_cols)
-    d = df.select(
-        *group_cols, kmv_hash(F.col(value_col)).alias("__h")
-    ).distinct()
+    # NULL values hash to NULL, which would sort first under the window and
+    # burn one of the k slots while collect_list drops it — silently shrinking
+    # the sketch to k-1 and flipping estimate_from_sketch into its exact-count
+    # branch. NULL is not a distinct value; drop it up front (as the SQL
+    # oracle's COUNT(DISTINCT) does).
+    d = (
+        df.select(*group_cols, kmv_hash(F.col(value_col)).alias("__h"))
+        .filter(F.col("__h").isNotNull())
+        .distinct()
+    )
     w = Window.partitionBy(*group_cols).orderBy("__h")
     return (
         d.withColumn("__rn", F.row_number().over(w))

@@ -37,7 +37,10 @@ def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     t = F.col(text_col)
     return df.select(
         F.col(id_col).alias("id"),
-        F.size(F.split(F.trim(t), r"\s+")).alias("ws_tokens"),
+        # count runs of non-whitespace rather than size(split(trim(...))):
+        # split returns [''] on empty input and trim only strips spaces, so
+        # empty/tab-only docs would report phantom tokens
+        F.regexp_count(t, F.lit(r"\S+")).alias("ws_tokens"),
         F.regexp_count(t, F.lit(WORD_RE)).alias("word_tokens"),
         F.regexp_count(t, F.lit(BPE_ISH_RE)).alias("bpeish_tokens"),
         F.length(t).alias("chars"),

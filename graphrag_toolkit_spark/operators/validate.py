@@ -86,10 +86,13 @@ def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
         out = wide.selectExpr(
             f"stack({len(row_local)}, {stack}) as (rule, n_violations)", "__n as n_rows"
         )
-    total = df.count()
     spark = df.sparkSession
+    total = None  # lazily counted — only unique/foreign_key rules need it,
+    # so a purely row-local rule set stays a single fused scan of the table
     extra_rows = []
     for r in rules:
+        if r.kind in ("unique", "foreign_key") and total is None:
+            total = df.count()
         if r.kind == "unique":
             dups = (
                 df.groupBy(r.col)

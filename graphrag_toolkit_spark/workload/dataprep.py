@@ -1154,7 +1154,7 @@ def token_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TOKEN_STATS_ORACLE = rf"""
 SELECT doc_id,
-       len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+       len(regexp_extract_all(text, '\S+')) AS ws_tokens,
        len(regexp_extract_all(text, '{textstats.WORD_RE}')) AS word_tokens,
        len(regexp_extract_all(text, '{textstats.BPE_ISH_RE}')) AS bpeish_tokens,
        length(text) AS chars

@@ -232,6 +232,17 @@ class TestTextStats:
         assert r["bpeish_tokens"] == 6  # words + ',' + '!'
         assert r["chars"] == 17
 
+    def test_empty_and_whitespace_docs_count_zero(self, spark):
+        df = spark.createDataFrame(
+            [{"doc_id": 1, "text": ""}, {"doc_id": 2, "text": "   \t "},
+             {"doc_id": 3, "text": "one"}]
+        )
+        out = {r["id"]: r for r in
+               textstats.token_stats(df, "text", "doc_id").collect()}
+        assert out[1]["ws_tokens"] == 0 and out[1]["word_tokens"] == 0
+        assert out[2]["ws_tokens"] == 0 and out[2]["bpeish_tokens"] == 0
+        assert out[3]["ws_tokens"] == 1
+
     def test_quality_monotone_in_stopwords(self, spark):
         df = spark.createDataFrame(
             [

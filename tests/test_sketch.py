@@ -166,6 +166,24 @@ class TestBloom:
         assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
 
 
+def test_kmv_null_values_dont_burn_slots(spark):
+    """A NULL value must be ignored, not consume a sketch slot: with k=8 and
+    exactly 8 distinct non-null values per group, the estimate must take the
+    exact-count branch (8.0) even when NULL rows are present."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(64).select(
+        F.lit("g").alias("g"),
+        F.when(F.col("id") % 8 == 7, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("v"), (F.col("id") % 8).cast("string")))
+        .alias("v"),  # 7 distinct non-null values + NULLs
+    )
+    sk = sketch.kmv_sketch(base, ["g"], "v", k=8).head()
+    assert len(sk["kmv"]) == 7 and None not in sk["kmv"]
+    est = sketch.kmv_distinct(base, ["g"], "v", k=8).head()["distinct_est"]
+    assert est == 7.0
+
+
 def test_kmv_partition_invariance(spark):
     from pyspark.sql import functions as F
 

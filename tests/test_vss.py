@@ -111,6 +111,25 @@ class TestRankingEval:
         assert d["recall"] == 0.5          # found 1 of 2 relevant
         assert d["n_relevant"] == 2 and d["n_retrieved_relevant"] == 1
 
+    def test_zero_result_query_appears_zeroed(self, spark):
+        """A judged query with NO retrieved rows inside top-k must still show
+        up with all-zero metrics, not vanish (macro-average integrity)."""
+        from graphrag_toolkit_spark.operators.ranking_eval import ranking_metrics
+
+        judgments = spark.createDataFrame(
+            [("q1", 1, 2), ("q2", 7, 1), ("q2", 8, 1)],
+            "query_id string, doc_id long, rel int",
+        )
+        results = spark.createDataFrame(  # only q1 retrieved anything
+            [("q1", 1, 1)], "query_id string, doc_id long, rank int"
+        )
+        out = {r["query_id"]: r for r in ranking_metrics(results, judgments, k=3).collect()}
+        assert set(out) == {"q1", "q2"}
+        z = out["q2"]
+        assert z["dcg"] == 0.0 and z["ndcg"] == 0.0 and z["mrr"] == 0.0
+        assert z["recall"] == 0.0 and z["n_retrieved_relevant"] == 0
+        assert z["n_relevant"] == 2 and z["idcg"] > 0.0
+
     def test_no_relevant_judged(self, spark):
         from graphrag_toolkit_spark.operators.ranking_eval import ranking_metrics
 
