@@ -22,17 +22,53 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def tokenize(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Lowercased word tokens, one row per (id, token, tf)."""
+def tokenize(
+    df: DataFrame, text_col: str, id_col: str, widen: bool = True
+) -> DataFrame:
+    """Lowercased word tokens, one row per (id, token, tf).
+
+    Zero-shuffle: every (id, token) pair comes from exactly one input row, so
+    term frequencies are computed ROW-LOCALLY — sort the token array, find
+    run starts, and emit (token, run_length) structs — instead of
+    explode + groupBy(id, token), which shuffles the whole exploded token
+    table just to co-locate keys that were never apart. At corpus scale that
+    shuffle is the dominant cost of every TF-IDF/BM25 build; here it is gone
+    (plan-pinned in tests/test_plans.py).
+
+    ``widen=False`` skips the pre-explode repartition — for tiny frames (a
+    one-row query string) where a 1→N shuffle is pure overhead.
+    """
     from graphrag_toolkit_spark.functions.skew import widen_partitions
 
     toks = F.split(F.lower(F.col(text_col)), r"[^0-9a-z]+")
     return (
-        widen_partitions(df)
-        .select(F.col(id_col).alias("id"), F.explode(toks).alias("token"))
-        .filter(F.col("token") != "")
-        .groupBy("id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        (widen_partitions(df) if widen else df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.array_sort(F.filter(toks, lambda t: t != "")).alias("__s"),
+        )
+        .withColumn(
+            # run starts: positions where the sorted token changes
+            # (sequence(0, -1) is DESCENDING in Spark, hence the size guard)
+            "__starts",
+            F.expr(
+                "CASE WHEN size(__s) = 0 THEN array() "
+                "ELSE filter(sequence(0, size(__s) - 1), "
+                "            i -> i = 0 OR __s[i] <> __s[i - 1]) END"
+            ),
+        )
+        .select(
+            "id",
+            F.explode(
+                F.expr(
+                    "transform(__starts, (st, j) -> named_struct("
+                    "  'token', __s[st],"
+                    "  'tf', coalesce(try_element_at(__starts, j + 2),"
+                    "                 size(__s)) - st))"
+                )
+            ).alias("__e"),
+        )
+        .select("id", F.col("__e.token"), F.col("__e.tf").cast("bigint").alias("tf"))
     )
 
 
@@ -66,19 +102,21 @@ def _weight(idf_col, quantize: int | None):
 def tfidf_cosine_scores(
     docs: DataFrame, query_text: str, text_col: str, id_col: str,
     quantize: int | None = None,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Score every doc row by TF-IDF cosine similarity to ``query_text``.
     Returns (id, tfidf_score). The idf statistics come from the doc pool
     itself (matching the reference, which fits TF-IDF on the statement pool).
     ``quantize``: round idf to N decimals and aggregate in DECIMAL — exact,
     reproducible scores for oracle comparison (see ``_weight``).
+    ``checkpoint=False`` keeps the full lazy plan visible for plan tests
+    (sub-checkpoint plans are invisible to ``.explain``).
     """
     spark = docs.sparkSession
     n_docs = docs.count()
-    # the token table feeds THREE consumers (idf stats, norms, dots):
-    # materialize the explode+tf-groupBy once instead of re-running it per
-    # consumer — downstream of it everything is a broadcast join or an
-    # id-grouped aggregate
+    # the token table feeds BOTH remaining consumers (idf stats and the
+    # fused norm+dot aggregate): materialize the row-local tokenizer once
+    # instead of re-running it per consumer
     doc_tokens = tokenize(docs, text_col, id_col)
     doc_tokens.persist()
     idf = F.broadcast(idf_table(doc_tokens, n_docs))
@@ -88,7 +126,7 @@ def tfidf_cosine_scores(
     )
     qdf = spark.createDataFrame([{"qid": "q", "qtext": query_text}])
     qw = (
-        tokenize(qdf, "qtext", "qid")
+        tokenize(qdf, "qtext", "qid", widen=False)
         .join(idf, "token")
         .withColumn("qw", _weight(F.col("idf"), quantize))
         .select("token", "qw")
@@ -100,19 +138,18 @@ def tfidf_cosine_scores(
     if qnorm == 0.0:
         return docs.select(F.col(id_col).alias("id"), F.lit(0.0).alias("tfidf_score"))
 
-    # norms need ALL of a doc's tokens; dots only the (few) query-matching
-    # ones — aggregate each from dw separately and join the two small
-    # per-id results, rather than joining the full norm back onto the
-    # whole token table
-    norms = dw.groupBy("id").agg(
-        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("norm")
-    )
-    dots = (
-        dw.join(F.broadcast(qw), "token")
-        .groupBy("id")
-        .agg(F.sum(F.col("w") * F.col("qw")).cast("double").alias("dot"))
-    )
-    scores = norms.join(dots, "id", "left").select(
+    # ONE pass computes both per-doc statistics: left-broadcast-join the
+    # (tiny) query weights onto the token table, then a single id-grouped
+    # aggregate yields norm (all tokens) and dot (SUM skips the NULL
+    # products of non-query tokens — decimal sums are order-independent, so
+    # this is value-identical to aggregating the inner join separately).
+    # One shuffle end-to-end, no norms⋈dots re-join — this stage-count is
+    # pinned by tests/test_plans.py so it can't silently regress.
+    fused = dw.join(F.broadcast(qw), "token", "left")
+    scores = fused.groupBy("id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("norm"),
+        F.sum(F.col("w") * F.col("qw")).cast("double").alias("dot"),
+    ).select(
         "id",
         F.coalesce(
             F.col("dot") / (F.col("norm") * F.lit(qnorm)), F.lit(0.0)
@@ -122,8 +159,9 @@ def tfidf_cosine_scores(
     # before it's ever used — materialize the (one-row-per-doc) score table
     # eagerly, then release the token cache so repeated calls don't leak
     # executor memory for the session lifetime
-    scores = scores.localCheckpoint(eager=True)
-    doc_tokens.unpersist()
+    if checkpoint:
+        scores = scores.localCheckpoint(eager=True)
+        doc_tokens.unpersist()
     return (
         docs.select(F.col(id_col).alias("id"))
         .join(scores, "id", "left")

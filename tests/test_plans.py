@@ -307,6 +307,44 @@ def test_bm25_broadcasts_stats_and_stays_jvm(spark, sf_dir):
     assert "EvalPython" not in plan
 
 
+def test_tokenize_is_shuffle_free(spark, sf_dir):
+    """Term frequencies are row-local (sorted-array run lengths), so the
+    tokenizer must contain ZERO Exchange beyond the optional widen
+    repartition — at corpus scale an explode+groupBy tokenizer shuffles the
+    entire token table for keys that were never split across partitions."""
+    from graphrag_toolkit_spark.operators.tfidf import tokenize
+
+    docs = load(spark, sf_dir, "documents")
+    plan = plan_of(tokenize(docs, "text", "doc_id", widen=False))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_tfidf_one_shuffle_fused_norm_dot(spark, sf_dir):
+    """TF-IDF scoring end-to-end (checkpoint=False): the only Exchanges
+    allowed are the widen repartition and the single id-grouped aggregate
+    that computes norm AND dot in one pass (plus AQE's view of them) —
+    the norms⋈dots re-join shape would show a third shuffle. Pins the
+    r1→r3 bench drift from recurring."""
+    import re
+
+    from graphrag_toolkit_spark.operators.tfidf import tfidf_cosine_scores
+    from graphrag_toolkit_spark.workload.vector import TFIDF_QUERY
+
+    docs = load(spark, sf_dir, "documents")
+    plan = plan_of(
+        tfidf_cosine_scores(
+            docs, TFIDF_QUERY, "text", "doc_id", quantize=6, checkpoint=False
+        )
+    )
+    # shuffles: widen repartition + one hash-partitioning for the fused agg;
+    # InMemoryRelation caching means the token side appears once
+    n_shuffles = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_shuffles <= 2, f"fused norm+dot regressed: {n_shuffles} hash shuffles"
+    assert "EvalPython" not in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
 def test_training_pipeline_single_relational_plan(spark, sf_dir):
     """The composed export pipeline must stay one relational Catalyst plan:
     no Python eval, no cartesian products, and the anti-join for
