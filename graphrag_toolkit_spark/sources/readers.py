@@ -88,6 +88,83 @@ def read_binary_documents(spark: SparkSession, path: str, fmt_glob: str = "*") -
     )
 
 
+# --- OOXML parsers (docx/pptx) — stdlib zipfile+ElementTree, no codec libs --
+
+_DOCX_NS = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+_PPTX_NS = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
+
+
+def _docx_text(content: bytes) -> str:
+    """Paragraph text from word/document.xml — every ``w:t`` run inside a
+    ``w:p``, runs concatenated, paragraphs newline-joined (the same text
+    python-docx's paragraph walk produces for the reference's DocxReader,
+    docx_reader_provider.py:40-44)."""
+    import io
+    import zipfile
+    from xml.etree import ElementTree
+
+    with zipfile.ZipFile(io.BytesIO(content)) as zf:
+        root = ElementTree.fromstring(zf.read("word/document.xml"))
+    paras = []
+    for p in root.iter(f"{_DOCX_NS}p"):
+        runs = [t.text or "" for t in p.iter(f"{_DOCX_NS}t")]
+        if runs:
+            paras.append("".join(runs))
+    return "\n".join(paras)
+
+
+def _pptx_text(content: bytes) -> str:
+    """Slide text from ppt/slides/slide*.xml in slide order — every ``a:t``
+    text run, runs within a slide newline-joined, slides double-newline-
+    joined (pptx_reader_provider.py's PptxReader surface)."""
+    import io
+    import re as _re
+    import zipfile
+    from xml.etree import ElementTree
+
+    with zipfile.ZipFile(io.BytesIO(content)) as zf:
+        slides = sorted(
+            (n for n in zf.namelist()
+             if _re.fullmatch(r"ppt/slides/slide\d+\.xml", n)),
+            key=lambda n: int(_re.search(r"(\d+)", n).group(1)),
+        )
+        texts = []
+        for name in slides:
+            root = ElementTree.fromstring(zf.read(name))
+            runs = [t.text or "" for t in root.iter(f"{_PPTX_NS}t")]
+            if runs:
+                texts.append("\n".join(runs))
+    return "\n\n".join(texts)
+
+
+def _read_ooxml(parse_fn, fmt_glob: str):
+    def _reader(spark: SparkSession, path: str, **kwargs) -> DataFrame:
+        """binaryFile scan → Arrow-batched parse (mapInPandas) → canonical
+        document frame. The scan distributes files across executors; each
+        parse is per-file CPU work with no shuffle."""
+        import pandas as pd
+
+        raw = read_binary_documents(spark, path, fmt_glob=fmt_glob)
+
+        def parse(batches):
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "path": pdf["path"],
+                        "text": [parse_fn(bytes(b)) for b in pdf["content"]],
+                    }
+                )
+
+        parsed = raw.mapInPandas(parse, schema="path string, text string")
+        return _canonical(parsed, "text", ["path"])
+
+    return _reader
+
+
+read_docx = _read_ooxml(_docx_text, "*.docx")
+read_pptx = _read_ooxml(_pptx_text, "*.pptx")
+
+
 # --- provider registry (API-surface parity with the reference's 18 readers) --
 
 def _needs_parser(fmt: str):
@@ -117,8 +194,8 @@ PROVIDERS = {
     "database": _needs_parser("jdbc"),        # spark.read.jdbc once a driver jar is present
     "pdf": _needs_parser("pdf"),
     "advanced-pdf": _needs_parser("pdf"),
-    "docx": _needs_parser("docx"),
-    "pptx": _needs_parser("pptx"),
+    "docx": read_docx,                        # stdlib ZIP+XML parse, no codec lib
+    "pptx": read_pptx,                        # stdlib ZIP+XML parse, no codec lib
     "web": _needs_parser("html"),
     "wikipedia": _needs_parser("wikipedia-api"),
     "youtube": _needs_parser("youtube-transcript"),

@@ -84,10 +84,11 @@ class TestProviderRegistry:
         assert real == {
             "json", "streaming-jsonl", "csv", "structured-data", "markdown",
             "directory", "s3-directory", "universal-directory", "document-graph",
+            "docx", "pptx",
         }
         stubbed = set(status) - real
         assert stubbed == {
-            "pdf", "advanced-pdf", "docx", "pptx", "web", "wikipedia",
+            "pdf", "advanced-pdf", "web", "wikipedia",
             "youtube", "github", "database",
         }
         assert all(status[n].startswith("stub (") for n in stubbed)
@@ -95,9 +96,70 @@ class TestProviderRegistry:
     def test_allow_stub_false_fails_at_lookup(self):
         from graphrag_toolkit_spark.sources import readers
 
-        with pytest.raises(NotImplementedError, match="docx"):
-            readers.reader_for("docx", allow_stub=False)
+        with pytest.raises(NotImplementedError, match="pdf"):
+            readers.reader_for("pdf", allow_stub=False)
         assert callable(readers.reader_for("json", allow_stub=False))
+        assert callable(readers.reader_for("docx", allow_stub=False))
+
+    def test_docx_end_to_end(self, spark, tmp_path):
+        """Generated fixture .docx → read_docx → canonical docs → chunks:
+        the full S1→S3 path with a real (stdlib ZIP+XML) parse."""
+        import zipfile
+
+        from graphrag_toolkit_spark.sources import chunking, readers
+
+        w = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+        body = (
+            f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            f'<w:document xmlns:w="{w}"><w:body>'
+            f"<w:p><w:r><w:t>Hello </w:t></w:r><w:r><w:t>world.</w:t></w:r></w:p>"
+            f"<w:p><w:r><w:t>Second paragraph with enough words to chunk.</w:t></w:r></w:p>"
+            f"<w:p/>"
+            f"</w:body></w:document>"
+        )
+        p = tmp_path / "fixture.docx"
+        with zipfile.ZipFile(p, "w") as zf:
+            zf.writestr(
+                "[Content_Types].xml",
+                '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>',
+            )
+            zf.writestr("word/document.xml", body)
+
+        docs = readers.read_docx(spark, str(tmp_path))
+        rows = docs.collect()
+        assert len(rows) == 1
+        assert rows[0]["text"] == (
+            "Hello world.\nSecond paragraph with enough words to chunk."
+        )
+        assert rows[0]["doc_id"]  # content-addressed id minted
+        chunks = chunking.chunk_documents(docs, chunk_size=5, chunk_overlap=1)
+        assert chunks.count() >= 2
+
+    def test_pptx_end_to_end(self, spark, tmp_path):
+        import zipfile
+
+        from graphrag_toolkit_spark.sources import readers
+
+        a = "http://schemas.openxmlformats.org/drawingml/2006/main"
+
+        def slide(*texts):
+            runs = "".join(f"<a:t>{t}</a:t>" for t in texts)
+            return (
+                f'<?xml version="1.0"?><p:sld '
+                f'xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main" '
+                f'xmlns:a="{a}"><p:cSld>{runs}</p:cSld></p:sld>'
+            )
+
+        p = tmp_path / "deck.pptx"
+        with zipfile.ZipFile(p, "w") as zf:
+            # slide10 written first to prove numeric (not lexicographic) order
+            zf.writestr("ppt/slides/slide10.xml", slide("Closing slide"))
+            zf.writestr("ppt/slides/slide1.xml", slide("Title", "Subtitle"))
+            zf.writestr("ppt/slides/slide2.xml", slide("Agenda"))
+
+        rows = readers.read_pptx(spark, str(tmp_path)).collect()
+        assert len(rows) == 1
+        assert rows[0]["text"] == "Title\nSubtitle\n\nAgenda\n\nClosing slide"
 
     def test_directory_and_jsonl_through_extract_and_build(self, spark, tmp):
         """End-to-end: reader → canonical docs → extract_and_build, the
