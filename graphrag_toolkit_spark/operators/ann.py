@@ -101,6 +101,118 @@ def first_c_centroids(
     )
 
 
+def train_centroids_lloyd(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    iters: int = 2,
+) -> DataFrame:
+    """Partitioning-invariant, engine-exact Lloyd's k-means (the hash-gated
+    IVF trainer; the MLlib ``train_centroids_kmeans`` below remains the
+    black-box production alternative).
+
+    Determinism contract (what makes the result oracle-expressible):
+    - **Init** = the ``n_centroids`` vectors with the smallest content hash
+      (md5 order statistics on the id — ``sampling.hash_value``). Invariant
+      to partitioning AND engine-portable, unlike k-means|| whose sampling
+      is partition-order-dependent.
+    - **Assignment** = argmax quantized cosine (exact decimal dots, cid
+      tie-break) — bit-identical in any engine.
+    - **Update** = per-dimension mean as exact DECIMAL sum ÷ count in
+      double, re-quantized to the 6-decimal grid; empty clusters keep their
+      previous centroid.
+
+    Scale shape: per iteration one broadcast of C centroids + one narrow
+    assignment pass + one (cid,dim)-grouped aggregate (map-side partial);
+    the C×dim result is collected driver-side (tiny) to seed the next
+    round. Returns (cid, embedding array<double> on the decimal grid).
+    """
+    from pyspark.sql.types import (
+        ArrayType, DecimalType, IntegerType, StructField, StructType,
+    )
+
+    from graphrag_toolkit_spark.functions.vector import (
+        dot_prequantized, l2_norm_quantized, prequantize,
+    )
+    from graphrag_toolkit_spark.operators.sampling import hash_value
+
+    spark = emb.sparkSession
+    pool = emb.select(
+        F.col(id_col).alias("id"),
+        prequantize(F.col(vec_col)).alias("qv"),
+        l2_norm_quantized(F.col(vec_col)).alias("nv"),
+    )
+    pool.persist()
+
+    seed_rows = (
+        pool.withColumn("_hv", hash_value(F.col("id")))
+        .orderBy(F.asc("_hv"), F.asc("id"))
+        .limit(n_centroids)
+        .select("qv")
+        .collect()
+    )
+    centroids = [list(r["qv"]) for r in seed_rows]  # list[list[Decimal]]
+
+    schema = StructType([
+        StructField("cid", IntegerType()),
+        StructField("qc", ArrayType(DecimalType(12, 6))),
+    ])
+    for _ in range(iters):
+        cdf = F.broadcast(
+            spark.createDataFrame(
+                [(i, c) for i, c in enumerate(centroids)], schema
+            ).withColumn("nc", l2_norm_quantized(F.col("qc")))
+        )
+        assigned = (
+            pool.crossJoin(cdf)
+            .withColumn(
+                "c_score",
+                dot_prequantized(F.col("qv"), F.col("qc"))
+                / (F.col("nv") * F.col("nc")),
+            )
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("id").orderBy(
+                        F.desc("c_score"), F.asc("cid")
+                    )
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+        )
+        means = (
+            assigned.select("cid", F.posexplode("qv").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(
+                (F.sum("v").cast("double") / F.count(F.lit(1)))
+                .alias("mean")
+            )
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "mean"))
+                    ),
+                    lambda s: F.round(s["mean"], 6).cast("decimal(12,6)"),
+                ).alias("qc")
+            )
+            .collect()
+        )
+        updated = {r["cid"]: list(r["qc"]) for r in means}
+        centroids = [
+            updated.get(i, centroids[i]) for i in range(n_centroids)
+        ]
+
+    pool.unpersist()
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], schema
+    ).select(
+        "cid",
+        F.col("qc").cast("array<double>").alias("embedding"),
+    )
+
+
 def train_centroids_kmeans(
     emb: DataFrame,
     n_centroids: int = 8,

@@ -539,22 +539,39 @@ SELECT doc_id, CAST({_SIMHASH_ASSEMBLE} AS BIGINT) AS simhash FROM bits
 
 EMBED_DUP_THRESHOLD = 0.35
 _EMB_Q = "CAST(ROUND(CAST({x} AS DOUBLE), 6) AS DECIMAL(12,6))"
+# All-pairs is the VERIFIER leg — O(pool²) must hold by construction, so the
+# declared query caps the pool with a content-hash bucket (sampling.py
+# pattern: deterministic, engine-portable md5 arithmetic). 1-in-4 of the
+# corpus regardless of scale; the corpus-scale path is embedding_neardup_lsh.
+_EMB_POOL_MOD = 4
 
 
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
+    from graphrag_toolkit_spark.operators.sampling import hash_value
+
+    emb = load(spark, sf_dir, "embeddings").filter(
+        hash_value(F.col("vec_id")) % _EMB_POOL_MOD == 0
+    )
     return dedup.embedding_near_dup_pairs(
         emb, "vec_id", "embedding", EMBED_DUP_THRESHOLD
     )
 
 
+_EMB_POOL_SQL = (
+    "CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 7) AS BIGINT) "
+    f"% {_EMB_POOL_MOD} = 0"
+)
+
 EMBED_NEARDUP_ORACLE = f"""
-WITH terms AS (
+WITH pool AS (
+  SELECT vec_id, embedding FROM embeddings WHERE {_EMB_POOL_SQL}
+),
+terms AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          {_EMB_Q.format(x='a.embedding[i]')} AS xa,
          {_EMB_Q.format(x='b.embedding[i]')} AS xb
-  FROM embeddings a
-  JOIN embeddings b ON a.vec_id < b.vec_id, generate_series(1, 64) AS t(i)
+  FROM pool a
+  JOIN pool b ON a.vec_id < b.vec_id, generate_series(1, 64) AS t(i)
 ),
 scores AS (
   SELECT id_a, id_b,
@@ -1920,17 +1937,20 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMEANS_ITERS = 2
+
+
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Production IVF leg end-to-end: seeded MLlib KMeans centroids feeding
-    the same probe/rerank pipeline. KMeans init samples per-partition, so
-    results are stable per run but NOT invariant to repartitioning —
-    declared WITHOUT a SQL oracle on purpose (driver records the weaker
-    rows-only check); the deterministic first-C leg above stays the
-    hash-gated one, and the KMeans recall contract lives in
-    tests/test_dataprep_ops.py."""
+    """Trained-IVF leg end-to-end, now HASH-GATED: `train_centroids_lloyd`
+    (content-hash order-statistic init + exact-decimal Lloyd updates —
+    partitioning-invariant and engine-exact, unlike k-means|| whose
+    per-partition init sampling kept this query rows-only through round 3)
+    feeding the same probe/rerank pipeline. The MLlib trainer
+    (`train_centroids_kmeans`) remains the black-box production alternative,
+    covered by the recall contract in tests/test_dataprep_ops.py."""
     emb = load(spark, sf_dir, "embeddings")
-    centroids = ann.train_centroids_kmeans(
-        emb, n_centroids=N_CENTROIDS, id_col="vec_id"
+    centroids = ann.train_centroids_lloyd(
+        emb, n_centroids=N_CENTROIDS, id_col="vec_id", iters=KMEANS_ITERS
     )
     queries = emb.filter(
         (F.col("vec_id") >= 10) & (F.col("vec_id") < 13)
@@ -1938,6 +1958,124 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.ivf_topk(
         emb, centroids, queries, id_col="vec_id", nprobe=NPROBE, k=5
     )
+
+
+def _lloyd_iter_sql(n: int) -> str:
+    """One unrolled Lloyd iteration as DuckDB CTEs: score vs c{n-1} →
+    argmax assignment → per-dimension exact-decimal means → re-quantized
+    centroids c{n} (empty clusters keep the previous centroid)."""
+    p = n - 1
+    return f"""
+s{n} AS (
+  SELECT p.id, c.cid, CAST(SUM(p.qv[i] * c.qc[i]) AS DOUBLE) AS dot
+  FROM pool p, c{p} c, generate_series(1, 64) AS t(i)
+  GROUP BY p.id, c.cid
+),
+a{n} AS (
+  SELECT id, cid FROM (
+    SELECT s.id, s.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.id
+             ORDER BY s.dot / (v.nv * cn.nc) DESC, s.cid
+           ) AS rn
+    FROM s{n} s
+    JOIN vnorm v ON v.id = s.id
+    JOIN cnorm{p} cn ON cn.cid = s.cid
+  ) WHERE rn = 1
+),
+m{n} AS (
+  SELECT a.cid, t.i, CAST(SUM(p.qv[i]) AS DOUBLE) / COUNT(*) AS mean
+  FROM a{n} a JOIN pool p ON p.id = a.id, generate_series(1, 64) AS t(i)
+  GROUP BY a.cid, t.i
+),
+c{n} AS (
+  SELECT prev.cid, COALESCE(m.qc, prev.qc) AS qc
+  FROM c{p} prev LEFT JOIN (
+    SELECT cid, list(CAST(ROUND(mean, 6) AS DECIMAL(12,6)) ORDER BY i) AS qc
+    FROM m{n} GROUP BY cid
+  ) m ON m.cid = prev.cid
+),
+cnorm{n} AS (
+  SELECT c.cid, sqrt(CAST(SUM(c.qc[i] * c.qc[i]) AS DOUBLE)) AS nc
+  FROM c{n} c, generate_series(1, 64) AS t(i) GROUP BY c.cid
+)"""
+
+
+_KM_FINAL = KMEANS_ITERS
+
+ANN_IVF_KMEANS_ORACLE = f"""
+WITH pool AS (
+  SELECT vec_id AS id,
+         list_transform(embedding,
+                        x -> CAST(ROUND(CAST(x AS DOUBLE), 6) AS DECIMAL(12,6))) AS qv
+  FROM embeddings
+),
+vnorm AS (
+  SELECT p.id, sqrt(CAST(SUM(p.qv[i] * p.qv[i]) AS DOUBLE)) AS nv
+  FROM pool p, generate_series(1, 64) AS t(i) GROUP BY p.id
+),
+h AS (
+  SELECT id, qv,
+         CAST('0x' || substring(md5(CAST(id AS VARCHAR)), 1, 7) AS BIGINT) AS hv
+  FROM pool
+),
+c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY hv, id) - 1 AS cid, qv AS qc
+  FROM h QUALIFY ROW_NUMBER() OVER (ORDER BY hv, id) <= {N_CENTROIDS}
+),
+cnorm0 AS (
+  SELECT c.cid, sqrt(CAST(SUM(c.qc[i] * c.qc[i]) AS DOUBLE)) AS nc
+  FROM c0 c, generate_series(1, 64) AS t(i) GROUP BY c.cid
+),{",".join(_lloyd_iter_sql(i) for i in range(1, KMEANS_ITERS + 1))},
+fs AS (
+  SELECT p.id, c.cid, CAST(SUM(p.qv[i] * c.qc[i]) AS DOUBLE) AS dot
+  FROM pool p, c{_KM_FINAL} c, generate_series(1, 64) AS t(i)
+  GROUP BY p.id, c.cid
+),
+fscore AS (
+  SELECT s.id, s.cid, s.dot / (v.nv * cn.nc) AS score
+  FROM fs s
+  JOIN vnorm v ON v.id = s.id
+  JOIN cnorm{_KM_FINAL} cn ON cn.cid = s.cid
+),
+assigned AS (
+  SELECT id AS vec_id, cid FROM (
+    SELECT id, cid,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY score DESC, cid) AS rn
+    FROM fscore
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT id AS query_id, cid FROM (
+    SELECT id, cid,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY score DESC, cid) AS rn
+    FROM fscore WHERE id >= 10 AND id < 13
+  ) WHERE rn <= {NPROBE}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probes p JOIN assigned a ON a.cid = p.cid
+),
+qterms AS (
+  SELECT c.query_id, c.vec_id,
+         {_EMB_Q.format(x='e.embedding[i]')} AS xe,
+         {_EMB_Q.format(x='q.embedding[i]')} AS xq
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN embeddings q ON q.vec_id = c.query_id, generate_series(1, 64) AS t(i)
+),
+final_scores AS (
+  SELECT query_id, vec_id,
+         CAST(SUM(xe * xq) AS DOUBLE)
+           / (sqrt(CAST(SUM(xe * xe) AS DOUBLE)) * sqrt(CAST(SUM(xq * xq) AS DOUBLE))) AS score
+  FROM qterms GROUP BY query_id, vec_id
+)
+SELECT query_id, vec_id AS id, score, rank FROM (
+  SELECT query_id, vec_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+  FROM final_scores
+) WHERE rank <= 5
+"""
 
 
 _PAIR_COSINE = f"""
@@ -2241,6 +2379,7 @@ ORACLES = {
     "hot_grams_documents": HOT_GRAMS_ORACLE,
     "ann_lsh_topk": ANN_LSH_ORACLE,
     "ann_ivf_topk": ANN_IVF_ORACLE,
+    "ann_ivf_kmeans_topk": ANN_IVF_KMEANS_ORACLE,
     "multimodal_decode": MULTIMODAL_DECODE_ORACLE,
     "multimodal_frames": MULTIMODAL_FRAMES_ORACLE,
 }

@@ -385,6 +385,35 @@ class TestKMeansIVF:
         assert sorted(r["cid"] for r in cents) == [0, 1, 2, 3]
         assert all(len(r["embedding"]) == 64 for r in cents)
 
+    def test_lloyd_trainer_partition_invariant(self, clustered):
+        """The hash-gated trainer's contract: identical centroids (bitwise)
+        regardless of input partitioning — the property the MLlib k-means||
+        init lacks, which kept ann_ivf_kmeans_topk rows-only until round 4."""
+        a = ann.train_centroids_lloyd(
+            clustered, n_centroids=4, id_col="vec_id", iters=2
+        ).collect()
+        b = ann.train_centroids_lloyd(
+            clustered.repartition(13), n_centroids=4, id_col="vec_id", iters=2
+        ).collect()
+        ka = {r["cid"]: r["embedding"] for r in a}
+        kb = {r["cid"]: r["embedding"] for r in b}
+        assert ka == kb
+        assert all(len(v) == 64 for v in ka.values())
+
+    def test_lloyd_trainer_finds_cluster_structure(self, clustered):
+        """On 4 well-separated clusters, 2 Lloyd rounds from hash-seeded
+        init should land centroids that dominate in distinct anchor blocks
+        (each centroid's heaviest 16-dim block is its cluster's block)."""
+        cents = ann.train_centroids_lloyd(
+            clustered, n_centroids=4, id_col="vec_id", iters=2
+        ).collect()
+        blocks = set()
+        for r in cents:
+            e = r["embedding"]
+            sums = [sum(e[b * 16 : b * 16 + 16]) for b in range(4)]
+            blocks.add(max(range(4), key=lambda i: sums[i]))
+        assert len(blocks) >= 3  # near-perfect separation from 2 rounds
+
     def test_kmeans_ivf_recall_on_clustered_data(self, spark, clustered):
         """nprobe=1 over true clusters must recover nearly all brute-force
         top-5 neighbors (the members of the query's own cluster)."""
