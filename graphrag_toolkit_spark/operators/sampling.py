@@ -52,6 +52,37 @@ def deterministic_sample(
     return df.filter(hash_bucket(F.col(id_col), denominator) < cut)
 
 
+def order_statistic_sample(
+    df: DataFrame,
+    id_col: str,
+    k: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """EXACT-k deterministic uniform sample without replacement: rank rows
+    by the content hash of their id and keep the k smallest — hash order
+    statistics are a uniform k-subset, so this is the distributed,
+    rerun-stable analog of reservoir sampling (same ids survive on every
+    engine / run / partitioning, unlike ``df.sample`` whose output depends
+    on partition iteration order).
+
+    Scale shape: the global form compiles to TakeOrderedAndProject (per-
+    partition partial top-k, then a k-row merge — no global sort); the
+    per-group form is one window over the group key. Use this over
+    ``deterministic_sample`` when the SIZE must be exact rather than the
+    rate."""
+    h = hash_value(F.col(id_col))
+    if group_cols:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(*group_cols).orderBy(h.asc(), F.col(id_col).asc())
+        return (
+            df.withColumn("_osr", F.row_number().over(w))
+            .filter(F.col("_osr") <= k)
+            .drop("_osr")
+        )
+    return df.orderBy(h.asc(), F.col(id_col).asc()).limit(k)
+
+
 def train_val_test_split(
     df: DataFrame,
     id_col: str,

@@ -53,6 +53,14 @@ _CHECK_FIRST = [
     "sessionize_events",
     "sliding_window_events",
     "tumbling_window_events",
+    # --- new in round 4 — never driver-checked ---
+    "typo_pairs_customers",
+    "unigram_kl_documents",
+    "reservoir_sample_documents",
+    "salted_agg_events",
+    "cumulative_distinct_users_events",
+    "ewma_events",
+    "q6_forecast_revenue",
     # --- never driver-checked (r2/r3 rotation overflow + new this round) ---
     "hot_grams_documents",
     "repetition_stats_documents",

@@ -2284,8 +2284,164 @@ FROM documents, generate_series(0, 3) AS t(i)
 """
 
 
+# --- typo pairs (edit-distance-1 vocabulary cleanup) -------------------------
+
+TYPO_MIN_LEN = 4
+TYPO_MAX_LEN = 32
+
+
+def typo_pairs_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical identifier pairs (`operators/editdist.py`): customer
+    names at Levenshtein distance exactly 1, found by the deletion-
+    neighborhood EQUI-join (SymSpell blocking — never a names² cross
+    product) and verified with the exact integer metric. The canonicalize-
+    variants table an entity-resolution pass merges on; the oracle is the
+    brute-force quadratic twin, so the blocking join's completeness is
+    hash-checked, not assumed."""
+    from graphrag_toolkit_spark.operators.editdist import edit_distance_pairs
+
+    names = load(spark, sf_dir, "customer").select(
+        F.lower(F.col("c_name")).alias("name")
+    )
+    return edit_distance_pairs(
+        names, "name", min_len=TYPO_MIN_LEN, max_len=TYPO_MAX_LEN
+    )
+
+
+TYPO_PAIRS_ORACLE = f"""
+WITH vocab AS (
+  SELECT DISTINCT lower(c_name) AS token FROM customer
+  WHERE len(c_name) BETWEEN {TYPO_MIN_LEN} AND {TYPO_MAX_LEN}
+)
+SELECT a.token AS word_a, b.token AS word_b
+FROM vocab a JOIN vocab b
+  ON a.token < b.token
+ AND abs(len(a.token) - len(b.token)) <= 1
+ AND levenshtein(a.token, b.token) = 1
+"""
+
+
+# --- unigram KL divergence (corpus drift) ------------------------------------
+
+
+def unigram_kl_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-drift detector: split the corpus into two halves by content
+    hash, fit add-one-smoothed unigram distributions over the union
+    vocabulary, and report KL(A‖B) — the monitoring statistic a pipeline
+    alarms on when a new crawl shifts the language. Exactness: smoothed
+    log-probs are single `ln((c+1)/(n+V))` calls quantized to the decimal
+    grid; each KL term is rounded to 9 decimals and summed in DECIMAL
+    (order-independent)."""
+    from graphrag_toolkit_spark.operators.sampling import hash_value
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        (hash_value(F.col("doc_id")) % 2).alias("half"),
+        F.explode(F.split(F.lower(F.col("text")), r"[^0-9a-z]+")).alias("token"),
+    ).filter(F.col("token") != "")
+    counts = (
+        toks.groupBy("token")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("cb"),
+        )
+    )
+    counts.persist()
+    tot = counts.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    terms = counts.crossJoin(F.broadcast(tot)).select(
+        ((F.col("ca") + 1).cast("double") / (F.col("na") + F.col("v"))).alias("pa"),
+        (
+            F.round(
+                F.log((F.col("ca") + 1).cast("double") / (F.col("na") + F.col("v"))), 6
+            ).cast("decimal(12,6)")
+            - F.round(
+                F.log((F.col("cb") + 1).cast("double") / (F.col("nb") + F.col("v"))), 6
+            ).cast("decimal(12,6)")
+        ).cast("double").alias("dlog"),
+        F.col("v"), F.col("na"), F.col("nb"),
+    )
+    out = terms.groupBy("v", "na", "nb").agg(
+        F.sum(
+            F.round(F.col("pa") * F.col("dlog"), 9).cast("decimal(18,9)")
+        ).cast("double").alias("kl_ab")
+    ).select(
+        F.col("v").alias("vocab_size"),
+        F.col("na").alias("n_tokens_a"),
+        F.col("nb").alias("n_tokens_b"),
+        "kl_ab",
+    )
+    out = out.localCheckpoint(eager=True)
+    counts.unpersist()
+    return out
+
+
+UNIGRAM_KL_ORACLE = """
+WITH toks AS (
+  SELECT CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 2
+           AS half,
+         unnest(string_split_regex(lower(text), '[^0-9a-z]+')) AS token
+  FROM documents
+),
+counts AS (
+  SELECT token,
+         CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM toks WHERE token <> '' GROUP BY token
+),
+tot AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+         COUNT(*) AS v
+  FROM counts
+),
+terms AS (
+  SELECT t.v, t.na, t.nb,
+         CAST(c.ca + 1 AS DOUBLE) / (t.na + t.v) AS pa,
+         CAST(CAST(ROUND(ln(CAST(c.ca + 1 AS DOUBLE) / (t.na + t.v)), 6)
+                   AS DECIMAL(12,6))
+              - CAST(ROUND(ln(CAST(c.cb + 1 AS DOUBLE) / (t.nb + t.v)), 6)
+                     AS DECIMAL(12,6)) AS DOUBLE) AS dlog
+  FROM counts c, tot t
+)
+SELECT v AS vocab_size, na AS n_tokens_a, nb AS n_tokens_b,
+       CAST(SUM(CAST(ROUND(pa * dlog, 9) AS DECIMAL(18,9))) AS DOUBLE) AS kl_ab
+FROM terms GROUP BY v, na, nb
+"""
+
+
+# --- order-statistic reservoir sample ----------------------------------------
+
+RESERVOIR_K = 100
+
+
+def reservoir_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k deterministic corpus sample (`sampling.order_statistic_
+    sample`): the k docs with the smallest content hash — a uniform
+    k-subset that is stable across runs, engines, and partitionings
+    (distributed as TakeOrderedAndProject, no global sort)."""
+    from graphrag_toolkit_spark.operators.sampling import order_statistic_sample
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return order_statistic_sample(docs, "doc_id", RESERVOIR_K)
+
+
+RESERVOIR_ORACLE = f"""
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)
+           AS hv
+  FROM documents
+) QUALIFY ROW_NUMBER() OVER (ORDER BY hv, doc_id) <= {RESERVOIR_K}
+"""
+
+
 QUERIES = {
     "dedup_exact_documents": dedup_exact_documents,
+    "typo_pairs_customers": typo_pairs_customers,
+    "unigram_kl_documents": unigram_kl_documents,
+    "reservoir_sample_documents": reservoir_sample_documents,
     "minhash_signatures_documents": minhash_signatures_documents,
     "minhash_neardup_documents": minhash_neardup_documents,
     "neardup_clusters_documents": neardup_clusters_documents,
@@ -2334,6 +2490,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "typo_pairs_customers": TYPO_PAIRS_ORACLE,
+    "unigram_kl_documents": UNIGRAM_KL_ORACLE,
+    "reservoir_sample_documents": RESERVOIR_ORACLE,
     "dedup_exact_documents": DEDUP_EXACT_ORACLE,
     "minhash_signatures_documents": MINHASH_SIG_ORACLE,
     "minhash_neardup_documents": MINHASH_PAIRS_ORACLE,

@@ -711,8 +711,171 @@ FROM g WHERE gap_us IS NOT NULL GROUP BY event_type
 """
 
 
+# --- salted two-phase aggregation --------------------------------------------
+
+
+def salted_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key aggregation through `skew.two_phase_agg` (partial per
+    (key, salt) → final per key): per event_type count + exact-decimal
+    value sum + min/max. The oracle is the PLAIN group-by — hash equality
+    proves the salted decomposition is value-identical, the property that
+    lets a 100 TB pipeline route Zipfian keys through it blind."""
+    from graphrag_toolkit_spark.functions.skew import two_phase_agg
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "q", F.round(F.col("value"), 2).cast("decimal(14,2)")
+    )
+    out = two_phase_agg(
+        ev,
+        key="event_type",
+        unique_col="event_id",
+        aggs={
+            "n": (F.count(F.lit(1)), F.sum),
+            "total": (F.sum("q"), F.sum),
+            "v_min": (F.min("q"), F.min),
+            "v_max": (F.max("q"), F.max),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("total").cast("double").alias("total"),
+        F.col("v_min").cast("double").alias("v_min"),
+        F.col("v_max").cast("double").alias("v_max"),
+    )
+
+
+SALTED_AGG_ORACLE = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(14,2))) AS DOUBLE) AS total,
+       CAST(MIN(CAST(ROUND(value, 2) AS DECIMAL(14,2))) AS DOUBLE) AS v_min,
+       CAST(MAX(CAST(ROUND(value, 2) AS DECIMAL(14,2))) AS DOUBLE) AS v_max
+FROM events GROUP BY event_type
+"""
+
+
+# --- cumulative distinct users -----------------------------------------------
+
+
+def cumulative_distinct_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-to-date: per day, how many unique users have EVER been seen.
+    Scale shape: the naive distinct-over-growing-window rescans the corpus
+    per day; instead reduce each user to their FIRST day (one groupBy),
+    count first-appearances per day, and running-sum the day-sized result
+    (the window runs over ~#days rows, not events). New-user growth curve —
+    the standard activation metric."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    first_day = (
+        ev.groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("new_users"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return first_day.select(
+        "day", "new_users", F.sum("new_users").over(w).alias("cum_users")
+    )
+
+
+CUMULATIVE_DISTINCT_ORACLE = """
+WITH fd AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id
+),
+per_day AS (
+  SELECT day, COUNT(*) AS new_users FROM fd GROUP BY day
+)
+SELECT day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_users
+FROM per_day
+"""
+
+
+# --- exact truncated EWMA ----------------------------------------------------
+
+EWMA_WINDOW = 16
+# Integer weights 2^(15-j) for j = 0..15: the PRE-SCALED halving kernel
+# (actual EWMA x 2^16). Multiplying by ints keeps every product at the
+# input's scale 2, so the final decimal -> double cast is a single
+# correctly-rounded division in both engines -- the same pre-scaling trick
+# as the Katz BIGINT ranks. (A direct 2^-(j+1) decimal kernel needs scale
+# 19, whose double cast differs by 1 ulp between engines.)
+_EWMA_INT_WEIGHTS = [1 << (EWMA_WINDOW - 1 - j) for j in range(EWMA_WINDOW)]
+
+
+def ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact truncated EWMA (α=1/2) of the event value per user, PRE-SCALED
+    by 2¹⁶: at each event, ewma_x65536 = Σ_{j=0..15} q_{t−j}·2^(15−j) over
+    the trailing 16-row frame. Integer halving weights keep every product
+    at the input's decimal scale, so the whole smoothing is EXACT decimal
+    arithmetic with a clean double cast — same pre-scaling trick as the
+    Katz BIGINT ranks. One window per user, frame-bounded state."""
+    from pyspark.sql.window import Window
+
+    weights = F.array(*[F.lit(w) for w in _EWMA_INT_WEIGHTS])
+    ev = load(spark, sf_dir, "events").withColumn(
+        "q", F.round(F.col("value"), 2).cast("decimal(14,2)")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_WINDOW - 1), 0)
+    )
+    # frame order is oldest→current; reverse so index j=0 is the current row
+    framed = ev.select(
+        "event_id",
+        "user_id",
+        F.reverse(F.collect_list("q").over(w)).alias("frame"),
+    )
+    prods = F.zip_with(
+        F.col("frame"),
+        F.slice(weights, 1, F.size(F.col("frame"))),
+        lambda x, wt: x * wt,
+    )
+    return framed.select(
+        "event_id",
+        "user_id",
+        F.aggregate(
+            prods,
+            F.lit(0).cast("decimal(30,2)"),
+            lambda acc, v: (acc + v).cast("decimal(30,2)"),
+        ).cast("double").alias("ewma_x65536"),
+    )
+
+
+_EWMA_WEIGHT_CASE = " ".join(
+    f"WHEN {j} THEN {w}" for j, w in enumerate(_EWMA_INT_WEIGHTS)
+)
+
+EWMA_ORACLE = f"""
+WITH base AS (
+  SELECT event_id, user_id, CAST(ROUND(value, 2) AS DECIMAL(14,2)) AS q,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+weights AS (
+  SELECT j, CASE j {_EWMA_WEIGHT_CASE} END AS wt
+  FROM generate_series(0, {EWMA_WINDOW - 1}) AS t(j)
+)
+SELECT a.event_id, a.user_id,
+       CAST(CAST(SUM(b.q * w.wt) AS DECIMAL(30,2)) AS DOUBLE) AS ewma_x65536
+FROM base a
+JOIN base b ON b.user_id = a.user_id
+           AND b.rn BETWEEN a.rn - {EWMA_WINDOW - 1} AND a.rn
+JOIN weights w ON w.j = a.rn - b.rn
+GROUP BY a.event_id, a.user_id
+"""
+
+
 QUERIES = {
     "tumbling_window_events": tumbling_window_events,
+    "salted_agg_events": salted_agg_events,
+    "cumulative_distinct_users_events": cumulative_distinct_users_events,
+    "ewma_events": ewma_events,
     "robust_stats_events": robust_stats_events,
     "interarrival_stats_events": interarrival_stats_events,
     "resample_gapfill_events": resample_gapfill_events,
@@ -732,6 +895,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "salted_agg_events": SALTED_AGG_ORACLE,
+    "cumulative_distinct_users_events": CUMULATIVE_DISTINCT_ORACLE,
+    "ewma_events": EWMA_ORACLE,
     "tumbling_window_events": TUMBLING_ORACLE,
     "sliding_window_events": SLIDING_ORACLE,
     "sessionize_events": SESSIONIZE_ORACLE,

@@ -717,7 +717,44 @@ FROM orders GROUP BY y, m, dow_sun1
 """
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the pure-scan aggregate —
+    every predicate pushes to the parquet scan, the sum is a single
+    map-side-combined DECIMAL aggregate, no join and no wide shuffle.
+    Discount is quantized to its 2-decimal domain so the price×discount
+    product is exact."""
+    li = load(spark, sf_dir, "lineitem")
+    d = F.round(F.col("l_discount"), 2).cast("decimal(4,2)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.round(F.col("l_discount"), 2).between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(12,2)") * d)
+            ).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+Q6_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(ROUND(l_discount, 2) AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND ROUND(l_discount, 2) BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
 QUERIES = {
+    "q6_forecast_revenue": q6_forecast_revenue,
     "q1_pricing_summary": q1_pricing_summary,
     "validate_orders": validate_orders,
     "unpivot_orders_by_priority": unpivot_orders_by_priority,
@@ -742,6 +779,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q6_forecast_revenue": Q6_ORACLE,
     "q1_pricing_summary": Q1_ORACLE,
     "cube_stats_orders": CUBE_ORACLE,
     "pivot_orders_by_priority": PIVOT_ORACLE,

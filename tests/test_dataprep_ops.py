@@ -135,6 +135,69 @@ class TestSampling:
         assert 80 < langs["en"] < 250  # ~10% of 1500
 
 
+class TestOrderStatisticSample:
+    def test_exact_k_uniform_and_stable(self, spark):
+        df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+        a = {r["doc_id"] for r in
+             sampling.order_statistic_sample(df, "doc_id", 50).collect()}
+        b = {r["doc_id"] for r in
+             sampling.order_statistic_sample(
+                 df.repartition(17).orderBy(F.desc("doc_id")), "doc_id", 50
+             ).collect()}
+        assert len(a) == 50 and a == b  # exact size, partitioning-invariant
+        # nested: k=25 sample is a subset of k=50 (order statistics)
+        c = {r["doc_id"] for r in
+             sampling.order_statistic_sample(df, "doc_id", 25).collect()}
+        assert c <= a
+
+    def test_per_group_exact_k(self, spark):
+        rows = [{"doc_id": i, "lang": "en" if i % 3 else "de"} for i in range(300)]
+        df = spark.createDataFrame(rows)
+        out = sampling.order_statistic_sample(df, "doc_id", 10, group_cols=["lang"])
+        counts = {r["lang"]: r["n"] for r in
+                  out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert counts == {"en": 10, "de": 10}
+
+
+class TestEditDistancePairs:
+    def test_substitution_insertion_deletion_found(self, spark):
+        from graphrag_toolkit_spark.operators.editdist import edit_distance_pairs
+
+        df = spark.createDataFrame(
+            [{"w": x} for x in
+             ["hello", "hallo", "hell", "help", "world", "word", "wort",
+              "banana", "hello"]]  # duplicate input must not duplicate pairs
+        )
+        out = sorted(map(tuple, edit_distance_pairs(df, "w").collect()))
+        assert out == [
+            ("hallo", "hello"), ("hell", "hello"), ("hell", "help"),
+            ("word", "world"), ("word", "wort"),
+        ]
+
+    def test_matches_brute_force_levenshtein(self, spark):
+        """Blocking completeness: the equi-join candidates must recover the
+        full brute-force ED=1 pair set on a dense id-like vocabulary."""
+        from graphrag_toolkit_spark.operators.editdist import edit_distance_pairs
+
+        words = [f"id{n:04d}" for n in range(0, 300, 7)]
+        df = spark.createDataFrame([{"w": w} for w in words])
+        fast = set(map(tuple, edit_distance_pairs(df, "w").collect()))
+        a = df.select(F.col("w").alias("word_a"))
+        b = df.select(F.col("w").alias("word_b"))
+        brute = set(
+            map(
+                tuple,
+                a.crossJoin(b)
+                .filter(
+                    (F.col("word_a") < F.col("word_b"))
+                    & (F.levenshtein("word_a", "word_b") == 1)
+                )
+                .collect(),
+            )
+        )
+        assert fast == brute and brute  # non-vacuous
+
+
 class TestConnectedComponents:
     def test_chain_and_island(self, spark):
         pairs = spark.createDataFrame(
