@@ -66,6 +66,11 @@ HEADLINE = [
     "katz_centrality_graph",
     "semantic_dedup_embeddings",
     "training_data_pipeline",
+    # round-4 additions: blocking fuzzy-pair join, exact EWMA window,
+    # trained-IVF (Lloyd) end-to-end
+    "typo_pairs_customers",
+    "ewma_events",
+    "ann_ivf_kmeans_topk",
 ]
 
 

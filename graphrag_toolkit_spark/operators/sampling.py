@@ -105,6 +105,39 @@ def train_val_test_split(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006): each row gets key = ln(u)/w for a content-hash uniform
+    u ∈ (0, 1]; the k largest keys are a weighted k-subset (selection
+    probability ∝ weight, exactly the A-ES reservoir scheme) — but with u
+    derived from the id hash instead of an RNG, the sample is reproducible
+    across runs, engines, and partitionings.
+
+    Exactness discipline: ln(u) is quantized to the 6-decimal grid
+    immediately (no raw transcendental ever crosses the engine boundary),
+    the division runs on exact double operands, and the order has an id
+    tie-break — so the selected set is engine-identical. Distributed as
+    TakeOrderedAndProject (partial per-partition top-k), no global sort.
+    Rows with weight <= 0 never win (key → -inf semantics via filter)."""
+    u = (hash_value(F.col(id_col)) + 1).cast("double") / F.lit(float(HASH_DOMAIN))
+    key = (
+        F.round(F.log(u), 6).cast("decimal(12,6)").cast("double")
+        / F.col(weight_col).cast("double")
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_wkey", key)
+        .orderBy(F.desc("_wkey"), F.asc(id_col))
+        .limit(k)
+        .drop("_wkey")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     id_col: str,

@@ -256,3 +256,67 @@ def bloom_might_contain(
     return out.withColumn("might_contain", cond).drop(
         *[f"__b{i}" for i in range(k)]
     )
+
+
+# --- equi-width histogram quantile sketch ------------------------------------
+
+def histogram_sketch(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    buckets: int = 64,
+) -> DataFrame:
+    """Mergeable quantile summary: equi-width integer bucket counts over
+    [lo, hi) (values clamped to the edge buckets). State is `buckets` ints
+    per sketch — mergeable by cell-wise addition like the CMS — and the
+    bucket assignment is exact integer arithmetic on an exact-decimal
+    offset, so sketches are engine- and partitioning-identical. The
+    distributed fixed-memory stand-in for sort-based exact percentiles
+    (the t-digest/KLL role, deterministic instead of sampled)."""
+    width = (hi - lo) / buckets
+    b = F.floor((F.col(value_col).cast("double") - F.lit(lo)) / F.lit(width))
+    b = F.least(F.greatest(b, F.lit(0)), F.lit(buckets - 1)).cast("int")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(b.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def quantiles_from_histogram(
+    hist: DataFrame,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    buckets: int = 64,
+) -> DataFrame:
+    """Quantile estimates from the bucket counts: for each q, rank
+    r = floor(q·(n−1)) + 1 (1-based), found by cumulative count, linearly
+    interpolated inside the bucket — every step integer arithmetic plus
+    one exact-operand double division. Returns (q, est)."""
+    width = (hi - lo) / buckets
+    spark = hist.sparkSession
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        hist.withColumn("cum", F.sum("n").over(w))
+        .withColumn("cum_before", F.col("cum") - F.col("n"))
+    )
+    total = hist.agg(F.sum("n").alias("total"))
+    qdf = F.broadcast(
+        spark.createDataFrame([{"q": float(q)} for q in qs])
+    ).crossJoin(F.broadcast(total)).withColumn(
+        "r", F.floor(F.col("q") * (F.col("total") - 1)).cast("bigint") + 1
+    )
+    hit = (
+        qdf.join(cum, (F.col("cum") >= F.col("r")) & (F.col("cum_before") < F.col("r")))
+    )
+    est = (
+        F.lit(lo)
+        + F.lit(width)
+        * (
+            F.col("bucket").cast("double")
+            + (F.col("r") - F.col("cum_before")).cast("double") / F.col("n")
+        )
+    )
+    return hit.select("q", est.alias("est"))

@@ -410,6 +410,13 @@ def word_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     decimal sum, and the outer ops on exact operands — engine-identical.
     Returns (id, n_words, word_entropy).
 
+    ZERO-SHUFFLE: term frequencies are run lengths of the per-row sorted
+    token array (a document's words never leave their row), so the whole
+    signal is one narrow projection — the explode + groupBy(id, token) +
+    groupBy(id) + re-join shape this replaces shuffled the entire token
+    corpus twice to aggregate keys that were row-local all along. Same
+    trick as ``tfidf.tokenize``; plan-pinned in tests/test_plans.py.
+
     Logs are taken in NATS and converted to bits by one division by a
     shared ln(2) literal — ``log2`` intrinsics differ across engines
     (Spark computes ln(x)/ln(2)), and even ``ln`` itself can differ in the
@@ -419,42 +426,42 @@ def word_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     decimal sum are then exact, and the one remaining ulp-risk is a log
     value within 5e-16 of a rounding boundary — absent from these inputs
     and vanishingly unlikely in general."""
-    from graphrag_toolkit_spark.functions.skew import widen_partitions
-
-    tf = (
-        widen_partitions(df)
-        .select(
-            F.col(id_col).alias("id"),
-            F.explode(F.split(F.lower(F.col(text_col)), r"[^0-9a-z]+")).alias(
-                "token"
-            ),
-        )
-        .filter(F.col("token") != "")
-        .groupBy("id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
     lnq = lambda c: F.round(F.log(c), 6).cast("decimal(12,6)")  # noqa: E731
-    agg = tf.groupBy("id").agg(
-        F.sum("tf").alias("n"),
-        F.sum(
-            (F.col("tf") * lnq(F.col("tf"))).cast("decimal(18,6)")
-        ).cast("double").alias("s"),
-    )
-    return (
-        df.select(F.col(id_col).alias("id"))
-        .join(agg, "id", "left")
-        .select(
-            "id",
-            F.coalesce(F.col("n"), F.lit(0)).alias("n_words"),
-            F.when(
-                F.col("n") > 0,
-                (
-                    lnq(F.col("n")).cast("double")
-                    - F.col("s") / F.col("n").cast("double")
-                )
-                / F.lit(LN2),
-            ).otherwise(F.lit(0.0)).alias("word_entropy"),
+    toks = F.array_sort(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"[^0-9a-z]+"),
+            lambda t: t != "",
         )
+    )
+    base = df.select(F.col(id_col).alias("id"), toks.alias("__s")).withColumn(
+        "__starts",
+        F.expr(
+            "CASE WHEN size(__s) = 0 THEN array() "
+            "ELSE filter(sequence(0, size(__s) - 1), "
+            "            i -> i = 0 OR __s[i] <> __s[i - 1]) END"
+        ),
+    )
+    tfs = F.expr(
+        "transform(__starts, (st, j) -> "
+        "  coalesce(try_element_at(__starts, j + 2), size(__s)) - st)"
+    )
+    n = F.size(F.col("__s")).cast("bigint")
+    s = F.aggregate(
+        tfs,
+        F.lit(0).cast("decimal(28,6)"),
+        lambda acc, tf: (
+            acc
+            + (tf.cast("bigint") * lnq(tf.cast("double"))).cast("decimal(18,6)")
+        ).cast("decimal(28,6)"),
+    ).cast("double")
+    return base.select(
+        "id",
+        n.alias("n_words"),
+        F.when(
+            n > 0,
+            (lnq(n.cast("double")).cast("double") - s / n.cast("double"))
+            / F.lit(LN2),
+        ).otherwise(F.lit(0.0)).alias("word_entropy"),
     )
 
 

@@ -23,7 +23,8 @@ from pyspark.sql import functions as F
 
 
 def tokenize(
-    df: DataFrame, text_col: str, id_col: str, widen: bool = True
+    df: DataFrame, text_col: str, id_col: str, widen: bool = True,
+    with_dl: bool = False,
 ) -> DataFrame:
     """Lowercased word tokens, one row per (id, token, tf).
 
@@ -37,10 +38,16 @@ def tokenize(
 
     ``widen=False`` skips the pre-explode repartition — for tiny frames (a
     one-row query string) where a 1→N shuffle is pure overhead.
+    ``with_dl=True`` adds the document's total token count as a ``dl``
+    column on every token row — also row-local, saving consumers (BM25)
+    a groupBy over the token table.
     """
     from graphrag_toolkit_spark.functions.skew import widen_partitions
 
     toks = F.split(F.lower(F.col(text_col)), r"[^0-9a-z]+")
+    dl_cols = (
+        [F.size(F.col("__s")).cast("bigint").alias("dl")] if with_dl else []
+    )
     return (
         (widen_partitions(df) if widen else df)
         .select(
@@ -59,6 +66,7 @@ def tokenize(
         )
         .select(
             "id",
+            *dl_cols,
             F.explode(
                 F.expr(
                     "transform(__starts, (st, j) -> named_struct("
@@ -68,7 +76,12 @@ def tokenize(
                 )
             ).alias("__e"),
         )
-        .select("id", F.col("__e.token"), F.col("__e.tf").cast("bigint").alias("tf"))
+        .select(
+            "id",
+            *(["dl"] if with_dl else []),
+            F.col("__e.token"),
+            F.col("__e.tf").cast("bigint").alias("tf"),
+        )
     )
 
 
@@ -246,12 +259,14 @@ def bm25_scores(
     aggregates — one token-shuffle end to end, same as TF-IDF above.
     """
     n_docs = docs.count()
-    doc_tokens = tokenize(docs, text_col, id_col)
+    # dl rides along row-locally (with_dl) — no groupBy over the token
+    # table just to recover each doc's own length
+    doc_tokens = tokenize(docs, text_col, id_col, with_dl=True)
     doc_tokens.persist()
 
-    dl = doc_tokens.groupBy("id").agg(F.sum("tf").alias("dl"))
-    total_row = dl.select(
-        F.sum("dl").cast("double").alias("s"), F.count(F.lit(1)).alias("n")
+    total_row = doc_tokens.agg(
+        F.sum("tf").cast("double").alias("s"),
+        F.countDistinct("id").alias("n"),
     ).head()
     # avg over docs WITH tokens; exact-int operands -> identical division
     avgdl = float(total_row["s"] or 0.0) / float(total_row["n"] or 1)
@@ -271,7 +286,6 @@ def bm25_scores(
     )
     term = (
         doc_tokens.join(dfreq, "token")
-        .join(dl, "id")
         .withColumn(
             "idf",
             F.log(

@@ -61,6 +61,9 @@ _CHECK_FIRST = [
     "cumulative_distinct_users_events",
     "ewma_events",
     "q6_forecast_revenue",
+    "weighted_sample_documents",
+    "per_label_sample_embeddings",
+    "histogram_quantiles_events",
     # --- never driver-checked (r2/r3 rotation overflow + new this round) ---
     "hot_grams_documents",
     "repetition_stats_documents",

@@ -2437,9 +2437,70 @@ SELECT doc_id, lang, source FROM (
 """
 
 
+# --- weighted sample ----------------------------------------------------------
+
+WEIGHTED_K = 50
+_HASH_DEN = float(1 << 28)
+
+
+def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Efraimidis–Spirakis weighted sample
+    (`sampling.weighted_sample`): 50 docs drawn without replacement with
+    probability ∝ length — the quality-weighted corpus draw a curriculum
+    or eval-set builder uses, reproducible because u comes from the id's
+    content hash, not an RNG."""
+    from graphrag_toolkit_spark.operators.sampling import weighted_sample
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample(docs, "doc_id", "n_chars", WEIGHTED_K)
+
+
+WEIGHTED_SAMPLE_ORACLE = f"""
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+         CAST(CAST(ROUND(ln((hv + 1) / {_HASH_DEN!r}), 6) AS DECIMAL(12,6))
+              AS DOUBLE) / CAST(n_chars AS DOUBLE) AS wkey
+  FROM (
+    SELECT doc_id, n_chars,
+           CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)
+             AS hv
+    FROM documents WHERE n_chars > 0
+  )
+) QUALIFY ROW_NUMBER() OVER (ORDER BY wkey DESC, doc_id) <= {WEIGHTED_K}
+"""
+
+
+# --- per-label exact-k sample -------------------------------------------------
+
+PER_LABEL_K = 5
+
+
+def per_label_sample_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact-k leg of `sampling.order_statistic_sample`: 5 vectors
+    per cluster label — the balanced eval-set draw (one window over the
+    group key, hash order statistics within)."""
+    from graphrag_toolkit_spark.operators.sampling import order_statistic_sample
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return order_statistic_sample(emb, "vec_id", PER_LABEL_K, group_cols=["label"])
+
+
+PER_LABEL_SAMPLE_ORACLE = f"""
+SELECT vec_id, label FROM (
+  SELECT vec_id, label,
+         CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 7) AS BIGINT)
+           AS hv
+  FROM embeddings
+) QUALIFY ROW_NUMBER() OVER (PARTITION BY label ORDER BY hv, vec_id)
+          <= {PER_LABEL_K}
+"""
+
+
 QUERIES = {
     "dedup_exact_documents": dedup_exact_documents,
     "typo_pairs_customers": typo_pairs_customers,
+    "weighted_sample_documents": weighted_sample_documents,
+    "per_label_sample_embeddings": per_label_sample_embeddings,
     "unigram_kl_documents": unigram_kl_documents,
     "reservoir_sample_documents": reservoir_sample_documents,
     "minhash_signatures_documents": minhash_signatures_documents,
@@ -2491,6 +2552,8 @@ QUERIES = {
 
 ORACLES = {
     "typo_pairs_customers": TYPO_PAIRS_ORACLE,
+    "weighted_sample_documents": WEIGHTED_SAMPLE_ORACLE,
+    "per_label_sample_embeddings": PER_LABEL_SAMPLE_ORACLE,
     "unigram_kl_documents": UNIGRAM_KL_ORACLE,
     "reservoir_sample_documents": RESERVOIR_ORACLE,
     "dedup_exact_documents": DEDUP_EXACT_ORACLE,

@@ -871,11 +871,66 @@ GROUP BY a.event_id, a.user_id
 """
 
 
+
+
+# --- histogram quantile sketch ------------------------------------------------
+
+HIST_LO, HIST_HI, HIST_BUCKETS = 0.0, 500.0, 50
+HIST_QS = [0.5, 0.9, 0.99]
+
+
+def histogram_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-memory quantile estimates (`sketch.histogram_sketch`
+    + `quantiles_from_histogram`): equi-width integer bucket counts over
+    the value domain, rank lookup + in-bucket linear interpolation — the
+    deterministic t-digest/KLL stand-in whose ESTIMATES are hash-exact
+    across engines (pure integer state + exact-operand division), unlike
+    approx_percentile. State is 50 ints regardless of corpus size."""
+    from graphrag_toolkit_spark.operators import sketch
+
+    ev = load(spark, sf_dir, "events")
+    hist = sketch.histogram_sketch(ev, "value", HIST_LO, HIST_HI, HIST_BUCKETS)
+    return sketch.quantiles_from_histogram(
+        hist, HIST_QS, HIST_LO, HIST_HI, HIST_BUCKETS
+    )
+
+
+_HIST_W = (HIST_HI - HIST_LO) / HIST_BUCKETS
+
+HISTOGRAM_QUANTILES_ORACLE = f"""
+WITH hist AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR((value - {HIST_LO!r}) / {_HIST_W!r}) AS BIGINT),
+                        0), {HIST_BUCKETS - 1}) AS bucket,
+         COUNT(*) AS n
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+cum AS (
+  SELECT bucket, n,
+         SUM(n) OVER (ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(n) OVER (ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+           AS cum_before
+  FROM hist
+),
+total AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM hist),
+qs AS (
+  SELECT q, CAST(FLOOR(q * (t.total - 1)) AS BIGINT) + 1 AS r
+  FROM (SELECT unnest([{", ".join(repr(q) for q in HIST_QS)}]) AS q), total t
+)
+SELECT CAST(qs.q AS DOUBLE) AS q,
+       {HIST_LO!r} + {_HIST_W!r} * (CAST(c.bucket AS DOUBLE)
+         + CAST(qs.r - c.cum_before AS DOUBLE) / c.n) AS est
+FROM qs JOIN cum c ON c.cum >= qs.r AND c.cum_before < qs.r
+"""
+
+
 QUERIES = {
     "tumbling_window_events": tumbling_window_events,
     "salted_agg_events": salted_agg_events,
     "cumulative_distinct_users_events": cumulative_distinct_users_events,
     "ewma_events": ewma_events,
+    "histogram_quantiles_events": histogram_quantiles_events,
     "robust_stats_events": robust_stats_events,
     "interarrival_stats_events": interarrival_stats_events,
     "resample_gapfill_events": resample_gapfill_events,
@@ -898,6 +953,7 @@ ORACLES = {
     "salted_agg_events": SALTED_AGG_ORACLE,
     "cumulative_distinct_users_events": CUMULATIVE_DISTINCT_ORACLE,
     "ewma_events": EWMA_ORACLE,
+    "histogram_quantiles_events": HISTOGRAM_QUANTILES_ORACLE,
     "tumbling_window_events": TUMBLING_ORACLE,
     "sliding_window_events": SLIDING_ORACLE,
     "sessionize_events": SESSIONIZE_ORACLE,

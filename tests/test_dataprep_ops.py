@@ -1307,3 +1307,28 @@ class TestVocabEncode:
         assert out[1] == (3, [1, 0, 1])
         assert out[2] == (2, [-1, 0])
         assert out[3] == (0, [])
+
+
+class TestWeightedSample:
+    def test_exact_k_stable_and_weight_monotone(self, spark):
+        rows = [{"doc_id": i, "w": 1.0 + (i % 5)} for i in range(500)]
+        df = spark.createDataFrame(rows)
+        a = {r["doc_id"] for r in sampling.weighted_sample(df, "doc_id", "w", 40).collect()}
+        b = {r["doc_id"] for r in sampling.weighted_sample(
+            df.repartition(9), "doc_id", "w", 40).collect()}
+        assert len(a) == 40 and a == b
+        # raising one selected row's weight can only keep it selected
+        # (its E-S key grows, everyone else's is unchanged)
+        target = sorted(a)[0]
+        boosted = spark.createDataFrame(
+            [{**r, "w": 1e6 if r["doc_id"] == target else r["w"]} for r in rows]
+        )
+        a2 = {r["doc_id"] for r in sampling.weighted_sample(boosted, "doc_id", "w", 40).collect()}
+        assert target in a2
+
+    def test_nonpositive_weights_excluded(self, spark):
+        df = spark.createDataFrame(
+            [{"doc_id": 1, "w": 0.0}, {"doc_id": 2, "w": -3.0}, {"doc_id": 3, "w": 2.0}]
+        )
+        out = [r["doc_id"] for r in sampling.weighted_sample(df, "doc_id", "w", 10).collect()]
+        assert out == [3]

@@ -320,6 +320,18 @@ def test_tokenize_is_shuffle_free(spark, sf_dir):
     assert "EvalPython" not in plan
 
 
+def test_word_entropy_shuffle_free(spark, sf_dir):
+    """Per-doc entropy is a row-local fold over sorted-run term frequencies:
+    zero Exchange, zero Python — the explode+groupBy+re-join shape this
+    replaced shuffled the token corpus twice."""
+    from graphrag_toolkit_spark.operators import textstats
+
+    docs = load(spark, sf_dir, "documents")
+    plan = plan_of(textstats.word_entropy(docs, "text", "doc_id"))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
 def test_tfidf_one_shuffle_fused_norm_dot(spark, sf_dir):
     """TF-IDF scoring end-to-end (checkpoint=False): the only Exchanges
     allowed are the widen repartition and the single id-grouped aggregate

@@ -200,3 +200,36 @@ def test_kmv_partition_invariance(spark):
         for r in sketch.kmv_distinct(base.repartition(11), ["g"], "v", k=32).collect()
     }
     assert a == b
+
+
+class TestHistogramQuantiles:
+    def test_uniform_estimates_close_to_exact(self, spark):
+        from pyspark.sql import functions as F
+
+        df = spark.range(10000).select((F.col("id") % 1000).cast("double").alias("v"))
+        hist = sketch.histogram_sketch(df, "v", 0.0, 1000.0, buckets=100)
+        est = {r["q"]: r["est"] for r in
+               sketch.quantiles_from_histogram(hist, [0.5, 0.9], 0.0, 1000.0, 100).collect()}
+        assert abs(est[0.5] - 500.0) < 15.0
+        assert abs(est[0.9] - 900.0) < 15.0
+
+    def test_mergeable_cellwise(self, spark):
+        from pyspark.sql import functions as F
+
+        a = spark.range(0, 500).select(F.col("id").cast("double").alias("v"))
+        b = spark.range(500, 1000).select(F.col("id").cast("double").alias("v"))
+        merged = (
+            sketch.histogram_sketch(a, "v", 0.0, 1000.0, 10)
+            .unionByName(sketch.histogram_sketch(b, "v", 0.0, 1000.0, 10))
+            .groupBy("bucket").agg(F.sum("n").alias("n"))
+        )
+        full = sketch.histogram_sketch(a.unionByName(b), "v", 0.0, 1000.0, 10)
+        assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+
+    def test_clamps_out_of_range(self, spark):
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([{"v": -5.0}, {"v": 9999.0}, {"v": 50.0}])
+        rows = {r["bucket"]: r["n"] for r in
+                sketch.histogram_sketch(df, "v", 0.0, 100.0, 10).collect()}
+        assert rows == {0: 1, 9: 1, 5: 1}  # low->first, high->last
