@@ -172,3 +172,48 @@ def personalized_katz(
         )
     finally:
         e.unpersist()
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """k-core peeling, ``rounds`` synchronous rounds: repeatedly drop nodes
+    whose degree (undirected, over surviving edges) is < k. Returns the
+    surviving (node, degree) table — after enough rounds this IS the k-core
+    (maximal subgraph with min degree ≥ k); a fixed round count keeps the
+    spec deterministic and oracle-expressible (the oracle unrolls the same
+    rounds), while callers can loop to a fixpoint by comparing counts.
+
+    Scale shape (same discipline as `katz_centrality`): each round is one
+    degree aggregate over the surviving edge list + two semi-joins to drop
+    edges touching peeled nodes; the edge list only shrinks, and each
+    round's result is localCheckpointed so the plan stays round-sized
+    instead of growing a 2^rounds lineage."""
+    e = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    e = e.localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionByName(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        keep = deg.filter(F.col("degree") >= k).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+        ).localCheckpoint(eager=True)
+    # the post-round degree table, unfiltered: at the fixpoint every degree
+    # is >= k (the k-core); before it, callers see the raw peeling state
+    return (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )

@@ -1,0 +1,111 @@
+"""Feature-engineering operators for training-data pipelines.
+
+North-star additions (no reference counterpart — the reference stops at
+retrieval; these are the tabular-feature stages a model-training pipeline
+runs on the same corpus):
+
+- ``target_encode``: leave-one-out mean-target encoding of a categorical
+  column — THE classic high-cardinality categorical feature, with the
+  leakage guard built in (each row's own target is excluded from its
+  encoding). One groupBy over the category; the per-row LOO value is a
+  broadcast-join + arithmetic, exact decimals end to end.
+- ``negative_samples``: deterministic hash-ring negative sampling for
+  contrastive training — each anchor draws k candidates at positions
+  ``(hash(anchor) + j·stride) mod N`` of the hash-ordered corpus ring.
+  No RNG state, no corpus shuffle per anchor: one dense index build
+  (window) + an equi-join on ring position; reproducible across runs,
+  engines, and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from graphrag_toolkit_spark.operators.sampling import hash_value
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    prior_weight: int = 0,
+) -> DataFrame:
+    """Append ``te_<cat_col>``: the mean target of the row's category
+    computed WITHOUT the row itself (leave-one-out — the standard leakage
+    guard). Optional additive smoothing toward the global mean with
+    ``prior_weight`` pseudo-observations:
+
+        te = (cat_sum − y + m·global_mean) / (cat_n − 1 + m)
+
+    Exactness: sums are DECIMAL (2-decimal money targets stay exact), the
+    global mean enters as an exact ratio (its numerator/denominator are
+    carried separately so no rounded intermediate leaks in), and the one
+    division runs on exact double operands. Singleton categories with no
+    smoothing fall back to the global mean (their LOO set is empty)."""
+    q = F.round(F.col(target_col), 2).cast("decimal(18,2)")
+    d = df.withColumn("__y", q)
+    stats = d.groupBy(cat_col).agg(
+        F.sum("__y").alias("__cat_sum"), F.count(F.lit(1)).alias("__cat_n")
+    )
+    glob = d.agg(
+        F.sum("__y").alias("__g_sum"), F.count(F.lit(1)).alias("__g_n")
+    )
+    m = F.lit(prior_weight)
+    out = d.join(F.broadcast(stats), cat_col).crossJoin(F.broadcast(glob))
+    g_mean = F.col("__g_sum").cast("double") / F.col("__g_n")
+    loo_n = (F.col("__cat_n") - 1 + m).cast("double")
+    te = F.when(
+        loo_n > 0,
+        (
+            (F.col("__cat_sum") - F.col("__y")).cast("double")
+            + m.cast("double") * g_mean
+        )
+        / loo_n,
+    ).otherwise(g_mean)
+    return out.withColumn(f"te_{cat_col}", te).drop(
+        "__y", "__cat_sum", "__cat_n", "__g_sum", "__g_n"
+    )
+
+
+def negative_samples(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    id_col: str,
+    anchor_col: str,
+    k: int = 4,
+    stride: int = 7919,
+) -> DataFrame:
+    """For each anchor id, k deterministic negatives from the corpus hash
+    ring: candidates at ring positions ``(hash(anchor) + j·stride) mod N``
+    for j = 1..k (prime stride scatters consecutive j across the ring),
+    dropping the accidental self-match (so an anchor yields k or k−1
+    rows). Returns (anchor, j, neg_id).
+
+    Scale shape: the ring index is ONE window over hash order (built once
+    per corpus snapshot, reusable across anchor batches); sampling is a
+    narrow position explode on the anchor side + an equi-join on position
+    — no per-anchor corpus scan, no RNG."""
+    n = corpus.count()
+    ring = corpus.select(
+        F.col(id_col).alias("neg_id"),
+        (
+            F.row_number().over(
+                Window.orderBy(hash_value(F.col(id_col)).asc(), F.col(id_col).asc())
+            )
+            - 1
+        ).alias("__pos"),
+    )
+    probes = anchors.select(
+        F.col(anchor_col).alias("anchor"),
+        F.explode(F.sequence(F.lit(1), F.lit(k))).alias("j"),
+    ).withColumn(
+        "__pos",
+        (hash_value(F.col("anchor")) + F.col("j") * F.lit(stride)) % F.lit(n),
+    )
+    return (
+        probes.join(ring, "__pos")
+        .filter(F.col("neg_id") != F.col("anchor"))
+        .select("anchor", "j", "neg_id")
+    )

@@ -100,3 +100,51 @@ def ranking_metrics(
             ).otherwise(F.lit(0.0)).alias("recall"),
         )
     )
+
+
+def binary_auc(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact ROC-AUC via the Mann-Whitney rank statistic, tie-corrected
+    with average ranks — and computed ENTIRELY in integers until the one
+    final division, so the value is engine-identical (no float rank sums):
+
+        group rows by distinct score (ascending); for a group with count c
+        whose first ascending rank is r, the average rank is r + (c−1)/2,
+        i.e. DOUBLED avg rank = 2r + c − 1 (an integer).
+        S2 = Σ over positives of doubled avg rank
+        AUC = (S2 − P(P+1)) / (2·P·N)
+
+    One groupBy on the score + one cumulative window over the (distinct-
+    score-sized) group table. Returns (n_pos, n_neg, auc); auc is NULL
+    when either class is empty (undefined)."""
+    g = (
+        scored.groupBy(F.col(score_col).alias("__s"))
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(
+                F.when(F.col(label_col).cast("boolean"), 1).otherwise(0)
+            ).alias("pos"),
+        )
+    )
+    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, 0)
+    g = g.withColumn("cum", F.sum("c").over(w))
+    # first ascending rank of the group r = cum - c + 1; doubled avg rank:
+    s2_term = F.col("pos") * (2 * (F.col("cum") - F.col("c") + 1) + F.col("c") - 1)
+    agg = g.agg(
+        F.sum(s2_term).cast("bigint").alias("s2"),
+        F.sum("pos").cast("bigint").alias("p"),
+        F.sum("c").cast("bigint").alias("n_total"),
+    )
+    n_neg = F.col("n_total") - F.col("p")
+    return agg.select(
+        F.col("p").alias("n_pos"),
+        n_neg.alias("n_neg"),
+        F.when(
+            (F.col("p") > 0) & (n_neg > 0),
+            (F.col("s2") - F.col("p") * (F.col("p") + 1)).cast("double")
+            / (2 * F.col("p") * n_neg).cast("double"),
+        ).alias("auc"),
+    )

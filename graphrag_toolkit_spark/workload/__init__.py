@@ -64,6 +64,10 @@ _CHECK_FIRST = [
     "weighted_sample_documents",
     "per_label_sample_embeddings",
     "histogram_quantiles_events",
+    "target_encode_orders",
+    "auc_documents",
+    "negative_samples_embeddings",
+    "kcore_parts",
     # --- never driver-checked (r2/r3 rotation overflow + new this round) ---
     "hot_grams_documents",
     "repetition_stats_documents",

@@ -2496,11 +2496,98 @@ SELECT vec_id, label FROM (
 """
 
 
+
+
+# --- exact ROC-AUC ------------------------------------------------------------
+
+
+def auc_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-corrected ROC-AUC (`ranking_eval.binary_auc`): does doc
+    length predict English? Pure-integer Mann-Whitney rank statistic (the
+    doubled-average-rank trick keeps tie correction in BIGINT), one double
+    division at the end — the classifier-eval metric, hash-exact."""
+    from graphrag_toolkit_spark.operators.ranking_eval import binary_auc
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("double").alias("score"),
+        (F.col("lang") == "en").alias("label"),
+    )
+    return binary_auc(docs, "score", "label")
+
+
+AUC_ORACLE = """
+WITH g AS (
+  SELECT CAST(n_chars AS DOUBLE) AS s, COUNT(*) AS c,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+  FROM documents GROUP BY 1
+),
+cum AS (
+  SELECT c, pos,
+         SUM(c) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM g
+),
+agg AS (
+  SELECT CAST(SUM(pos * (2 * (cum - c + 1) + c - 1)) AS BIGINT) AS s2,
+         CAST(SUM(pos) AS BIGINT) AS p,
+         CAST(SUM(c) AS BIGINT) AS n_total
+  FROM cum
+)
+SELECT p AS n_pos, n_total - p AS n_neg,
+       CASE WHEN p > 0 AND n_total - p > 0
+            THEN CAST(s2 - p * (p + 1) AS DOUBLE)
+                 / CAST(2 * p * (n_total - p) AS DOUBLE)
+            END AS auc
+FROM agg
+"""
+
+
+# --- deterministic negative sampling ------------------------------------------
+
+NEG_K = 4
+
+
+def negative_samples_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training negatives (`features.negative_samples`): each
+    anchor (vec_id < 10) draws 4 deterministic negatives from the corpus
+    hash ring — position (hash(anchor) + j*stride) mod N — reproducible
+    with no RNG and no per-anchor corpus scan."""
+    from graphrag_toolkit_spark.operators.features import negative_samples
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id")
+    anchors = emb.filter(F.col("vec_id") < 10)
+    return negative_samples(emb, anchors, "vec_id", "vec_id", k=NEG_K)
+
+
+NEGATIVE_SAMPLES_ORACLE = f"""
+WITH n AS (SELECT COUNT(*) AS n FROM embeddings),
+ring AS (
+  SELECT vec_id AS neg_id,
+         ROW_NUMBER() OVER (
+           ORDER BY CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 7)
+                         AS BIGINT) ASC, vec_id ASC) - 1 AS pos
+  FROM embeddings
+),
+probes AS (
+  SELECT e.vec_id AS anchor, t.j,
+         (CAST('0x' || substring(md5(CAST(e.vec_id AS VARCHAR)), 1, 7) AS BIGINT)
+          + t.j * 7919) % n.n AS pos
+  FROM embeddings e, generate_series(1, {NEG_K}) AS t(j), n
+  WHERE e.vec_id < 10
+)
+SELECT p.anchor, CAST(p.j AS BIGINT) AS j, r.neg_id
+FROM probes p JOIN ring r ON r.pos = p.pos
+WHERE r.neg_id <> p.anchor
+"""
+
+
 QUERIES = {
     "dedup_exact_documents": dedup_exact_documents,
     "typo_pairs_customers": typo_pairs_customers,
     "weighted_sample_documents": weighted_sample_documents,
     "per_label_sample_embeddings": per_label_sample_embeddings,
+    "auc_documents": auc_documents,
+    "negative_samples_embeddings": negative_samples_embeddings,
     "unigram_kl_documents": unigram_kl_documents,
     "reservoir_sample_documents": reservoir_sample_documents,
     "minhash_signatures_documents": minhash_signatures_documents,
@@ -2554,6 +2641,8 @@ ORACLES = {
     "typo_pairs_customers": TYPO_PAIRS_ORACLE,
     "weighted_sample_documents": WEIGHTED_SAMPLE_ORACLE,
     "per_label_sample_embeddings": PER_LABEL_SAMPLE_ORACLE,
+    "auc_documents": AUC_ORACLE,
+    "negative_samples_embeddings": NEGATIVE_SAMPLES_ORACLE,
     "unigram_kl_documents": UNIGRAM_KL_ORACLE,
     "reservoir_sample_documents": RESERVOIR_ORACLE,
     "dedup_exact_documents": DEDUP_EXACT_ORACLE,

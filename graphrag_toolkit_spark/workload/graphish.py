@@ -736,7 +736,71 @@ SELECT node_id, CAST(r AS DOUBLE) / {float(scale)} AS katz FROM k{WKATZ_ITERS}
 WKATZ_ORACLE = _wkatz_oracle()
 
 
+
+
+KCORE_K = 3
+KCORE_ROUNDS = 3
+
+
+def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (`centrality.kcore_peel`) on the part co-occurrence
+    graph: 3 synchronous peel rounds at k=3 — the dense-subgraph extractor
+    (community cores, spam-ring detection). Fixed round count keeps the
+    state oracle-expressible; the operator loops to a fixpoint in
+    production."""
+    from graphrag_toolkit_spark.operators.centrality import kcore_peel
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.withColumnsRenamed({"l_partkey": "pa"})
+    b = li.withColumnsRenamed({"l_partkey": "pb"})
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= TRI_MIN_SHARED)
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    return kcore_peel(edges, k=KCORE_K, rounds=KCORE_ROUNDS)
+
+
+def _kcore_round_sql(n: int) -> str:
+    p = n - 1
+    return f"""
+deg{n} AS (
+  SELECT node, COUNT(*) AS degree FROM (
+    SELECT pa AS node FROM e{p} UNION ALL SELECT pb AS node FROM e{p}
+  ) GROUP BY node
+),
+keep{n} AS (SELECT node FROM deg{n} WHERE degree >= {{k}}),
+e{n} AS (
+  SELECT e.pa, e.pb FROM e{p} e
+  JOIN keep{n} ka ON ka.node = e.pa
+  JOIN keep{n} kb ON kb.node = e.pb
+)"""
+
+
+KCORE_ORACLE = ("""
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY pa, pb
+  HAVING COUNT(*) >= """ + str(TRI_MIN_SHARED) + """
+),""" + ",".join(
+    _kcore_round_sql(i) for i in range(1, KCORE_ROUNDS + 1)
+).format(k=KCORE_K) + f"""
+SELECT node, degree FROM (
+  SELECT node, COUNT(*) AS degree FROM (
+    SELECT pa AS node FROM e{KCORE_ROUNDS}
+    UNION ALL SELECT pb AS node FROM e{KCORE_ROUNDS}
+  ) GROUP BY node
+)
+""")
+
+
 QUERIES = {
+    "kcore_parts": kcore_parts,
     "bfs_shortest_paths": bfs_shortest_paths,
     "katz_centrality_graph": katz_centrality_graph,
     "personalized_katz_graph": personalized_katz_graph,
@@ -756,6 +820,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "kcore_parts": KCORE_ORACLE,
     "bfs_shortest_paths": BFS_ORACLE,
     "katz_centrality_graph": KATZ_ORACLE,
     "personalized_katz_graph": PKATZ_ORACLE,

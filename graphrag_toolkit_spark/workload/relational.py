@@ -753,8 +753,47 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 """
 
 
+
+
+def target_encode_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding (`features.target_encode`): each
+    order's priority class encoded as the mean total price of the OTHER
+    orders in its class — the classic high-cardinality categorical feature
+    with the leakage guard in the formula itself."""
+    from graphrag_toolkit_spark.operators.features import target_encode
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return target_encode(orders, "o_orderpriority", "o_totalprice").select(
+        "o_orderkey", "o_orderpriority", "te_o_orderpriority"
+    )
+
+
+TARGET_ENCODE_ORACLE = """
+WITH q AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)) AS y
+  FROM orders
+),
+stats AS (
+  SELECT o_orderpriority,
+         CAST(SUM(y) AS DECIMAL(38,2)) AS cat_sum,
+         COUNT(*) AS cat_n
+  FROM q GROUP BY o_orderpriority
+),
+gl AS (SELECT CAST(SUM(y) AS DECIMAL(38,2)) AS g_sum, COUNT(*) AS g_n FROM q)
+SELECT q.o_orderkey, q.o_orderpriority,
+       CASE WHEN s.cat_n - 1 > 0
+            THEN CAST(s.cat_sum - q.y AS DOUBLE) / (s.cat_n - 1)
+            ELSE CAST(g.g_sum AS DOUBLE) / g.g_n END AS te_o_orderpriority
+FROM q JOIN stats s ON s.o_orderpriority = q.o_orderpriority, gl g
+"""
+
+
 QUERIES = {
     "q6_forecast_revenue": q6_forecast_revenue,
+    "target_encode_orders": target_encode_orders,
     "q1_pricing_summary": q1_pricing_summary,
     "validate_orders": validate_orders,
     "unpivot_orders_by_priority": unpivot_orders_by_priority,
@@ -780,6 +819,7 @@ QUERIES = {
 
 ORACLES = {
     "q6_forecast_revenue": Q6_ORACLE,
+    "target_encode_orders": TARGET_ENCODE_ORACLE,
     "q1_pricing_summary": Q1_ORACLE,
     "cube_stats_orders": CUBE_ORACLE,
     "pivot_orders_by_priority": PIVOT_ORACLE,

@@ -1332,3 +1332,83 @@ class TestWeightedSample:
         )
         out = [r["doc_id"] for r in sampling.weighted_sample(df, "doc_id", "w", 10).collect()]
         assert out == [3]
+
+
+class TestTargetEncode:
+    def test_loo_excludes_own_row(self, spark):
+        from graphrag_toolkit_spark.operators.features import target_encode
+
+        df = spark.createDataFrame(
+            [{"id": 1, "cat": "a", "y": 10.0},
+             {"id": 2, "cat": "a", "y": 20.0},
+             {"id": 3, "cat": "a", "y": 30.0},
+             {"id": 4, "cat": "b", "y": 100.0}]
+        )
+        out = {r["id"]: r["te_cat"] for r in target_encode(df, "cat", "y").collect()}
+        assert out[1] == pytest.approx(25.0)   # mean of 20,30
+        assert out[2] == pytest.approx(20.0)   # mean of 10,30
+        assert out[4] == pytest.approx(40.0)   # singleton -> global mean
+
+    def test_prior_smoothing(self, spark):
+        from graphrag_toolkit_spark.operators.features import target_encode
+
+        df = spark.createDataFrame(
+            [{"id": 1, "cat": "a", "y": 0.0}, {"id": 2, "cat": "a", "y": 100.0}]
+        )
+        # global mean 50; LOO for id 1 with m=2: (100 + 2*50)/(1+2)
+        out = {r["id"]: r["te_cat"]
+               for r in target_encode(df, "cat", "y", prior_weight=2).collect()}
+        assert out[1] == pytest.approx(200.0 / 3.0)
+
+
+class TestNegativeSamples:
+    def test_deterministic_no_self_and_bounded(self, spark):
+        from graphrag_toolkit_spark.operators.features import negative_samples
+
+        corpus = spark.range(100).withColumnRenamed("id", "doc_id")
+        anchors = corpus.filter(F.col("doc_id") < 5)
+        a = sorted(map(tuple, negative_samples(
+            corpus, anchors, "doc_id", "doc_id", k=4).collect()))
+        b = sorted(map(tuple, negative_samples(
+            corpus.repartition(13), anchors, "doc_id", "doc_id", k=4).collect()))
+        assert a == b
+        per_anchor = {}
+        for anchor, j, neg in a:
+            assert neg != anchor
+            per_anchor.setdefault(anchor, []).append(neg)
+        assert set(per_anchor) == {0, 1, 2, 3, 4}
+        assert all(3 <= len(v) <= 4 for v in per_anchor.values())
+
+
+class TestBinaryAuc:
+    def test_perfect_random_and_ties(self, spark):
+        from graphrag_toolkit_spark.operators.ranking_eval import binary_auc
+
+        perfect = spark.createDataFrame(
+            [{"s": float(i), "y": i >= 5} for i in range(10)]
+        )
+        assert binary_auc(perfect, "s", "y").head()["auc"] == 1.0
+        inverted = spark.createDataFrame(
+            [{"s": float(-i), "y": i >= 5} for i in range(10)]
+        )
+        assert binary_auc(inverted, "s", "y").head()["auc"] == 0.0
+        # all-tied scores -> 0.5 exactly (tie correction)
+        tied = spark.createDataFrame([{"s": 1.0, "y": i % 2 == 0} for i in range(8)])
+        assert binary_auc(tied, "s", "y").head()["auc"] == 0.5
+
+    def test_degenerate_single_class_null(self, spark):
+        from graphrag_toolkit_spark.operators.ranking_eval import binary_auc
+
+        one = spark.createDataFrame([{"s": 1.0, "y": True}, {"s": 2.0, "y": True}])
+        r = binary_auc(one, "s", "y").head()
+        assert r["auc"] is None and r["n_neg"] == 0
+
+    def test_matches_sklearn_formula_by_hand(self, spark):
+        from graphrag_toolkit_spark.operators.ranking_eval import binary_auc
+
+        # scores: pos at 3,1 / neg at 2,1 -> pairs: (3>2)=1,(3>1)=1,(1<2)=0,(1=1)=.5
+        df = spark.createDataFrame(
+            [{"s": 3.0, "y": True}, {"s": 1.0, "y": True},
+             {"s": 2.0, "y": False}, {"s": 1.0, "y": False}]
+        )
+        assert binary_auc(df, "s", "y").head()["auc"] == pytest.approx(2.5 / 4.0)

@@ -475,3 +475,23 @@ class TestWeightedKatz:
              for r in katz_centrality(edges, iters=1, weight_col="w").collect()}
         assert w["b"] == 3.0
         assert w["a"] == 1.0 and w["x"] == 1.0
+
+
+class TestKcorePeel:
+    def test_peels_tail_keeps_clique(self, spark):
+        from graphrag_toolkit_spark.operators.centrality import kcore_peel
+
+        # 4-clique (every degree 3) + a pendant chain hanging off node 0
+        edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        edges += [(0, 10), (10, 11)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        out = {r["node"]: r["degree"]
+               for r in kcore_peel(df, k=3, rounds=3).collect()}
+        assert out == {0: 3, 1: 3, 2: 3, 3: 3}  # chain fully peeled
+
+    def test_zero_rounds_is_input_degrees(self, spark):
+        from graphrag_toolkit_spark.operators.centrality import kcore_peel
+
+        df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+        out = {r["node"]: r["degree"] for r in kcore_peel(df, 5, rounds=0).collect()}
+        assert out == {1: 1, 2: 2, 3: 1}
