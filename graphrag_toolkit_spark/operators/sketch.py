@@ -320,3 +320,26 @@ def quantiles_from_histogram(
         )
     )
     return hit.select("q", est.alias("est"))
+
+
+# --- KMV set-operation estimates ---------------------------------------------
+
+def kmv_intersection_estimate(a: Column, b: Column, k: int = 64) -> Column:
+    """Estimated |A ∩ B| from two KMV sketches (Beyer et al. 2007, "On
+    synopses for distinct-value estimation under multiset operations"):
+    take the union sketch's k smallest values, measure the fraction ρ
+    present in BOTH input sketches (a Jaccard estimator), and scale the
+    union-cardinality estimate: est∩ = ρ · est∪.
+
+    This is the sketch behind distributed join-size planning: per-shard
+    KMV sketches of each side's key column merge losslessly, and the
+    intersection estimate prices the join without touching either table
+    again. Exactness: order statistics + one integer ratio × the KMV
+    estimate — engine-identical, so even the ESTIMATE is oracle-gateable."""
+    u = merge_sketches(a, b, k)
+    common = F.size(F.array_intersect(u, F.array_intersect(a, b)))
+    kth = F.element_at(u, F.least(F.size(u), F.lit(k)))
+    est_union = F.when(
+        F.size(u) < k, F.size(u).cast("double")
+    ).otherwise(F.lit(float(k - 1)) / (kth.cast("double") / F.lit(_HASH_SPACE)))
+    return (common.cast("double") / F.least(F.size(u), F.lit(k)).cast("double")) * est_union

@@ -68,6 +68,7 @@ _CHECK_FIRST = [
     "auc_documents",
     "negative_samples_embeddings",
     "kcore_parts",
+    "kmv_overlap_users_events",
     # --- never driver-checked (r2/r3 rotation overflow + new this round) ---
     "hot_grams_documents",
     "repetition_stats_documents",

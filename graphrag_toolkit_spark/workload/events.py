@@ -925,12 +925,91 @@ FROM qs JOIN cum c ON c.cum >= qs.r AND c.cum_before < qs.r
 """
 
 
+
+
+# --- KMV intersection estimate (join-size planning) ---------------------------
+
+KMV_OVERLAP_K = 64
+
+
+def kmv_overlap_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size planning with sketches (`sketch.kmv_intersection_estimate`):
+    estimate |viewers ∩ purchasers| from two KMV sketches of the user_id
+    column — the per-shard-mergeable synopsis a 100 TB planner prices joins
+    with, never rescanning either side. The exact intersection rides along
+    so the estimate's error is visible in the result."""
+    from graphrag_toolkit_spark.operators import sketch
+
+    ev = load(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "view").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    sa = sketch.kmv_sketch(a, [], "user_id", k=KMV_OVERLAP_K).select(
+        F.col("kmv").alias("ka")
+    )
+    sb = sketch.kmv_sketch(b, [], "user_id", k=KMV_OVERLAP_K).select(
+        F.col("kmv").alias("kb")
+    )
+    exact = a.distinct().intersect(b.distinct()).agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    return (
+        exact.crossJoin(sa).crossJoin(sb)
+        .select(
+            "n_exact",
+            sketch.kmv_intersection_estimate(
+                F.col("ka"), F.col("kb"), KMV_OVERLAP_K
+            ).alias("est_intersection"),
+        )
+    )
+
+
+KMV_OVERLAP_ORACLE = f"""
+WITH va AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+vb AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+ha AS (
+  SELECT h FROM (
+    SELECT DISTINCT CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 13)
+                         AS BIGINT) AS h
+    FROM va
+  ) QUALIFY ROW_NUMBER() OVER (ORDER BY h) <= {KMV_OVERLAP_K}
+),
+hb AS (
+  SELECT h FROM (
+    SELECT DISTINCT CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 13)
+                         AS BIGINT) AS h
+    FROM vb
+  ) QUALIFY ROW_NUMBER() OVER (ORDER BY h) <= {KMV_OVERLAP_K}
+),
+hu AS (
+  SELECT h FROM (
+    SELECT DISTINCT h FROM (SELECT h FROM ha UNION ALL SELECT h FROM hb)
+  ) QUALIFY ROW_NUMBER() OVER (ORDER BY h) <= {KMV_OVERLAP_K}
+),
+stats AS (
+  SELECT COUNT(*) AS size_u, MAX(h) AS kth,
+         CAST(SUM(CASE WHEN h IN (SELECT h FROM ha)
+                        AND h IN (SELECT h FROM hb) THEN 1 ELSE 0 END)
+              AS BIGINT) AS common
+  FROM hu
+),
+ex AS (SELECT COUNT(*) AS n_exact FROM va JOIN vb USING (user_id))
+SELECT ex.n_exact,
+       (CAST(s.common AS DOUBLE) / s.size_u)
+         * (CASE WHEN s.size_u < {KMV_OVERLAP_K} THEN CAST(s.size_u AS DOUBLE)
+                 ELSE {float(KMV_OVERLAP_K - 1)!r}
+                      / (CAST(s.kth AS DOUBLE) / {float(1 << 52)!r}) END)
+         AS est_intersection
+FROM ex, stats s
+"""
+
+
 QUERIES = {
     "tumbling_window_events": tumbling_window_events,
     "salted_agg_events": salted_agg_events,
     "cumulative_distinct_users_events": cumulative_distinct_users_events,
     "ewma_events": ewma_events,
     "histogram_quantiles_events": histogram_quantiles_events,
+    "kmv_overlap_users_events": kmv_overlap_users_events,
     "robust_stats_events": robust_stats_events,
     "interarrival_stats_events": interarrival_stats_events,
     "resample_gapfill_events": resample_gapfill_events,
@@ -954,6 +1033,7 @@ ORACLES = {
     "cumulative_distinct_users_events": CUMULATIVE_DISTINCT_ORACLE,
     "ewma_events": EWMA_ORACLE,
     "histogram_quantiles_events": HISTOGRAM_QUANTILES_ORACLE,
+    "kmv_overlap_users_events": KMV_OVERLAP_ORACLE,
     "tumbling_window_events": TUMBLING_ORACLE,
     "sliding_window_events": SLIDING_ORACLE,
     "sessionize_events": SESSIONIZE_ORACLE,

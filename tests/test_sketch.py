@@ -233,3 +233,33 @@ class TestHistogramQuantiles:
         rows = {r["bucket"]: r["n"] for r in
                 sketch.histogram_sketch(df, "v", 0.0, 100.0, 10).collect()}
         assert rows == {0: 1, 9: 1, 5: 1}  # low->first, high->last
+
+
+class TestKmvIntersection:
+    def test_estimates_overlap(self, spark):
+        from pyspark.sql import functions as F
+
+        a = spark.range(0, 3000).select(F.concat(F.lit("u"), F.col("id")).alias("v"))
+        b = spark.range(1500, 4500).select(F.concat(F.lit("u"), F.col("id")).alias("v"))
+        sa = sketch.kmv_sketch(a, [], "v", k=256).select(F.col("kmv").alias("ka"))
+        sb = sketch.kmv_sketch(b, [], "v", k=256).select(F.col("kmv").alias("kb"))
+        est = (
+            sa.crossJoin(sb)
+            .select(sketch.kmv_intersection_estimate(F.col("ka"), F.col("kb"), 256).alias("e"))
+            .head()["e"]
+        )
+        assert abs(est - 1500) / 1500 < 0.35  # k=256 -> ~6% sigma; 4+ sigma slack
+
+    def test_exact_when_small(self, spark):
+        from pyspark.sql import functions as F
+
+        a = spark.range(0, 30).select(F.concat(F.lit("u"), F.col("id")).alias("v"))
+        b = spark.range(20, 50).select(F.concat(F.lit("u"), F.col("id")).alias("v"))
+        sa = sketch.kmv_sketch(a, [], "v", k=256).select(F.col("kmv").alias("ka"))
+        sb = sketch.kmv_sketch(b, [], "v", k=256).select(F.col("kmv").alias("kb"))
+        est = (
+            sa.crossJoin(sb)
+            .select(sketch.kmv_intersection_estimate(F.col("ka"), F.col("kb"), 256).alias("e"))
+            .head()["e"]
+        )
+        assert est == 10.0  # below k the sketch is the exact set
