@@ -400,3 +400,19 @@ def test_katz_round_reuses_edge_partitioning(spark):
         assert "NestedLoop" not in plan and "EvalPython" not in plan
     finally:
         pass
+
+
+def test_partitioned_layout_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-partitioned layout (the 100 TB table format): a filter on the
+    partition column must become a PartitionFilters entry — pruned at
+    planning, never scanned — and stay out of the data filters."""
+    out = str(tmp_path / "events_by_type")
+    load(spark, sf_dir, "events").write.partitionBy("event_type").parquet(out)
+    df = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
+    plan = plan_of(df)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_type" in m.group(1), plan[:2000]
+    n_all = spark.read.parquet(out).count()
+    assert df.count() < n_all  # pruned read is a strict subset
