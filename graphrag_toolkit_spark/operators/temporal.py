@@ -47,11 +47,16 @@ def asof_join(
     tiebreak: str | None = None,
     suffix: str = "_right",
     tolerance_seconds: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join (inclusive): every ``left`` row gains the payload
-    of the latest ``right`` row with the same ``on`` keys and
-    ``right.ts <= left.ts`` (within ``tolerance_seconds`` if given); NULLs
-    when no such row exists.
+    """As-of join (inclusive): every ``left`` row gains the payload of the
+    latest ``right`` row with the same ``on`` keys and
+    ``right.ts <= left.ts`` (``direction='backward'``, the default) or the
+    EARLIEST right row with ``right.ts >= left.ts``
+    (``direction='forward'`` — pandas ``merge_asof(direction='forward')``)
+    — within ``tolerance_seconds`` if given; NULLs when no such row
+    exists. Either direction is the same single union + one running window
+    per key, just mirrored (carry-forward vs carry-backward).
 
     ``right`` must be unique per (on, ts) — pre-dedup with a window if not
     (latest-wins by your own tiebreak) so the match is well-defined; the
@@ -89,25 +94,35 @@ def asof_join(
             r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
     r = r.select(*l_cols, "__ts", "__side", "__payload")
 
-    order = [F.col("__ts"), F.col("__side")]
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction == "backward":
+        # right (side 0) sorts before left at equal ts → inclusive match
+        order = [F.col("__ts"), F.col("__side")]
+    else:
+        # forward: left sorts before right at equal ts so the following
+        # frame anchored at the left row still sees the equal-ts right
+        order = [F.col("__ts"), F.col("__side").desc()]
     if tiebreak is not None:
         order.append(F.col(tiebreak).asc_nulls_first())
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    w = Window.partitionBy(*on).orderBy(*order)
+    if direction == "backward":
+        w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        match = F.last(F.col("__payload"), True).over(w)
+    else:
+        w = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        match = F.first(F.col("__payload"), True).over(w)
     carried = (
         l.unionByName(r)
-        .withColumn("__match", F.last(F.col("__payload"), True).over(w))
+        .withColumn("__match", match)
         .filter(F.col("__side") == 1)
     )
     if tolerance_seconds is not None:
-        in_range = (
-            F.col("__ts").cast("long") - F.col("__match.__asof_ts").cast("long")
-        ) <= F.lit(tolerance_seconds)
+        gap = F.col("__ts").cast("long") - F.col("__match.__asof_ts").cast("long")
+        if direction == "forward":
+            gap = -gap
         carried = carried.withColumn(
-            "__match", F.when(in_range, F.col("__match"))
+            "__match", F.when(gap <= F.lit(tolerance_seconds), F.col("__match"))
         )
     out = carried.select(
         *l_cols,

@@ -69,6 +69,8 @@ _CHECK_FIRST = [
     "negative_samples_embeddings",
     "kcore_parts",
     "kmv_overlap_users_events",
+    "asof_forward_events",
+    "incremental_neardup_documents",
     # --- never driver-checked (r2/r3 rotation overflow + new this round) ---
     "hot_grams_documents",
     "repetition_stats_documents",

@@ -82,6 +82,63 @@ cand AS (
 """
 
 
+
+
+# --- incremental (new-vs-corpus) near-dup ------------------------------------
+
+INC_MOD = 5  # hash(doc_id) % 5 == 0 -> the "incoming batch" (~20%)
+
+
+def incremental_neardup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-increment near-dup (`dedup.minhash_near_dup_increment`):
+    match the incoming ~20% (content-hash split) against the existing 80%
+    AND keep-first within the batch — WITHOUT re-pairing the corpus
+    internally, the plan a daily ingest actually runs (increment-banded ×
+    all-banded bucket join; corpus×corpus candidates never form)."""
+    from graphrag_toolkit_spark.operators.sampling import hash_value
+
+    docs = load(spark, sf_dir, "documents")
+    flag = hash_value(F.col("doc_id")) % INC_MOD == 0
+    return dedup.minhash_near_dup_increment(
+        docs.filter(~flag), docs.filter(flag), "text", "doc_id",
+        k=SHINGLE_K, num_hashes=NUM_HASHES, bands=BANDS,
+        threshold=JACCARD_THRESHOLD,
+    )
+
+
+INCREMENTAL_NEARDUP_ORACLE = f"""
+WITH {_SHINGLES_SQL}, {_SIG_SQL}, {_BANDED_SQL},
+flags AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)
+           % {INC_MOD} = 0 AS is_new
+  FROM documents
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_match
+  FROM banded a
+  JOIN flags fa ON fa.doc_id = a.doc_id AND fa.is_new
+  JOIN banded b ON a.band = b.band AND a.bh = b.bh AND b.doc_id <> a.doc_id
+  JOIN flags fb ON fb.doc_id = b.doc_id
+  WHERE (NOT fb.is_new) OR b.doc_id < a.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_new, c.id_match, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_new
+  JOIN sh b ON b.doc_id = c.id_match AND b.shingle = a.shingle
+  GROUP BY c.id_new, c.id_match
+)
+SELECT i.id_new, i.id_match,
+       i.n_inter / (sa.n + sb.n - i.n_inter) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_new
+JOIN sizes sb ON sb.doc_id = i.id_match
+WHERE i.n_inter / (sa.n + sb.n - i.n_inter) >= {JACCARD_THRESHOLD}
+"""
+
+
 # --- exact dedup -------------------------------------------------------------
 
 def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2588,6 +2645,7 @@ QUERIES = {
     "per_label_sample_embeddings": per_label_sample_embeddings,
     "auc_documents": auc_documents,
     "negative_samples_embeddings": negative_samples_embeddings,
+    "incremental_neardup_documents": incremental_neardup_documents,
     "unigram_kl_documents": unigram_kl_documents,
     "reservoir_sample_documents": reservoir_sample_documents,
     "minhash_signatures_documents": minhash_signatures_documents,
@@ -2643,6 +2701,7 @@ ORACLES = {
     "per_label_sample_embeddings": PER_LABEL_SAMPLE_ORACLE,
     "auc_documents": AUC_ORACLE,
     "negative_samples_embeddings": NEGATIVE_SAMPLES_ORACLE,
+    "incremental_neardup_documents": INCREMENTAL_NEARDUP_ORACLE,
     "unigram_kl_documents": UNIGRAM_KL_ORACLE,
     "reservoir_sample_documents": RESERVOIR_ORACLE,
     "dedup_exact_documents": DEDUP_EXACT_ORACLE,

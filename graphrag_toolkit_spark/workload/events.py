@@ -1003,6 +1003,55 @@ FROM ex, stats s
 """
 
 
+
+
+def asof_forward_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (`temporal.asof_join(direction='forward')`): every
+    view gains the user's NEXT purchase at-or-after it — the time-to-
+    conversion lookup, the mirrored carry-BACKWARD window of the backward
+    leg (one shuffle on user_id, no range theta-join)."""
+    from graphrag_toolkit_spark.operators.temporal import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    pw = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(pw))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", F.col("value").alias("purchase_value"))
+    )
+    joined = asof_join(
+        views, purchases, on=["user_id"], ts_col="ts",
+        right_cols=["purchase_value"], tiebreak="event_id",
+        suffix="_p", direction="forward",
+    )
+    return joined.select(
+        "event_id", "user_id", "ts",
+        F.col("ts_p").alias("purchase_ts"),
+        F.col("purchase_value_p").alias("purchase_value"),
+        (F.unix_micros(F.col("ts_p")) - F.unix_micros(F.col("ts"))).alias("lag_us"),
+    )
+
+
+ASOF_FORWARD_ORACLE = """
+WITH purchases AS (
+  SELECT user_id, ts, value AS purchase_value FROM (
+    SELECT user_id, ts, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'purchase'
+  ) WHERE rn = 1
+)
+SELECT v.event_id, v.user_id, v.ts,
+       p.ts AS purchase_ts, p.purchase_value,
+       epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+ASOF LEFT JOIN purchases p ON v.user_id = p.user_id AND v.ts <= p.ts
+"""
+
+
 QUERIES = {
     "tumbling_window_events": tumbling_window_events,
     "salted_agg_events": salted_agg_events,
@@ -1010,6 +1059,7 @@ QUERIES = {
     "ewma_events": ewma_events,
     "histogram_quantiles_events": histogram_quantiles_events,
     "kmv_overlap_users_events": kmv_overlap_users_events,
+    "asof_forward_events": asof_forward_events,
     "robust_stats_events": robust_stats_events,
     "interarrival_stats_events": interarrival_stats_events,
     "resample_gapfill_events": resample_gapfill_events,
@@ -1034,6 +1084,7 @@ ORACLES = {
     "ewma_events": EWMA_ORACLE,
     "histogram_quantiles_events": HISTOGRAM_QUANTILES_ORACLE,
     "kmv_overlap_users_events": KMV_OVERLAP_ORACLE,
+    "asof_forward_events": ASOF_FORWARD_ORACLE,
     "tumbling_window_events": TUMBLING_ORACLE,
     "sliding_window_events": SLIDING_ORACLE,
     "sessionize_events": SESSIONIZE_ORACLE,

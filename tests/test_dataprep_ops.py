@@ -1412,3 +1412,29 @@ class TestBinaryAuc:
              {"s": 2.0, "y": False}, {"s": 1.0, "y": False}]
         )
         assert binary_auc(df, "s", "y").head()["auc"] == pytest.approx(2.5 / 4.0)
+
+
+class TestIncrementalNeardup:
+    def test_new_vs_corpus_and_within_batch(self, spark):
+        corpus = spark.createDataFrame(
+            [{"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog"},
+             {"doc_id": 2, "text": "totally unrelated corpus content here"},
+             # old-old dup pair must NOT be reported (corpus never re-paired)
+             {"doc_id": 3, "text": "totally unrelated corpus content here"}]
+        )
+        inc = spark.createDataFrame(
+            [{"doc_id": 10, "text": "the quick brown fox jumps over the lazy dog"},
+             {"doc_id": 11, "text": "the quick brown fox jumps over the lazy dog"},
+             {"doc_id": 12, "text": "brand new unique incoming text"}]
+        )
+        out = dedup.minhash_near_dup_increment(
+            corpus, inc, "text", "doc_id", k=2, threshold=0.5
+        )
+        got = {(r["id_new"], r["id_match"]) for r in out.collect()}
+        assert (10, 1) in got                      # new vs corpus
+        assert (11, 1) in got
+        assert (11, 10) in got                     # within-batch, keep-first
+        assert (10, 11) not in got                 # ordered one way only
+        assert all(a in (10, 11, 12) for a, _ in got)  # id_new is always new
+        assert (3, 2) not in got and (2, 3) not in got  # no old-old pairs
+        assert not any(a == 12 or b == 12 for a, b in got)

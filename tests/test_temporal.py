@@ -67,6 +67,58 @@ def test_asof_tolerance(sides):
     assert rows[2]["ref_right"] == 200.0          # 0 s lag passes
 
 
+def test_asof_forward_inclusive_and_tolerance(sides):
+    left, right = sides
+    out = asof_join(
+        left, right, on=["user_id"], ts_col="ts",
+        right_cols=["ref"], tiebreak="event_id", direction="forward",
+    )
+    rows = {r["event_id"]: r for r in out.collect()}
+    assert rows[1]["ref_right"] == 200.0          # earliest at-or-after 10:00
+    assert rows[2]["ref_right"] == 200.0          # equal timestamp included
+    assert rows[3]["ref_right"] == 300.0          # 11:00 follows 09:00
+    assert rows[4]["ref_right"] is None           # key never on right
+
+    tol = asof_join(
+        left, right, on=["user_id"], ts_col="ts",
+        right_cols=["ref"], tiebreak="event_id", direction="forward",
+        tolerance_seconds=3600,
+    )
+    trows = {r["event_id"]: r for r in tol.collect()}
+    assert trows[1]["ref_right"] is None          # next match 2 h away
+    assert trows[3]["ref_right"] is None          # 2 h > 1 h
+    assert trows[2]["ref_right"] == 200.0         # 0 s lag passes
+
+
+def test_asof_forward_matches_pandas(spark):
+    import pandas as pd
+
+    rng_l = [(f"u{i % 3}", 1_700_000_000 + i * 37, i) for i in range(60)]
+    rng_r = [(f"u{i % 3}", 1_700_000_000 + i * 53, 100 + i) for i in range(40)]
+    left = spark.createDataFrame(rng_l, "k string, t long, lid long").withColumn(
+        "ts", F.timestamp_seconds(F.col("t"))
+    )
+    right = spark.createDataFrame(rng_r, "k string, t long, ref long").withColumn(
+        "ts", F.timestamp_seconds(F.col("t"))
+    )
+    # right must be unique per (k, ts) — it is by construction here
+    got = {
+        r["lid"]: r["ref_right"]
+        for r in asof_join(
+            left.select("k", "ts", "lid"),
+            right.select("k", "ts", "ref"),
+            on=["k"], ts_col="ts", right_cols=["ref"],
+            tiebreak="lid", direction="forward",
+        ).collect()
+    }
+    pl = pd.DataFrame(rng_l, columns=["k", "t", "lid"]).sort_values("t")
+    pr = pd.DataFrame(rng_r, columns=["k", "t", "ref"]).sort_values("t")
+    expect = pd.merge_asof(pl, pr, on="t", by="k", direction="forward")
+    for _, row in expect.iterrows():
+        want = None if pd.isna(row["ref"]) else int(row["ref"])
+        assert got[row["lid"]] == want, row["lid"]
+
+
 def test_asof_matches_pandas_merge_asof(spark):
     """Randomized cross-check against pandas merge_asof(direction='backward')."""
     import numpy as np
