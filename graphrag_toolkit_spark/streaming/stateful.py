@@ -205,3 +205,59 @@ def kmv_distinct_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def histogram_stream(
+    events: DataFrame,
+    key_col: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    buckets: int = 64,
+) -> DataFrame:
+    """Streaming equi-width histogram sketch: per-key bucket counts merged
+    across micro-batches by plain cell addition (the same mergeability
+    `sketch.histogram_sketch` exploits for per-shard roll-ups). Because the
+    merge is exact integer addition, the state after any number of
+    micro-batches is IDENTICAL to the batch histogram over the union of all
+    rows — the quantile sketch's stream==batch contract. Bucket assignment
+    runs JVM-side (narrow floor/clamp expression); the Python stage only
+    folds integer counts. State: `buckets` longs per key, no timeout.
+
+    Emits (key, bucket, n) for every non-empty bucket per batch (update
+    mode) — feed `sketch.quantiles_from_histogram` for estimates."""
+    width = (hi - lo) / buckets
+    out_schema = f"{key_col} string, bucket integer, n long"
+    state_schema = "counts array<long>"
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        counts: list[int] = (
+            list(state.get[0]) if state.exists else [0] * buckets
+        )
+        for pdf in pdfs:
+            for b in pdf["__b"]:
+                counts[int(b)] += 1
+        state.update((counts,))
+        nonzero = [(i, c) for i, c in enumerate(counts) if c > 0]
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(nonzero),
+                "bucket": [i for i, _ in nonzero],
+                "n": [c for _, c in nonzero],
+            }
+        )
+
+    b = F.floor((F.col(value_col).cast("double") - F.lit(lo)) / F.lit(width))
+    b = F.least(F.greatest(b, F.lit(0)), F.lit(buckets - 1)).cast("int")
+    bucketed = events.filter(F.col(value_col).isNotNull()).select(
+        F.col(key_col), b.alias("__b")
+    )
+    return bucketed.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -219,3 +219,38 @@ class TestEnrichStream:
         want = {r["id"]: r["weight"] for r in batch.collect()}
         assert got == want
         assert len(got) == len(BATCH1) + len(BATCH2)
+
+
+class TestHistogramStream:
+    def test_stream_histogram_equals_batch(self, spark, stream_dir):
+        """After all micro-batches the per-key streaming histogram equals
+        the batch histogram over the union of rows — the exact-integer
+        mergeability contract, through real micro-batches."""
+        from graphrag_toolkit_spark.operators import sketch
+
+        src = read_jsonl_stream(spark, stream_dir, SCHEMA, max_files_per_trigger=1)
+        _run(
+            stateful.histogram_stream(src, "event_type", "value", 0.0, 10.0, 5),
+            "hist_out",
+            "update",
+        )
+        rows = spark.sql("SELECT * FROM hist_out").collect()
+        # memory sink appends per batch in order; the last emission for a
+        # (key, bucket) cell is the final running count
+        final: dict[tuple, int] = {}
+        for r in rows:
+            final[(r["event_type"], r["bucket"])] = r["n"]
+
+        all_rows = spark.createDataFrame(
+            [*BATCH1, *BATCH2],
+            "id long, text_hash string, event_type string, value double",
+        )
+        batch = {}
+        for key_row in all_rows.select("event_type").distinct().collect():
+            k = key_row["event_type"]
+            h = sketch.histogram_sketch(
+                all_rows.filter(F.col("event_type") == k), "value", 0.0, 10.0, 5
+            )
+            for r in h.collect():
+                batch[(k, r["bucket"])] = r["n"]
+        assert final == batch
