@@ -566,3 +566,78 @@ def train_bigram_lm(
         "prev", "w", "n",
         (F.col("n").cast("double") / F.col("n_prev")).alias("p"),
     )
+
+
+# --- Gopher-style composite quality gate -------------------------------------
+
+GOPHER_RULES = {
+    "min_words": 5,            # Gopher: 50 (fixture-scaled)
+    "max_words": 100_000,
+    "min_mean_word_len": 2.0,  # Gopher: 3
+    "max_mean_word_len": 12.0, # Gopher: 10 (fixture-scaled)
+    "max_symbol_word_ratio": 0.3,   # '#' and '…' per word in Gopher; any
+    "max_dup_word_frac": 0.60,      # non-alnum symbol here
+}
+
+
+def gopher_gate(
+    df: DataFrame, text_col: str, id_col: str, rules: dict | None = None
+) -> DataFrame:
+    """Composite document gate in the style of Gopher's quality rules
+    (Rae et al. 2021 §A.1.1, public): word-count bounds, mean-word-length
+    bounds, symbol-to-word ratio, duplicate-word fraction — each rule a
+    named boolean, the verdict their conjunction, plus the sorted list of
+    failed rule names (the per-rule audit a cleaning run reports).
+
+    One narrow projection per document (ratios are exact integer-count
+    divisions; the dup-word fraction reuses the shuffle-free sorted-run
+    fold) — zero shuffle at any corpus size."""
+    r = {**GOPHER_RULES, **(rules or {})}
+    t = F.col(text_col)
+    n_words = F.regexp_count(t, F.lit(WORD_RE))
+    word_chars = F.length(F.regexp_replace(t, r"[^0-9a-zA-Z]", ""))
+    n_symbols = F.regexp_count(t, F.lit(r"[^\s0-9a-zA-Z]"))
+    toks = F.array_sort(
+        F.filter(F.split(F.lower(t), r"[^0-9a-z]+"), lambda x: x != "")
+    )
+    n_distinct = F.size(F.array_distinct(toks))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        n_words.alias("n_words"),
+        (word_chars.cast("double") / F.greatest(n_words, F.lit(1))).alias(
+            "mean_word_len"
+        ),
+        (n_symbols.cast("double") / F.greatest(n_words, F.lit(1))).alias(
+            "symbol_word_ratio"
+        ),
+        (
+            (F.size(toks) - n_distinct).cast("double")
+            / F.greatest(F.size(toks), F.lit(1))
+        ).alias("dup_word_frac"),
+    )
+    checks = {
+        "min_words": F.col("n_words") >= r["min_words"],
+        "max_words": F.col("n_words") <= r["max_words"],
+        "min_mean_word_len": F.col("mean_word_len") >= r["min_mean_word_len"],
+        "max_mean_word_len": F.col("mean_word_len") <= r["max_mean_word_len"],
+        "max_symbol_word_ratio": F.col("symbol_word_ratio")
+        <= r["max_symbol_word_ratio"],
+        "max_dup_word_frac": F.col("dup_word_frac") <= r["max_dup_word_frac"],
+    }
+    failed = F.array_sort(
+        F.filter(
+            F.array(
+                *[
+                    F.when(~ok, F.lit(name)).otherwise(F.lit(None))
+                    for name, ok in checks.items()
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    out = base.withColumn("failed_rules", failed).withColumn(
+        "passes", F.size(F.col("failed_rules")) == 0
+    )
+    return out.withColumn(
+        "failed_rules", F.concat_ws(",", F.col("failed_rules"))
+    )

@@ -71,6 +71,7 @@ _CHECK_FIRST = [
     "kmv_overlap_users_events",
     "asof_forward_events",
     "incremental_neardup_documents",
+    "gopher_gate_documents",
     # --- never driver-checked (r2/r3 rotation overflow + new this round) ---
     "hot_grams_documents",
     "repetition_stats_documents",

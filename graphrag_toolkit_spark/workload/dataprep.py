@@ -139,6 +139,65 @@ WHERE i.n_inter / (sa.n + sb.n - i.n_inter) >= {JACCARD_THRESHOLD}
 """
 
 
+
+
+# --- Gopher-style composite gate ----------------------------------------------
+
+
+def gopher_gate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite Gopher-style quality gate (`textstats.gopher_gate`):
+    word-count / mean-word-length bounds, symbol ratio, duplicate-word
+    fraction — per-doc verdict plus the sorted failed-rule list, all in
+    one shuffle-free projection."""
+    docs = load(spark, sf_dir, "documents")
+    return textstats.gopher_gate(docs, "text", "doc_id").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+_GG = textstats.GOPHER_RULES
+
+GOPHER_GATE_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{textstats.WORD_RE}')) AS n_words,
+         length(regexp_replace(text, '[^0-9a-zA-Z]', '', 'g')) AS word_chars,
+         len(regexp_extract_all(text, '[^\s0-9a-zA-Z]')) AS n_symbols,
+         list_filter(string_split_regex(lower(text), '[^0-9a-z]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n_words,
+         CAST(word_chars AS DOUBLE) / GREATEST(n_words, 1) AS mean_word_len,
+         CAST(n_symbols AS DOUBLE) / GREATEST(n_words, 1) AS symbol_word_ratio,
+         CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
+           / GREATEST(len(toks), 1) AS dup_word_frac
+  FROM base
+),
+v AS (
+  SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, dup_word_frac,
+         list_sort(list_filter([
+           CASE WHEN NOT (n_words >= {_GG["min_words"]}) THEN 'min_words' END,
+           CASE WHEN NOT (n_words <= {_GG["max_words"]}) THEN 'max_words' END,
+           CASE WHEN NOT (mean_word_len >= {_GG["min_mean_word_len"]!r})
+                THEN 'min_mean_word_len' END,
+           CASE WHEN NOT (mean_word_len <= {_GG["max_mean_word_len"]!r})
+                THEN 'max_mean_word_len' END,
+           CASE WHEN NOT (symbol_word_ratio <= {_GG["max_symbol_word_ratio"]!r})
+                THEN 'max_symbol_word_ratio' END,
+           CASE WHEN NOT (dup_word_frac <= {_GG["max_dup_word_frac"]!r})
+                THEN 'max_dup_word_frac' END
+         ], x -> x IS NOT NULL)) AS fails
+  FROM m
+)
+SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, dup_word_frac,
+       COALESCE(array_to_string(fails, ','), '') AS failed_rules,
+       len(fails) = 0 AS passes
+FROM v
+"""
+
+
 # --- exact dedup -------------------------------------------------------------
 
 def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2646,6 +2705,7 @@ QUERIES = {
     "auc_documents": auc_documents,
     "negative_samples_embeddings": negative_samples_embeddings,
     "incremental_neardup_documents": incremental_neardup_documents,
+    "gopher_gate_documents": gopher_gate_documents,
     "unigram_kl_documents": unigram_kl_documents,
     "reservoir_sample_documents": reservoir_sample_documents,
     "minhash_signatures_documents": minhash_signatures_documents,
@@ -2702,6 +2762,7 @@ ORACLES = {
     "auc_documents": AUC_ORACLE,
     "negative_samples_embeddings": NEGATIVE_SAMPLES_ORACLE,
     "incremental_neardup_documents": INCREMENTAL_NEARDUP_ORACLE,
+    "gopher_gate_documents": GOPHER_GATE_ORACLE,
     "unigram_kl_documents": UNIGRAM_KL_ORACLE,
     "reservoir_sample_documents": RESERVOIR_ORACLE,
     "dedup_exact_documents": DEDUP_EXACT_ORACLE,

@@ -1438,3 +1438,29 @@ class TestIncrementalNeardup:
         assert all(a in (10, 11, 12) for a, _ in got)  # id_new is always new
         assert (3, 2) not in got and (2, 3) not in got  # no old-old pairs
         assert not any(a == 12 or b == 12 for a, b in got)
+
+
+class TestGopherGate:
+    def test_rules_fire_individually(self, spark):
+        df = spark.createDataFrame(
+            [{"doc_id": 1, "text": "too short"},                       # min_words
+             {"doc_id": 2, "text": "a b c d e f g h i j"},             # short words
+             {"doc_id": 3, "text": "word " * 20 + "word"},             # dup words
+             {"doc_id": 4, "text": "normal sentence with several decent words here ok"}]
+        )
+        out = {r["id"]: r for r in
+               textstats.gopher_gate(df, "text", "doc_id").collect()}
+        assert not out[1]["passes"] and "min_words" in out[1]["failed_rules"]
+        assert "min_mean_word_len" in out[2]["failed_rules"]
+        assert "max_dup_word_frac" in out[3]["failed_rules"]
+        assert out[4]["passes"] and out[4]["failed_rules"] == ""
+
+    def test_plan_shuffle_free(self, spark):
+        import io
+        from contextlib import redirect_stdout
+
+        df = spark.createDataFrame([{"doc_id": 1, "text": "hello world"}])
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            textstats.gopher_gate(df, "text", "doc_id").explain(mode="formatted")
+        assert "Exchange" not in buf.getvalue()
