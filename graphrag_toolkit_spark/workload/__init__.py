@@ -72,6 +72,7 @@ _CHECK_FIRST = [
     "asof_forward_events",
     "incremental_neardup_documents",
     "gopher_gate_documents",
+    "q4_order_priority",
     # --- never driver-checked (r2/r3 rotation overflow + new this round) ---
     "hot_grams_documents",
     "repetition_stats_documents",

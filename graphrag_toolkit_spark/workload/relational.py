@@ -791,8 +791,51 @@ FROM q JOIN stats s ON s.o_orderpriority = q.o_orderpriority, gl g
 """
 
 
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order-priority checking): orders in a quarter with at
+    least one late lineitem, counted per priority — the canonical EXISTS
+    → left-semi-join shape (the lineitem side never duplicates orders,
+    and only the two join keys are scanned from it)."""
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    late = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    # fixture has no commitdate/receiptdate; "late" = shipped after the
+    # quarter the order was placed in (a deterministic stand-in predicate
+    # over the columns the fixture does have)
+    sel = orders.join(
+        late.filter(F.col("l_shipdate") >= F.lit("1997-07-01").cast("timestamp")),
+        orders.o_orderkey == late.l_orderkey,
+        "left_semi",
+    )
+    return (
+        sel.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate >= TIMESTAMP '1997-07-01'
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "q6_forecast_revenue": q6_forecast_revenue,
+    "q4_order_priority": q4_order_priority,
     "target_encode_orders": target_encode_orders,
     "q1_pricing_summary": q1_pricing_summary,
     "validate_orders": validate_orders,
@@ -819,6 +862,7 @@ QUERIES = {
 
 ORACLES = {
     "q6_forecast_revenue": Q6_ORACLE,
+    "q4_order_priority": Q4_ORACLE,
     "target_encode_orders": TARGET_ENCODE_ORACLE,
     "q1_pricing_summary": Q1_ORACLE,
     "cube_stats_orders": CUBE_ORACLE,
