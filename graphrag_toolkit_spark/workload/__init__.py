@@ -73,6 +73,9 @@ _CHECK_FIRST = [
     "incremental_neardup_documents",
     "gopher_gate_documents",
     "q4_order_priority",
+    "rollup_grouping_orders",
+    "ngram_diversity_documents",
+    "ks_drift_documents",
     # --- never driver-checked (r2/r3 rotation overflow + new this round) ---
     "hot_grams_documents",
     "repetition_stats_documents",

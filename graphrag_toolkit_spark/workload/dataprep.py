@@ -198,6 +198,156 @@ FROM v
 """
 
 
+
+
+# --- n-gram diversity (distinct-n) --------------------------------------------
+
+
+def ngram_diversity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram diversity (distinct-n, the generation-diversity metric
+    of Li et al. 2016): for n = 1..3, distinct n-grams / total n-grams over
+    the corpus. Low values ⇒ templated/degenerate text. One narrow gram
+    explode per n + exact-count ratio."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), r"[^0-9a-z]+")
+    out = None
+    for n in (1, 2, 3):
+        if n == 1:
+            grams = F.filter(toks, lambda t: t != "")
+        else:
+            grams = F.when(
+                F.size(toks) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(toks, i + j) for j in range(n)]
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+            grams = F.filter(grams, lambda g: ~g.rlike("(^ )|(  )|( $)|^$"))
+        g = docs.select(F.explode(grams).alias("gram"))
+        agg = g.agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.countDistinct("gram").alias("n_distinct"),
+        ).select(
+            F.lit(n).alias("n"),
+            "n_total",
+            "n_distinct",
+            (F.col("n_distinct").cast("double") / F.col("n_total")).alias(
+                "distinct_ratio"
+            ),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out
+
+
+NGRAM_DIVERSITY_ORACLE = r"""
+WITH ws AS (
+  SELECT list_filter(string_split_regex(lower(text), '[^0-9a-z]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+g1 AS (SELECT unnest(toks) AS gram FROM ws),
+g2 AS (
+  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1])) AS gram
+  FROM ws WHERE len(toks) >= 2
+),
+g3 AS (
+  SELECT unnest(list_transform(generate_series(1, len(toks) - 2),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+  FROM ws WHERE len(toks) >= 3
+)
+SELECT 1 AS n, COUNT(*) AS n_total, COUNT(DISTINCT gram) AS n_distinct,
+       CAST(COUNT(DISTINCT gram) AS DOUBLE) / COUNT(*) AS distinct_ratio FROM g1
+UNION ALL
+SELECT 2, COUNT(*), COUNT(DISTINCT gram),
+       CAST(COUNT(DISTINCT gram) AS DOUBLE) / COUNT(*) FROM g2
+UNION ALL
+SELECT 3, COUNT(*), COUNT(DISTINCT gram),
+       CAST(COUNT(DISTINCT gram) AS DOUBLE) / COUNT(*) FROM g3
+"""
+
+
+# --- KS drift test ------------------------------------------------------------
+
+
+def ks_drift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between the length
+    distributions of the two content-hash corpus halves — the
+    distribution-drift alarm that pairs with `unigram_kl_documents` (KL
+    sees vocabulary shift; KS sees shape shift). D = max |CDF_A − CDF_B|
+    over observed values, computed from exact integer cumulative counts —
+    engine-identical with no approximation."""
+    from pyspark.sql.window import Window as W
+
+    from graphrag_toolkit_spark.operators.sampling import hash_value
+
+    docs = load(spark, sf_dir, "documents").select(
+        (hash_value(F.col("doc_id")) % 2).alias("half"),
+        F.col("n_chars").alias("x"),
+    )
+    per_val = docs.groupBy("x").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("cb"),
+    )
+    w = W.orderBy("x").rowsBetween(W.unboundedPreceding, 0)
+    cum = per_val.select(
+        "x",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    tot = docs.agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("nb"),
+    )
+    d = cum.crossJoin(F.broadcast(tot)).select(
+        F.abs(
+            F.col("cum_a").cast("double") / F.col("na")
+            - F.col("cum_b").cast("double") / F.col("nb")
+        ).alias("diff"),
+        "na",
+        "nb",
+    )
+    return d.groupBy("na", "nb").agg(F.max("diff").alias("ks_d")).select(
+        F.col("na").alias("n_a"), F.col("nb").alias("n_b"), "ks_d"
+    )
+
+
+KS_DRIFT_ORACLE = """
+WITH h AS (
+  SELECT CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)
+           % 2 AS half,
+         n_chars AS x
+  FROM documents
+),
+per_val AS (
+  SELECT x,
+         CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM h GROUP BY x
+),
+cum AS (
+  SELECT x,
+         SUM(ca) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_a,
+         SUM(cb) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_b
+  FROM per_val
+),
+tot AS (
+  SELECT CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM h
+)
+SELECT t.na AS n_a, t.nb AS n_b,
+       MAX(ABS(CAST(c.cum_a AS DOUBLE) / t.na
+               - CAST(c.cum_b AS DOUBLE) / t.nb)) AS ks_d
+FROM cum c, tot t
+GROUP BY t.na, t.nb
+"""
+
+
 # --- exact dedup -------------------------------------------------------------
 
 def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2706,6 +2856,8 @@ QUERIES = {
     "negative_samples_embeddings": negative_samples_embeddings,
     "incremental_neardup_documents": incremental_neardup_documents,
     "gopher_gate_documents": gopher_gate_documents,
+    "ngram_diversity_documents": ngram_diversity_documents,
+    "ks_drift_documents": ks_drift_documents,
     "unigram_kl_documents": unigram_kl_documents,
     "reservoir_sample_documents": reservoir_sample_documents,
     "minhash_signatures_documents": minhash_signatures_documents,
@@ -2763,6 +2915,8 @@ ORACLES = {
     "negative_samples_embeddings": NEGATIVE_SAMPLES_ORACLE,
     "incremental_neardup_documents": INCREMENTAL_NEARDUP_ORACLE,
     "gopher_gate_documents": GOPHER_GATE_ORACLE,
+    "ngram_diversity_documents": NGRAM_DIVERSITY_ORACLE,
+    "ks_drift_documents": KS_DRIFT_ORACLE,
     "unigram_kl_documents": UNIGRAM_KL_ORACLE,
     "reservoir_sample_documents": RESERVOIR_ORACLE,
     "dedup_exact_documents": DEDUP_EXACT_ORACLE,

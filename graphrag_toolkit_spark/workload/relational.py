@@ -833,9 +833,37 @@ ORDER BY o_orderpriority
 """
 
 
+
+
+def rollup_grouping_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP with grouping markers: (status, priority) →
+    status subtotals → grand total in ONE pass (Catalyst expands the
+    grouping sets; each level partial-aggregates map-side). grouping_id
+    disambiguates real NULLs from subtotal rows — the OLAP-correct way."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("total"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+ROLLUP_GROUPING_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total,
+       GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
 QUERIES = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "q4_order_priority": q4_order_priority,
+    "rollup_grouping_orders": rollup_grouping_orders,
     "target_encode_orders": target_encode_orders,
     "q1_pricing_summary": q1_pricing_summary,
     "validate_orders": validate_orders,
@@ -863,6 +891,7 @@ QUERIES = {
 ORACLES = {
     "q6_forecast_revenue": Q6_ORACLE,
     "q4_order_priority": Q4_ORACLE,
+    "rollup_grouping_orders": ROLLUP_GROUPING_ORACLE,
     "target_encode_orders": TARGET_ENCODE_ORACLE,
     "q1_pricing_summary": Q1_ORACLE,
     "cube_stats_orders": CUBE_ORACLE,
