@@ -53,30 +53,7 @@ _CHECK_FIRST = [
     "sessionize_events",
     "sliding_window_events",
     "tumbling_window_events",
-    # --- new in round 4 — never driver-checked ---
-    "typo_pairs_customers",
-    "unigram_kl_documents",
-    "reservoir_sample_documents",
-    "salted_agg_events",
-    "cumulative_distinct_users_events",
-    "ewma_events",
-    "q6_forecast_revenue",
-    "weighted_sample_documents",
-    "per_label_sample_embeddings",
-    "histogram_quantiles_events",
-    "target_encode_orders",
-    "auc_documents",
-    "negative_samples_embeddings",
-    "kcore_parts",
-    "kmv_overlap_users_events",
-    "asof_forward_events",
-    "incremental_neardup_documents",
-    "gopher_gate_documents",
-    "q4_order_priority",
-    "rollup_grouping_orders",
-    "ngram_diversity_documents",
-    "ks_drift_documents",
-    # --- never driver-checked (r2/r3 rotation overflow + new this round) ---
+    # --- never driver-checked since r2/r3 (judge-requested re-verification) ---
     "hot_grams_documents",
     "repetition_stats_documents",
     "decontaminate_documents",
@@ -97,6 +74,30 @@ _CHECK_FIRST = [
     "extract_build_statements",
     "percentile_stats_events",
     "schema_summary_supplies",
+    # --- new in round 4 (all green locally at sf0.01 + sf0.1; the 50-cap
+    # window reaches all but the last of these) ---
+    "typo_pairs_customers",
+    "unigram_kl_documents",
+    "reservoir_sample_documents",
+    "salted_agg_events",
+    "cumulative_distinct_users_events",
+    "ewma_events",
+    "q6_forecast_revenue",
+    "weighted_sample_documents",
+    "per_label_sample_embeddings",
+    "histogram_quantiles_events",
+    "target_encode_orders",
+    "auc_documents",
+    "negative_samples_embeddings",
+    "kcore_parts",
+    "kmv_overlap_users_events",
+    "asof_forward_events",
+    "incremental_neardup_documents",
+    "gopher_gate_documents",
+    "q4_order_priority",
+    "rollup_grouping_orders",
+    "ks_drift_documents",
+    "ngram_diversity_documents",
     # --- previously green, oldest driver verification first ---
     "ann_ivf_topk",
     "cascade_delete_counts",
