@@ -98,6 +98,9 @@ _CHECK_FIRST = [
     "rollup_grouping_orders",
     "ks_drift_documents",
     "ngram_diversity_documents",
+    "pmi_collocations_documents",
+    "bpe_pair_stats_documents",
+    "clustering_coefficient_parts",
     # --- previously green, oldest driver verification first ---
     "ann_ivf_topk",
     "cascade_delete_counts",

@@ -348,6 +348,139 @@ GROUP BY t.na, t.nb
 """
 
 
+
+
+# --- PMI collocations ---------------------------------------------------------
+
+PMI_MIN_COUNT = 5
+PMI_TOP = 20
+
+
+def pmi_collocations_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top word collocations by pointwise mutual information over adjacent
+    token pairs: PMI = ln(c_ab·N / (left_a·right_b)) with probabilities
+    from the bigram table itself (marginals = bigram starts/ends — one
+    self-consistent sample space, no unigram/bigram denominator mixing).
+    The classic phrase-mining signal; ln is grid-quantized per the
+    engine-exactness discipline, counts are exact integers."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"[^0-9a-z]+"), lambda t: t != ""
+    )
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("a"),
+                F.element_at(toks, i + 1).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    bi = docs.select(F.explode(grams).alias("g")).select("g.a", "g.b")
+    bi.persist()
+    counts = bi.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    left = bi.groupBy("a").agg(F.count(F.lit(1)).alias("c_a"))
+    right = bi.groupBy("b").agg(F.count(F.lit(1)).alias("c_b"))
+    n = bi.agg(F.count(F.lit(1)).alias("n_bi"))
+    out = (
+        counts.filter(F.col("c_ab") >= PMI_MIN_COUNT)
+        .join(F.broadcast(left), "a")
+        .join(F.broadcast(right), "b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "a", "b", "c_ab",
+            F.round(
+                F.log(
+                    (F.col("c_ab") * F.col("n_bi")).cast("double")
+                    / (F.col("c_a") * F.col("c_b")).cast("double")
+                ),
+                6,
+            ).cast("decimal(12,6)").cast("double").alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
+        .limit(PMI_TOP)
+    )
+    out = out.localCheckpoint(eager=True)
+    bi.unpersist()
+    return out
+
+
+PMI_ORACLE = f"""
+WITH ws AS (
+  SELECT list_filter(string_split_regex(lower(text), '[^0-9a-z]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+bi AS (
+  SELECT toks[i] AS a, toks[i + 1] AS b
+  FROM ws, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+  WHERE len(toks) >= 2
+),
+counts AS (SELECT a, b, COUNT(*) AS c_ab FROM bi GROUP BY a, b),
+lefts AS (SELECT a, COUNT(*) AS c_a FROM bi GROUP BY a),
+rights AS (SELECT b, COUNT(*) AS c_b FROM bi GROUP BY b),
+n AS (SELECT COUNT(*) AS n_bi FROM bi)
+SELECT c.a, c.b, c.c_ab,
+       CAST(CAST(ROUND(ln(CAST(c.c_ab * n.n_bi AS DOUBLE)
+                          / CAST(l.c_a * r.c_b AS DOUBLE)), 6)
+                 AS DECIMAL(12,6)) AS DOUBLE) AS pmi
+FROM counts c
+JOIN lefts l ON l.a = c.a
+JOIN rights r ON r.b = c.b, n
+WHERE c.c_ab >= {PMI_MIN_COUNT}
+ORDER BY pmi DESC, c.a ASC, c.b ASC
+LIMIT {PMI_TOP}
+"""
+
+
+# --- BPE-style pair statistics ------------------------------------------------
+
+BPE_TOP = 20
+
+
+def bpe_pair_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training round-1 statistics: the most frequent adjacent
+    character pairs inside words (with multiplicity) — exactly the counts
+    the first BPE merge maximizes (Sennrich et al. 2016). Narrow double
+    explode (words → char pairs), exact counts, total order on ties."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.lower(F.col("text")), r"[^0-9a-z]+"), lambda t: t != ""
+    )
+    w = docs.select(F.explode(words).alias("w")).filter(F.length("w") >= 2)
+    pairs = w.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(BPE_TOP)
+    )
+
+
+BPE_PAIR_ORACLE = f"""
+WITH w AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[^0-9a-z]+'),
+                            x -> x <> '')) AS w
+  FROM documents
+),
+pairs AS (
+  SELECT substring(w, i, 2) AS pair
+  FROM w, unnest(generate_series(1, length(w) - 1)) AS t(i)
+  WHERE length(w) >= 2
+)
+SELECT pair, COUNT(*) AS n FROM pairs GROUP BY pair
+ORDER BY n DESC, pair ASC LIMIT {BPE_TOP}
+"""
+
+
 # --- exact dedup -------------------------------------------------------------
 
 def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2858,6 +2991,8 @@ QUERIES = {
     "gopher_gate_documents": gopher_gate_documents,
     "ngram_diversity_documents": ngram_diversity_documents,
     "ks_drift_documents": ks_drift_documents,
+    "pmi_collocations_documents": pmi_collocations_documents,
+    "bpe_pair_stats_documents": bpe_pair_stats_documents,
     "unigram_kl_documents": unigram_kl_documents,
     "reservoir_sample_documents": reservoir_sample_documents,
     "minhash_signatures_documents": minhash_signatures_documents,
@@ -2917,6 +3052,8 @@ ORACLES = {
     "gopher_gate_documents": GOPHER_GATE_ORACLE,
     "ngram_diversity_documents": NGRAM_DIVERSITY_ORACLE,
     "ks_drift_documents": KS_DRIFT_ORACLE,
+    "pmi_collocations_documents": PMI_ORACLE,
+    "bpe_pair_stats_documents": BPE_PAIR_ORACLE,
     "unigram_kl_documents": UNIGRAM_KL_ORACLE,
     "reservoir_sample_documents": RESERVOIR_ORACLE,
     "dedup_exact_documents": DEDUP_EXACT_ORACLE,

@@ -799,8 +799,95 @@ SELECT node, degree FROM (
 """)
 
 
+
+
+def clustering_coefficient_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient on the part co-occurrence graph:
+    coeff(v) = 2·triangles(v) / (deg(v)·(deg(v)−1)) for deg ≥ 2 — the
+    community-density signal per node. Triangles come from the same
+    canonical a<b<c edge-join enumeration as `triangle_count_parts`, each
+    crediting its three corners; the division is one exact-operand double
+    ratio."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.withColumnsRenamed({"l_partkey": "pa"})
+    b = li.withColumnsRenamed({"l_partkey": "pb"})
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= TRI_MIN_SHARED)
+        .select("pa", "pb")
+    )
+    edges = edges.localCheckpoint(eager=True)
+    deg = (
+        edges.select(F.col("pa").alias("node"))
+        .unionByName(edges.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    e2 = edges.select(F.col("pa").alias("pb"), F.col("pb").alias("pc"))
+    e3 = edges.select("pa", F.col("pb").alias("pc"))
+    tri = edges.join(e2, "pb").join(e3, ["pa", "pc"]).select("pa", "pb", "pc")
+    tri_per_node = (
+        tri.select(F.col("pa").alias("node"))
+        .unionByName(tri.select(F.col("pb").alias("node")))
+        .unionByName(tri.select(F.col("pc").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(tri_per_node, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
+            (
+                (2 * F.coalesce(F.col("triangles"), F.lit(0))).cast("double")
+                / (F.col("degree") * (F.col("degree") - 1)).cast("double")
+            ).alias("coeff"),
+        )
+    )
+
+
+CLUSTERING_COEFF_ORACLE = f"""
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY pa, pb
+  HAVING COUNT(*) >= {TRI_MIN_SHARED}
+),
+deg AS (
+  SELECT node, COUNT(*) AS degree FROM (
+    SELECT pa AS node FROM edges UNION ALL SELECT pb AS node FROM edges
+  ) GROUP BY node
+),
+tri AS (
+  SELECT e1.pa, e1.pb, e2.pb AS pc
+  FROM edges e1
+  JOIN edges e2 ON e2.pa = e1.pb
+  JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+),
+tpn AS (
+  SELECT node, COUNT(*) AS triangles FROM (
+    SELECT pa AS node FROM tri UNION ALL SELECT pb AS node FROM tri
+    UNION ALL SELECT pc AS node FROM tri
+  ) GROUP BY node
+)
+SELECT d.node, d.degree,
+       CAST(COALESCE(t.triangles, 0) AS BIGINT) AS triangles,
+       CAST(2 * COALESCE(t.triangles, 0) AS DOUBLE)
+         / CAST(d.degree * (d.degree - 1) AS DOUBLE) AS coeff
+FROM deg d LEFT JOIN tpn t ON t.node = d.node
+WHERE d.degree >= 2
+"""
+
+
 QUERIES = {
     "kcore_parts": kcore_parts,
+    "clustering_coefficient_parts": clustering_coefficient_parts,
     "bfs_shortest_paths": bfs_shortest_paths,
     "katz_centrality_graph": katz_centrality_graph,
     "personalized_katz_graph": personalized_katz_graph,
@@ -821,6 +908,7 @@ QUERIES = {
 
 ORACLES = {
     "kcore_parts": KCORE_ORACLE,
+    "clustering_coefficient_parts": CLUSTERING_COEFF_ORACLE,
     "bfs_shortest_paths": BFS_ORACLE,
     "katz_centrality_graph": KATZ_ORACLE,
     "personalized_katz_graph": PKATZ_ORACLE,
