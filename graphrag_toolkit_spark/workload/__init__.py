@@ -101,6 +101,7 @@ _CHECK_FIRST = [
     "pmi_collocations_documents",
     "bpe_pair_stats_documents",
     "clustering_coefficient_parts",
+    "dau_mau_events",
     # --- previously green, oldest driver verification first ---
     "ann_ivf_topk",
     "cascade_delete_counts",

@@ -1052,6 +1052,66 @@ ASOF LEFT JOIN purchases p ON v.user_id = p.user_id AND v.ts <= p.ts
 """
 
 
+
+
+MAU_WINDOW_DAYS = 7
+
+
+def dau_mau_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / rolling-WAU engagement: per day, distinct users that day and
+    distinct users in the trailing 7 days, plus the stickiness ratio.
+    Exact rolling distinct via bounded expansion: each (user, active-day)
+    pair contributes to ≤7 window days (a 7× explode of the DEDUPED
+    user-day table, not the event table), then one distinct count per
+    window day — the scale-safe exact form of the classic DAU/MAU metric."""
+    ev = load(spark, sf_dir, "events")
+    user_days = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    user_days.persist()
+    dau = user_days.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = user_days.select(
+        F.explode(
+            F.sequence(F.lit(0), F.lit(MAU_WINDOW_DAYS - 1))
+        ).alias("off"),
+        "day",
+        "user_id",
+    ).select(F.date_add(F.col("day"), F.col("off")).alias("wday"), "user_id")
+    wau = (
+        contrib.join(
+            dau.select(F.col("day").alias("wday")), "wday", "left_semi"
+        )  # only emit days that actually occur
+        .distinct()
+        .groupBy("wday")
+        .agg(F.count(F.lit(1)).alias("wau"))
+    )
+    out = dau.join(wau, dau.day == wau.wday).select(
+        "day", "dau", "wau",
+        (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+    )
+    out = out.localCheckpoint(eager=True)
+    user_days.unpersist()
+    return out
+
+
+DAU_MAU_ORACLE = f"""
+WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),
+contrib AS (
+  SELECT day + CAST(o AS INTEGER) AS wday, user_id
+  FROM ud, generate_series(0, {MAU_WINDOW_DAYS - 1}) AS t(o)
+),
+wau AS (
+  SELECT wday, COUNT(DISTINCT user_id) AS wau
+  FROM contrib WHERE wday IN (SELECT day FROM dau)
+  GROUP BY wday
+)
+SELECT d.day, d.dau, w.wau,
+       CAST(d.dau AS DOUBLE) / w.wau AS stickiness
+FROM dau d JOIN wau w ON w.wday = d.day
+"""
+
+
 QUERIES = {
     "tumbling_window_events": tumbling_window_events,
     "salted_agg_events": salted_agg_events,
@@ -1060,6 +1120,7 @@ QUERIES = {
     "histogram_quantiles_events": histogram_quantiles_events,
     "kmv_overlap_users_events": kmv_overlap_users_events,
     "asof_forward_events": asof_forward_events,
+    "dau_mau_events": dau_mau_events,
     "robust_stats_events": robust_stats_events,
     "interarrival_stats_events": interarrival_stats_events,
     "resample_gapfill_events": resample_gapfill_events,
@@ -1085,6 +1146,7 @@ ORACLES = {
     "histogram_quantiles_events": HISTOGRAM_QUANTILES_ORACLE,
     "kmv_overlap_users_events": KMV_OVERLAP_ORACLE,
     "asof_forward_events": ASOF_FORWARD_ORACLE,
+    "dau_mau_events": DAU_MAU_ORACLE,
     "tumbling_window_events": TUMBLING_ORACLE,
     "sliding_window_events": SLIDING_ORACLE,
     "sessionize_events": SESSIONIZE_ORACLE,
