@@ -354,3 +354,63 @@ class TestSpanDedupProperties:
             for r in spans.scrub_duplicated_spans(df, "text", "doc_id", n=n).collect()
         }
         assert got_scrub == want_scrub
+
+
+def _py_levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+class TestEditDistanceBlockingProperty:
+    @given(
+        st.lists(
+            st.text(alphabet="abc", min_size=4, max_size=7),
+            min_size=2, max_size=25, unique=True,
+        )
+    )
+    @settings(**SETTINGS)
+    def test_blocking_equals_brute_force(self, spark, words):
+        """Deletion-neighborhood candidates recover EXACTLY the brute-force
+        Levenshtein-1 pair set on random small-alphabet words (small
+        alphabet → dense collisions → the hard case for completeness)."""
+        from graphrag_toolkit_spark.operators.editdist import edit_distance_pairs
+
+        df = spark.createDataFrame([{"w": w} for w in words])
+        fast = set(
+            map(tuple, edit_distance_pairs(df, "w", min_len=4, max_len=7).collect())
+        )
+        brute = {
+            (a, b)
+            for a in words
+            for b in words
+            if a < b and _py_levenshtein(a, b) == 1
+        }
+        assert fast == brute
+
+
+class TestAucProperty:
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 5), st.booleans()),
+            min_size=2, max_size=40,
+        ).filter(lambda xs: len({y for _, y in xs}) == 2)
+    )
+    @settings(**SETTINGS)
+    def test_auc_equals_pairwise_definition(self, spark, rows):
+        """binary_auc (rank-statistic form) equals the O(P·N) pairwise
+        definition (wins + half-ties) on random tied integer scores."""
+        from graphrag_toolkit_spark.operators.ranking_eval import binary_auc
+
+        df = spark.createDataFrame(
+            [{"s": float(sc), "y": y} for sc, y in rows]
+        )
+        got = binary_auc(df, "s", "y").head()["auc"]
+        pos = [s for s, y in rows if y]
+        neg = [s for s, y in rows if not y]
+        wins = sum(1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg)
+        assert got == pytest.approx(wins / (len(pos) * len(neg)))
