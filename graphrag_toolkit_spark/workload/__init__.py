@@ -102,6 +102,7 @@ _CHECK_FIRST = [
     "bpe_pair_stats_documents",
     "clustering_coefficient_parts",
     "dau_mau_events",
+    "ivm_orders",
     # --- previously green, oldest driver verification first ---
     "ann_ivf_topk",
     "cascade_delete_counts",

@@ -474,9 +474,82 @@ WHERE l.op IS NULL OR l.op <> 'D'
 """
 
 
+
+
+def ivm_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (`sink.maintain_aggregate`): the
+    per-status (count, exact-decimal revenue) aggregate refreshed from the
+    SAME synthetic changelog as `cdc_apply_orders` — base aggregates once,
+    only changed keys contribute ±deltas. The oracle recomputes the
+    aggregate from the fully folded snapshot, so hash equality PROVES
+    incremental == full refresh."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    newprice = (
+        F.col("o_totalprice").cast("decimal(12,2)")
+        + F.lit("1000.00").cast("decimal(12,2)")
+    ).cast("double")
+    upd = orders.filter(F.col("o_orderkey") % 100 == 0).select(
+        F.col("o_orderkey").alias("key"), F.lit(1).alias("seq"),
+        F.lit("U").alias("op"), F.col("o_orderstatus"),
+        newprice.alias("o_totalprice"),
+    )
+    dels = orders.filter(F.col("o_orderkey") % 200 == 0).select(
+        F.col("o_orderkey").alias("key"), F.lit(2).alias("seq"),
+        F.lit("D").alias("op"), F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    ins = orders.filter(F.col("o_orderkey") % 500 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("key"), F.lit(1).alias("seq"),
+        F.lit("I").alias("op"), F.lit("N").alias("o_orderstatus"),
+        F.lit(123.45).alias("o_totalprice"),
+    )
+    changes = upd.unionByName(dels).unionByName(ins)
+    base = orders.withColumnRenamed("o_orderkey", "key")
+    return sink.maintain_aggregate(
+        base, changes, "key", "o_orderstatus", "o_totalprice"
+    )
+
+
+IVM_ORACLE = """
+WITH ch AS (
+  SELECT o_orderkey AS key, 1 AS seq, 'U' AS op, o_orderstatus AS st,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) + CAST('1000.00' AS DECIMAL(12,2))
+              AS DOUBLE) AS price
+  FROM orders WHERE o_orderkey % 100 = 0
+  UNION ALL
+  SELECT o_orderkey, 2, 'D', NULL, NULL FROM orders WHERE o_orderkey % 200 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, 1, 'I', 'N', 123.45
+  FROM orders WHERE o_orderkey % 500 = 0
+),
+last AS (
+  SELECT key, op, st, price FROM (
+    SELECT key, op, st, price,
+           ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+    FROM ch
+  ) WHERE rn = 1
+),
+base AS (SELECT o_orderkey AS key, o_orderstatus, o_totalprice FROM orders),
+snap AS (
+  SELECT COALESCE(b.key, l.key) AS key,
+         CASE WHEN l.op IS NOT NULL THEN l.st ELSE b.o_orderstatus END AS st,
+         CASE WHEN l.op IS NOT NULL THEN l.price ELSE b.o_totalprice END AS price
+  FROM base b FULL OUTER JOIN last l ON l.key = b.key
+  WHERE l.op IS NULL OR l.op <> 'D'
+)
+SELECT st AS o_orderstatus, COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(ROUND(price, 2) AS DECIMAL(18,2))) AS DECIMAL(18,2))
+            AS DOUBLE) AS total
+FROM snap GROUP BY st
+"""
+
+
 QUERIES = {
     "scd2_versioning_orders": scd2_versioning_orders,
     "cdc_apply_orders": cdc_apply_orders,
+    "ivm_orders": ivm_orders,
     "versions_at_snapshot": versions_at_snapshot,
     "statements_per_topic_histogram": statements_per_topic_histogram,
     "cascade_delete_counts": cascade_delete_counts,
@@ -489,6 +562,7 @@ QUERIES = {
 ORACLES = {
     "scd2_versioning_orders": SCD2_ORACLE,
     "cdc_apply_orders": CDC_ORACLE,
+    "ivm_orders": IVM_ORACLE,
     "versions_at_snapshot": SNAPSHOT_ORACLE,
     "statements_per_topic_histogram": HISTOGRAM_ORACLE,
     "cascade_delete_counts": CASCADE_ORACLE,

@@ -509,3 +509,38 @@ class TestApplyChangelog:
         )
         out = apply_changelog(base, changes, "key").collect()
         assert [(r["key"], r["status"], r["price"]) for r in out] == [(9, "z", 1.5)]
+
+
+class TestMaintainAggregate:
+    def test_incremental_equals_full_recompute(self, spark):
+        from graphrag_toolkit_spark.sources import sink
+
+        base = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "b", 40.0)],
+            "key long, g string, v double",
+        )
+        # U moves key 1 to group b; D kills key 3; I adds key 9 to group c;
+        # key 2 gets U then D (last seq wins)
+        changes = spark.createDataFrame(
+            [(1, 1, "U", "b", 11.0), (3, 1, "D", None, None),
+             (2, 1, "U", "a", 99.0), (2, 2, "D", None, None),
+             (9, 1, "I", "c", 5.0)],
+            "key long, seq int, op string, g string, v double",
+        )
+        got = {
+            r["g"]: (r["n"], r["total"])
+            for r in sink.maintain_aggregate(
+                base, changes, "key", "g", "v"
+            ).collect()
+        }
+        snap = sink.apply_changelog(base, changes, "key")
+        want = {
+            r["g"]: (r["n"], r["total"])
+            for r in snap.groupBy("g").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("v"), 2).cast("decimal(18,2)"))
+                .cast("double").alias("total"),
+            ).collect()
+        }
+        assert got == want
+        assert got == {"b": (2, 51.0), "c": (1, 5.0)}  # group a emptied out
