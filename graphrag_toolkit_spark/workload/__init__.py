@@ -103,6 +103,8 @@ _CHECK_FIRST = [
     "clustering_coefficient_parts",
     "dau_mau_events",
     "ivm_orders",
+    "top_terms_documents",
+    "markov_accuracy_events",
     # --- previously green, oldest driver verification first ---
     "ann_ivf_topk",
     "cascade_delete_counts",

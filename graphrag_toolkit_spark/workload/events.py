@@ -1112,6 +1112,95 @@ FROM dau d JOIN wau w ON w.wday = d.day
 """
 
 
+
+
+MARKOV_TRAIN_FRAC = 0.8
+
+
+def markov_accuracy_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov next-event predictor evaluation: fit the argmax transition
+    table on each user's first 80% of events (time split — no leakage),
+    predict the next event type on the held-out transitions, report exact
+    accuracy. The train/eval composition a sequence-model baseline runs,
+    entirely in integer counts + one final division."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n_u"),
+    )
+    trans = seq.alias("a").join(
+        seq.alias("b"),
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.rn") == F.col("a.rn") + 1),
+    ).select(
+        F.col("a.event_type").alias("src"),
+        F.col("b.event_type").alias("dst"),
+        (F.col("b.rn")
+         <= F.floor(F.lit(MARKOV_TRAIN_FRAC) * F.col("a.n_u"))).alias("is_train"),
+    )
+    trans.persist()
+    model = (
+        trans.filter(F.col("is_train"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    mw = Window.partitionBy("src").orderBy(F.desc("c"), F.asc("dst"))
+    pred = (
+        model.withColumn("rnk", F.row_number().over(mw))
+        .filter(F.col("rnk") == 1)
+        .select("src", F.col("dst").alias("pred"))
+    )
+    test = trans.filter(~F.col("is_train"))
+    out = (
+        test.join(F.broadcast(pred), "src", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                F.when(F.col("pred") == F.col("dst"), 1).otherwise(0)
+            ).cast("bigint").alias("n_correct"),
+        )
+        .select(
+            "n_test", "n_correct",
+            (F.col("n_correct").cast("double") / F.col("n_test")).alias("accuracy"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    trans.unpersist()
+    return out
+
+
+MARKOV_ACCURACY_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_u
+  FROM events
+),
+trans AS (
+  SELECT a.event_type AS src, b.event_type AS dst,
+         b.rn <= FLOOR({MARKOV_TRAIN_FRAC!r} * a.n_u) AS is_train
+  FROM seq a JOIN seq b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+),
+model AS (
+  SELECT src, dst, COUNT(*) AS c FROM trans WHERE is_train GROUP BY src, dst
+),
+pred AS (
+  SELECT src, dst AS pred FROM (
+    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY c DESC, dst ASC) AS rnk
+    FROM model
+  ) WHERE rnk = 1
+)
+SELECT COUNT(*) AS n_test,
+       CAST(SUM(CASE WHEN p.pred = t.dst THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       CAST(SUM(CASE WHEN p.pred = t.dst THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS accuracy
+FROM trans t LEFT JOIN pred p ON p.src = t.src
+WHERE NOT t.is_train
+"""
+
+
 QUERIES = {
     "tumbling_window_events": tumbling_window_events,
     "salted_agg_events": salted_agg_events,
@@ -1121,6 +1210,7 @@ QUERIES = {
     "kmv_overlap_users_events": kmv_overlap_users_events,
     "asof_forward_events": asof_forward_events,
     "dau_mau_events": dau_mau_events,
+    "markov_accuracy_events": markov_accuracy_events,
     "robust_stats_events": robust_stats_events,
     "interarrival_stats_events": interarrival_stats_events,
     "resample_gapfill_events": resample_gapfill_events,
@@ -1147,6 +1237,7 @@ ORACLES = {
     "kmv_overlap_users_events": KMV_OVERLAP_ORACLE,
     "asof_forward_events": ASOF_FORWARD_ORACLE,
     "dau_mau_events": DAU_MAU_ORACLE,
+    "markov_accuracy_events": MARKOV_ACCURACY_ORACLE,
     "tumbling_window_events": TUMBLING_ORACLE,
     "sliding_window_events": SLIDING_ORACLE,
     "sessionize_events": SESSIONIZE_ORACLE,

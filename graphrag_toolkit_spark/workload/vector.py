@@ -489,7 +489,71 @@ FROM embeddings
 """
 
 
+
+
+TOP_TERMS_K = 3
+
+
+def top_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: the top-3 TF-IDF-weighted terms of
+    every doc (the corpus-statistics keyword provider — the deterministic
+    sibling of `keywords.py`'s llm/nlp providers). Reuses the zero-shuffle
+    tokenizer + broadcast idf table; one window per doc under a total
+    order (weight desc, token asc)."""
+    from pyspark.sql.window import Window
+
+    from graphrag_toolkit_spark.operators.tfidf import idf_table, tokenize
+
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = tokenize(docs, "text", "doc_id")
+    idf = F.broadcast(idf_table(toks, n_docs))
+    dw = toks.join(idf, "token").withColumn(
+        "w",
+        (
+            F.col("tf").cast("decimal(8,0)")
+            * F.round(F.col("idf"), _TFIDF_QUANT).cast(f"decimal(18,{_TFIDF_QUANT})")
+        ).cast(f"decimal(18,{_TFIDF_QUANT})"),
+    )
+    win = Window.partitionBy("id").orderBy(F.desc("w"), F.asc("token"))
+    return (
+        dw.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= TOP_TERMS_K)
+        .select(
+            F.col("id").alias("doc_id"), "rank", "token",
+            F.col("w").cast("double").alias("weight"),
+        )
+    )
+
+
+TOP_TERMS_ORACLE = f"""
+WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+toks AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS DECIMAL(8,0)) AS tf FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '[^0-9a-z]+')) AS token
+    FROM documents
+  ) WHERE token <> '' GROUP BY doc_id, token
+),
+idf AS (
+  SELECT token, ln((1.0 + n.n_docs) / (1.0 + COUNT(*))) + 1.0 AS idf
+  FROM toks, n GROUP BY token, n.n_docs
+),
+dw AS (
+  SELECT doc_id, token,
+         CAST(tf * CAST(ROUND(idf, {_TFIDF_QUANT}) AS DECIMAL(18,{_TFIDF_QUANT}))
+              AS DECIMAL(18,{_TFIDF_QUANT})) AS w
+  FROM toks JOIN idf USING (token)
+)
+SELECT doc_id, rank, token, CAST(w AS DOUBLE) AS weight FROM (
+  SELECT doc_id, token, w,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY w DESC, token ASC) AS rank
+  FROM dw
+) WHERE rank <= {TOP_TERMS_K}
+"""
+
+
 QUERIES = {
+    "top_terms_documents": top_terms_documents,
     "cosine_topk": cosine_topk,
     "bm25_documents": bm25_documents,
     "hybrid_rrf_documents": hybrid_rrf_documents,
@@ -503,6 +567,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "top_terms_documents": TOP_TERMS_ORACLE,
     "cosine_topk": COSINE_TOPK_ORACLE,
     "bm25_documents": BM25_ORACLE,
     "hybrid_rrf_documents": HYBRID_RRF_ORACLE,
