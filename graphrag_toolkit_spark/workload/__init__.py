@@ -105,6 +105,8 @@ _CHECK_FIRST = [
     "ivm_orders",
     "top_terms_documents",
     "markov_accuracy_events",
+    "q12_shipmode_priority",
+    "q14_promo_revenue",
     # --- previously green, oldest driver verification first ---
     "ann_ivf_topk",
     "cascade_delete_counts",

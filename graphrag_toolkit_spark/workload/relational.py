@@ -860,10 +860,91 @@ GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
 
+
+
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority classes): join lineitem→
+    orders in a date window, conditional counts of urgent vs non-urgent
+    orders per return flag (the fixture's stand-in for shipmode) — the
+    canonical join + CASE-aggregate."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q12_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion revenue share): the ratio of discounted
+    revenue from 'red'-named parts in one month — conditional decimal sum
+    over unconditional decimal sum, one broadcast part join, exact
+    operands into the final division."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    part = load(spark, sf_dir, "part")
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(4,2)") - _dec("l_discount", 4)
+    )
+    promo = F.col("p_name").startswith("red")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return j.agg(
+        (
+            F.lit(100.0)
+            * F.sum(F.when(promo, rev).otherwise(F.lit(0).cast("decimal(16,4)")))
+            .cast("double")
+            / F.sum(rev).cast("double")
+        ).alias("promo_revenue_pct"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+Q14_ORACLE = """
+SELECT 100.0 * CAST(SUM(CASE WHEN p_name LIKE 'red%'
+                        THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                             * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                        ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+         AS promo_revenue_pct,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+  AND l_shipdate < TIMESTAMP '1997-07-01'
+"""
+
+
 QUERIES = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "q4_order_priority": q4_order_priority,
     "rollup_grouping_orders": rollup_grouping_orders,
+    "q12_shipmode_priority": q12_shipmode_priority,
+    "q14_promo_revenue": q14_promo_revenue,
     "target_encode_orders": target_encode_orders,
     "q1_pricing_summary": q1_pricing_summary,
     "validate_orders": validate_orders,
@@ -892,6 +973,8 @@ ORACLES = {
     "q6_forecast_revenue": Q6_ORACLE,
     "q4_order_priority": Q4_ORACLE,
     "rollup_grouping_orders": ROLLUP_GROUPING_ORACLE,
+    "q12_shipmode_priority": Q12_ORACLE,
+    "q14_promo_revenue": Q14_ORACLE,
     "target_encode_orders": TARGET_ENCODE_ORACLE,
     "q1_pricing_summary": Q1_ORACLE,
     "cube_stats_orders": CUBE_ORACLE,
