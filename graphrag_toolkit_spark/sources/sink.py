@@ -307,3 +307,41 @@ def maintain_aggregate(
     return merged.filter(F.col("n") > 0).select(
         group_col, "n", F.col("total").cast("double").alias("total")
     )
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_bytes_per_file: int = 128 * 1024 * 1024,
+    sort_col: str | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into files sized
+    for scan efficiency (the operational chore every streaming/incremental
+    sink accumulates — thousands of KB-files turn a 100 TB scan into a
+    metadata storm). File count = ceil(current_bytes / target); optional
+    ``sort_col`` re-clusters rows (range partition + in-file sort) so
+    min/max row-group statistics prune after the rewrite. Writes to a
+    temp sibling then swaps, so a failed compaction never clobbers the
+    input. Returns the new file count."""
+    import glob as _glob
+    import os
+    import shutil
+
+    files = [
+        f for f in _glob.glob(os.path.join(path, "**", "*"), recursive=True)
+        if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total // target_bytes_per_file))
+    df = spark.read.parquet(path)
+    if sort_col is not None:
+        df = df.repartitionByRange(n_out, sort_col).sortWithinPartitions(sort_col)
+    else:
+        df = df.repartition(n_out)
+    tmp = path.rstrip("/") + "__compacting"
+    df.write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "__precompact"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_out

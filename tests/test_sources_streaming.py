@@ -544,3 +544,37 @@ class TestMaintainAggregate:
         }
         assert got == want
         assert got == {"b": (2, 51.0), "c": (1, 5.0)}  # group a emptied out
+
+
+class TestCompaction:
+    def test_many_small_files_become_few(self, spark, tmp_path):
+        from graphrag_toolkit_spark.sources import sink
+
+        p = str(tmp_path / "frag")
+        spark.range(0, 10_000).repartition(64).write.parquet(p)
+        import glob
+        import os
+
+        before = [f for f in glob.glob(os.path.join(p, "*.parquet"))]
+        assert len(before) >= 32
+        total = sum(os.path.getsize(f) for f in before)
+        n = sink.compact_parquet(spark, p, target_bytes_per_file=total // 2)
+        after = glob.glob(os.path.join(p, "*.parquet"))
+        assert len(after) == n <= 3
+        assert spark.read.parquet(p).count() == 10_000  # nothing lost
+
+    def test_sorted_compaction_clusters_rows(self, spark, tmp_path):
+        from graphrag_toolkit_spark.sources import sink
+
+        p = str(tmp_path / "frag2")
+        spark.range(0, 5000).selectExpr(
+            "id", "id % 97 AS k"
+        ).repartition(16).write.parquet(p)
+        sink.compact_parquet(spark, p, target_bytes_per_file=10**12, sort_col="id")
+        import pyarrow.parquet as pq
+        import glob
+        import os
+
+        f = [x for x in glob.glob(os.path.join(p, "*.parquet"))][0]
+        col = pq.read_table(f, columns=["id"])["id"].to_pylist()
+        assert col == sorted(col)  # in-file clustering for min/max pruning
