@@ -92,7 +92,13 @@ def katz_centrality(
                         + F.expr(f"sum(r) div {1 << alpha_log2}")
                     ).cast("long").alias("r")
                 )
-                .localCheckpoint(eager=True)
+                # LAZY checkpoint: still truncates lineage (plans stay
+                # round-sized) but materializes inside the NEXT round's job
+                # instead of forcing one eager job per round — ranks has a
+                # single consumer, so eagerness bought nothing (measured
+                # ~6% at sf0.1; the real cost is the per-round shuffle,
+                # which the algorithm needs)
+                .localCheckpoint(eager=False)
             )
         return ranks.select(
             "node_id",
