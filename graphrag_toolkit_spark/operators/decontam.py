@@ -55,23 +55,32 @@ def contamination(
     text_col: str = "text",
     id_col: str = "id",
     n: int = 8,
+    broadcast_eval: bool = True,
 ) -> DataFrame:
     """Per-corpus-document contamination report against ``eval_set``:
     (id, n_grams — distinct shingles in the doc, n_hit — shingles also in
     the eval set, contamination — n_hit/n_grams). Only contaminated docs
     (n_hit > 0) are returned: at corpus scale the clean rows are the bulk
-    and the report must stay small."""
+    and the report must stay small.
+
+    ``broadcast_eval=True`` is the benchmark-decontamination shape (the
+    eval set is KBs–MBs of shingles). For corpus-vs-corpus checks —
+    split-leakage audits, where the "eval" side is a full training split —
+    pass ``broadcast_eval=False`` to shuffle-join on the gram hash instead
+    of shipping the big side to every executor."""
     from graphrag_toolkit_spark.functions.skew import widen_partitions
 
     # widen before the explode so the shingle fan-out parallelizes even off
     # a single input file; the pre-explode shuffle moves only compact rows
     corpus_grams = shingle_hashes(widen_partitions(corpus), text_col, id_col, n)
-    eval_grams = F.broadcast(
-        shingle_hashes(eval_set, text_col, id_col, n)
+    eval_grams = (
+        shingle_hashes(widen_partitions(eval_set), text_col, id_col, n)
         .select("gram")
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
+    if broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
     # ONE pass over the corpus shingles: broadcast mark-join, then a single
     # per-doc aggregate counting total and hit shingles together (the naive
     # totals ⋈ hits formulation re-runs the whole explode+distinct twice)

@@ -107,6 +107,7 @@ _CHECK_FIRST = [
     "markov_accuracy_events",
     "q12_shipmode_priority",
     "q14_promo_revenue",
+    "split_leakage_documents",
     # --- previously green, oldest driver verification first ---
     "ann_ivf_topk",
     "cascade_delete_counts",

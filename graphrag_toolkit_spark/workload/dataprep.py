@@ -481,6 +481,76 @@ ORDER BY n DESC, pair ASC LIMIT {BPE_TOP}
 """
 
 
+
+
+# --- split-leakage audit --------------------------------------------------------
+
+LEAK_N = 4
+
+
+def split_leakage_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test split-leakage audit: every TEST document whose word
+    4-grams also appear in the TRAIN split — the eval-integrity check a
+    pipeline runs after splitting (content-hash splits prevent id-level
+    leakage; this catches TEXT-level leakage through near-copies). Uses
+    `decontam.contamination(broadcast_eval=False)`: corpus-vs-corpus, so
+    the train side shuffle-joins on the gram hash instead of broadcasting."""
+    from graphrag_toolkit_spark.operators.decontam import contamination
+    from graphrag_toolkit_spark.operators.sampling import train_val_test_split
+
+    docs = load(spark, sf_dir, "documents")
+    split = train_val_test_split(docs, "doc_id")
+    test = split.filter(F.col("split") == "test").select("doc_id", "text")
+    train = split.filter(F.col("split") == "train").select("doc_id", "text")
+    return contamination(
+        test, train, "text", "doc_id", n=LEAK_N, broadcast_eval=False
+    ).withColumnRenamed("id", "doc_id")
+
+
+SPLIT_LEAKAGE_ORACLE = rf"""
+WITH split AS (
+  SELECT doc_id, text,
+         CASE WHEN b < 1000 THEN 'test'
+              WHEN b < 2000 THEN 'val' ELSE 'train' END AS split
+  FROM (
+    SELECT doc_id, text,
+           CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)
+             % 10000 AS b
+    FROM documents
+  )
+),
+grams AS (
+  SELECT split, doc_id,
+         md5(g) AS gram
+  FROM (
+    SELECT split, doc_id,
+           unnest(list_transform(
+             generate_series(1, len(ws) - {LEAK_N - 1}),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+           )) AS g
+    FROM (
+      SELECT split, doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')
+               AS ws
+      FROM split
+    ) WHERE len(ws) >= {LEAK_N}
+  )
+),
+test_grams AS (
+  SELECT DISTINCT doc_id, gram FROM grams WHERE split = 'test'
+),
+train_grams AS (SELECT DISTINCT gram FROM grams WHERE split = 'train')
+SELECT doc_id, COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN t.gram IN (SELECT gram FROM train_grams)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       CAST(SUM(CASE WHEN t.gram IN (SELECT gram FROM train_grams)
+                     THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS contamination
+FROM test_grams t
+GROUP BY doc_id
+HAVING n_hit > 0
+"""
+
+
 # --- exact dedup -------------------------------------------------------------
 
 def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2993,6 +3063,7 @@ QUERIES = {
     "ks_drift_documents": ks_drift_documents,
     "pmi_collocations_documents": pmi_collocations_documents,
     "bpe_pair_stats_documents": bpe_pair_stats_documents,
+    "split_leakage_documents": split_leakage_documents,
     "unigram_kl_documents": unigram_kl_documents,
     "reservoir_sample_documents": reservoir_sample_documents,
     "minhash_signatures_documents": minhash_signatures_documents,
@@ -3054,6 +3125,7 @@ ORACLES = {
     "ks_drift_documents": KS_DRIFT_ORACLE,
     "pmi_collocations_documents": PMI_ORACLE,
     "bpe_pair_stats_documents": BPE_PAIR_ORACLE,
+    "split_leakage_documents": SPLIT_LEAKAGE_ORACLE,
     "unigram_kl_documents": UNIGRAM_KL_ORACLE,
     "reservoir_sample_documents": RESERVOIR_ORACLE,
     "dedup_exact_documents": DEDUP_EXACT_ORACLE,
