@@ -108,6 +108,8 @@ _CHECK_FIRST = [
     "q12_shipmode_priority",
     "q14_promo_revenue",
     "split_leakage_documents",
+    "dedup_canonical_documents",
+    "mixed_language_documents",
     # --- previously green, oldest driver verification first ---
     "ann_ivf_topk",
     "cascade_delete_counts",

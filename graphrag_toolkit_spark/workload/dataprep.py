@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from graphrag_toolkit_spark.operators import (
     ann,
@@ -548,6 +549,133 @@ SELECT doc_id, COUNT(*) AS n_grams,
 FROM test_grams t
 GROUP BY doc_id
 HAVING n_hit > 0
+"""
+
+
+
+
+# --- canonical-text dedup -------------------------------------------------------
+
+
+def dedup_canonical_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-exact dedup: group documents by md5 of CANONICALIZED text
+    (lowercase, punctuation stripped, whitespace collapsed) — the cheap
+    rung between byte-exact and MinHash dedup that catches case/spacing/
+    punctuation variants with a plain hash groupBy. Reports both raw and
+    canonical group counts per canonical group."""
+    docs = load(spark, sf_dir, "documents")
+    canon = F.regexp_replace(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"[^0-9a-z]+", " ")),
+        r" +", " ",
+    )
+    return (
+        docs.select(F.md5(canon).alias("canon_hash"), F.md5("text").alias("raw_hash"),
+                    F.col("doc_id"))
+        .groupBy("canon_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.countDistinct("raw_hash").alias("n_raw_variants"),
+            F.min("doc_id").alias("keep_id"),
+        )
+    )
+
+
+DEDUP_CANONICAL_ORACLE = r"""
+SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^0-9a-z]+', ' ', 'g'),
+                               ' +', ' ', 'g'))) AS canon_hash,
+       COUNT(*) AS n_members,
+       COUNT(DISTINCT md5(text)) AS n_raw_variants,
+       MIN(doc_id) AS keep_id
+FROM documents GROUP BY 1
+"""
+
+
+# --- mixed-language detection ----------------------------------------------------
+
+
+def mixed_language_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-switching / mixed-language detection: per doc, the top TWO
+    lexicon languages by hit count and the second/first hit ratio — a doc
+    is 'mixed' when its runner-up language reaches half the leader. The
+    per-doc audit behind language-purity filters (single-label language_id
+    hides exactly this failure mode)."""
+    docs = load(spark, sf_dir, "documents")
+    lex = spark.createDataFrame(
+        [
+            {"lang": lang, "token": w}
+            for lang, ws in textstats.LANG_LEXICON.items()
+            for w in ws
+        ]
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    hits = (
+        toks.join(F.broadcast(lex), "token")
+        .groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("lang"))
+    ranked = hits.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 2
+    )
+    top = ranked.groupBy("doc_id").agg(
+        F.max(F.when(F.col("rnk") == 1, F.col("lang"))).alias("lang1"),
+        F.max(F.when(F.col("rnk") == 1, F.col("hits"))).alias("hits1"),
+        F.max(F.when(F.col("rnk") == 2, F.col("lang"))).alias("lang2"),
+        F.max(F.when(F.col("rnk") == 2, F.col("hits"))).alias("hits2"),
+    )
+    return top.select(
+        "doc_id", "lang1", "hits1",
+        F.coalesce(F.col("lang2"), F.lit("")).alias("lang2"),
+        F.coalesce(F.col("hits2"), F.lit(0)).alias("hits2"),
+        (F.coalesce(F.col("hits2"), F.lit(0)).cast("double")
+         / F.col("hits1")).alias("mix_ratio"),
+        (
+            F.coalesce(F.col("hits2"), F.lit(0)).cast("double")
+            >= 0.5 * F.col("hits1")
+        ).alias("is_mixed"),
+    )
+
+
+_LEX_VALUES = ", ".join(
+    f"('{lang}', '{w}')"
+    for lang, ws in sorted(textstats.LANG_LEXICON.items())
+    for w in ws
+)
+
+MIXED_LANG_ORACLE = rf"""
+WITH lex (lang, token) AS (VALUES {_LEX_VALUES}),
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+  FROM documents
+),
+hits AS (
+  SELECT t.doc_id, l.lang, COUNT(*) AS hits
+  FROM toks t JOIN lex l ON l.token = t.token
+  WHERE t.token <> ''
+  GROUP BY t.doc_id, l.lang
+),
+ranked AS (
+  SELECT doc_id, lang, hits,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS rnk
+  FROM hits
+),
+top AS (
+  SELECT doc_id,
+         MAX(CASE WHEN rnk = 1 THEN lang END) AS lang1,
+         MAX(CASE WHEN rnk = 1 THEN hits END) AS hits1,
+         MAX(CASE WHEN rnk = 2 THEN lang END) AS lang2,
+         MAX(CASE WHEN rnk = 2 THEN hits END) AS hits2
+  FROM ranked WHERE rnk <= 2 GROUP BY doc_id
+)
+SELECT doc_id, lang1, hits1,
+       COALESCE(lang2, '') AS lang2,
+       CAST(COALESCE(hits2, 0) AS BIGINT) AS hits2,
+       CAST(COALESCE(hits2, 0) AS DOUBLE) / hits1 AS mix_ratio,
+       CAST(COALESCE(hits2, 0) AS DOUBLE) >= 0.5 * hits1 AS is_mixed
+FROM top
 """
 
 
@@ -3064,6 +3192,8 @@ QUERIES = {
     "pmi_collocations_documents": pmi_collocations_documents,
     "bpe_pair_stats_documents": bpe_pair_stats_documents,
     "split_leakage_documents": split_leakage_documents,
+    "dedup_canonical_documents": dedup_canonical_documents,
+    "mixed_language_documents": mixed_language_documents,
     "unigram_kl_documents": unigram_kl_documents,
     "reservoir_sample_documents": reservoir_sample_documents,
     "minhash_signatures_documents": minhash_signatures_documents,
@@ -3126,6 +3256,8 @@ ORACLES = {
     "pmi_collocations_documents": PMI_ORACLE,
     "bpe_pair_stats_documents": BPE_PAIR_ORACLE,
     "split_leakage_documents": SPLIT_LEAKAGE_ORACLE,
+    "dedup_canonical_documents": DEDUP_CANONICAL_ORACLE,
+    "mixed_language_documents": MIXED_LANG_ORACLE,
     "unigram_kl_documents": UNIGRAM_KL_ORACLE,
     "reservoir_sample_documents": RESERVOIR_ORACLE,
     "dedup_exact_documents": DEDUP_EXACT_ORACLE,
