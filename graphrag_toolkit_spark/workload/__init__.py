@@ -110,6 +110,7 @@ _CHECK_FIRST = [
     "split_leakage_documents",
     "dedup_canonical_documents",
     "mixed_language_documents",
+    "chi_square_documents",
     # --- previously green, oldest driver verification first ---
     "ann_ivf_topk",
     "cascade_delete_counts",

@@ -679,6 +679,80 @@ FROM top
 """
 
 
+
+
+# --- chi-square independence test ------------------------------------------------
+
+
+def chi_square_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test between the corpus's lang and
+    source columns — the categorical-drift / bias check (are sources
+    language-balanced?). O is an exact integer contingency table; each
+    E = row_total·col_total/n is an exact-operand double; per-cell terms
+    are grid-rounded and decimal-summed so the statistic is
+    engine-identical. Returns (n, n_cells, dof, chi2)."""
+    docs = load(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    obs.persist()
+    rows = obs.groupBy("lang").agg(F.sum("o").alias("rt"))
+    cols = obs.groupBy("source").agg(F.sum("o").alias("ct"))
+    tot = obs.agg(
+        F.sum("o").alias("n"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.countDistinct("lang").alias("n_rows"),
+        F.countDistinct("source").alias("n_cols"),
+    )
+    e = (
+        obs.join(F.broadcast(rows), "lang")
+        .join(F.broadcast(cols), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    expected = (F.col("rt") * F.col("ct")).cast("double") / F.col("n")
+    term = F.round(
+        (F.col("o").cast("double") - expected)
+        * (F.col("o").cast("double") - expected)
+        / expected,
+        9,
+    ).cast("decimal(18,9)")
+    out = e.groupBy("n", "n_cells", "n_rows", "n_cols").agg(
+        F.sum(term).cast("double").alias("chi2")
+    )
+    out = out.select(
+        "n", "n_cells",
+        ((F.col("n_rows") - 1) * (F.col("n_cols") - 1)).alias("dof"),
+        "chi2",
+    ).localCheckpoint(eager=True)
+    obs.unpersist()
+    return out
+
+
+CHI_SQUARE_ORACLE = """
+WITH obs AS (
+  SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY lang, source
+),
+rt AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS rt FROM obs GROUP BY lang),
+ct AS (SELECT source, CAST(SUM(o) AS BIGINT) AS ct FROM obs GROUP BY source),
+tot AS (
+  SELECT CAST(SUM(o) AS BIGINT) AS n, COUNT(*) AS n_cells,
+         COUNT(DISTINCT lang) AS n_rows, COUNT(DISTINCT source) AS n_cols
+  FROM obs
+),
+terms AS (
+  SELECT t.n, t.n_cells, t.n_rows, t.n_cols,
+         CAST(ROUND(
+           (CAST(o.o AS DOUBLE) - CAST(r.rt * c.ct AS DOUBLE) / t.n)
+           * (CAST(o.o AS DOUBLE) - CAST(r.rt * c.ct AS DOUBLE) / t.n)
+           / (CAST(r.rt * c.ct AS DOUBLE) / t.n), 9) AS DECIMAL(18,9)) AS term
+  FROM obs o
+  JOIN rt r ON r.lang = o.lang
+  JOIN ct c ON c.source = o.source, tot t
+)
+SELECT n, n_cells, (n_rows - 1) * (n_cols - 1) AS dof,
+       CAST(SUM(term) AS DOUBLE) AS chi2
+FROM terms GROUP BY n, n_cells, n_rows, n_cols
+"""
+
+
 # --- exact dedup -------------------------------------------------------------
 
 def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3194,6 +3268,7 @@ QUERIES = {
     "split_leakage_documents": split_leakage_documents,
     "dedup_canonical_documents": dedup_canonical_documents,
     "mixed_language_documents": mixed_language_documents,
+    "chi_square_documents": chi_square_documents,
     "unigram_kl_documents": unigram_kl_documents,
     "reservoir_sample_documents": reservoir_sample_documents,
     "minhash_signatures_documents": minhash_signatures_documents,
@@ -3258,6 +3333,7 @@ ORACLES = {
     "split_leakage_documents": SPLIT_LEAKAGE_ORACLE,
     "dedup_canonical_documents": DEDUP_CANONICAL_ORACLE,
     "mixed_language_documents": MIXED_LANG_ORACLE,
+    "chi_square_documents": CHI_SQUARE_ORACLE,
     "unigram_kl_documents": UNIGRAM_KL_ORACLE,
     "reservoir_sample_documents": RESERVOIR_ORACLE,
     "dedup_exact_documents": DEDUP_EXACT_ORACLE,
