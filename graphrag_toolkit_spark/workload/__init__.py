@@ -111,6 +111,7 @@ _CHECK_FIRST = [
     "dedup_canonical_documents",
     "mixed_language_documents",
     "chi_square_documents",
+    "label_centroids_embeddings",
     # --- previously green, oldest driver verification first ---
     "ann_ivf_topk",
     "cascade_delete_counts",

@@ -552,8 +552,41 @@ SELECT doc_id, rank, token, CAST(w AS DOUBLE) AS weight FROM (
 """
 
 
+
+
+def label_centroids_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroids (nearest-class-mean prototypes): exact
+    per-component means — quantized decimal sums over a posexplode, double
+    division by the class count — emitted one row per (label, dim) so the
+    result is directly joinable for prototype scoring. The classifier-
+    prototype / cluster-profile primitive."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double"), 6).cast("decimal(12,6)"),
+    )
+    ex = emb.select("label", F.posexplode(q).alias("dim", "v"))
+    return (
+        ex.groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("v").cast("double") / F.count(F.lit(1))).alias("mean"),
+        )
+    )
+
+
+LABEL_CENTROIDS_ORACLE = """
+SELECT label, i - 1 AS dim, COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE), 6) AS DECIMAL(12,6)))
+            AS DOUBLE) / COUNT(*) AS mean
+FROM embeddings, generate_series(1, 64) AS t(i)
+GROUP BY label, i
+"""
+
+
 QUERIES = {
     "top_terms_documents": top_terms_documents,
+    "label_centroids_embeddings": label_centroids_embeddings,
     "cosine_topk": cosine_topk,
     "bm25_documents": bm25_documents,
     "hybrid_rrf_documents": hybrid_rrf_documents,
@@ -568,6 +601,7 @@ QUERIES = {
 
 ORACLES = {
     "top_terms_documents": TOP_TERMS_ORACLE,
+    "label_centroids_embeddings": LABEL_CENTROIDS_ORACLE,
     "cosine_topk": COSINE_TOPK_ORACLE,
     "bm25_documents": BM25_ORACLE,
     "hybrid_rrf_documents": HYBRID_RRF_ORACLE,
