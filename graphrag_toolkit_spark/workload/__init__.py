@@ -112,6 +112,7 @@ _CHECK_FIRST = [
     "mixed_language_documents",
     "chi_square_documents",
     "label_centroids_embeddings",
+    "retrieval_eval_pipeline",
     # --- previously green, oldest driver verification first ---
     "ann_ivf_topk",
     "cascade_delete_counts",

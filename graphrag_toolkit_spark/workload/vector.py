@@ -415,6 +415,120 @@ FROM u GROUP BY doc_id
 """
 
 
+# --- end-to-end retrieval evaluation pipeline -----------------------------------
+
+EVAL_PIPE_K = 10
+
+
+def _rank_disc_sql(rank: str) -> str:
+    from graphrag_toolkit_spark.operators.textstats import LN2
+
+    return (
+        f"CAST(ROUND(1.0 / ROUND(ln(1.0 + {rank}) / {LN2!r}, 6), 6)"
+        " AS DECIMAL(12,6))"
+    )
+
+
+def retrieval_eval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed retrieval-quality story end to end: BM25 leg + TF-IDF
+    leg → bounded top-100s → RRF fusion → top-10 ranked list → NDCG/MRR/
+    recall against term-membership pseudo-judgments (rel = how many of the
+    query's 6 terms the doc contains) — the full tune-a-retriever loop
+    (retrieve → fuse → evaluate) as one lineage, every stage one of the
+    declared operators."""
+    from pyspark.sql.window import Window
+
+    from graphrag_toolkit_spark.operators.ranking_eval import ranking_metrics
+
+    fused = hybrid_rrf_documents(spark, sf_dir)
+    results = (
+        fused.orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(EVAL_PIPE_K)
+        .select(
+            F.lit("q").alias("query_id"),
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("rrf"), F.asc("doc_id")))
+            .alias("rank"),
+        )
+    )
+    docs = load(spark, sf_dir, "documents")
+    qterms = sorted(set(TFIDF_QUERY.split()))
+    toks = F.split(F.lower(F.col("text")), r"[^0-9a-z]+")
+    rel = None
+    for t in qterms:
+        hit = F.array_contains(toks, t).cast("int")
+        rel = hit if rel is None else rel + hit
+    judgments = (
+        docs.select(
+            F.lit("q").alias("query_id"),
+            F.col("doc_id"),
+            rel.alias("rel"),
+        )
+        .filter(F.col("rel") > 0)
+    )
+    return ranking_metrics(results, judgments, k=EVAL_PIPE_K)
+
+
+_EVAL_REL_SQL = " + ".join(
+    f"CAST(list_contains(string_split_regex(lower(text), '[^0-9a-z]+'), '{t}') AS INTEGER)"
+    for t in sorted(set(TFIDF_QUERY.split()))
+)
+
+
+RETRIEVAL_EVAL_ORACLE = f"""
+WITH fused AS ({HYBRID_RRF_ORACLE}),
+res AS (
+  SELECT 'q' AS query_id, doc_id, rank FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rank
+    FROM fused
+  ) WHERE rank <= {EVAL_PIPE_K}
+),
+judg AS (
+  SELECT * FROM (
+    SELECT 'q' AS query_id, doc_id, ({_EVAL_REL_SQL}) AS rel
+    FROM documents
+  ) WHERE rel > 0
+),
+joined AS (
+  SELECT r.query_id, r.rank, COALESCE(j.rel, 0) AS rel
+  FROM res r LEFT JOIN judg j ON j.query_id = r.query_id AND j.doc_id = r.doc_id
+),
+perq AS (
+  SELECT query_id,
+         CAST(SUM(CAST(rel * {_rank_disc_sql('rank')} AS DECIMAL(18,6))) AS DOUBLE)
+           AS dcg,
+         MIN(CASE WHEN rel > 0 THEN rank END) AS firstrel,
+         CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_retrieved_relevant
+  FROM joined GROUP BY query_id
+),
+ideal AS (
+  SELECT query_id,
+         CAST(SUM(CASE WHEN irank <= {EVAL_PIPE_K}
+                  THEN CAST(rel * {_rank_disc_sql('irank')} AS DECIMAL(18,6))
+                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS idcg,
+         COUNT(*) AS n_relevant
+  FROM (
+    SELECT query_id, rel, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id)
+             AS irank
+    FROM judg WHERE rel > 0
+  ) GROUP BY query_id
+)
+SELECT p.query_id, p.dcg,
+       COALESCE(i.idcg, 0.0) AS idcg,
+       CASE WHEN COALESCE(i.idcg, 0.0) > 0 THEN p.dcg / i.idcg ELSE 0.0 END AS ndcg,
+       CASE WHEN p.firstrel IS NOT NULL THEN 1.0 / p.firstrel ELSE 0.0 END AS mrr,
+       COALESCE(i.n_relevant, 0) AS n_relevant,
+       p.n_retrieved_relevant,
+       CASE WHEN COALESCE(i.n_relevant, 0) > 0
+            THEN CAST(p.n_retrieved_relevant AS DOUBLE) / i.n_relevant
+            ELSE 0.0 END AS recall
+FROM perq p LEFT JOIN ideal i ON i.query_id = p.query_id
+"""
+
+
 BOOL_TERMS = ["spark", "join", "window"]
 
 
@@ -587,6 +701,7 @@ GROUP BY label, i
 QUERIES = {
     "top_terms_documents": top_terms_documents,
     "label_centroids_embeddings": label_centroids_embeddings,
+    "retrieval_eval_pipeline": retrieval_eval_pipeline,
     "cosine_topk": cosine_topk,
     "bm25_documents": bm25_documents,
     "hybrid_rrf_documents": hybrid_rrf_documents,
@@ -602,6 +717,7 @@ QUERIES = {
 ORACLES = {
     "top_terms_documents": TOP_TERMS_ORACLE,
     "label_centroids_embeddings": LABEL_CENTROIDS_ORACLE,
+    "retrieval_eval_pipeline": RETRIEVAL_EVAL_ORACLE,
     "cosine_topk": COSINE_TOPK_ORACLE,
     "bm25_documents": BM25_ORACLE,
     "hybrid_rrf_documents": HYBRID_RRF_ORACLE,
