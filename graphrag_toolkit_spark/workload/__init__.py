@@ -113,6 +113,7 @@ _CHECK_FIRST = [
     "chi_square_documents",
     "label_centroids_embeddings",
     "retrieval_eval_pipeline",
+    "source_concentration_documents",
     # --- previously green, oldest driver verification first ---
     "ann_ivf_topk",
     "cascade_delete_counts",

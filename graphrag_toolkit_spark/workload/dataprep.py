@@ -753,6 +753,47 @@ FROM terms GROUP BY n, n_cells, n_rows, n_cols
 """
 
 
+
+
+# --- source concentration (Gini) --------------------------------------------------
+
+
+def source_concentration_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus concentration: the Gini coefficient of the docs-per-source
+    distribution (0 = perfectly balanced sources, →1 = one source
+    dominates) — the diversity alarm for crawl pipelines. Computed from
+    the exact rank-weighted integer identity
+    G = (2·Σ i·cᵢ − (n+1)·Σcᵢ) / (n·Σcᵢ) over counts sorted ascending,
+    one double division at the end."""
+    from pyspark.sql.window import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    w = W.orderBy(F.asc("c"), F.asc("source"))
+    ranked = counts.withColumn("i", F.row_number().over(w))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum("c").alias("n_docs"),
+        (
+            (2 * F.sum(F.col("i") * F.col("c"))
+             - (F.count(F.lit(1)) + 1) * F.sum("c")).cast("double")
+            / (F.count(F.lit(1)) * F.sum("c")).cast("double")
+        ).alias("gini"),
+    )
+
+
+SOURCE_CONCENTRATION_ORACLE = """
+WITH counts AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
+ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c ASC, source ASC) AS i FROM counts
+)
+SELECT COUNT(*) AS n_sources, CAST(SUM(c) AS BIGINT) AS n_docs,
+       CAST(2 * SUM(i * c) - (COUNT(*) + 1) * SUM(c) AS DOUBLE)
+         / CAST(COUNT(*) * SUM(c) AS DOUBLE) AS gini
+FROM ranked
+"""
+
+
 # --- exact dedup -------------------------------------------------------------
 
 def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3269,6 +3310,7 @@ QUERIES = {
     "dedup_canonical_documents": dedup_canonical_documents,
     "mixed_language_documents": mixed_language_documents,
     "chi_square_documents": chi_square_documents,
+    "source_concentration_documents": source_concentration_documents,
     "unigram_kl_documents": unigram_kl_documents,
     "reservoir_sample_documents": reservoir_sample_documents,
     "minhash_signatures_documents": minhash_signatures_documents,
@@ -3334,6 +3376,7 @@ ORACLES = {
     "dedup_canonical_documents": DEDUP_CANONICAL_ORACLE,
     "mixed_language_documents": MIXED_LANG_ORACLE,
     "chi_square_documents": CHI_SQUARE_ORACLE,
+    "source_concentration_documents": SOURCE_CONCENTRATION_ORACLE,
     "unigram_kl_documents": UNIGRAM_KL_ORACLE,
     "reservoir_sample_documents": RESERVOIR_ORACLE,
     "dedup_exact_documents": DEDUP_EXACT_ORACLE,
