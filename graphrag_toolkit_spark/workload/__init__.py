@@ -114,6 +114,8 @@ _CHECK_FIRST = [
     "label_centroids_embeddings",
     "retrieval_eval_pipeline",
     "source_concentration_documents",
+    "ship_lag_orders",
+    "degree_distribution_parts",
     # --- previously green, oldest driver verification first ---
     "ann_ivf_topk",
     "cascade_delete_counts",

@@ -885,9 +885,96 @@ WHERE d.degree >= 2
 """
 
 
+
+
+def degree_distribution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution power-law fit of the part co-occurrence graph:
+    ln(#nodes with degree k) regressed on ln(k) — the scale-free-ness
+    diagnostic (γ ≈ 2-3 for natural graphs; flat slopes flag synthetic or
+    truncated graphs). Closed-form least squares over grid-quantized log
+    points, moment sums in exact DECIMAL (the zipf_fit discipline on graph
+    degrees)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.withColumnsRenamed({"l_partkey": "pa"})
+    b = li.withColumnsRenamed({"l_partkey": "pb"})
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("ns"))
+        .filter(F.col("ns") >= TRI_MIN_SHARED)
+    )
+    deg = (
+        edges.select(F.col("pa").alias("node"))
+        .unionByName(edges.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    dist = deg.groupBy("k").agg(F.count(F.lit(1)).alias("n_k"))
+    lnq = lambda c: F.round(F.log(c.cast("double")), 6).cast("decimal(12,6)")
+    pts = dist.select(lnq(F.col("k")).alias("x"), lnq(F.col("n_k")).alias("y"))
+    m = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,12)")).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(28,12)")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    return m.select(
+        F.col("n").alias("n_points"),
+        ((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias("slope"),
+        ((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n).alias(
+            "intercept"
+        ),
+    )
+
+
+DEGREE_DISTRIBUTION_ORACLE = f"""
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY pa, pb
+  HAVING COUNT(*) >= {TRI_MIN_SHARED}
+),
+deg AS (
+  SELECT node, COUNT(*) AS k FROM (
+    SELECT pa AS node FROM edges UNION ALL SELECT pb AS node FROM edges
+  ) GROUP BY node
+),
+dist AS (SELECT k, COUNT(*) AS n_k FROM deg GROUP BY k),
+pts AS (
+  SELECT CAST(ROUND(ln(CAST(k AS DOUBLE)), 6) AS DECIMAL(12,6)) AS x,
+         CAST(ROUND(ln(CAST(n_k AS DOUBLE)), 6) AS DECIMAL(12,6)) AS y
+  FROM dist
+),
+m AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(CAST(x * x AS DECIMAL(28,12))) AS sxx,
+         SUM(CAST(x * y AS DECIMAL(28,12))) AS sxy
+  FROM pts
+)
+SELECT n AS n_points,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         AS slope,
+       (CAST(sy AS DOUBLE)
+        - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+          * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+FROM m
+"""
+
+
 QUERIES = {
     "kcore_parts": kcore_parts,
     "clustering_coefficient_parts": clustering_coefficient_parts,
+    "degree_distribution_parts": degree_distribution_parts,
     "bfs_shortest_paths": bfs_shortest_paths,
     "katz_centrality_graph": katz_centrality_graph,
     "personalized_katz_graph": personalized_katz_graph,
@@ -909,6 +996,7 @@ QUERIES = {
 ORACLES = {
     "kcore_parts": KCORE_ORACLE,
     "clustering_coefficient_parts": CLUSTERING_COEFF_ORACLE,
+    "degree_distribution_parts": DEGREE_DISTRIBUTION_ORACLE,
     "bfs_shortest_paths": BFS_ORACLE,
     "katz_centrality_graph": KATZ_ORACLE,
     "personalized_katz_graph": PKATZ_ORACLE,

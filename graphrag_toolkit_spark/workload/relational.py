@@ -939,12 +939,51 @@ WHERE l_shipdate >= TIMESTAMP '1997-06-01'
 """
 
 
+
+
+def ship_lag_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment-lag distribution: days from order to each line's ship
+    date, exact percentiles per order priority — the operations SLA
+    metric (join + integer day lag + exact quantiles on integers)."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lag_days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority", lag_days.alias("lag_days")
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("lag_days").alias("lag_min"),
+        F.expr("percentile(lag_days, 0.5)").alias("lag_p50"),
+        F.expr("percentile(lag_days, 0.95)").alias("lag_p95"),
+        F.max("lag_days").alias("lag_max"),
+    ).orderBy("o_orderpriority")
+
+
+SHIP_LAG_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       MIN(lag_days) AS lag_min,
+       quantile_cont(lag_days, 0.5) AS lag_p50,
+       quantile_cont(lag_days, 0.95) AS lag_p95,
+       MAX(lag_days) AS lag_max
+FROM (
+  SELECT o_orderpriority, date_diff('day', o_orderdate, l_shipdate) AS lag_days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "q4_order_priority": q4_order_priority,
     "rollup_grouping_orders": rollup_grouping_orders,
     "q12_shipmode_priority": q12_shipmode_priority,
     "q14_promo_revenue": q14_promo_revenue,
+    "ship_lag_orders": ship_lag_orders,
     "target_encode_orders": target_encode_orders,
     "q1_pricing_summary": q1_pricing_summary,
     "validate_orders": validate_orders,
@@ -975,6 +1014,7 @@ ORACLES = {
     "rollup_grouping_orders": ROLLUP_GROUPING_ORACLE,
     "q12_shipmode_priority": Q12_ORACLE,
     "q14_promo_revenue": Q14_ORACLE,
+    "ship_lag_orders": SHIP_LAG_ORACLE,
     "target_encode_orders": TARGET_ENCODE_ORACLE,
     "q1_pricing_summary": Q1_ORACLE,
     "cube_stats_orders": CUBE_ORACLE,
