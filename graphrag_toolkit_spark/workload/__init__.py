@@ -116,6 +116,7 @@ _CHECK_FIRST = [
     "source_concentration_documents",
     "ship_lag_orders",
     "degree_distribution_parts",
+    "dup_rate_by_source_documents",
     # --- previously green, oldest driver verification first ---
     "ann_ivf_topk",
     "cascade_delete_counts",

@@ -794,6 +794,68 @@ FROM ranked
 """
 
 
+
+
+# --- near-dup rate by source --------------------------------------------------------
+
+
+def dup_rate_by_source_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-injection audit: per source, the fraction of its documents
+    that participate in ANY MinHash near-dup pair — the triage table that
+    tells a crawl operator WHICH feed is polluting the corpus (pair lists
+    alone don't localize blame)."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_dup_pairs(
+        docs, "text", "doc_id", k=SHINGLE_K,
+        num_hashes=NUM_HASHES, bands=BANDS, threshold=JACCARD_THRESHOLD,
+    )
+    dup_ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    flagged = docs.join(
+        dup_ids.withColumn("_dup", F.lit(1)), "doc_id", "left"
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("_dup").alias("n_dup_docs"),
+        (F.count("_dup").cast("double") / F.count(F.lit(1))).alias("dup_rate"),
+    )
+
+
+DUP_RATE_BY_SOURCE_ORACLE = f"""
+WITH {_SHINGLES_SQL}, {_SIG_SQL}, {_BANDED_SQL}, {_CAND_SQL},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+),
+verified AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE i.n_inter / (sa.n + sb.n - i.n_inter) >= {JACCARD_THRESHOLD}
+),
+dup_ids AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT id_a AS doc_id FROM verified UNION ALL SELECT id_b FROM verified
+  )
+)
+SELECT d.source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN dd.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_docs,
+       CAST(SUM(CASE WHEN dd.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS dup_rate
+FROM documents d LEFT JOIN dup_ids dd ON dd.doc_id = d.doc_id
+GROUP BY d.source
+"""
+
+
 # --- exact dedup -------------------------------------------------------------
 
 def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3311,6 +3373,7 @@ QUERIES = {
     "mixed_language_documents": mixed_language_documents,
     "chi_square_documents": chi_square_documents,
     "source_concentration_documents": source_concentration_documents,
+    "dup_rate_by_source_documents": dup_rate_by_source_documents,
     "unigram_kl_documents": unigram_kl_documents,
     "reservoir_sample_documents": reservoir_sample_documents,
     "minhash_signatures_documents": minhash_signatures_documents,
@@ -3377,6 +3440,7 @@ ORACLES = {
     "mixed_language_documents": MIXED_LANG_ORACLE,
     "chi_square_documents": CHI_SQUARE_ORACLE,
     "source_concentration_documents": SOURCE_CONCENTRATION_ORACLE,
+    "dup_rate_by_source_documents": DUP_RATE_BY_SOURCE_ORACLE,
     "unigram_kl_documents": UNIGRAM_KL_ORACLE,
     "reservoir_sample_documents": RESERVOIR_ORACLE,
     "dedup_exact_documents": DEDUP_EXACT_ORACLE,
