@@ -266,3 +266,109 @@ class ByoKGQueryEngine:
             "<context>\n" + "\n".join(lines) + "\n</context>"
         )
         return answer, context
+
+
+class CorpusPipeline:
+    """Fluent façade over the training-data operators — the configuration
+    object a data engineer hands to a scheduler, mirroring how
+    `LexicalGraphIndex` wraps the extract/build stages. Each `with_*` call
+    enables a stage; `run(docs)` composes the enabled stages into ONE lazy
+    DataFrame lineage (Catalyst sees the whole pipeline; nothing
+    materializes until the caller writes or counts) and `report(docs)`
+    returns the per-stage survivor counts a run log records.
+
+        cleaned = (CorpusPipeline()
+                   .with_quality_gate()
+                   .with_exact_dedup()
+                   .with_near_dedup(threshold=0.7)
+                   .with_decontamination(eval_docs)
+                   .with_split()
+                   .run(docs))
+    """
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+        self._stages: list[tuple[str, object]] = []
+
+    def with_quality_gate(self, rules: dict | None = None) -> "CorpusPipeline":
+        self._stages.append(("quality_gate", rules))
+        return self
+
+    def with_exact_dedup(self) -> "CorpusPipeline":
+        self._stages.append(("exact_dedup", None))
+        return self
+
+    def with_near_dedup(
+        self, k: int = 2, threshold: float = 0.7
+    ) -> "CorpusPipeline":
+        self._stages.append(("near_dedup", (k, threshold)))
+        return self
+
+    def with_decontamination(
+        self, eval_docs: DataFrame, n: int = 8
+    ) -> "CorpusPipeline":
+        self._stages.append(("decontaminate", (eval_docs, n)))
+        return self
+
+    def with_split(
+        self, val_fraction: float = 0.1, test_fraction: float = 0.1
+    ) -> "CorpusPipeline":
+        self._stages.append(("split", (val_fraction, test_fraction)))
+        return self
+
+    def with_shards(self, n_shards: int) -> "CorpusPipeline":
+        self._stages.append(("shard", n_shards))
+        return self
+
+    def _apply(self, docs: DataFrame, name: str, arg) -> DataFrame:
+        from graphrag_toolkit_spark.operators import dedup, sampling, textstats
+        from graphrag_toolkit_spark.operators.decontam import contamination
+        from pyspark.sql import functions as F
+
+        t, i = self.text_col, self.id_col
+        if name == "quality_gate":
+            keep = textstats.gopher_gate(docs, t, i, rules=arg).filter(
+                F.col("passes")
+            ).select(F.col("id").alias(i))
+            return docs.join(keep, i, "left_semi")
+        if name == "exact_dedup":
+            return dedup.exact_dedup(docs, t, i)
+        if name == "near_dedup":
+            k, threshold = arg
+            pairs = dedup.minhash_near_dup_pairs(docs, t, i, k=k, threshold=threshold)
+            drop = (
+                dedup.connected_components(pairs)
+                .filter(F.col("id") != F.col("component"))
+                .select(F.col("id").alias(i))
+            )
+            return docs.join(drop, i, "left_anti")
+        if name == "decontaminate":
+            eval_docs, n = arg
+            bad = contamination(docs, eval_docs, t, i, n=n).select(
+                F.col("id").alias(i)
+            )
+            return docs.join(bad, i, "left_anti")
+        if name == "split":
+            val_f, test_f = arg
+            return sampling.train_val_test_split(
+                docs, i, val_fraction=val_f, test_fraction=test_f
+            )
+        if name == "shard":
+            return sampling.shard_corpus(docs, i, n_shards=arg)
+        raise ValueError(f"unknown stage {name!r}")
+
+    def run(self, docs: DataFrame) -> DataFrame:
+        out = docs
+        for name, arg in self._stages:
+            out = self._apply(out, name, arg)
+        return out
+
+    def report(self, docs: DataFrame) -> list[dict]:
+        """Per-stage survivor counts (materializes each stage once)."""
+        out = docs
+        rows = [{"stage": "input", "rows": docs.count()}]
+        for name, arg in self._stages:
+            out = self._apply(out, name, arg)
+            rows.append({"stage": name, "rows": out.count()})
+        return rows

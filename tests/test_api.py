@@ -122,3 +122,51 @@ class TestByoKGQueryEngine:
         assert any("capital_of" in line for line in lines)
         # final call is generation over the accumulated context
         assert "<context>" in calls[-1]
+
+
+class TestCorpusPipeline:
+    def test_stages_compose_and_report(self, spark):
+        from graphrag_toolkit_spark.api import CorpusPipeline
+
+        docs = spark.createDataFrame(
+            [{"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog again"},
+             {"doc_id": 2, "text": "the quick brown fox jumps over the lazy dog again"},
+             {"doc_id": 3, "text": "x"},  # fails quality gate (min_words)
+             {"doc_id": 4, "text": "a completely different sentence about engines and pipelines"}]
+        )
+        evals = spark.createDataFrame(
+            [{"doc_id": 99,
+              "text": "a completely different sentence about engines and pipelines"}]
+        )
+        pipe = (
+            CorpusPipeline()
+            .with_quality_gate({"min_words": 5})
+            .with_exact_dedup()
+            .with_decontamination(evals, n=4)
+            .with_split()
+        )
+        out = pipe.run(docs)
+        rows = {r["doc_id"]: r for r in out.collect()}
+        # 3 gated out, 2 deduped into 1, 4 decontaminated away -> doc 1 left
+        assert set(rows) == {1}
+        assert rows[1]["split"] in ("train", "val", "test")
+        report = pipe.report(docs)
+        assert [r["stage"] for r in report] == [
+            "input", "quality_gate", "exact_dedup", "decontaminate", "split"
+        ]
+        assert [r["rows"] for r in report] == [4, 3, 2, 1, 1]
+
+    def test_single_lineage(self, spark):
+        """run() is lazy end to end: one DataFrame, no mid-pipeline
+        materialization (localCheckpoint/persist) in the returned plan."""
+        from graphrag_toolkit_spark.api import CorpusPipeline
+
+        docs = spark.createDataFrame(
+            [{"doc_id": n, "text": f"document number {n} with several words"}
+             for n in range(20)]
+        )
+        out = (
+            CorpusPipeline().with_quality_gate().with_exact_dedup().with_split()
+            .run(docs)
+        )
+        assert out.count() == 20  # nothing dropped; plan executes fine
