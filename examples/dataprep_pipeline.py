@@ -83,6 +83,20 @@ def main() -> None:
     print(f"5. audit: {toks['total_words']} training words; "
           f"entropy/drift/dup-span audits available as workload queries")
 
+    # 6. the same pipeline through the fluent façade ------------------------
+    from graphrag_toolkit_spark.api import CorpusPipeline
+
+    report = (
+        CorpusPipeline()
+        .with_quality_gate()
+        .with_exact_dedup()
+        .with_decontamination(eval_set, n=4)
+        .with_split()
+        .report(load(spark, SF_DIR, "documents"))
+    )
+    print("6. CorpusPipeline report:",
+          " -> ".join(f"{r['stage']}={r['rows']}" for r in report))
+
     spark.stop()
 
 
