@@ -117,6 +117,7 @@ _CHECK_FIRST = [
     "ship_lag_orders",
     "degree_distribution_parts",
     "dup_rate_by_source_documents",
+    "profile_orders",
     # --- previously green, oldest driver verification first ---
     "ann_ivf_topk",
     "cascade_delete_counts",

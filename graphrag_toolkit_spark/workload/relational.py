@@ -977,6 +977,52 @@ ORDER BY o_orderpriority
 """
 
 
+
+
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column completeness/cardinality profile (`operators/profile.py`):
+    null counts and exact distinct counts for every orders column, fused
+    into ONE scan — the publish-time table audit (the ANALYZE/dbt-test
+    analog `validate` rules are written against)."""
+    from graphrag_toolkit_spark.operators.profile import profile_table
+
+    return profile_table(load(spark, sf_dir, "orders"))
+
+
+PROFILE_ORACLE = """
+WITH n AS (SELECT COUNT(*) AS n_rows FROM orders)
+SELECT 'o_orderkey' AS column, n_rows,
+       (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL) AS n_nulls,
+       CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL) AS DOUBLE) / n_rows AS null_frac,
+       (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS n_distinct FROM n
+UNION ALL
+SELECT 'o_custkey', n_rows,
+       (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL),
+       CAST((SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS DOUBLE) / n_rows,
+       (SELECT COUNT(DISTINCT o_custkey) FROM orders) FROM n
+UNION ALL
+SELECT 'o_orderstatus', n_rows,
+       (SELECT COUNT(*) FROM orders WHERE o_orderstatus IS NULL),
+       CAST((SELECT COUNT(*) FROM orders WHERE o_orderstatus IS NULL) AS DOUBLE) / n_rows,
+       (SELECT COUNT(DISTINCT o_orderstatus) FROM orders) FROM n
+UNION ALL
+SELECT 'o_totalprice', n_rows,
+       (SELECT COUNT(*) FROM orders WHERE o_totalprice IS NULL),
+       CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice IS NULL) AS DOUBLE) / n_rows,
+       (SELECT COUNT(DISTINCT o_totalprice) FROM orders) FROM n
+UNION ALL
+SELECT 'o_orderdate', n_rows,
+       (SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL),
+       CAST((SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL) AS DOUBLE) / n_rows,
+       (SELECT COUNT(DISTINCT o_orderdate) FROM orders) FROM n
+UNION ALL
+SELECT 'o_orderpriority', n_rows,
+       (SELECT COUNT(*) FROM orders WHERE o_orderpriority IS NULL),
+       CAST((SELECT COUNT(*) FROM orders WHERE o_orderpriority IS NULL) AS DOUBLE) / n_rows,
+       (SELECT COUNT(DISTINCT o_orderpriority) FROM orders) FROM n
+"""
+
+
 QUERIES = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "q4_order_priority": q4_order_priority,
@@ -984,6 +1030,7 @@ QUERIES = {
     "q12_shipmode_priority": q12_shipmode_priority,
     "q14_promo_revenue": q14_promo_revenue,
     "ship_lag_orders": ship_lag_orders,
+    "profile_orders": profile_orders,
     "target_encode_orders": target_encode_orders,
     "q1_pricing_summary": q1_pricing_summary,
     "validate_orders": validate_orders,
@@ -1015,6 +1062,7 @@ ORACLES = {
     "q12_shipmode_priority": Q12_ORACLE,
     "q14_promo_revenue": Q14_ORACLE,
     "ship_lag_orders": SHIP_LAG_ORACLE,
+    "profile_orders": PROFILE_ORACLE,
     "target_encode_orders": TARGET_ENCODE_ORACLE,
     "q1_pricing_summary": Q1_ORACLE,
     "cube_stats_orders": CUBE_ORACLE,

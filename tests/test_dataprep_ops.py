@@ -1464,3 +1464,31 @@ class TestGopherGate:
         with redirect_stdout(buf):
             textstats.gopher_gate(df, "text", "doc_id").explain(mode="formatted")
         assert "Exchange" not in buf.getvalue()
+
+
+class TestProfileTable:
+    def test_nulls_and_distincts(self, spark):
+        from graphrag_toolkit_spark.operators.profile import profile_table
+
+        df = spark.createDataFrame(
+            [{"a": 1, "b": "x"}, {"a": 1, "b": None}, {"a": 2, "b": "y"}]
+        )
+        out = {r["column"]: r for r in profile_table(df).collect()}
+        assert out["a"]["n_nulls"] == 0 and out["a"]["n_distinct"] == 2
+        assert out["b"]["n_nulls"] == 1 and out["b"]["n_distinct"] == 2
+        assert out["b"]["null_frac"] == pytest.approx(1 / 3)
+        assert all(r["n_rows"] == 3 for r in out.values())
+
+    def test_single_scan_plan(self, spark):
+        import io
+        from contextlib import redirect_stdout
+
+        from graphrag_toolkit_spark.operators.profile import profile_table
+
+        df = spark.range(100).selectExpr("id AS a", "id % 5 AS b", "id % 7 AS c")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            profile_table(df).explain(mode="formatted")
+        # one logical source; Spark's multi-distinct rewrite may Expand, but
+        # the range/scan appears exactly once
+        assert buf.getvalue().count("Range (0, 100") == 1
