@@ -118,6 +118,7 @@ _CHECK_FIRST = [
     "degree_distribution_parts",
     "dup_rate_by_source_documents",
     "profile_orders",
+    "iqr_outliers_events",
     # --- previously green, oldest driver verification first ---
     "ann_ivf_topk",
     "cascade_delete_counts",

@@ -1201,6 +1201,54 @@ WHERE NOT t.is_train
 """
 
 
+
+
+def iqr_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey IQR outlier fences per event type: Q1/Q3 (exact interpolated
+    quantiles), the 1.5·IQR fences, and the count outside them — the
+    robust-statistics complement to the z-score detector (no moment
+    assumptions). Two passes: quantiles per group, then one conditional
+    count against the broadcast fences."""
+    ev = load(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    ).withColumn("iqr", F.col("q3") - F.col("q1"))
+    fences = q.select(
+        "event_type", "q1", "q3", "iqr",
+        (F.col("q1") - 1.5 * F.col("iqr")).alias("lo"),
+        (F.col("q3") + 1.5 * F.col("iqr")).alias("hi"),
+    )
+    joined = ev.join(F.broadcast(fences), "event_type")
+    return joined.groupBy("event_type", "q1", "q3", "iqr").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("n_outliers"),
+    )
+
+
+IQR_OUTLIERS_ORACLE = """
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY event_type
+),
+f AS (
+  SELECT event_type, q1, q3, q3 - q1 AS iqr,
+         q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+  FROM q
+)
+SELECT e.event_type, f.q1, f.q3, f.iqr, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN e.value < f.lo OR e.value > f.hi THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM events e JOIN f ON f.event_type = e.event_type
+GROUP BY e.event_type, f.q1, f.q3, f.iqr
+"""
+
+
 QUERIES = {
     "tumbling_window_events": tumbling_window_events,
     "salted_agg_events": salted_agg_events,
@@ -1211,6 +1259,7 @@ QUERIES = {
     "asof_forward_events": asof_forward_events,
     "dau_mau_events": dau_mau_events,
     "markov_accuracy_events": markov_accuracy_events,
+    "iqr_outliers_events": iqr_outliers_events,
     "robust_stats_events": robust_stats_events,
     "interarrival_stats_events": interarrival_stats_events,
     "resample_gapfill_events": resample_gapfill_events,
@@ -1238,6 +1287,7 @@ ORACLES = {
     "asof_forward_events": ASOF_FORWARD_ORACLE,
     "dau_mau_events": DAU_MAU_ORACLE,
     "markov_accuracy_events": MARKOV_ACCURACY_ORACLE,
+    "iqr_outliers_events": IQR_OUTLIERS_ORACLE,
     "tumbling_window_events": TUMBLING_ORACLE,
     "sliding_window_events": SLIDING_ORACLE,
     "sessionize_events": SESSIONIZE_ORACLE,
