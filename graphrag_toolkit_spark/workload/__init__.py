@@ -93,6 +93,8 @@ _CHECK_FIRST = [
     "kmv_overlap_users_events",
     "asof_forward_events",
     "incremental_neardup_documents",
+    "ivm_orders",
+    "retrieval_eval_pipeline",
     "gopher_gate_documents",
     "q4_order_priority",
     "rollup_grouping_orders",
@@ -102,7 +104,6 @@ _CHECK_FIRST = [
     "bpe_pair_stats_documents",
     "clustering_coefficient_parts",
     "dau_mau_events",
-    "ivm_orders",
     "top_terms_documents",
     "markov_accuracy_events",
     "q12_shipmode_priority",
@@ -112,7 +113,6 @@ _CHECK_FIRST = [
     "mixed_language_documents",
     "chi_square_documents",
     "label_centroids_embeddings",
-    "retrieval_eval_pipeline",
     "source_concentration_documents",
     "ship_lag_orders",
     "degree_distribution_parts",
