@@ -119,6 +119,7 @@ _CHECK_FIRST = [
     "dup_rate_by_source_documents",
     "profile_orders",
     "iqr_outliers_events",
+    "weighted_median_lineitem",
     # --- previously green, oldest driver verification first ---
     "ann_ivf_topk",
     "cascade_delete_counts",

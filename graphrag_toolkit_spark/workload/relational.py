@@ -1023,6 +1023,65 @@ SELECT 'o_orderpriority', n_rows,
 """
 
 
+
+
+def weighted_median_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median per return flag: the smallest extended price
+    whose cumulative QUANTITY weight reaches half the total — the
+    volume-weighted percentile (plain medians mislead when line sizes vary
+    wildly). Exact decimal cumulative weights under a total order; no
+    interpolation, so the statistic is engine-identical by construction."""
+    from pyspark.sql.window import Window as W
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.round(F.col("l_quantity"), 2).cast("decimal(14,2)").alias("w"),
+    )
+    g = li.groupBy("l_returnflag", "v").agg(F.sum("w").alias("w"))
+    win = (
+        W.partitionBy("l_returnflag")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = g.withColumn("cumw", F.sum("w").over(win))
+    tot = g.groupBy("l_returnflag").agg(F.sum("w").alias("totw"))
+    j = cum.join(tot, "l_returnflag").filter(
+        F.col("cumw") * 2 >= F.col("totw")
+    )
+    return (
+        j.groupBy("l_returnflag")
+        .agg(
+            F.min("v").alias("weighted_median"),
+            F.max(F.col("totw").cast("double")).alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+WEIGHTED_MEDIAN_ORACLE = """
+WITH g AS (
+  SELECT l_returnflag, l_extendedprice AS v,
+         SUM(CAST(ROUND(l_quantity, 2) AS DECIMAL(14,2))) AS w
+  FROM lineitem GROUP BY l_returnflag, l_extendedprice
+),
+cum AS (
+  SELECT l_returnflag, v, w,
+         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw
+  FROM g
+),
+tot AS (SELECT l_returnflag, SUM(w) AS totw FROM g GROUP BY l_returnflag)
+SELECT c.l_returnflag,
+       MIN(c.v) AS weighted_median,
+       CAST(MAX(t.totw) AS DOUBLE) AS total_weight
+FROM cum c JOIN tot t ON t.l_returnflag = c.l_returnflag
+WHERE c.cumw * 2 >= t.totw
+GROUP BY c.l_returnflag
+ORDER BY c.l_returnflag
+"""
+
+
 QUERIES = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "q4_order_priority": q4_order_priority,
@@ -1031,6 +1090,7 @@ QUERIES = {
     "q14_promo_revenue": q14_promo_revenue,
     "ship_lag_orders": ship_lag_orders,
     "profile_orders": profile_orders,
+    "weighted_median_lineitem": weighted_median_lineitem,
     "target_encode_orders": target_encode_orders,
     "q1_pricing_summary": q1_pricing_summary,
     "validate_orders": validate_orders,
@@ -1063,6 +1123,7 @@ ORACLES = {
     "q14_promo_revenue": Q14_ORACLE,
     "ship_lag_orders": SHIP_LAG_ORACLE,
     "profile_orders": PROFILE_ORACLE,
+    "weighted_median_lineitem": WEIGHTED_MEDIAN_ORACLE,
     "target_encode_orders": TARGET_ENCODE_ORACLE,
     "q1_pricing_summary": Q1_ORACLE,
     "cube_stats_orders": CUBE_ORACLE,
