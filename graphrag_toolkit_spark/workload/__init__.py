@@ -120,6 +120,7 @@ _CHECK_FIRST = [
     "profile_orders",
     "iqr_outliers_events",
     "weighted_median_lineitem",
+    "entity_resolution_customers",
     # --- previously green, oldest driver verification first ---
     "ann_ivf_topk",
     "cascade_delete_counts",

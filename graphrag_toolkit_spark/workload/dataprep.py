@@ -856,6 +856,63 @@ GROUP BY d.source
 """
 
 
+
+
+# --- entity resolution (ED-1 clusters -> canonical names) ---------------------------
+
+
+def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end to end: Levenshtein-1 name pairs (deletion-
+    neighborhood blocking) → transitive closure over the pair graph only →
+    canonical representative per cluster (lexicographic min) — the
+    merge-duplicates decision table an MDM pipeline writes. Composition of
+    `editdist.edit_distance_pairs` + `dedup.connected_components`; only
+    names that matched something appear (singletons need no resolution)."""
+    from graphrag_toolkit_spark.operators.editdist import edit_distance_pairs
+
+    names = load(spark, sf_dir, "customer").select(
+        F.lower(F.col("c_name")).alias("name")
+    )
+    pairs = edit_distance_pairs(
+        names, "name", min_len=TYPO_MIN_LEN, max_len=TYPO_MAX_LEN
+    )
+    cc = dedup.connected_components(pairs, id_a="word_a", id_b="word_b")
+    return cc.select(
+        F.col("id").alias("name"),
+        F.col("component").alias("canonical"),
+        (F.col("id") == F.col("component")).alias("is_canonical"),
+    )
+
+
+# NOTE: plain string — TYPO_MIN_LEN/TYPO_MAX_LEN (4/32) are defined later in
+# this module, so the oracle pins the same literals directly.
+ENTITY_RESOLUTION_ORACLE = """
+WITH RECURSIVE vocab AS (
+  SELECT DISTINCT lower(c_name) AS token FROM customer
+  WHERE len(c_name) BETWEEN 4 AND 32
+),
+pairs AS (
+  SELECT a.token AS id_a, b.token AS id_b
+  FROM vocab a JOIN vocab b
+    ON a.token < b.token
+   AND abs(len(a.token) - len(b.token)) <= 1
+   AND levenshtein(a.token, b.token) = 1
+),
+und AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT u.id, e.dst FROM reach u JOIN und e ON e.src = u.r
+)
+SELECT id AS name, MIN(r) AS canonical, MIN(r) = id AS is_canonical
+FROM reach GROUP BY id
+"""
+
+
 # --- exact dedup -------------------------------------------------------------
 
 def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3374,6 +3431,7 @@ QUERIES = {
     "chi_square_documents": chi_square_documents,
     "source_concentration_documents": source_concentration_documents,
     "dup_rate_by_source_documents": dup_rate_by_source_documents,
+    "entity_resolution_customers": entity_resolution_customers,
     "unigram_kl_documents": unigram_kl_documents,
     "reservoir_sample_documents": reservoir_sample_documents,
     "minhash_signatures_documents": minhash_signatures_documents,
@@ -3441,6 +3499,7 @@ ORACLES = {
     "chi_square_documents": CHI_SQUARE_ORACLE,
     "source_concentration_documents": SOURCE_CONCENTRATION_ORACLE,
     "dup_rate_by_source_documents": DUP_RATE_BY_SOURCE_ORACLE,
+    "entity_resolution_customers": ENTITY_RESOLUTION_ORACLE,
     "unigram_kl_documents": UNIGRAM_KL_ORACLE,
     "reservoir_sample_documents": RESERVOIR_ORACLE,
     "dedup_exact_documents": DEDUP_EXACT_ORACLE,
