@@ -867,12 +867,19 @@ def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical representative per cluster (lexicographic min) — the
     merge-duplicates decision table an MDM pipeline writes. Composition of
     `editdist.edit_distance_pairs` + `dedup.connected_components`; only
-    names that matched something appear (singletons need no resolution)."""
+    names that matched something appear (singletons need no resolution).
+    The declared query runs on a deterministic 1-in-10 content-hash pool —
+    the dense digit-neighborhood fixture makes full-corpus closure
+    quadratic-ish in the ORACLE's recursive CTE (the Spark side's label
+    propagation is per-round linear either way), so the pool keeps the
+    hash gate cheap at every SF (same bounded-pool discipline as
+    `embedding_neardup_pairs`)."""
     from graphrag_toolkit_spark.operators.editdist import edit_distance_pairs
+    from graphrag_toolkit_spark.operators.sampling import hash_value
 
-    names = load(spark, sf_dir, "customer").select(
-        F.lower(F.col("c_name")).alias("name")
-    )
+    names = load(spark, sf_dir, "customer").filter(
+        hash_value(F.col("c_custkey")) % 10 == 0
+    ).select(F.lower(F.col("c_name")).alias("name"))
     pairs = edit_distance_pairs(
         names, "name", min_len=TYPO_MIN_LEN, max_len=TYPO_MAX_LEN
     )
@@ -889,7 +896,9 @@ def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 ENTITY_RESOLUTION_ORACLE = """
 WITH RECURSIVE vocab AS (
   SELECT DISTINCT lower(c_name) AS token FROM customer
-  WHERE len(c_name) BETWEEN 4 AND 32
+  WHERE CAST('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 1, 7) AS BIGINT)
+          % 10 = 0
+    AND len(c_name) BETWEEN 4 AND 32
 ),
 pairs AS (
   SELECT a.token AS id_a, b.token AS id_b
