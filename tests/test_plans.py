@@ -416,3 +416,17 @@ def test_partitioned_layout_prunes_partitions(spark, sf_dir, tmp_path):
     assert m and "event_type" in m.group(1), plan[:2000]
     n_all = spark.read.parquet(out).count()
     assert df.count() < n_all  # pruned read is a strict subset
+
+
+def test_edit_distance_pairs_no_cartesian(spark, sf_dir):
+    """Deletion-neighborhood blocking must stay an equi-join on the variant
+    string — a vocab² nested-loop/cartesian would be the 100 TB killer."""
+    from graphrag_toolkit_spark.operators.editdist import edit_distance_pairs
+
+    names = load(spark, sf_dir, "customer").select(
+        F.lower(F.col("c_name")).alias("name")
+    )
+    plan = plan_of(edit_distance_pairs(names, "name", min_len=4, max_len=32))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
