@@ -36,67 +36,14 @@ from graphrag_toolkit_spark.workload import (
 _MODULES = [relational, graphish, lexical, vector, dataprep, events, lifecycle, pipeline]
 
 # Driver-check priority (the driver hash-verifies at most ~50 queries/round,
-# reading this dict in order). Ranking rule (round-4 lesson): queries RED at
-# their latest driver appearance come first, then queries the driver has NEVER
-# checked (new-this-round additions get inserted after the red block as they
-# land), then previously-green queries oldest-verified-first. Names absent
-# from the registry are ignored; unlisted queries keep module order at the end.
+# reading this dict in order). Ranking rule: queries RED at their latest driver
+# appearance first (none as of round 4 — CORRECTNESS_r04 was 50/50 green), then
+# queries the driver has NEVER checked (round-5 additions insert after that
+# block as they land), then previously-green queries oldest-verified-first
+# (r1-era greens have not been re-verified since round 1). Names absent from
+# the registry are ignored; unlisted queries keep module order at the end.
 _CHECK_FIRST = [
-    # --- red at latest driver check (r3 hugeint hash-fails, now CAST-fixed;
-    # r1 TIMESTAMP(NANOS) window errors, fixed in r2, never re-verified) ---
-    "word_entropy_documents",
-    "json_stats_events",
-    "validate_orders",
-    "funnel_conversion_events",
-    "ranking_eval_embeddings",
-    "event_type_funnel",
-    "sessionize_events",
-    "sliding_window_events",
-    "tumbling_window_events",
-    # --- never driver-checked since r2/r3 (judge-requested re-verification) ---
-    "hot_grams_documents",
-    "repetition_stats_documents",
-    "decontaminate_documents",
-    "pii_scrub_documents",
-    "resample_mix_documents",
-    "pq_codes_embeddings",
-    "pq_adc_topk",
-    "pack_sequences_documents",
-    "dedup_keep_best_documents",
-    "beam_search_attention",
-    "embedding_neardup_lsh",
-    "nlp_keywords_customers",
-    "fuzzy_link_token_set",
-    "embedding_neardup_recall",
-    "ann_ivf_kmeans_topk",
-    "extract_build_counts",
-    "extract_build_fact_graph",
-    "extract_build_statements",
-    "percentile_stats_events",
-    "schema_summary_supplies",
-    # --- new in round 4 (all green locally at sf0.01 + sf0.1; the 50-cap
-    # window reaches all but the last of these) ---
-    "typo_pairs_customers",
-    "unigram_kl_documents",
-    "reservoir_sample_documents",
-    "salted_agg_events",
-    "cumulative_distinct_users_events",
-    "ewma_events",
-    "q6_forecast_revenue",
-    "weighted_sample_documents",
-    "per_label_sample_embeddings",
-    "histogram_quantiles_events",
-    "target_encode_orders",
-    "auc_documents",
-    "negative_samples_embeddings",
-    "kcore_parts",
-    "kmv_overlap_users_events",
-    "asof_forward_events",
-    "incremental_neardup_documents",
-    "ivm_orders",
-    "retrieval_eval_pipeline",
-    "gopher_gate_documents",
-    "q4_order_priority",
+    # --- never driver-checked (round-4 tail; judge r5 priority #1) ---
     "rollup_grouping_orders",
     "ks_drift_documents",
     "ngram_diversity_documents",
@@ -121,7 +68,8 @@ _CHECK_FIRST = [
     "iqr_outliers_events",
     "weighted_median_lineitem",
     "entity_resolution_customers",
-    # --- previously green, oldest driver verification first ---
+    # --- new in round 5 (insert here as they land) ---
+    # --- green, last driver-verified round 1 ---
     "ann_ivf_topk",
     "cascade_delete_counts",
     "multimodal_decode",
@@ -131,6 +79,7 @@ _CHECK_FIRST = [
     "statements_per_topic_histogram",
     "token_budget_truncate",
     "versions_at_snapshot",
+    # --- green, last driver-verified round 2 ---
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -181,6 +130,7 @@ _CHECK_FIRST = [
     "language_id_documents",
     "fingerprint_documents",
     "ann_lsh_topk",
+    # --- green, last driver-verified round 3 ---
     "asof_join_events",
     "interval_join_events",
     "kmv_distinct_users_events",
@@ -226,6 +176,57 @@ _CHECK_FIRST = [
     "shard_corpus_documents",
     "soft_dedup_weights_documents",
     "quality_classifier_documents",
+    # --- green, last driver-verified round 4 ---
+    "word_entropy_documents",
+    "json_stats_events",
+    "validate_orders",
+    "funnel_conversion_events",
+    "ranking_eval_embeddings",
+    "event_type_funnel",
+    "sessionize_events",
+    "sliding_window_events",
+    "tumbling_window_events",
+    "hot_grams_documents",
+    "repetition_stats_documents",
+    "decontaminate_documents",
+    "pii_scrub_documents",
+    "resample_mix_documents",
+    "pq_codes_embeddings",
+    "pq_adc_topk",
+    "pack_sequences_documents",
+    "dedup_keep_best_documents",
+    "beam_search_attention",
+    "embedding_neardup_lsh",
+    "nlp_keywords_customers",
+    "fuzzy_link_token_set",
+    "embedding_neardup_recall",
+    "ann_ivf_kmeans_topk",
+    "extract_build_counts",
+    "extract_build_fact_graph",
+    "extract_build_statements",
+    "percentile_stats_events",
+    "schema_summary_supplies",
+    "typo_pairs_customers",
+    "unigram_kl_documents",
+    "reservoir_sample_documents",
+    "salted_agg_events",
+    "cumulative_distinct_users_events",
+    "ewma_events",
+    "q6_forecast_revenue",
+    "weighted_sample_documents",
+    "per_label_sample_embeddings",
+    "histogram_quantiles_events",
+    "target_encode_orders",
+    "auc_documents",
+    "negative_samples_embeddings",
+    "kcore_parts",
+    "kmv_overlap_users_events",
+    "asof_forward_events",
+    "incremental_neardup_documents",
+    "ivm_orders",
+    "retrieval_eval_pipeline",
+    "gopher_gate_documents",
+    "q4_order_priority",
 ]
 
 
