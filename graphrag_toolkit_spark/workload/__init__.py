@@ -69,6 +69,7 @@ _CHECK_FIRST = [
     "weighted_median_lineitem",
     "entity_resolution_customers",
     # --- new in round 5 (insert here as they land) ---
+    "ranking_eval_orphan",
     # --- green, last driver-verified round 1 ---
     "ann_ivf_topk",
     "cascade_delete_counts",

@@ -1932,16 +1932,111 @@ ideal AS (
     FROM judg WHERE rel > 0
   ) GROUP BY query_id
 )
-SELECT p.query_id, p.dcg,
+SELECT COALESCE(p.query_id, i.query_id) AS query_id,
+       COALESCE(p.dcg, 0.0) AS dcg,
        COALESCE(i.idcg, 0.0) AS idcg,
-       CASE WHEN COALESCE(i.idcg, 0.0) > 0 THEN p.dcg / i.idcg ELSE 0.0 END AS ndcg,
+       CASE WHEN COALESCE(i.idcg, 0.0) > 0
+            THEN COALESCE(p.dcg, 0.0) / i.idcg ELSE 0.0 END AS ndcg,
        CASE WHEN p.firstrel IS NOT NULL THEN 1.0 / p.firstrel ELSE 0.0 END AS mrr,
        COALESCE(i.n_relevant, 0) AS n_relevant,
-       p.n_retrieved_relevant,
+       COALESCE(p.n_retrieved_relevant, CAST(0 AS BIGINT))
+         AS n_retrieved_relevant,
        CASE WHEN COALESCE(i.n_relevant, 0) > 0
-            THEN CAST(p.n_retrieved_relevant AS DOUBLE) / i.n_relevant
+            THEN CAST(COALESCE(p.n_retrieved_relevant, 0) AS DOUBLE)
+                   / i.n_relevant
             ELSE 0.0 END AS recall
-FROM perq p LEFT JOIN ideal i ON i.query_id = p.query_id
+FROM perq p FULL JOIN ideal i ON i.query_id = p.query_id
+"""
+
+
+def ranking_eval_orphan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Judged-but-unretrieved branch gate for `ranking_eval.ranking_metrics`:
+    query 'q1' retrieves the 10 lowest vec_ids and is judged against
+    label=0 docs; query 'q2' carries judgments (label=1 docs) but NO
+    result rows, so it can only appear through the full-outer join with
+    all-zero dcg/ndcg/mrr/recall. Pins the round-4 full-outer semantics
+    that the dense fixtures (where every judged query also retrieves)
+    never exercise."""
+    from graphrag_toolkit_spark.operators.ranking_eval import ranking_metrics
+    from pyspark.sql.window import Window as W
+
+    emb = load(spark, sf_dir, "embeddings")
+    w = W.orderBy(F.asc("vec_id"))
+    results = (
+        emb.select(F.lit("q1").alias("query_id"), F.col("vec_id").alias("doc_id"))
+        .withColumn("rank", F.row_number().over(w.orderBy(F.asc("doc_id"))))
+        .filter(F.col("rank") <= EVAL_K)
+    )
+    judgments = (
+        emb.filter(F.col("label") == 0)
+        .select(
+            F.lit("q1").alias("query_id"),
+            F.col("vec_id").alias("doc_id"),
+            F.lit(1).alias("rel"),
+        )
+        .unionByName(
+            emb.filter(F.col("label") == 1).select(
+                F.lit("q2").alias("query_id"),
+                F.col("vec_id").alias("doc_id"),
+                F.lit(1).alias("rel"),
+            )
+        )
+    )
+    return ranking_metrics(results, judgments, k=EVAL_K)
+
+
+RANKING_EVAL_ORPHAN_ORACLE = f"""
+WITH res AS (
+  SELECT 'q1' AS query_id, doc_id, rank FROM (
+    SELECT vec_id AS doc_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rank
+    FROM embeddings
+  ) WHERE rank <= {EVAL_K}
+),
+judg AS (
+  SELECT 'q1' AS query_id, vec_id AS doc_id, 1 AS rel
+  FROM embeddings WHERE label = 0
+  UNION ALL
+  SELECT 'q2' AS query_id, vec_id AS doc_id, 1 AS rel
+  FROM embeddings WHERE label = 1
+),
+joined AS (
+  SELECT r.query_id, r.rank, COALESCE(j.rel, 0) AS rel
+  FROM res r LEFT JOIN judg j ON j.query_id = r.query_id AND j.doc_id = r.doc_id
+),
+perq AS (
+  SELECT query_id,
+         CAST(SUM(CAST(rel * {_rank_disc('rank')} AS DECIMAL(18,6))) AS DOUBLE) AS dcg,
+         MIN(CASE WHEN rel > 0 THEN rank END) AS firstrel,
+         CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_retrieved_relevant
+  FROM joined GROUP BY query_id
+),
+ideal AS (
+  SELECT query_id,
+         CAST(SUM(CASE WHEN irank <= {EVAL_K}
+                  THEN CAST(rel * {_rank_disc('irank')} AS DECIMAL(18,6))
+                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS idcg,
+         COUNT(*) AS n_relevant
+  FROM (
+    SELECT query_id, rel, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id) AS irank
+    FROM judg WHERE rel > 0
+  ) GROUP BY query_id
+)
+SELECT COALESCE(p.query_id, i.query_id) AS query_id,
+       COALESCE(p.dcg, 0.0) AS dcg,
+       COALESCE(i.idcg, 0.0) AS idcg,
+       CASE WHEN COALESCE(i.idcg, 0.0) > 0
+            THEN COALESCE(p.dcg, 0.0) / i.idcg ELSE 0.0 END AS ndcg,
+       CASE WHEN p.firstrel IS NOT NULL THEN 1.0 / p.firstrel ELSE 0.0 END AS mrr,
+       COALESCE(i.n_relevant, 0) AS n_relevant,
+       COALESCE(p.n_retrieved_relevant, CAST(0 AS BIGINT))
+         AS n_retrieved_relevant,
+       CASE WHEN COALESCE(i.n_relevant, 0) > 0
+            THEN CAST(COALESCE(p.n_retrieved_relevant, 0) AS DOUBLE)
+                   / i.n_relevant
+            ELSE 0.0 END AS recall
+FROM perq p FULL JOIN ideal i ON i.query_id = p.query_id
 """
 
 
@@ -3461,6 +3556,7 @@ QUERIES = {
     "training_data_pipeline": training_data_pipeline,
     "train_bigram_lm_documents": train_bigram_lm_documents,
     "ranking_eval_embeddings": ranking_eval_embeddings,
+    "ranking_eval_orphan": ranking_eval_orphan,
     "build_vocab_documents": build_vocab_documents,
     "encode_documents_corpus": encode_documents_corpus,
     "embedding_neardup_lsh": embedding_neardup_lsh,
@@ -3532,6 +3628,7 @@ ORACLES = {
     "training_data_pipeline": TRAINING_PIPELINE_ORACLE,
     "train_bigram_lm_documents": TRAIN_LM_ORACLE,
     "ranking_eval_embeddings": RANKING_EVAL_ORACLE,
+    "ranking_eval_orphan": RANKING_EVAL_ORPHAN_ORACLE,
     "build_vocab_documents": BUILD_VOCAB_ORACLE,
     "encode_documents_corpus": ENCODE_ORACLE,
     "embedding_neardup_lsh": EMBED_NEARDUP_LSH_ORACLE,

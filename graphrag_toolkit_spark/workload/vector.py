@@ -516,16 +516,20 @@ ideal AS (
     FROM judg WHERE rel > 0
   ) GROUP BY query_id
 )
-SELECT p.query_id, p.dcg,
+SELECT COALESCE(p.query_id, i.query_id) AS query_id,
+       COALESCE(p.dcg, 0.0) AS dcg,
        COALESCE(i.idcg, 0.0) AS idcg,
-       CASE WHEN COALESCE(i.idcg, 0.0) > 0 THEN p.dcg / i.idcg ELSE 0.0 END AS ndcg,
+       CASE WHEN COALESCE(i.idcg, 0.0) > 0
+            THEN COALESCE(p.dcg, 0.0) / i.idcg ELSE 0.0 END AS ndcg,
        CASE WHEN p.firstrel IS NOT NULL THEN 1.0 / p.firstrel ELSE 0.0 END AS mrr,
        COALESCE(i.n_relevant, 0) AS n_relevant,
-       p.n_retrieved_relevant,
+       COALESCE(p.n_retrieved_relevant, CAST(0 AS BIGINT))
+         AS n_retrieved_relevant,
        CASE WHEN COALESCE(i.n_relevant, 0) > 0
-            THEN CAST(p.n_retrieved_relevant AS DOUBLE) / i.n_relevant
+            THEN CAST(COALESCE(p.n_retrieved_relevant, 0) AS DOUBLE)
+                   / i.n_relevant
             ELSE 0.0 END AS recall
-FROM perq p LEFT JOIN ideal i ON i.query_id = p.query_id
+FROM perq p FULL JOIN ideal i ON i.query_id = p.query_id
 """
 
 
