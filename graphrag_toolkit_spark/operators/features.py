@@ -80,14 +80,22 @@ def negative_samples(
     """For each anchor id, k deterministic negatives from the corpus hash
     ring: candidates at ring positions ``(hash(anchor) + j·stride) mod N``
     for j = 1..k (prime stride scatters consecutive j across the ring),
-    dropping the accidental self-match (so an anchor yields k or k−1
-    rows). Returns (anchor, j, neg_id).
+    dropping the accidental self-match. Returns (anchor, j, neg_id): at
+    most k rows per anchor — k−1 when the self-match fires, and fewer
+    DISTINCT neg_ids when two j values land on the same ring position
+    (possible whenever k·stride wraps the ring, i.e. n < k·stride; rows
+    keep their distinct j, so duplicates are detectable downstream).
+
+    Raises ``ValueError`` on an empty corpus (ring positions would be
+    modulo-zero → silently empty output).
 
     Scale shape: the ring index is ONE window over hash order (built once
     per corpus snapshot, reusable across anchor batches); sampling is a
     narrow position explode on the anchor side + an equi-join on position
     — no per-anchor corpus scan, no RNG."""
     n = corpus.count()
+    if n == 0:
+        raise ValueError("negative_samples: corpus is empty (no ring to sample)")
     ring = corpus.select(
         F.col(id_col).alias("neg_id"),
         (

@@ -119,7 +119,14 @@ def binary_auc(
 
     One groupBy on the score + one cumulative window over the (distinct-
     score-sized) group table. Returns (n_pos, n_neg, auc); auc is NULL
-    when either class is empty (undefined)."""
+    when either class is empty (undefined).
+
+    NULL handling (pinned, not engine-default): rows with a NULL score are
+    EXCLUDED up front — a NULL score has no rank, and Spark (NULLS FIRST)
+    and ANSI SQL (NULLS LAST) would otherwise silently disagree on where
+    its group sits in the cumulative window. Rows with a NULL label count
+    as negatives (``cast("boolean")`` of NULL is NULL → ``otherwise(0)``)."""
+    scored = scored.filter(F.col(score_col).isNotNull())
     g = (
         scored.groupBy(F.col(score_col).alias("__s"))
         .agg(

@@ -318,17 +318,34 @@ def compact_parquet(
     """Small-file compaction: rewrite a parquet directory into files sized
     for scan efficiency (the operational chore every streaming/incremental
     sink accumulates — thousands of KB-files turn a 100 TB scan into a
-    metadata storm). File count = ceil(current_bytes / target); optional
-    ``sort_col`` re-clusters rows (range partition + in-file sort) so
-    min/max row-group statistics prune after the rewrite. Writes to a
-    temp sibling then swaps, so a failed compaction never clobbers the
-    input. Returns the new file count."""
+    metadata storm). File count = ceil(current_bytes / target, counting
+    only ``*.parquet`` data files); optional ``sort_col`` re-clusters rows
+    (range partition + in-file sort) so min/max row-group statistics prune
+    after the rewrite.
+
+    LOCAL-FILESYSTEM ONLY: the swap uses ``os.rename`` and ``glob``, so
+    this helper targets local/NFS paths (dev, single-node sinks). On an
+    object store or HDFS at 100 TB, compaction belongs to the table format
+    (Delta OPTIMIZE / Iceberg rewrite_data_files) — directory renames are
+    not atomic there.
+
+    Crash safety: the new data is written to ``<path>__compacting``; the
+    input is parked at ``<path>__precompact`` and only deleted after the
+    new directory is renamed into place. A crash between the two renames
+    leaves ``<path>`` missing but ``<path>__precompact`` intact — the next
+    call (or a manual rename) restores it; this function auto-recovers
+    that state on entry. Returns the new file count."""
     import glob as _glob
     import os
     import shutil
 
+    old = path.rstrip("/") + "__precompact"
+    tmp = path.rstrip("/") + "__compacting"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)  # recover a swap interrupted between renames
     files = [
-        f for f in _glob.glob(os.path.join(path, "**", "*"), recursive=True)
+        f
+        for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
         if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
     ]
     total = sum(os.path.getsize(f) for f in files)
@@ -338,10 +355,14 @@ def compact_parquet(
         df = df.repartitionByRange(n_out, sort_col).sortWithinPartitions(sort_col)
     else:
         df = df.repartition(n_out)
-    tmp = path.rstrip("/") + "__compacting"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)  # stale leftover from a crashed write
     df.write.mode("overwrite").parquet(tmp)
-    old = path.rstrip("/") + "__precompact"
     os.rename(path, old)
-    os.rename(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        os.rename(old, path)  # roll back so the input is never lost
+        raise
     shutil.rmtree(old)
     return n_out
