@@ -137,11 +137,12 @@ def _pptx_text(content: bytes) -> str:
     return "\n\n".join(texts)
 
 
-def _read_ooxml(parse_fn, fmt_glob: str):
+def _parsed_binary_reader(parse_fn, fmt_glob: str):
+    """binaryFile scan → Arrow-batched ``parse_fn(bytes) -> str`` via
+    mapInPandas → canonical document frame. The scan distributes files
+    across executors; each parse is per-file CPU work with no shuffle.
+    Shared shell for every bytes-to-text format (docx, pptx, html, pdf)."""
     def _reader(spark: SparkSession, path: str, **kwargs) -> DataFrame:
-        """binaryFile scan → Arrow-batched parse (mapInPandas) → canonical
-        document frame. The scan distributes files across executors; each
-        parse is per-file CPU work with no shuffle."""
         import pandas as pd
 
         raw = read_binary_documents(spark, path, fmt_glob=fmt_glob)
@@ -161,8 +162,198 @@ def _read_ooxml(parse_fn, fmt_glob: str):
     return _reader
 
 
-read_docx = _read_ooxml(_docx_text, "*.docx")
-read_pptx = _read_ooxml(_pptx_text, "*.pptx")
+read_docx = _parsed_binary_reader(_docx_text, "*.docx")
+read_pptx = _parsed_binary_reader(_pptx_text, "*.pptx")
+
+
+# --- HTML parser (web provider) — stdlib html.parser, no external lib -------
+
+_HTML_SKIP = frozenset({"script", "style", "noscript", "template"})
+_HTML_BLOCK = frozenset({
+    "address", "article", "aside", "blockquote", "br", "caption", "dd",
+    "div", "dl", "dt", "fieldset", "figcaption", "figure", "footer", "form",
+    "h1", "h2", "h3", "h4", "h5", "h6", "header", "hr", "li", "main", "nav",
+    "ol", "option", "p", "pre", "section", "select", "table", "tbody", "td",
+    "tfoot", "th", "thead", "title", "tr", "ul",
+})
+
+
+def _html_text(content: bytes) -> str:
+    """Visible text from an HTML page (the reference's WebReaderProvider —
+    web_reader_provider.py — fetches URLs then strips markup to text; the
+    fetch is the caller's concern here, the strip is this function):
+    script/style/noscript/template subtrees dropped, block-element
+    boundaries become newlines, inline runs concatenated, character/entity
+    references decoded (``convert_charrefs``), whitespace inside a block
+    collapsed to single spaces. stdlib ``html.parser`` is tolerant of
+    unclosed tags and attribute soup, so real-world pages parse."""
+    from html.parser import HTMLParser
+
+    class _Extract(HTMLParser):
+        def __init__(self) -> None:
+            super().__init__(convert_charrefs=True)
+            self._skip = 0
+            self._parts: list[str] = []
+            self.blocks: list[str] = []
+
+        def flush(self) -> None:
+            text = " ".join("".join(self._parts).split())
+            self._parts = []
+            if text:
+                self.blocks.append(text)
+
+        def handle_starttag(self, tag, attrs) -> None:
+            if tag in _HTML_SKIP:
+                self._skip += 1
+            elif tag in _HTML_BLOCK:
+                self.flush()
+
+        def handle_endtag(self, tag) -> None:
+            if tag in _HTML_SKIP:
+                self._skip = max(0, self._skip - 1)
+            elif tag in _HTML_BLOCK:
+                self.flush()
+
+        def handle_data(self, data) -> None:
+            if not self._skip:
+                self._parts.append(data)
+
+    parser = _Extract()
+    parser.feed(content.decode("utf-8", errors="replace"))
+    parser.close()
+    parser.flush()
+    return "\n".join(parser.blocks)
+
+
+read_html = _parsed_binary_reader(_html_text, "*.htm*")
+
+
+# --- minimal PDF text extraction (pdf provider) — stdlib zlib only ----------
+
+_PDF_STRING_ESCAPES = {
+    ord("n"): 0x0A, ord("r"): 0x0D, ord("t"): 0x09, ord("b"): 0x08,
+    ord("f"): 0x0C, ord("("): 0x28, ord(")"): 0x29, ord("\\"): 0x5C,
+}
+
+
+def _pdf_unescape(raw: bytes) -> str:
+    """PDF literal-string unescape (ISO 32000-1 §7.3.4.2): named escapes,
+    1-3 digit octal codes, backslash-newline continuation; everything else
+    passes through. Bytes decode as Latin-1 (supersets PDFDocEncoding's
+    ASCII range — the regime simple text streams use)."""
+    out = bytearray()
+    i, n = 0, len(raw)
+    while i < n:
+        c = raw[i]
+        if c == 0x5C and i + 1 < n:  # backslash
+            nxt = raw[i + 1]
+            if nxt in _PDF_STRING_ESCAPES:
+                out.append(_PDF_STRING_ESCAPES[nxt])
+                i += 2
+            elif 0x30 <= nxt <= 0x37:  # octal, up to 3 digits
+                j, val = i + 1, 0
+                while j < n and j < i + 4 and 0x30 <= raw[j] <= 0x37:
+                    val = val * 8 + (raw[j] - 0x30)
+                    j += 1
+                out.append(val & 0xFF)
+                i = j
+            elif nxt in (0x0A, 0x0D):  # line continuation
+                i += 2
+                if nxt == 0x0D and i < n and raw[i] == 0x0A:
+                    i += 1
+            else:
+                out.append(nxt)
+                i += 2
+        else:
+            out.append(c)
+            i += 1
+    if out.startswith(b"\xfe\xff"):
+        return out[2:].decode("utf-16-be", errors="replace")
+    return out.decode("latin-1")
+
+
+# content-stream tokens we care about: literal strings, hex strings,
+# array brackets, and bare operator names
+import re as _re  # noqa: E402  (module-level, used by the parsers below)
+
+_PDF_TOKEN = _re.compile(
+    rb"\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]*>|\[|\]|[A-Za-z'\"*]+"
+)
+_PDF_STREAM = _re.compile(rb"stream\r?\n(.*?)endstream", _re.DOTALL)
+_PDF_BT = _re.compile(rb"\bBT\b(.*?)\bET\b", _re.DOTALL)
+_NEWLINE_OPS = (b"Td", b"TD", b"T*", b"Tm")
+
+
+def _pdf_text(content: bytes) -> str:
+    """Minimal PDF text extraction, stdlib-only (the reference wraps pypdf
+    — pdf_reader_provider.py — which is absent here): every ``stream`` body
+    is FlateDecode-inflated (zlib) or taken raw, text objects (``BT``/``ET``)
+    are scanned, and the show-text operators ``Tj`` ``'`` ``"`` ``TJ``
+    contribute their literal/hex string operands; line-positioning
+    operators (``Td`` ``TD`` ``T*`` ``Tm`` ``'`` ``"``) start a new output
+    line. Covers the simple unencrypted PDFs this regime produces (single
+    content stream per page, standard encodings).
+
+    HONEST LIMIT: encrypted PDFs, cross-reference/object streams
+    (``/ObjStm``), and CID/Type0 composite fonts need a full parser —
+    when NO text object is found anywhere, this raises
+    ``NotImplementedError`` rather than silently returning '' (the
+    ``advanced-pdf`` provider stays a stub for exactly these)."""
+    import zlib
+
+    lines: list[str] = []
+    found_text_object = False
+    for m in _PDF_STREAM.finditer(content):
+        body = m.group(1)
+        try:
+            data = zlib.decompress(body)
+        except zlib.error:
+            data = body
+        for bt in _PDF_BT.finditer(data):
+            found_text_object = True
+            cur: list[str] = []
+            pending: list[str] = []
+
+            def flush() -> None:
+                text = "".join(cur).strip()
+                if text:
+                    lines.append(text)
+                cur.clear()
+
+            for tok_m in _PDF_TOKEN.finditer(bt.group(1)):
+                tok = tok_m.group(0)
+                if tok.startswith(b"("):
+                    pending.append(_pdf_unescape(tok[1:-1]))
+                elif tok.startswith(b"<"):
+                    hx = b"".join(tok[1:-1].split())
+                    if len(hx) % 2:
+                        hx += b"0"
+                    pending.append(bytes.fromhex(hx.decode("ascii")).decode("latin-1"))
+                elif tok in (b"Tj", b"TJ"):
+                    cur.extend(pending)
+                    pending.clear()
+                elif tok in (b"'", b'"'):
+                    flush()
+                    cur.extend(pending)
+                    pending.clear()
+                elif tok in _NEWLINE_OPS:
+                    flush()
+                    pending.clear()
+                elif tok in (b"[", b"]"):
+                    continue
+                else:
+                    pending.clear()  # operand strings consumed by a non-show op
+            flush()
+    if not found_text_object:
+        raise NotImplementedError(
+            "pdf: no text object found in any content stream — encrypted, "
+            "object-stream, or image-only PDF; needs a full parser "
+            "(reference: advanced_pdf_reader_provider.py)"
+        )
+    return "\n".join(lines)
+
+
+read_pdf = _parsed_binary_reader(_pdf_text, "*.pdf")
 
 
 # --- provider registry (API-surface parity with the reference's 18 readers) --
@@ -192,11 +383,14 @@ PROVIDERS = {
     "universal-directory": read_text_directory,
     "document-graph": read_jsonl,             # staged docs are JSONL batches
     "database": _needs_parser("jdbc"),        # spark.read.jdbc once a driver jar is present
-    "pdf": _needs_parser("pdf"),
-    "advanced-pdf": _needs_parser("pdf"),
+    "pdf": read_pdf,                          # stdlib zlib+text-operator scan; raises on
+                                              # encrypted/objstm/image-only PDFs
+    "advanced-pdf": _needs_parser("pdf-layout"),  # layout-aware parse (tables, reading
+                                                  # order) genuinely needs a layout model
     "docx": read_docx,                        # stdlib ZIP+XML parse, no codec lib
     "pptx": read_pptx,                        # stdlib ZIP+XML parse, no codec lib
-    "web": _needs_parser("html"),
+    "web": read_html,                         # stdlib html.parser visible-text strip
+                                              # (URL fetch is the caller's transport)
     "wikipedia": _needs_parser("wikipedia-api"),
     "youtube": _needs_parser("youtube-transcript"),
     "github": _needs_parser("github-api"),

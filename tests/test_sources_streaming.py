@@ -66,8 +66,8 @@ class TestProviderRegistry:
     def test_library_bound_providers_stub(self, spark):
         from graphrag_toolkit_spark.sources import readers
 
-        with pytest.raises(NotImplementedError, match="pdf"):
-            readers.reader_for("pdf")(spark, "/nonexistent")
+        with pytest.raises(NotImplementedError, match="pdf-layout"):
+            readers.reader_for("advanced-pdf")(spark, "/nonexistent")
 
     def test_unknown_provider(self):
         from graphrag_toolkit_spark.sources import readers
@@ -84,11 +84,11 @@ class TestProviderRegistry:
         assert real == {
             "json", "streaming-jsonl", "csv", "structured-data", "markdown",
             "directory", "s3-directory", "universal-directory", "document-graph",
-            "docx", "pptx",
+            "docx", "pptx", "web", "pdf",
         }
         stubbed = set(status) - real
         assert stubbed == {
-            "pdf", "advanced-pdf", "web", "wikipedia",
+            "advanced-pdf", "wikipedia",
             "youtube", "github", "database",
         }
         assert all(status[n].startswith("stub (") for n in stubbed)
@@ -96,10 +96,12 @@ class TestProviderRegistry:
     def test_allow_stub_false_fails_at_lookup(self):
         from graphrag_toolkit_spark.sources import readers
 
-        with pytest.raises(NotImplementedError, match="pdf"):
-            readers.reader_for("pdf", allow_stub=False)
+        with pytest.raises(NotImplementedError, match="pdf-layout"):
+            readers.reader_for("advanced-pdf", allow_stub=False)
         assert callable(readers.reader_for("json", allow_stub=False))
         assert callable(readers.reader_for("docx", allow_stub=False))
+        assert callable(readers.reader_for("web", allow_stub=False))
+        assert callable(readers.reader_for("pdf", allow_stub=False))
 
     def test_docx_end_to_end(self, spark, tmp_path):
         """Generated fixture .docx → read_docx → canonical docs → chunks:
@@ -160,6 +162,62 @@ class TestProviderRegistry:
         rows = readers.read_pptx(spark, str(tmp_path)).collect()
         assert len(rows) == 1
         assert rows[0]["text"] == "Title\nSubtitle\n\nAgenda\n\nClosing slide"
+
+    def test_html_end_to_end(self, spark, tmp_path):
+        """Fixture HTML -> read_html -> canonical docs -> chunks: the web
+        provider's full S1->S3 path with a real (stdlib html.parser) strip."""
+        from graphrag_toolkit_spark.sources import chunking, readers
+
+        (tmp_path / "page.html").write_text(
+            "<html><head><title>Spark Docs</title><script>x<1&&y>2</script>"
+            "</head><body><h1>Engine &amp; pipeline</h1>"
+            "<p>First paragraph with enough words to form a chunk.</p>"
+            "<div>Second <b>inline-bold</b> block</div>"
+            "<ul><li>alpha</li><li>beta</li></ul></body></html>"
+        )
+        docs = readers.read_html(spark, str(tmp_path))
+        rows = docs.collect()
+        assert len(rows) == 1
+        assert rows[0]["text"] == (
+            "Spark Docs\nEngine & pipeline\n"
+            "First paragraph with enough words to form a chunk.\n"
+            "Second inline-bold block\nalpha\nbeta"
+        )
+        assert rows[0]["doc_id"]
+        chunks = chunking.chunk_documents(docs, chunk_size=5, chunk_overlap=1)
+        assert chunks.count() >= 2
+
+    def test_pdf_end_to_end(self, spark, tmp_path):
+        """Generated FlateDecode fixture PDF -> read_pdf -> canonical docs:
+        stdlib zlib + BT/ET text-operator scan (simple-PDF regime)."""
+        import zlib
+
+        from graphrag_toolkit_spark.sources import chunking, readers
+
+        stream = zlib.compress(
+            b"BT /F1 12 Tf 72 720 Td (Minimal PDF fixture) Tj "
+            b"0 -14 Td [(with kerned ) -250 (array text)] TJ ET"
+        )
+        pdf = (
+            b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(stream)).encode()
+            + b" /Filter /FlateDecode >>\nstream\n" + stream
+            + b"endstream\nendobj\ntrailer\n<<>>\n%%EOF"
+        )
+        (tmp_path / "doc.pdf").write_bytes(pdf)
+        docs = readers.read_pdf(spark, str(tmp_path))
+        rows = docs.collect()
+        assert len(rows) == 1
+        assert rows[0]["text"] == "Minimal PDF fixture\nwith kerned array text"
+        chunks = chunking.chunk_documents(docs, chunk_size=4, chunk_overlap=0)
+        assert chunks.count() >= 1
+
+    def test_pdf_image_only_raises(self):
+        """HONEST LIMIT pinned: a PDF with no BT/ET text object raises
+        rather than silently yielding '' (advanced-pdf stays the stub)."""
+        from graphrag_toolkit_spark.sources.readers import _pdf_text
+
+        with pytest.raises(NotImplementedError, match="no text object"):
+            _pdf_text(b"%PDF-1.4\nstream\n\x00\x01imagebytes\nendstream\n%%EOF")
 
     def test_directory_and_jsonl_through_extract_and_build(self, spark, tmp):
         """End-to-end: reader → canonical docs → extract_and_build, the
