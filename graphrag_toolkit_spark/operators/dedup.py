@@ -495,23 +495,37 @@ def minhash_near_dup_increment(
 
 def connected_components(
     pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
-    max_iters: int = 25,
+    max_iters: int = 25, algorithm: str = "star",
 ) -> DataFrame:
     """Cluster assignment over an undirected near-dup pair graph:
     (id, component) with component = MIN id reachable from the node — the
     deterministic cluster representative for keep-one-per-cluster dedup
     (pairs alone don't dedup a corpus; transitive closure does).
 
-    Min-label propagation: each round every node adopts the smallest label
-    among itself and its neighbors; converges in rounds = eccentricity of the
-    component's min node (near-dup clusters are shallow, so a handful).
-    Per round: one join (labels pushed across edges) + one per-node min
-    groupBy over the PAIR GRAPH only — the corpus never enters the loop, and
-    at 100 TB the pair graph is a vanishing fraction of it. Labels are
-    localCheckpointed per round so plans stay flat.
+    ``algorithm="star"`` (default): alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14). Each round halves component diameter, so convergence is
+    O(log n) rounds INDEPENDENT of component eccentricity — the regime
+    that matters at corpus scale, where one boilerplate near-dup component
+    can span millions of docs. Per round the only wide ops are a per-node
+    ``min`` groupBy (map-side combinable, so hub keys partial-aggregate
+    before the shuffle) and an equi-join of the per-node min back onto the
+    edge list (AQE skew-split handles residual hub skew); edges strictly
+    shrink toward the star form, never densify.
 
-    Raises RuntimeError if not converged after ``max_iters`` (pathological
-    chain-of-dups topologies: raise the cap, or pre-collapse exact dups)."""
+    ``algorithm="minlabel"``: the round-4 min-label propagation — each
+    round every node adopts the smallest label among itself and its
+    neighbors; converges in rounds = eccentricity of the component's min
+    node. Simpler plan per round, fine for shallow near-dup clusters;
+    kept as the cross-check twin (tests assert identical output).
+
+    Both loop over the PAIR GRAPH only — the corpus never enters — and
+    localCheckpoint per round so plans stay flat. Raises RuntimeError if
+    not converged after ``max_iters``."""
+    if algorithm == "star":
+        return _cc_star(pairs, id_a, id_b, max_iters)
+    if algorithm != "minlabel":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
@@ -548,6 +562,78 @@ def connected_components(
         edges.unpersist()
     raise RuntimeError(
         f"connected_components: no convergence in {max_iters} rounds"
+    )
+
+
+def _cc_star(
+    pairs: DataFrame, id_a: str, id_b: str, max_iters: int
+) -> DataFrame:
+    """Alternating large-star/small-star rounds over canonical (a > b)
+    edges until the edge set is stable, then read labels off the star.
+
+    large-star(u): every neighbor v > u re-attaches to
+    m = min(N(u) ∪ {u}); small-star(u): every neighbor v < u (and u
+    itself) attaches to m. At the fixed point every surviving edge is
+    (node, component-min), so labels fall out without a final traversal."""
+    nodes = (
+        pairs.select(F.col(id_a).alias("id"))
+        .unionByName(pairs.select(F.col(id_b).alias("id")))
+        .distinct()
+    )
+    canon = (
+        pairs.filter(F.col(id_a) != F.col(id_b))
+        .select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("a"),
+            F.least(F.col(id_a), F.col(id_b)).alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        # large-star over the symmetric view: for each center u, larger
+        # neighbors re-attach to min(N(u) ∪ {u})
+        sym = canon.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+            canon.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+        mins = (
+            sym.groupBy("src")
+            .agg(F.min("dst").alias("mn"))
+            .select("src", F.least("mn", F.col("src")).alias("m"))
+        )
+        large = (
+            sym.filter(F.col("dst") > F.col("src"))
+            .join(mins, "src")
+            .select(F.col("dst").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star over canonical (a > b) edges: smaller neighbors and
+        # the center both attach to the center's min smaller neighbor
+        sm = large.groupBy("a").agg(F.min("b").alias("m"))
+        new_canon = (
+            large.join(sm, "a")
+            .filter(F.col("b") != F.col("m"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .unionByName(sm.select(F.col("a"), F.col("m").alias("b")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        stable = (
+            new_canon.exceptAll(canon).isEmpty()
+            and canon.exceptAll(new_canon).isEmpty()
+        )
+        canon = new_canon
+        if stable:
+            return (
+                nodes.join(
+                    canon.select(F.col("a").alias("id"), F.col("b").alias("component")),
+                    "id",
+                    "left",
+                )
+                .select("id", F.coalesce("component", F.col("id")).alias("component"))
+            )
+    raise RuntimeError(
+        f"connected_components: no convergence in {max_iters} star rounds"
     )
 
 

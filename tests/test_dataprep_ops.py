@@ -225,6 +225,47 @@ class TestConnectedComponents:
         with pytest.raises(RuntimeError, match="no convergence"):
             dedup.connected_components(pairs, max_iters=1)
 
+    def test_star_beats_minlabel_on_long_chain(self, spark):
+        """The hub-skew/diameter fix pinned: a 40-node path has
+        eccentricity 39, so min-label propagation CANNOT converge in 10
+        rounds, while large-star/small-star halves diameter per round and
+        finishes well inside 10 (O(log n))."""
+        pairs = spark.createDataFrame(
+            [{"id_a": i, "id_b": i + 1} for i in range(40)]
+        )
+        with pytest.raises(RuntimeError, match="no convergence"):
+            dedup.connected_components(pairs, max_iters=10, algorithm="minlabel")
+        out = {
+            r["id"]: r["component"]
+            for r in dedup.connected_components(
+                pairs, max_iters=10, algorithm="star"
+            ).collect()
+        }
+        assert out == {i: 0 for i in range(41)}
+
+    def test_star_equals_minlabel(self, spark):
+        """Cross-check twin: both algorithms produce identical
+        (id, min-reachable-id) labels on a mixed topology — hub star with a
+        high-id center, a chain whose min sits mid-path, an island pair,
+        and a self-loop singleton."""
+        edges = (
+            [{"id_a": 100, "id_b": i} for i in range(1, 8)]   # hub centered at 100
+            + [{"id_a": 9, "id_b": 40}, {"id_a": 40, "id_b": 8},
+               {"id_a": 8, "id_b": 41}]                        # chain, min mid-path
+            + [{"id_a": 55, "id_b": 56}, {"id_a": 77, "id_b": 77}]
+        )
+        pairs = spark.createDataFrame(edges)
+        star = {
+            r["id"]: r["component"]
+            for r in dedup.connected_components(pairs, algorithm="star").collect()
+        }
+        minl = {
+            r["id"]: r["component"]
+            for r in dedup.connected_components(pairs, algorithm="minlabel").collect()
+        }
+        assert star == minl
+        assert star[100] == 1 and star[9] == 8 and star[77] == 77
+
 
 class TestSimhash:
     def test_identical_texts_same_hash(self, docs):
