@@ -359,6 +359,49 @@ class TestLinking:
         with pytest.raises(ValueError, match="scorer"):
             linking.fuzzy_link(q, names, scorer="bogus")
 
+    def test_length_bucket_blocking_is_lossless(self, spark):
+        """Blocking recall at the boundary: the bucketed equi-join must
+        admit EXACTLY the pairs the raw length-guard theta-join admits —
+        floor is monotone, so every candidate inside
+        [qlen(1-s), qlen(1+s)] lands in an exploded probe bucket. Catalog
+        name lengths sweep 1..40 (crossing every bucket edge at width 8)
+        against queries whose slack intervals end exactly ON bucket
+        boundaries; compare against a brute-force crossJoin twin.
+        (Same completeness discipline editdist's ED-1 blocking already
+        has; closes the round-4 review gap.)"""
+        from graphrag_toolkit_spark.functions.text import search_string
+
+        names = spark.createDataFrame(
+            [{"node_id": i, "name": "x" * i} for i in range(1, 41)]
+        )
+        # qlen 16 with slack 0.5 → [8, 24]: both endpoints are bucket edges
+        queries = spark.createDataFrame(
+            [{"query": "q" * n} for n in (3, 8, 16, 24, 31, 40)]
+        )
+        slack = 0.5
+        blocked = {
+            (r["query"], r["node_id"])
+            for r in linking.fuzzy_link(
+                queries, names, top_k=10_000, length_slack=slack
+            ).collect()
+        }
+        q = queries.select(
+            "query", F.length(search_string(F.col("query"))).alias("qlen")
+        )
+        c = names.select(
+            "node_id", F.length(search_string(F.col("name"))).alias("clen")
+        )
+        brute = {
+            (r["query"], r["node_id"])
+            for r in q.crossJoin(c)
+            .filter(
+                (F.col("clen") >= F.col("qlen") * (1.0 - slack))
+                & (F.col("clen") <= F.col("qlen") * (1.0 + slack))
+            )
+            .collect()
+        }
+        assert blocked == brute and len(brute) > 50  # non-vacuous
+
     def test_dense_link_self_is_top1(self, spark, pdg):
         cat = spark.createDataFrame(pdg.embeddings_topic).withColumnRenamed("id", "node_id")
         first = pdg.embeddings_topic.iloc[0]
