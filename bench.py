@@ -71,6 +71,13 @@ HEADLINE = [
     "typo_pairs_customers",
     "ewma_events",
     "ann_ivf_kmeans_topk",
+    # round-5 additions: the heavy round-4 queries the judge flagged as
+    # untracked (entity_resolution was the slowest local check at sf0.01),
+    # plus the full retrieval-eval pipeline and the DAU/MAU window
+    "entity_resolution_customers",
+    "split_leakage_documents",
+    "dau_mau_events",
+    "retrieval_eval_pipeline",
 ]
 
 
@@ -106,6 +113,9 @@ def main() -> None:
         print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
 
     spark.stop()
+    # 1-min loadavg at measurement end: the ±30% host-noise band seen
+    # round-over-round is only attributable with the load recorded
+    # alongside the wall-clock (BASELINE.md §I protocol).
     print(
         json.dumps(
             {
@@ -114,6 +124,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "loadavg_1min": round(os.getloadavg()[0], 2),
+                "cpus": os.cpu_count(),
             }
         )
     )
