@@ -183,6 +183,7 @@ def extract_facts(
     statements: DataFrame,
     entity_min_len: int = ENTITY_MIN_LEN,
     classifications: list[str] | None = None,
+    include_classification_in_entity_id: bool = True,
 ) -> DataFrame:
     """Statement rows → fact rows (statement_id, subject, object, value,
     fact_id, subject_entity_id, object_entity_id, subject_class,
@@ -196,7 +197,15 @@ def extract_facts(
     deterministic content-hash pick from the list instead of the default
     Head/Term scheme; ids mint from (value, class), so the seed
     classifications propagate into the entity table and every edge that
-    references it."""
+    references it.
+
+    ``include_classification_in_entity_id`` (reference
+    ``id_generator.py:146-150`` / ``GraphRAGConfig``): True (default, the
+    reference default) mints entity ids from (value, classification) —
+    'Apple the company' and 'Apple the fruit' stay separate nodes; False
+    mints from value alone, so the same surface form is ONE entity node
+    across classifications (the id-space SURVEY §7 flags as a hard part —
+    both modes are first-class here and tested)."""
     toks = F.split(F.col("value"), " ")
     subject = F.element_at(toks, 1)
     objects = F.array_distinct(
@@ -219,8 +228,16 @@ def extract_facts(
         "statement_id", "subject", "object",
         F.concat_ws(" ", F.col("subject"), F.lit("near"), F.col("object")).alias("value"),
         ids.node_id("fact", F.col("subject"), F.col("object")).alias("fact_id"),
-        ids.node_id("entity", F.col("subject"), subj_class).alias("subject_entity_id"),
-        ids.node_id("entity", F.col("object"), obj_class).alias("object_entity_id"),
+        (
+            ids.node_id("entity", F.col("subject"), subj_class)
+            if include_classification_in_entity_id
+            else ids.node_id("entity", F.col("subject"))
+        ).alias("subject_entity_id"),
+        (
+            ids.node_id("entity", F.col("object"), obj_class)
+            if include_classification_in_entity_id
+            else ids.node_id("entity", F.col("object"))
+        ).alias("object_entity_id"),
         subj_class.alias("subject_class"),
         obj_class.alias("object_class"),
     )
@@ -235,6 +252,7 @@ def extract_and_build(
     ignore_topics: list[str] | None = None,
     ignore_statements_matching: str | None = None,
     classifications: list[str] | None = None,
+    include_classification_in_entity_id: bool = True,
 ) -> dict[str, DataFrame]:
     """Full §3.1 pipeline → {sources, chunks, topics, statements, facts,
     entities, edges}. One linear DAG per table; every table is deduped on its
@@ -255,7 +273,10 @@ def extract_and_build(
         stmts = stmts.filter(~F.col("topic").isin(list(ignore_topics)))
     if ignore_statements_matching:
         stmts = stmts.filter(~F.col("value").rlike(ignore_statements_matching))
-    facts = extract_facts(stmts, entity_min_len, classifications=classifications)
+    facts = extract_facts(
+        stmts, entity_min_len, classifications=classifications,
+        include_classification_in_entity_id=include_classification_in_entity_id,
+    )
 
     sources = chunks.select("source_id").distinct()
     # exact-duplicate documents mint identical chunk ids (and identical rows)
@@ -298,7 +319,19 @@ def extract_and_build(
                 F.col("object_class").alias("classification"),
             )
         )
-        .dropDuplicates(["entity_id"])
+        .groupBy("entity_id")
+        .agg(F.min(F.struct("value", "classification")).alias("_v"))
+        .select(
+            "entity_id",
+            F.col("_v.value").alias("value"),
+            F.col("_v.classification").alias("classification"),
+        )
+        # deterministic survivor: with include_classification_in_entity_id
+        # =False the same id can carry Head AND Term rows (same value seen
+        # as subject and object) — struct-min picks one stably where
+        # dropDuplicates would pick arbitrarily. In the default id space
+        # each id has a unique (value, classification), so this is the
+        # same result as dedup-by-id.
     )
 
     def edge(df: DataFrame, src: str, dst: str, etype: str) -> DataFrame:

@@ -182,6 +182,59 @@ class TestInferClassifications:
         }
         assert default_ids.isdisjoint(classified_ids)
 
+    def test_entity_id_space_toggle(self, docs):
+        """Both id spaces of id_generator.py:146-150 are first-class:
+        default (True) mints entity ids from (value, classification) so a
+        value seen as subject (Head) and object (Term) is TWO nodes; False
+        mints from value alone, collapsing them to one — and the edge
+        tables stay consistent with whichever entity table was built."""
+        spark = docs.sparkSession
+        # 'sparkle' is an OBJECT in statement window 1 (tokens 1-8) and
+        # the SUBJECT of window 2 (token 9) — the value the two id spaces
+        # disagree about
+        overlap_docs = spark.createDataFrame(
+            [{"doc_id": 1, "lang": "en", "source": "a",
+              "text": "motor sparkle filter window joins shuffle merges "
+                      "sorted sparkle output partition hourly"}]
+        )
+        with_cls = indexing.extract_and_build(overlap_docs)
+        without = indexing.extract_and_build(
+            overlap_docs, include_classification_in_entity_id=False
+        )
+
+        def by_value(build):
+            out = {}
+            for r in build["entities"].collect():
+                out.setdefault(r["value"], set()).add(r["entity_id"])
+            return out
+
+        v_with, v_without = by_value(with_cls), by_value(without)
+        # value-only ids: exactly one node per surface form
+        assert all(len(ids_) == 1 for ids_ in v_without.values())
+        # some value must appear as both Head and Term in the fixture so
+        # the toggle is actually exercised (two ids under the default)
+        assert any(len(ids_) == 2 for ids_ in v_with.values())
+        # the two id spaces are disjoint (different hash preimages)
+        all_with = set().union(*v_with.values())
+        all_without = set().union(*v_without.values())
+        assert all_with.isdisjoint(all_without)
+        # referential integrity: every SUBJECT/OBJECT edge endpoint and
+        # every fact's entity ref exists in the matching entity table
+        for build, ids_ in ((with_cls, all_with), (without, all_without)):
+            ends = {
+                r["src"]
+                for r in build["edges"]
+                .filter(F.col("etype").isin("SUBJECT", "OBJECT"))
+                .collect()
+            }
+            assert ends <= ids_
+            refs = {
+                x
+                for r in build["facts"].collect()
+                for x in (r["subject_entity_id"], r["object_entity_id"])
+            }
+            assert refs == ids_
+
     def test_classification_assignment_deterministic(self, docs):
         inferred = ["Engine", "Pipeline", "Storage"]
         a = sorted(
