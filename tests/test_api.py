@@ -42,6 +42,31 @@ class TestLexicalGraphIndex:
             r["statement_id"] for r in graph.statements.collect()
         )
 
+    def test_batch_inference_staging_roundtrip(self, spark, tmp_path):
+        """Bedrock batch-inference lifecycle mirror (reference
+        ``indexing/extract/batch_extractor_base.py`` +
+        ``batch_inference_utils.py``): extraction output leaves the
+        cluster as staged JSONL (the S3 ship-out), comes back, and build
+        RESUMES from the staged frame — the resulting graph must equal
+        the fused ``extract_and_build`` on every table. Extends the
+        extract-then-build ≡ fused equivalence across the durable staging
+        boundary (JSON round-trip included)."""
+        from graphrag_toolkit_spark import indexing
+        from graphrag_toolkit_spark.sources import readers
+
+        docs = spark.createDataFrame(DOCS)
+        stmts = indexing.rule_extract_statements(indexing.docs_to_chunks(docs))
+        out = str(tmp_path / "staged_statements")
+        readers.write_staged(stmts, out)
+        staged = readers.read_staged(spark, out)
+        resumed = indexing.extract_and_build(docs, extractor=lambda _chunks: staged)
+        fused = indexing.extract_and_build(docs)
+        for table in ("statements", "facts", "entities", "edges"):
+            cols = sorted(fused[table].columns)
+            a = sorted(map(str, resumed[table].select(cols).collect()))
+            b = sorted(map(str, fused[table].select(cols).collect()))
+            assert a == b and a, table
+
     def test_build_filters_pass_through(self, spark):
         docs = spark.createDataFrame(DOCS)
         idx = LexicalGraphIndex(embed_dim=16, ignore_statements_matching="gamma")
