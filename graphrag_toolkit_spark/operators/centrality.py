@@ -39,6 +39,7 @@ def katz_centrality(
     iters: int = 6,
     alpha_log2: int = 1,
     weight_col: str | None = None,
+    n_salts: int | None = None,
 ) -> DataFrame:
     """Truncated Katz index over a directed simple graph (dedup edges first
     if multi-edges should not multiply influence). Returns
@@ -46,7 +47,22 @@ def katz_centrality(
     α = 1/2^alpha_log2, K = iters terms. ``weight_col`` (INTEGER edge
     weights) scales each message by its edge's weight — integer products
     preserve the power-of-two divisibility, so weighted propagation stays
-    bit-exact."""
+    bit-exact.
+
+    ``n_salts``: hub-out-degree skew guard. The per-round SUM groupBy is
+    already two-phase (Spark's hash aggregate partial-aggregates map-side,
+    so a hot dst key ships ≤ one combined row per partition) — the residual
+    skew sits in the JOIN: a hub src key concentrates all its out-edges in
+    one co-partition, and because the edge side is pre-partitioned and
+    persisted (deliberately — only ranks move per round), AQE's runtime
+    skew-split never sees a shuffle to re-plan. With ``n_salts=k`` the
+    edges carry a deterministic salt ``xxhash64(dst) % k`` (dst varies
+    within a hub's edge list, so its edges spread across all k salts), the
+    rank table replicates k× per round, and the join keys on (src, salt) —
+    every join partition holds ≤ 1/k of a hub's edges. Output is
+    bit-identical (same joined pairs, exact integer sums; parity pinned by
+    the katz_salted_graph oracle twin). Replication costs k× the rank-table
+    shuffle, so reserve it for genuinely Zipfian graphs."""
     if iters < 0 or alpha_log2 < 1:
         raise ValueError("iters must be >= 0 and alpha_log2 >= 1")
     scale = 1 << (alpha_log2 * iters)
@@ -56,12 +72,17 @@ def katz_centrality(
     wcol = (
         F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
     )
-    e = (
-        edges.select(
-            F.col(src).alias("src"), F.col(dst).alias("dst"), wcol.alias("w")
-        )
-        .repartition(F.col("src"))
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), wcol.alias("w")
     )
+    if n_salts:
+        e = e.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("dst")), F.lit(n_salts))
+        ).repartition(F.col("src"), F.col("_salt"))
+        join_keys = ["src", "_salt"]
+    else:
+        e = e.repartition(F.col("src"))
+        join_keys = ["src"]
     e.persist()
     try:
         nodes = (
@@ -77,9 +98,17 @@ def katz_centrality(
         zeros = nodes.withColumn("r", F.lit(0).cast("long"))
         ranks = nodes.withColumn("r", F.lit(scale).cast("long"))
         for _ in range(iters):
-            msgs = e.join(
-                ranks.withColumnRenamed("node_id", "src"), "src"
-            ).select(
+            r_side = ranks.withColumnRenamed("node_id", "src")
+            if n_salts:
+                r_side = r_side.withColumn(
+                    "_salt",
+                    F.explode(
+                        F.sequence(
+                            F.lit(0), F.lit(n_salts - 1)
+                        ).cast("array<bigint>")
+                    ),
+                )
+            msgs = e.join(r_side, join_keys).select(
                 F.col("dst").alias("node_id"),
                 (F.col("w") * F.col("r")).alias("r"),
             )

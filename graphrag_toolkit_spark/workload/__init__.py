@@ -70,6 +70,7 @@ _CHECK_FIRST = [
     "entity_resolution_customers",
     # --- new in round 5 (insert here as they land) ---
     "ranking_eval_orphan",
+    "katz_salted_graph",
     # --- green, last driver-verified round 1 ---
     "ann_ivf_topk",
     "cascade_delete_counts",

@@ -503,6 +503,20 @@ def katz_centrality_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def katz_salted_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted twin of `katz_centrality_graph` (`n_salts=8`: edges
+    carry a deterministic xxhash64(dst)%8 salt, ranks replicate 8x, the
+    per-round join keys on (src, salt) so no partition holds more than
+    1/8 of a hub's out-edges). Shares KATZ_ORACLE verbatim — the whole
+    point is that salting changes the physical distribution and NOTHING
+    about the values (exact integer sums are grouping-order-free)."""
+    from graphrag_toolkit_spark.operators import centrality
+
+    return centrality.katz_centrality(
+        _triples(spark, sf_dir), iters=KATZ_ITERS, alpha_log2=1, n_salts=8
+    )
+
+
 def _katz_oracle() -> str:
     scale = 1 << KATZ_ITERS
     steps = []
@@ -977,6 +991,7 @@ QUERIES = {
     "degree_distribution_parts": degree_distribution_parts,
     "bfs_shortest_paths": bfs_shortest_paths,
     "katz_centrality_graph": katz_centrality_graph,
+    "katz_salted_graph": katz_salted_graph,
     "personalized_katz_graph": personalized_katz_graph,
     "weighted_katz_parts": weighted_katz_parts,
     "association_rules_parts": association_rules_parts,
@@ -999,6 +1014,7 @@ ORACLES = {
     "degree_distribution_parts": DEGREE_DISTRIBUTION_ORACLE,
     "bfs_shortest_paths": BFS_ORACLE,
     "katz_centrality_graph": KATZ_ORACLE,
+    "katz_salted_graph": KATZ_ORACLE,
     "personalized_katz_graph": PKATZ_ORACLE,
     "association_rules_parts": ASSOC_ORACLE,
     "triangle_count_parts": TRIANGLE_ORACLE,

@@ -447,6 +447,33 @@ class TestKatzCentrality:
         ks = [r["katz"] * (1 << 6) for r in katz_centrality(edges, iters=6).collect()]
         assert all(v == int(v) for v in ks)
 
+    def test_salted_join_bit_identical_on_hub_graph(self, spark):
+        """n_salts spreads a hub's out-edges over (src, salt) join
+        partitions; scores must be BIT-identical to the unsalted path —
+        exact integer sums don't care how the messages were grouped.
+        Fixture: one hub fanning out to 60 nodes (the Zipfian shape the
+        flag exists for) plus a weighted chain, checked with and without
+        weights."""
+        from graphrag_toolkit_spark.operators.centrality import katz_centrality
+
+        edges = spark.createDataFrame(
+            [("hub", f"n{i}", 1 + i % 3) for i in range(60)]
+            + [(f"n{i}", f"n{i + 1}", 2) for i in range(10)],
+            "src string, dst string, w int",
+        )
+        for wc in (None, "w"):
+            plain = {
+                r["node_id"]: r["katz"]
+                for r in katz_centrality(edges, iters=4, weight_col=wc).collect()
+            }
+            salted = {
+                r["node_id"]: r["katz"]
+                for r in katz_centrality(
+                    edges, iters=4, weight_col=wc, n_salts=8
+                ).collect()
+            }
+            assert plain == salted
+
 
 class TestPersonalizedKatz:
     def test_hand_computed(self, spark):
