@@ -385,6 +385,62 @@ def ngram_jaccard_pairs(
         sh.unpersist()
 
 
+def containment_pairs(
+    df: DataFrame, text_col: str, id_col: str,
+    k: int = 2, threshold: float = 0.5, max_doc_freq: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC shingle containment C(A→B) = |S_A ∩ S_B| / |S_A|
+    (Broder's containment measure, the companion to resemblance/Jaccard in
+    "On the resemblance and containment of documents", 1997). Catches the
+    subset-duplication Jaccard structurally misses: a short doc quoted
+    whole inside a long one has Jaccard |A|/|B| ≈ 0 but containment 1.0 —
+    the quote/boilerplate-inclusion case in corpus dedup. Returns ordered
+    pairs (id_a, id_b, n_inter, n_a, containment) with C(A→B) ≥ threshold
+    — asymmetric, so (a, b) and (b, a) are independent rows.
+
+    Scale shape: identical to ``ngram_jaccard_pairs`` — inverted
+    shingle-index equi-self-join (a pair forms only by sharing a shingle),
+    one groupBy per pair, sizes joined after; with ``max_doc_freq`` the
+    posting-list cutoff bounds hot shingles. The division is one
+    exact-int/exact-int double op, so results hash-match any engine."""
+    sh_all = shingles(df, text_col, id_col, k)
+    sh_all.persist()
+    sh_rare = None
+    try:
+        sh = sh_all
+        if max_doc_freq is not None:
+            rare = (
+                sh_all.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .filter(F.col("df") <= max_doc_freq)
+                .select("shingle")
+            )
+            sh_rare = sh_all.join(rare, "shingle", "left_semi")
+            sh_rare.persist()
+            sh = sh_rare
+        a = sh.withColumnRenamed("id", "id_a")
+        b = sh.withColumnRenamed("id", "id_b")
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") != F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+        sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_a"))
+        out = (
+            inter.join(sizes.withColumnRenamed("id", "id_a"), "id_a")
+            .withColumn(
+                "containment", F.col("n_inter") / F.col("n_a")
+            )
+            .filter(F.col("containment") >= threshold)
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        if sh_rare is not None:
+            sh_rare.unpersist()
+        sh_all.unpersist()
+
+
 def minhash_near_dup_pairs(
     df: DataFrame, text_col: str, id_col: str,
     k: int = 1, num_hashes: int = 12, bands: int = 6,

@@ -117,3 +117,66 @@ def negative_samples(
         .filter(F.col("neg_id") != F.col("anchor"))
         .select("anchor", "j", "neg_id")
     )
+
+
+def hard_negative_mining(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Contrastive HARD negatives: for each anchor, the top-k most
+    cosine-similar corpus items with a DIFFERENT label — the near-boundary
+    negatives that make contrastive/triplet training effective, which the
+    random hash-ring sampler (``negative_samples``) cannot find by design
+    (it optimizes for cheap uniform coverage, not difficulty). Returns
+    (anchor_id, neg_id, neg_label, score, rank).
+
+    Exactness: prequantized-decimal dot/norm (functions/vector.py) — the
+    same engine-identical cosine the oracle-gated VSS queries use.
+
+    Scale shape: the anchor batch broadcasts against the corpus scan (one
+    narrow pass, distributed top-k per anchor via window-rank — the VSS
+    brute-force shape, fine for anchor batches × 100 TB because only the
+    corpus side scales). For mining over EVERY corpus row as anchor, swap
+    candidate generation to the bucketed ANN probes (``operators/ann.py``)
+    and exact-rerank the bucket — same re-rank expression."""
+    from graphrag_toolkit_spark.functions.vector import (
+        dot_prequantized,
+        l2_norm_quantized,
+        prequantize,
+    )
+
+    cat = corpus.select(
+        F.col(id_col).alias("neg_id"),
+        prequantize(F.col(vec_col)).alias("cv"),
+        l2_norm_quantized(F.col(vec_col)).alias("cn"),
+        F.col(label_col).alias("neg_label"),
+    )
+    anc = F.broadcast(
+        anchors.select(
+            F.col(id_col).alias("anchor_id"),
+            prequantize(F.col(vec_col)).alias("av"),
+            l2_norm_quantized(F.col(vec_col)).alias("an"),
+            F.col(label_col).alias("_albl"),
+        )
+    )
+    scored = (
+        cat.crossJoin(anc)
+        .filter(F.col("neg_label") != F.col("_albl"))
+        .withColumn(
+            "score",
+            dot_prequantized(F.col("cv"), F.col("av"))
+            / (F.col("cn") * F.col("an")),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("score"), F.asc("neg_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("anchor_id", "neg_id", "neg_label", "score", "rank")
+    )

@@ -242,3 +242,89 @@ def resample_to_mix(
     return df.join(
         F.broadcast(thr), F.col(class_col) == F.col("cls"), "inner"
     ).filter(hash_value(F.col(id_col)) < F.col("thr")).drop("cls", "thr")
+
+
+def dsir_log_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """DSIR importance log-weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023): score every
+    raw-corpus doc by how target-like it is under hashed bag-of-words
+    bucket models,
+
+        log w(x) = Σ_{tokens t∈x} [ ln p_tgt(b(t)) − ln p_raw(b(t)) ]
+
+    with add-1-smoothed bucket unigram models p(b) = (c_b + 1)/(N + B)
+    (b(t) = md5-hash of the token mod ``n_buckets``). High log-weight docs
+    look like the target distribution; DSIR then resamples proportionally
+    — pair with ``order_statistic_sample``/``weighted_sample`` for the
+    selection step. Returns (id, n_tokens, dsir_logw).
+
+    Exactness: every ln takes an exact INTEGER argument (count+1, N+B) and
+    is quantized to the 6-decimal grid immediately (the ``word_entropy``
+    discipline); a bucket score is the sum of four quantized decimals and
+    a doc's log-weight the exact decimal sum of its tokens' bucket scores
+    — engine-identical, so the whole operator is hash-gateable.
+
+    Scale shape (DSIR's design point): the feature space is FIXED at
+    ``n_buckets`` rows no matter the corpus size, so the score table is a
+    broadcast dimension; scoring is one broadcast equi-join over the token
+    stream + one groupBy(id). The target side is sample-sized by
+    construction. Nothing quadratic, no driver collect."""
+    def tok(df: DataFrame) -> DataFrame:
+        t = F.explode(
+            F.split(F.lower(F.col(text_col)), r"[^0-9a-z]+")
+        ).alias("token")
+        return (
+            df.select(F.col(id_col).alias("id"), t)
+            .filter(F.col("token") != "")
+            .withColumn(
+                "bucket", F.pmod(hash_value(F.col("token")), F.lit(n_buckets))
+            )
+        )
+
+    lnq = lambda c: F.round(F.log(c.cast("double")), 6).cast("decimal(12,6)")  # noqa: E731
+    spark = corpus.sparkSession
+    buckets = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+
+    def bucket_counts(df: DataFrame, out: str) -> DataFrame:
+        c = tok(df).groupBy("bucket").agg(F.count(F.lit(1)).alias(out))
+        return buckets.join(c, "bucket", "left").select(
+            "bucket", F.coalesce(out, F.lit(0)).cast("long").alias(out)
+        )
+
+    tgt = bucket_counts(target, "ct")
+    raw = bucket_counts(corpus, "cr")
+    joined = tgt.join(raw, "bucket")
+    totals = joined.agg(
+        F.sum("ct").alias("nt"), F.sum("cr").alias("nr")
+    )
+    scores = joined.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            lnq(F.col("ct") + 1) - lnq(F.col("nt") + n_buckets)
+            - lnq(F.col("cr") + 1) + lnq(F.col("nr") + n_buckets)
+        ).cast("decimal(14,6)").alias("score"),
+    )
+    per_doc = (
+        tok(corpus)
+        .join(F.broadcast(scores), "bucket")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("score").cast("decimal(28,6)")).alias("_s"),
+        )
+    )
+    return (
+        corpus.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("_s").cast("double"), F.lit(0.0)).alias("dsir_logw"),
+        )
+    )

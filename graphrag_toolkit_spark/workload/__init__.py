@@ -71,6 +71,9 @@ _CHECK_FIRST = [
     # --- new in round 5 (insert here as they land) ---
     "ranking_eval_orphan",
     "katz_salted_graph",
+    "containment_pairs_documents",
+    "dsir_weights_documents",
+    "hard_negatives_embeddings",
     # --- green, last driver-verified round 1 ---
     "ann_ivf_topk",
     "cascade_delete_counts",

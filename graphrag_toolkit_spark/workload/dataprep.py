@@ -1342,6 +1342,171 @@ WHERE i.n_inter / (sa.n + sb.n - i.n_inter) >= {NGRAM_THRESHOLD}
 """
 
 
+# decimal-prequantized embedding element (shared by every cosine oracle twin)
+_EMB_Q = "CAST(ROUND(CAST({x} AS DOUBLE), 6) AS DECIMAL(12,6))"
+
+# --- hard-negative mining ----------------------------------------------------
+
+HARDNEG_K = 5
+
+
+def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (`features.hard_negative_mining`):
+    for the first 5 vectors as anchors, the 5 most cosine-similar
+    DIFFERENT-label embeddings — near-boundary negatives for triplet /
+    contrastive training, the difficulty-aware complement to the hash-ring
+    `negative_samples`. Prequantized-decimal cosine, hash-exact."""
+    from graphrag_toolkit_spark.operators.features import hard_negative_mining
+
+    emb = load(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 5)
+    return hard_negative_mining(
+        emb, anchors, "embedding", "vec_id", "label", k=HARDNEG_K
+    )
+
+
+HARD_NEGATIVES_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS anchor_id, embedding AS aemb, label AS albl
+  FROM embeddings WHERE vec_id < 5
+),
+terms AS (
+  SELECT q.anchor_id, e.vec_id, e.label,
+         {_EMB_Q.format(x='e.embedding[i]')} AS xe,
+         {_EMB_Q.format(x='q.aemb[i]')} AS xq
+  FROM embeddings e, q, generate_series(1, 64) AS t(i)
+  WHERE e.label <> q.albl
+),
+scores AS (
+  SELECT anchor_id, vec_id, label,
+         CAST(SUM(xe * xq) AS DOUBLE)
+           / (sqrt(CAST(SUM(xe * xe) AS DOUBLE)) * sqrt(CAST(SUM(xq * xq) AS DOUBLE)))
+           AS score
+  FROM terms GROUP BY anchor_id, vec_id, label
+)
+SELECT anchor_id, vec_id AS neg_id, label AS neg_label, score, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY anchor_id ORDER BY score DESC, vec_id
+  ) AS rank
+  FROM scores
+) WHERE rank <= {HARDNEG_K}
+"""
+
+
+# --- DSIR importance weighting -----------------------------------------------
+
+DSIR_BUCKETS = 256
+
+
+def dsir_weights_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (`sampling.dsir_log_weights`, Xie et al. NeurIPS
+    2023): importance log-weight of every document against a 'curated'
+    target slice (source='src0') under add-1-smoothed hashed-unigram
+    bucket models — the raw-corpus ranking signal the DSIR resampling step
+    consumes. Quantized-ln decimal arithmetic end-to-end, hash-exact."""
+    docs = load(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == "src0")
+    return sampling.dsir_log_weights(
+        docs, target, "text", "doc_id", n_buckets=DSIR_BUCKETS
+    ).withColumnRenamed("id", "doc_id")
+
+
+DSIR_ORACLE = rf"""
+WITH tok_raw AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(token), 1, 7) AS BIGINT) % {DSIR_BUCKETS}
+           AS bucket
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '[^0-9a-z]+'),
+                              t -> t <> '')) AS token
+    FROM documents
+  )
+),
+tok_tgt AS (
+  SELECT t.bucket FROM tok_raw t
+  JOIN documents d ON d.doc_id = t.doc_id AND d.source = 'src0'
+),
+bk AS (SELECT unnest(generate_series(0, {DSIR_BUCKETS - 1})) AS bucket),
+counts AS (
+  SELECT bk.bucket,
+         COALESCE(ct.c, 0) AS ct,
+         COALESCE(cr.c, 0) AS cr
+  FROM bk
+  LEFT JOIN (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c
+             FROM tok_tgt GROUP BY bucket) ct ON ct.bucket = bk.bucket
+  LEFT JOIN (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c
+             FROM tok_raw GROUP BY bucket) cr ON cr.bucket = bk.bucket
+),
+tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cr) AS BIGINT) AS nr
+        FROM counts),
+scores AS (
+  SELECT bucket,
+         CAST(
+           CAST(ROUND(ln(CAST(ct + 1 AS DOUBLE)), 6) AS DECIMAL(12,6))
+           - CAST(ROUND(ln(CAST(nt + {DSIR_BUCKETS} AS DOUBLE)), 6) AS DECIMAL(12,6))
+           - CAST(ROUND(ln(CAST(cr + 1 AS DOUBLE)), 6) AS DECIMAL(12,6))
+           + CAST(ROUND(ln(CAST(nr + {DSIR_BUCKETS} AS DOUBLE)), 6) AS DECIMAL(12,6))
+         AS DECIMAL(14,6)) AS score
+  FROM counts, tot
+),
+per_doc AS (
+  SELECT t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(CAST(s.score AS DECIMAL(28,6))) AS DOUBLE) AS dsir_logw
+  FROM tok_raw t JOIN scores s ON s.bucket = t.bucket
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_tokens, 0) AS n_tokens,
+       COALESCE(p.dsir_logw, 0.0) AS dsir_logw
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+"""
+
+
+# --- asymmetric containment --------------------------------------------------
+
+CONTAIN_K = 2
+CONTAIN_THRESHOLD = 0.5
+
+
+def containment_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder containment C(A→B) = |S_A∩S_B| / |S_A| over word-bigram
+    shingles (`dedup.containment_pairs`): the asymmetric subset-duplication
+    measure Jaccard misses — a short doc quoted whole inside a long one is
+    containment 1.0 at near-zero Jaccard. Ordered pairs ≥ 0.5."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        dedup.containment_pairs(
+            docs, "text", "doc_id", k=CONTAIN_K, threshold=CONTAIN_THRESHOLD
+        )
+        .withColumnsRenamed({"id_a": "doc_a", "id_b": "doc_b"})
+        .withColumn("n_inter", F.col("n_inter").cast("bigint"))
+        .withColumn("n_a", F.col("n_a").cast("bigint"))
+    )
+
+
+CONTAINMENT_ORACLE = rf"""
+WITH s AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - {CONTAIN_K - 1}),
+                          i -> ws[i] || ' ' || ws[i+1])) AS shingle
+    FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws FROM documents)
+  ) WHERE shingle <> ''
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_a FROM s GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, i.n_inter, sz.n_a,
+       CAST(i.n_inter AS DOUBLE) / sz.n_a AS containment
+FROM inter i JOIN sizes sz ON sz.doc_id = i.doc_a
+WHERE CAST(i.n_inter AS DOUBLE) / sz.n_a >= {CONTAIN_THRESHOLD}
+"""
+
+
 # --- SimHash -----------------------------------------------------------------
 
 def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1378,7 +1543,7 @@ SELECT doc_id, CAST({_SIMHASH_ASSEMBLE} AS BIGINT) AS simhash FROM bits
 # --- embedding near-dup pairs ------------------------------------------------
 
 EMBED_DUP_THRESHOLD = 0.35
-_EMB_Q = "CAST(ROUND(CAST({x} AS DOUBLE), 6) AS DECIMAL(12,6))"
+# (_EMB_Q moved above the hard-negative-mining section)
 # All-pairs is the VERIFIER leg — O(pool²) must hold by construction, so the
 # declared query caps the pool with a content-hash bucket (sampling.py
 # pattern: deterministic, engine-portable md5 arithmetic). 1-in-4 of the
@@ -3542,6 +3707,9 @@ QUERIES = {
     "minhash_neardup_documents": minhash_neardup_documents,
     "neardup_clusters_documents": neardup_clusters_documents,
     "ngram_jaccard_neardup": ngram_jaccard_neardup,
+    "containment_pairs_documents": containment_pairs_documents,
+    "dsir_weights_documents": dsir_weights_documents,
+    "hard_negatives_embeddings": hard_negatives_embeddings,
     "simhash_documents": simhash_documents,
     "split_documents": split_documents,
     "stratified_sample_documents": stratified_sample_documents,
@@ -3612,6 +3780,9 @@ ORACLES = {
     "minhash_neardup_documents": MINHASH_PAIRS_ORACLE,
     "neardup_clusters_documents": NEARDUP_CLUSTERS_ORACLE,
     "ngram_jaccard_neardup": NGRAM_JACCARD_ORACLE,
+    "containment_pairs_documents": CONTAINMENT_ORACLE,
+    "dsir_weights_documents": DSIR_ORACLE,
+    "hard_negatives_embeddings": HARD_NEGATIVES_ORACLE,
     "simhash_documents": SIMHASH_ORACLE,
     "split_documents": SPLIT_ORACLE,
     "stratified_sample_documents": STRATIFIED_ORACLE,

@@ -1533,3 +1533,102 @@ class TestProfileTable:
         # one logical source; Spark's multi-distinct rewrite may Expand, but
         # the range/scan appears exactly once
         assert buf.getvalue().count("Range (0, 100") == 1
+
+
+class TestContainment:
+    def test_subset_doc_has_containment_one(self, spark):
+        """The case Jaccard structurally misses: a short doc quoted whole
+        inside a long one — C(short→long) = 1.0 while C(long→short) and
+        Jaccard stay low. Asymmetry pinned."""
+        docs = spark.createDataFrame(
+            [
+                {"doc_id": 1, "text": "alpha beta gamma delta"},
+                {"doc_id": 2,
+                 "text": "intro words alpha beta gamma delta outro words "
+                         "and plenty more trailing filler tokens here"},
+                {"doc_id": 3, "text": "totally unrelated content rows"},
+            ]
+        )
+        out = {
+            (r["id_a"], r["id_b"]): r["containment"]
+            for r in dedup.containment_pairs(
+                docs, "text", "doc_id", k=2, threshold=0.0
+            ).collect()
+        }
+        assert out[(1, 2)] == 1.0          # short fully inside long
+        assert out[(2, 1)] < 0.5           # not vice versa
+        assert (1, 3) not in out           # no shared bigram → no pair
+
+    def test_max_doc_freq_cutoff(self, spark):
+        """Hot shingles past the posting-list cutoff cannot form pairs."""
+        docs = spark.createDataFrame(
+            [{"doc_id": i, "text": "common boiler plate"} for i in range(5)]
+        )
+        none = dedup.containment_pairs(
+            docs, "text", "doc_id", k=2, threshold=0.0, max_doc_freq=3
+        ).collect()
+        assert none == []
+
+
+class TestDsir:
+    def test_target_like_docs_rank_higher(self, spark):
+        from graphrag_toolkit_spark.operators.sampling import dsir_log_weights
+
+        corpus = spark.createDataFrame(
+            [
+                {"doc_id": 1, "text": "physics maths physics maths physics"},
+                {"doc_id": 2, "text": "celebrity gossip celebrity gossip news"},
+                {"doc_id": 3, "text": ""},
+            ]
+        )
+        target = spark.createDataFrame(
+            [{"doc_id": 10, "text": "physics maths theorem proofs"}]
+        )
+        out = {
+            r["id"]: r
+            for r in dsir_log_weights(
+                corpus, target, "text", "doc_id", n_buckets=64
+            ).collect()
+        }
+        assert out[1]["dsir_logw"] > out[2]["dsir_logw"]  # target-like wins
+        assert out[3]["dsir_logw"] == 0.0 and out[3]["n_tokens"] == 0
+        assert out[1]["n_tokens"] == 5
+
+    def test_weights_partitioning_invariant(self, spark):
+        """Decimal sums are order-free: repartitioning cannot move a
+        weight by even one ulp (the property the oracle gate relies on)."""
+        from graphrag_toolkit_spark.operators.sampling import dsir_log_weights
+
+        corpus = spark.createDataFrame(
+            [{"doc_id": i, "text": f"tok{i % 7} tok{i % 3} shared words"}
+             for i in range(40)]
+        )
+        target = corpus.filter(F.col("doc_id") % 4 == 0)
+        a = {r["id"]: r["dsir_logw"]
+             for r in dsir_log_weights(corpus, target, "text", "doc_id").collect()}
+        b = {r["id"]: r["dsir_logw"]
+             for r in dsir_log_weights(
+                 corpus.repartition(13), target.repartition(3), "text", "doc_id"
+             ).collect()}
+        assert a == b
+
+
+class TestHardNegatives:
+    def test_nearest_other_label_is_rank_one(self, spark):
+        from graphrag_toolkit_spark.operators.features import hard_negative_mining
+
+        rows = [
+            {"vec_id": 0, "embedding": [1.0, 0.0, 0.0], "label": 0},   # anchor
+            {"vec_id": 1, "embedding": [0.99, 0.14, 0.0], "label": 0}, # same label: excluded
+            {"vec_id": 2, "embedding": [0.95, 0.31, 0.0], "label": 1}, # hard negative
+            {"vec_id": 3, "embedding": [0.0, 1.0, 0.0], "label": 1},   # easy negative
+            {"vec_id": 4, "embedding": [0.0, 0.0, 1.0], "label": 2},   # orthogonal
+        ]
+        emb = spark.createDataFrame(rows)
+        out = hard_negative_mining(
+            emb, emb.filter(F.col("vec_id") == 0), "embedding", "vec_id",
+            "label", k=2,
+        ).collect()
+        assert [(r["neg_id"], r["rank"]) for r in out] == [(2, 1), (3, 2)]
+        assert all(r["neg_label"] != 0 for r in out)
+        assert out[0]["score"] > 0.9
