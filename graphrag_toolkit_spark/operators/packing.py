@@ -147,3 +147,87 @@ def encode_documents(
             F.coalesce(F.col("ids"), F.array().cast("array<int>")).alias("ids"),
         )
     )
+
+
+def bpe_train_merges(
+    df: DataFrame, text_col: str, rounds: int = 3
+) -> DataFrame:
+    """Character-level BPE merge TRAINING (Sennrich et al. 2016, "Neural
+    Machine Translation of Rare Words with Subword Units") — the iterative
+    step beyond the round-1 statistics of ``bpe_pair_stats``: per round,
+    count adjacent symbol pairs across the corpus, merge the most frequent
+    pair (count desc, pair asc tie-break — deterministic), rewrite the
+    corpus, repeat. Returns the learned merge table
+    (merge_round, sym_a, sym_b, n) — the artifact a BPE tokenizer ships.
+
+    Corpus representation: each word as ``|c1||c2||…|`` (bar-wrapped
+    symbols). A merge is then ONE literal string replace
+    ``|a||b| → |ab|`` — non-overlapping left-to-right in every engine,
+    which IS greedy BPE application (in ``aaa``, pair counting sees
+    (a,a) twice but only one merge lands — the standard BPE-trainer
+    subtlety, identical in the oracle twin). Symbols stay in
+    ``[0-9a-z]+`` (split alphabet), so no symbol ever contains the bar
+    or space metacharacters.
+
+    Scale shape: each round = one narrow pair-explode + count groupBy +
+    global top-1 (TakeOrderedAndProject) + a broadcast of the ONE winning
+    row folded into a projection — no driver-side data, no shuffle beyond
+    the count. Rounds are inherently sequential (each merge changes the
+    next count — that's the algorithm); real trainers run hundreds of
+    rounds over a word-frequency table, which collapses the corpus to
+    distinct words first: compose with a groupBy(word) weight column for
+    that regime."""
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^0-9a-z]+"), lambda t: t != ""
+    )
+    chars = lambda w: F.transform(  # noqa: E731
+        F.sequence(F.lit(1), F.length(w)), lambda i: w.substr(i, F.lit(1))
+    )
+    corpus = df.select(F.explode(words).alias("wd")).select(
+        F.concat(
+            F.lit("|"), F.array_join(chars(F.col("wd")), "||"), F.lit("|")
+        ).alias("w")
+    )
+    merge_rows = []
+    for r in range(1, rounds + 1):
+        toks = F.split(F.expr("trim(BOTH '|' FROM w)"), r"\|\|")
+        # guard: Spark's sequence(1, 0) is a DESCENDING sequence, not empty
+        # (same pitfall as dedup.shingles) — single-symbol words pair-free
+        pairs = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat(
+                    F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        best = (
+            corpus.select(F.explode(pairs).alias("pair"))
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("pair"))
+            .limit(1)
+            .select(
+                F.split_part(F.col("pair"), F.lit(" "), F.lit(1)).alias("sym_a"),
+                F.split_part(F.col("pair"), F.lit(" "), F.lit(2)).alias("sym_b"),
+                F.col("n").cast("bigint").alias("n"),
+            )
+            .localCheckpoint(eager=True)  # computed once, consumed by the
+            # merge table AND every later round's corpus rewrite
+        )
+        merge_rows.append(
+            best.select(
+                F.lit(r).alias("merge_round"), "sym_a", "sym_b", "n"
+            )
+        )
+        corpus = corpus.crossJoin(F.broadcast(best)).select(
+            F.expr(
+                "replace(w, '|' || sym_a || '||' || sym_b || '|',"
+                " '|' || sym_a || sym_b || '|')"
+            ).alias("w")
+        )
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionByName(m)
+    return out

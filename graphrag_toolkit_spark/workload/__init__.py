@@ -74,6 +74,7 @@ _CHECK_FIRST = [
     "containment_pairs_documents",
     "dsir_weights_documents",
     "hard_negatives_embeddings",
+    "bpe_train_merges_documents",
     # --- green, last driver-verified round 1 ---
     "ann_ivf_topk",
     "cascade_delete_counts",

@@ -484,6 +484,70 @@ ORDER BY n DESC, pair ASC LIMIT {BPE_TOP}
 
 
 
+# --- BPE merge training (iterative) ------------------------------------------
+
+BPE_ROUNDS = 3
+
+
+def bpe_train_merges_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE merge training (`packing.bpe_train_merges`, Sennrich
+    et al. 2016) — 3 rounds beyond `bpe_pair_stats`'s round-1 counts: per
+    round, count adjacent symbol pairs corpus-wide, merge the argmax
+    (count desc, pair asc), rewrite, recount. The learned merge table is
+    the tokenizer artifact. Hash-gated against an unrolled-CTE twin that
+    replays every round in SQL (the `train_centroids_lloyd` discipline for
+    iterative algorithms)."""
+    docs = load(spark, sf_dir, "documents")
+    return packing.bpe_train_merges(docs, "text", rounds=BPE_ROUNDS)
+
+
+def _bpe_round_sql(r: int) -> str:
+    """One unrolled BPE round: pair counts over c{r-1}, argmax into b{r},
+    greedy left-to-right merge into c{r} (literal replace — identical
+    non-overlapping semantics in both engines)."""
+    return f"""
+p{r} AS (
+  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1])) AS pair
+  FROM (SELECT string_split(trim(w, '|'), '||') AS toks FROM c{r - 1})
+  WHERE len(toks) >= 2
+),
+b{r} AS (
+  SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+  FROM p{r} GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 1
+),
+c{r} AS (
+  SELECT replace(w,
+                 '|' || split_part(pair, ' ', 1) || '||'
+                     || split_part(pair, ' ', 2) || '|',
+                 '|' || replace(pair, ' ', '') || '|') AS w
+  FROM c{r - 1}, b{r}
+)"""
+
+
+BPE_TRAIN_ORACLE = (
+    """
+WITH words AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[^0-9a-z]+'),
+                            x -> x <> '')) AS wd
+  FROM documents
+),
+c0 AS (
+  SELECT '|' || array_to_string(
+           list_transform(generate_series(1, length(wd)),
+                          i -> substring(wd, i, 1)), '||') || '|' AS w
+  FROM words
+),"""
+    + ",".join(_bpe_round_sql(r) for r in range(1, BPE_ROUNDS + 1))
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT {r} AS merge_round, split_part(pair, ' ', 1) AS sym_a,"
+        f" split_part(pair, ' ', 2) AS sym_b, n FROM b{r}"
+        for r in range(1, BPE_ROUNDS + 1)
+    )
+)
+
+
 # --- split-leakage audit --------------------------------------------------------
 
 LEAK_N = 4
@@ -3710,6 +3774,7 @@ QUERIES = {
     "containment_pairs_documents": containment_pairs_documents,
     "dsir_weights_documents": dsir_weights_documents,
     "hard_negatives_embeddings": hard_negatives_embeddings,
+    "bpe_train_merges_documents": bpe_train_merges_documents,
     "simhash_documents": simhash_documents,
     "split_documents": split_documents,
     "stratified_sample_documents": stratified_sample_documents,
@@ -3783,6 +3848,7 @@ ORACLES = {
     "containment_pairs_documents": CONTAINMENT_ORACLE,
     "dsir_weights_documents": DSIR_ORACLE,
     "hard_negatives_embeddings": HARD_NEGATIVES_ORACLE,
+    "bpe_train_merges_documents": BPE_TRAIN_ORACLE,
     "simhash_documents": SIMHASH_ORACLE,
     "split_documents": SPLIT_ORACLE,
     "stratified_sample_documents": STRATIFIED_ORACLE,

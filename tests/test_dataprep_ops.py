@@ -1632,3 +1632,31 @@ class TestHardNegatives:
         assert [(r["neg_id"], r["rank"]) for r in out] == [(2, 1), (3, 2)]
         assert all(r["neg_label"] != 0 for r in out)
         assert out[0]["score"] > 0.9
+
+
+class TestBpeTrainMerges:
+    def test_hand_computed_three_rounds(self, spark):
+        """aaab×2, cd×3: round 1 merges (a,a) n=4 (LTR greedy: 'aaa' counts
+        the pair twice but merges once), round 2 (c,d) n=3, round 3 the
+        n=2 tie between 'aa a' and 'a b' breaks to the lexicographically
+        smaller pair."""
+        from graphrag_toolkit_spark.operators.packing import bpe_train_merges
+
+        df = spark.createDataFrame([{"text": "aaab aaab cd cd cd x"}])
+        out = [
+            (r["merge_round"], r["sym_a"], r["sym_b"], r["n"])
+            for r in bpe_train_merges(df, "text", rounds=3).collect()
+        ]
+        assert out == [(1, "a", "a", 4), (2, "c", "d", 3), (3, "a", "b", 2)]
+
+    def test_merged_symbol_can_merge_again(self, spark):
+        """Multi-round composition: after (a,b)→ab, round 2 can merge
+        (ab,c) — the learned symbol participates as a unit."""
+        from graphrag_toolkit_spark.operators.packing import bpe_train_merges
+
+        df = spark.createDataFrame([{"text": "abc abc abc ab"}])
+        out = [
+            (r["merge_round"], r["sym_a"], r["sym_b"])
+            for r in bpe_train_merges(df, "text", rounds=2).collect()
+        ]
+        assert out == [(1, "a", "b"), (2, "ab", "c")]
