@@ -430,3 +430,58 @@ def test_edit_distance_pairs_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_containment_is_posting_list_equijoin(spark, sf_dir):
+    """Asymmetric containment pairs form only through the shared-shingle
+    equi-join — no cartesian/nested-loop, no Python, and the one division
+    happens after the per-pair aggregate."""
+    from graphrag_toolkit_spark.operators.dedup import shingles
+
+    # containment_pairs returns an (opaque) localCheckpoint, so assert on
+    # the exact internal join it builds: the posting-list self-join
+    docs = load(spark, sf_dir, "documents")
+    sh = shingles(docs, "text", "doc_id", 2)
+    a = sh.withColumnRenamed("id", "id_a")
+    b = sh.withColumnRenamed("id", "id_b")
+    inner = a.join(b, "shingle").filter(F.col("id_a") != F.col("id_b"))
+    plan = plan_of(inner)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+    # any EQUI-join strategy is fine (AQE broadcasts at fixture scale,
+    # sort-merge/shuffled-hash at corpus scale) — the pin is no nested loop
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_dsir_scores_broadcast_and_stay_jvm(spark, sf_dir):
+    """The fixed-size bucket score table must BROADCAST onto the token
+    stream (DSIR's design point: features don't scale with the corpus),
+    and the whole operator stays JVM-side."""
+    from graphrag_toolkit_spark.operators.sampling import dsir_log_weights
+
+    docs = load(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == "src0")
+    plan = plan_of(dsir_log_weights(docs, target, "text", "doc_id"))
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hard_negatives_broadcast_anchors_one_corpus_scan(spark, sf_dir):
+    """Anchor batch broadcasts against the corpus scan; per-anchor top-k is
+    a window rank, not a global sort of the cross product."""
+    from graphrag_toolkit_spark.operators.features import hard_negative_mining
+
+    emb = load(spark, sf_dir, "embeddings")
+    plan = plan_of(
+        hard_negative_mining(
+            emb, emb.filter(F.col("vec_id") < 5), "embedding", "vec_id",
+            "label", k=5,
+        )
+    )
+    assert "BroadcastNestedLoopJoin" in plan  # broadcast side, nested-loop by
+    # design: the label!=label predicate is a theta condition over a
+    # BOUNDED broadcast anchor batch — linear in the corpus, never corpus²
+    assert "EvalPython" not in plan
+    assert "RunningWindowFunction" in plan or "Window" in plan
