@@ -75,6 +75,8 @@ _CHECK_FIRST = [
     "dsir_weights_documents",
     "hard_negatives_embeddings",
     "bpe_train_merges_documents",
+    "q10_returned_items",
+    "q19_discounted_revenue",
     # --- green, last driver-verified round 1 ---
     "ann_ivf_topk",
     "cascade_delete_counts",

@@ -1082,12 +1082,98 @@ ORDER BY c.l_returnflag
 """
 
 
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    revenue lost to returns in one quarter — 3-way fact join + broadcast
+    nation dim, decimal revenue rounded in-domain, total order before the
+    limit."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load(spark, sf_dir, "nation")
+    revenue = F.sum(
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(4,2)") - _dec("l_discount", 4))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(revenue, 2).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2)
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicate): revenue
+    from three brand × size-band × quantity-band alternatives — the
+    classic OR-of-ANDs predicate Catalyst must keep join-convertible
+    (common conjunct `l_partkey = p_partkey` stays an equi-join; the
+    disjunction evaluates post-join). Adapted to this schema's columns
+    (no container/shipmode in the -ish tables)."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    q = F.col("l_quantity")
+    alt = (
+        ((F.col("p_brand") == "Brand#12") & (F.col("p_size").between(1, 15))
+         & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & (F.col("p_size").between(1, 25))
+           & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & (F.col("p_size").between(1, 35))
+           & q.between(20, 30))
+    )
+    revenue = F.sum(
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(4,2)") - _dec("l_discount", 4))
+    )
+    return j.filter(alt).agg(
+        F.round(revenue, 2).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+Q19_ORACLE = """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2)
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
 QUERIES = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "q4_order_priority": q4_order_priority,
     "rollup_grouping_orders": rollup_grouping_orders,
     "q12_shipmode_priority": q12_shipmode_priority,
     "q14_promo_revenue": q14_promo_revenue,
+    "q10_returned_items": q10_returned_items,
+    "q19_discounted_revenue": q19_discounted_revenue,
     "ship_lag_orders": ship_lag_orders,
     "profile_orders": profile_orders,
     "weighted_median_lineitem": weighted_median_lineitem,
@@ -1121,6 +1207,8 @@ ORACLES = {
     "rollup_grouping_orders": ROLLUP_GROUPING_ORACLE,
     "q12_shipmode_priority": Q12_ORACLE,
     "q14_promo_revenue": Q14_ORACLE,
+    "q10_returned_items": Q10_ORACLE,
+    "q19_discounted_revenue": Q19_ORACLE,
     "ship_lag_orders": SHIP_LAG_ORACLE,
     "profile_orders": PROFILE_ORACLE,
     "weighted_median_lineitem": WEIGHTED_MEDIAN_ORACLE,
