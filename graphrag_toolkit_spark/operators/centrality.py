@@ -9,14 +9,19 @@ curation. Truncated Katz with attenuation α = 1/2^b over K iterations:
     r_0(v)     = 1
     r_{t+1}(v) = 1 + α · Σ_{u→v} r_t(u)
 
-Why Katz and not PageRank here: PageRank divides by out-degree, and
-decimal/double division rounds differently across engines, so no PageRank
-score can be hash-gated. Katz with a power-of-two α needs NO division at
-all once ranks are pre-scaled by 2^(b·K): every value stays an exact
-BIGINT through all iterations (each halving hits an even number by
-induction), so the scores are bit-identical in any engine and in any
-partitioning. The final divide by 2^(b·K) is an exact power-of-two double
-operation.
+Two exactness regimes, one per algorithm family:
+
+- Katz (power-of-two α) needs NO division at all once ranks are pre-scaled
+  by 2^(b·K): every value stays an exact BIGINT through all iterations
+  (each halving hits an even number by induction) — bit-identical in any
+  engine and partitioning; the final divide by 2^(b·K) is an exact
+  power-of-two double op.
+- PageRank (``pagerank`` below) DOES divide by out-degree, which no integer
+  trick can absorb — so each per-edge message is quantized to the
+  6-decimal grid immediately after the one double division (both operands
+  exactly representable, so quotient + half-up rounding are
+  engine-identical) and everything else stays exact decimal arithmetic.
+  Same discipline as ``textstats.word_entropy``.
 
 Scale shape: the classic message-passing loop — per iteration one
 edge⋈ranks equi-join and one sum per destination (map-side partial
@@ -252,3 +257,76 @@ def kcore_peel(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 4,
+) -> DataFrame:
+    """Truncated PageRank (d = 0.85, unnormalized start r₀ = 1) over a
+    directed simple graph — the canonical web-graph importance signal
+    alongside the Katz family:
+
+        r_{t+1}(v) = 0.15 + 0.85 · Σ_{(u,v)∈E} q(r_t(u) / outdeg(u))
+
+    Dangling mass (nodes with no out-edges) is dropped, not redistributed
+    — the "simple" variant; ranks are therefore comparable within a run,
+    not a probability distribution.
+
+    EXACTNESS (the hash-gate discipline): division by out-degree breaks
+    Katz's pure-power-of-two trick, and quantizing the double quotient
+    with ROUND(x, 6) is boundary-UNSAFE here — grid-valued ranks divided
+    by small integers land exactly ON half-boundaries (1.234567/2 =
+    .6172835), where the engines' double-rounding paths disagree. So the
+    whole loop runs in SCALED INTEGERS on the 10⁻⁶ grid with FLOOR
+    semantics: r₆ holds rank·10⁶ as BIGINT, a message is ``r₆ div deg``
+    (exact integer floor), and the update is
+    ``150000 + (85 · Σm) div 100`` — every op is integer, so scores are
+    bit-identical in any engine and partitioning by construction. The
+    systematic truncation error is < iters·10⁻⁶, far below any ranking
+    use; the final ``r₆/10⁶`` is one exact-operand IEEE division.
+
+    Scale shape = katz_centrality's: the (edge ⋈ outdeg) table is built
+    once, repartitioned on the join key and persisted; only rank rows move
+    per round; zero-contribution rows fold the no-in-edge nodes into the
+    same single shuffle; lazy localCheckpoint keeps plans round-sized."""
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = e.join(deg, "src").repartition(F.col("src"))
+    ed.persist()
+    try:
+        nodes = (
+            e.select(F.col("src").alias("node_id"))
+            .unionByName(e.select(F.col("dst").alias("node_id")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        zeros = nodes.withColumn("m", F.lit(0).cast("long"))
+        ranks = nodes.withColumn("r6", F.lit(1_000_000).cast("long"))
+        for _ in range(iters):
+            msgs = ed.join(
+                ranks.withColumnRenamed("node_id", "src"), "src"
+            ).select(
+                F.col("dst").alias("node_id"),
+                F.expr("r6 div deg").alias("m"),
+            )
+            ranks = (
+                msgs.unionByName(zeros)
+                .groupBy("node_id")
+                .agg(
+                    F.expr("150000 + (85 * sum(m)) div 100")
+                    .cast("long")
+                    .alias("r6")
+                )
+                .localCheckpoint(eager=False)
+            )
+        return ranks.select(
+            "node_id",
+            (F.col("r6").cast("double") / F.lit(1_000_000.0)).alias("pagerank"),
+        )
+    finally:
+        ed.unpersist()

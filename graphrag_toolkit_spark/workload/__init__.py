@@ -77,6 +77,7 @@ _CHECK_FIRST = [
     "bpe_train_merges_documents",
     "q10_returned_items",
     "q19_discounted_revenue",
+    "pagerank_graph",
     # --- green, last driver-verified round 1 ---
     "ann_ivf_topk",
     "cascade_delete_counts",

@@ -541,6 +541,56 @@ SELECT node_id, CAST(r AS DOUBLE) / {float(scale)} AS katz FROM k{KATZ_ITERS}
 KATZ_ORACLE = _katz_oracle()
 
 
+
+PAGERANK_ITERS = 4
+
+
+def pagerank_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated PageRank (d=0.85, 4 rounds) over the typed-edge graph —
+    `centrality.pagerank`'s quantized-decimal message passing: the one
+    division per message (rank/out-degree) is rounded to the 6-decimal
+    grid immediately, everything else is exact decimal arithmetic, so the
+    iterative scores hash-match the unrolled-CTE twin bit-for-bit. Simple
+    variant: dangling mass drops. Deduped edges (multi-edges must not
+    multiply influence)."""
+    from graphrag_toolkit_spark.operators import centrality
+
+    return centrality.pagerank(
+        _triples(spark, sf_dir), iters=PAGERANK_ITERS
+    )
+
+
+def _pagerank_oracle() -> str:
+    # mirrors the operator's scaled-integer floor arithmetic: r6 = rank*1e6
+    # as BIGINT, message = r6 // deg, update = 150000 + (85*Σm) // 100 —
+    # every op integer, so the twin is exact by construction (// on
+    # positive BIGINTs is the same floor division as Spark's `div`)
+    steps = []
+    for t in range(1, PAGERANK_ITERS + 1):
+        steps.append(f"""
+r{t} AS (
+  SELECT n.node_id,
+         CAST(150000 + (85 * COALESCE(SUM(p.r6 // d.deg), 0)) // 100
+              AS BIGINT) AS r6
+  FROM nodes n
+  LEFT JOIN e ON e.dst = n.node_id
+  LEFT JOIN deg d ON d.src = e.src
+  LEFT JOIN r{t - 1} p ON p.node_id = e.src
+  GROUP BY n.node_id
+)""")
+    return f"""
+WITH e AS ({EDGES_SQL}),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+nodes AS (SELECT src AS node_id FROM e UNION SELECT dst FROM e),
+r0 AS (SELECT node_id, CAST(1000000 AS BIGINT) AS r6 FROM nodes),
+{','.join(steps)}
+SELECT node_id, CAST(r6 AS DOUBLE) / 1000000.0 AS pagerank
+FROM r{PAGERANK_ITERS}
+"""
+
+
+PAGERANK_ORACLE = _pagerank_oracle()
+
 PKATZ_ITERS = 4
 PKATZ_SEEDS = ["c1", "c2", "c3"]
 
@@ -992,6 +1042,7 @@ QUERIES = {
     "bfs_shortest_paths": bfs_shortest_paths,
     "katz_centrality_graph": katz_centrality_graph,
     "katz_salted_graph": katz_salted_graph,
+    "pagerank_graph": pagerank_graph,
     "personalized_katz_graph": personalized_katz_graph,
     "weighted_katz_parts": weighted_katz_parts,
     "association_rules_parts": association_rules_parts,
@@ -1015,6 +1066,7 @@ ORACLES = {
     "bfs_shortest_paths": BFS_ORACLE,
     "katz_centrality_graph": KATZ_ORACLE,
     "katz_salted_graph": KATZ_ORACLE,
+    "pagerank_graph": PAGERANK_ORACLE,
     "personalized_katz_graph": PKATZ_ORACLE,
     "association_rules_parts": ASSOC_ORACLE,
     "triangle_count_parts": TRIANGLE_ORACLE,

@@ -565,3 +565,38 @@ class TestKcorePeel:
         df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
         out = {r["node"]: r["degree"] for r in kcore_peel(df, 5, rounds=0).collect()}
         assert out == {1: 1, 2: 2, 3: 1}
+
+
+class TestPagerank:
+    def test_hand_computed_one_round(self, spark):
+        """a→b, a→c, b→c, one round: a gets only the base 0.15; b gets
+        0.15 + 0.85·(1/2) = 0.575; c gets 0.15 + 0.85·(1/2 + 1) = 1.425
+        (r6 grid: 150000, 575000, 1425000)."""
+        from graphrag_toolkit_spark.operators.centrality import pagerank
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("a", "c"), ("b", "c")], "src string, dst string"
+        )
+        out = {r["node_id"]: r["pagerank"] for r in pagerank(edges, iters=1).collect()}
+        assert out == {"a": 0.15, "b": 0.575, "c": 1.425}
+
+    def test_partitioning_invariant(self, spark):
+        """Scaled-integer floor arithmetic: repartitioning cannot move a
+        score (the property the oracle hash-gate relies on)."""
+        from graphrag_toolkit_spark.operators.centrality import pagerank
+
+        edges = spark.createDataFrame(
+            [(f"n{i}", f"n{(i * 7 + 3) % 20}") for i in range(40)],
+            "src string, dst string",
+        ).distinct()
+        a = {r["node_id"]: r["pagerank"] for r in pagerank(edges, iters=4).collect()}
+        b = {r["node_id"]: r["pagerank"]
+             for r in pagerank(edges.repartition(13), iters=4).collect()}
+        assert a == b
+
+    def test_zero_iters_is_ones(self, spark):
+        from graphrag_toolkit_spark.operators.centrality import pagerank
+
+        edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+        out = {r["node_id"]: r["pagerank"] for r in pagerank(edges, iters=0).collect()}
+        assert out == {"a": 1.0, "b": 1.0}
