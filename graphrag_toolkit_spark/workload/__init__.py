@@ -78,6 +78,9 @@ _CHECK_FIRST = [
     "q10_returned_items",
     "q19_discounted_revenue",
     "pagerank_graph",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
     # --- green, last driver-verified round 1 ---
     "ann_ivf_topk",
     "cascade_delete_counts",

@@ -1166,6 +1166,113 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1
    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
 """
 
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT join so
+    zero-order customers land in the c_count=0 bucket, then a second
+    aggregation over the first — the classic histogram-of-groupBy."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q13_ORACLE = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): average yearly
+    revenue lost if small orders (below 20% of the part's mean quantity)
+    were not taken — the correlated-scalar-subquery shape, decorrelated
+    into a per-part aggregate + self-join. Exactness: quantities are
+    integer-valued doubles, so per-part sums and the s/n mean are IEEE
+    identical; the 0.2× threshold uses the same literal in both engines;
+    the revenue sum is decimal, divided by 7.0 on exact operands."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    avg_q = li.groupBy("l_partkey").agg(
+        (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avg_q.withColumnRenamed("l_partkey", "p_partkey"), "p_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+    )
+    return j.agg(
+        (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+            "avg_yearly"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+Q17_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+         AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN (SELECT l_partkey AS pk, SUM(l_quantity) / COUNT(*) AS avg_qty
+      FROM lineitem GROUP BY l_partkey) a ON a.pk = p_partkey
+WHERE p_brand = 'Brand#23' AND l_quantity < 0.2 * avg_qty
+"""
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total line
+    quantity exceeds a threshold (HAVING over a join), re-joined to the
+    customer — top-20 by total price then order date."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            _dec("o_totalprice", 14).cast("double").alias("o_totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+Q18_ORACLE = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS DOUBLE) AS o_totalprice,
+       sum_qty
+FROM (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150) b
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+LIMIT 20
+"""
+
 QUERIES = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "q4_order_priority": q4_order_priority,
@@ -1174,6 +1281,9 @@ QUERIES = {
     "q14_promo_revenue": q14_promo_revenue,
     "q10_returned_items": q10_returned_items,
     "q19_discounted_revenue": q19_discounted_revenue,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q18_large_volume_customers": q18_large_volume_customers,
     "ship_lag_orders": ship_lag_orders,
     "profile_orders": profile_orders,
     "weighted_median_lineitem": weighted_median_lineitem,
@@ -1209,6 +1319,9 @@ ORACLES = {
     "q14_promo_revenue": Q14_ORACLE,
     "q10_returned_items": Q10_ORACLE,
     "q19_discounted_revenue": Q19_ORACLE,
+    "q13_customer_distribution": Q13_ORACLE,
+    "q17_small_quantity_revenue": Q17_ORACLE,
+    "q18_large_volume_customers": Q18_ORACLE,
     "ship_lag_orders": SHIP_LAG_ORACLE,
     "profile_orders": PROFILE_ORACLE,
     "weighted_median_lineitem": WEIGHTED_MEDIAN_ORACLE,
