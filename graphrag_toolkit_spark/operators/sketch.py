@@ -343,3 +343,77 @@ def kmv_intersection_estimate(a: Column, b: Column, k: int = 64) -> Column:
         F.size(u) < k, F.size(u).cast("double")
     ).otherwise(F.lit(float(k - 1)) / (kth.cast("double") / F.lit(_HASH_SPACE)))
     return (common.cast("double") / F.least(F.size(u), F.lit(k)).cast("double")) * est_union
+
+
+# --- HyperLogLog -------------------------------------------------------------
+
+HLL_M = 64          # registers (b = 6 index bits)
+HLL_RANK_BITS = 46  # 52-bit hash minus the 6 index bits
+
+
+def hll_registers(df: DataFrame, value_col: str, m: int = HLL_M) -> DataFrame:
+    """Dense HyperLogLog register file (Flajolet, Fusy, Gandouet, Meunier
+    2007): one 52-bit md5 hash per value; low log2(m) bits pick the
+    register, the remaining 46 bits contribute rank = leading-zero count
+    + 1 (computed as ``46 − (bitlength(w) − 1)`` via the binary-string
+    length — pure integer, no log). Returns (idx, reg) with
+    reg = max rank seen — MERGEABLE across shards/streams by plain
+    (idx, max) groupBy, state is m integers no matter the corpus.
+
+    Complements ``kmv_sketch``: KMV gives exact-below-k and supports
+    intersections; HLL holds ~1.04/√m relative error in m bytes — the
+    industry-standard cardinality register file (Redis PFCOUNT, BigQuery
+    APPROX_COUNT_DISTINCT)."""
+    h = kmv_hash(F.col(value_col))
+    w = F.expr(f"__h div {m}")
+    rank = F.when(
+        w > 0,
+        F.lit(HLL_RANK_BITS) - (F.length(F.bin(w)) - 1),
+    ).otherwise(F.lit(HLL_RANK_BITS + 1))
+    return (
+        df.select(h.alias("__h"))
+        .filter(F.col("__h").isNotNull())
+        .select((F.col("__h") % m).alias("idx"), w.alias("__w"), F.col("__h"))
+        .select("idx", rank.alias("rank"))
+        .groupBy("idx")
+        .agg(F.max("rank").cast("int").alias("reg"))
+    )
+
+
+def hll_estimate(registers: DataFrame, m: int = HLL_M) -> DataFrame:
+    """HLL cardinality estimate from a register file: the harmonic-mean
+    estimator α·m²/Σ2^(−reg) with the small-range linear-counting
+    correction (raw ≤ 2.5m and empty registers present → m·ln(m/V)).
+
+    EXACT-ARITHMETIC NOTE (why this sketch is hash-gateable): every
+    harmonic term is ``1.0 / (1 << reg)`` — an exact power-of-two double,
+    never libm pow — and the 64-term sum spans ≤ 2⁶·2⁴⁷ = 2⁵³ ulp range,
+    so it is EXACT in any accumulation order; α is a shared literal; the
+    one ln in the correction branch is quantized to the 6-decimal grid
+    (word_entropy discipline). Returns one row
+    (distinct_est, zero_registers, raw_est)."""
+    alpha = 0.709  # α₆₄ (Flajolet et al., Fig. 3)
+    spark = registers.sparkSession
+    full = (
+        spark.range(m).select(F.col("id").alias("idx"))
+        .join(registers, "idx", "left")
+        .select(F.coalesce("reg", F.lit(0)).alias("reg"))
+    )
+    agg = full.agg(
+        F.sum(
+            F.lit(1.0)
+            / F.expr("shiftleft(cast(1 as bigint), reg)").cast("double")
+        ).alias("s"),
+        F.sum(F.when(F.col("reg") == 0, 1).otherwise(0)).cast("long").alias("v"),
+    )
+    raw = F.lit(alpha) * F.lit(float(m * m)) / F.col("s")
+    lin = F.round(
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v").cast("double")), 6
+    )
+    return agg.select(
+        F.when((raw <= 2.5 * m) & (F.col("v") > 0), lin)
+        .otherwise(raw)
+        .alias("distinct_est"),
+        F.col("v").alias("zero_registers"),
+        raw.alias("raw_est"),
+    )

@@ -81,6 +81,7 @@ _CHECK_FIRST = [
     "q13_customer_distribution",
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",
+    "hll_distinct_users_events",
     # --- green, last driver-verified round 1 ---
     "ann_ivf_topk",
     "cascade_delete_counts",

@@ -1249,6 +1249,54 @@ GROUP BY e.event_type, f.q1, f.q3, f.iqr
 """
 
 
+
+def hll_distinct_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate (`sketch.hll_registers` +
+    `hll_estimate`, Flajolet et al. 2007) vs the exact count. The whole
+    estimator IS hash-gated: harmonic terms are exact power-of-two doubles
+    (1/(1<<reg), never libm pow), the 64-term sum fits double exactly in
+    any order, and the linear-counting ln is quantized — so even this
+    float-bearing sketch is engine-portable bit-for-bit."""
+    from graphrag_toolkit_spark.operators import sketch
+
+    ev = load(spark, sf_dir, "events")
+    est = sketch.hll_estimate(sketch.hll_registers(ev, "user_id"))
+    exact = ev.agg(F.countDistinct("user_id").alias("n_exact"))
+    return est.crossJoin(exact)
+
+
+HLL_ORACLE = """
+WITH h AS (
+  SELECT CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 13) AS BIGINT)
+           AS hv
+  FROM events WHERE user_id IS NOT NULL
+),
+reg AS (
+  SELECT hv % 64 AS idx,
+         CAST(MAX(CASE WHEN hv // 64 > 0
+                       THEN 46 - (length(bin(hv // 64)) - 1)
+                       ELSE 47 END) AS INT) AS reg
+  FROM h GROUP BY hv % 64
+),
+filled AS (
+  SELECT COALESCE(r.reg, 0) AS reg
+  FROM (SELECT unnest(generate_series(0, 63)) AS idx) i
+  LEFT JOIN reg r ON r.idx = i.idx
+),
+agg AS (
+  SELECT SUM(1.0 / CAST(CAST(1 AS BIGINT) << reg AS DOUBLE)) AS s,
+         CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+  FROM filled
+)
+SELECT CASE WHEN 0.709 * 4096.0 / s <= 160.0 AND v > 0
+            THEN ROUND(64.0 * ln(64.0 / v), 6)
+            ELSE 0.709 * 4096.0 / s END AS distinct_est,
+       v AS zero_registers,
+       0.709 * 4096.0 / s AS raw_est,
+       (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events) AS n_exact
+FROM agg
+"""
+
 QUERIES = {
     "tumbling_window_events": tumbling_window_events,
     "salted_agg_events": salted_agg_events,
@@ -1276,6 +1324,7 @@ QUERIES = {
     "asof_join_events": asof_join_events,
     "interval_join_events": interval_join_events,
     "kmv_distinct_users_events": kmv_distinct_users_events,
+    "hll_distinct_users_events": hll_distinct_users_events,
 }
 
 ORACLES = {
@@ -1295,6 +1344,7 @@ ORACLES = {
     "asof_join_events": ASOF_ORACLE,
     "interval_join_events": INTERVAL_ORACLE,
     "kmv_distinct_users_events": KMV_ORACLE,
+    "hll_distinct_users_events": HLL_ORACLE,
     "resample_gapfill_events": RESAMPLE_ORACLE,
     "zscore_anomalies_events": ZSCORE_ORACLE,
     "cohort_retention_events": COHORT_ORACLE,

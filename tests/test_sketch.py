@@ -263,3 +263,45 @@ class TestKmvIntersection:
             .head()["e"]
         )
         assert est == 10.0  # below k the sketch is the exact set
+
+
+class TestHyperLogLog:
+    def test_estimate_within_error_bound(self, spark):
+        """5000 distinct values, m=64 → σ ≈ 1.04/√64 = 13%; assert within
+        3σ (deterministic md5 hashing, so this is a fixed number, not a
+        flaky draw)."""
+        from graphrag_toolkit_spark.operators import sketch
+
+        df = spark.range(5000).select(F.col("id").cast("string").alias("v"))
+        est = sketch.hll_estimate(sketch.hll_registers(df, "v")).collect()[0]
+        assert abs(est["distinct_est"] - 5000) / 5000 < 0.39
+        assert est["zero_registers"] == 0
+
+    def test_small_range_linear_counting(self, spark):
+        """3 distinct values: the correction branch fires (raw ≤ 2.5m,
+        empty registers) and linear counting m·ln(m/V) lands near 3."""
+        from graphrag_toolkit_spark.operators import sketch
+
+        df = spark.createDataFrame([{"v": x} for x in ("a", "b", "c", "a")])
+        est = sketch.hll_estimate(sketch.hll_registers(df, "v")).collect()[0]
+        assert est["zero_registers"] == 61
+        assert 2.0 < est["distinct_est"] < 4.5
+
+    def test_registers_merge_by_max(self, spark):
+        """Shard mergeability: max-merging two halves' register files
+        equals the register file of the union — the property that makes
+        HLL roll up across partitions/streams."""
+        from graphrag_toolkit_spark.operators import sketch
+
+        df = spark.range(2000).select(F.col("id").cast("string").alias("v"))
+        a = sketch.hll_registers(df.filter(F.col("v").cast("long") % 2 == 0), "v")
+        b = sketch.hll_registers(df.filter(F.col("v").cast("long") % 2 == 1), "v")
+        merged = (
+            a.unionByName(b)
+            .groupBy("idx")
+            .agg(F.max("reg").cast("int").alias("reg"))
+        )
+        full = sketch.hll_registers(df, "v")
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, full.collect())
+        )
