@@ -78,6 +78,12 @@ HEADLINE = [
     "split_leakage_documents",
     "dau_mau_events",
     "retrieval_eval_pipeline",
+    # round-5 additions: star connected components run via neardup_clusters
+    # (shared above); these are the new iterative / join-heavy entries
+    "pagerank_graph",
+    "bpe_train_merges_documents",
+    "containment_pairs_documents",
+    "dsir_weights_documents",
 ]
 
 
