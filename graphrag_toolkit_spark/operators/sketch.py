@@ -364,6 +364,17 @@ def hll_registers(df: DataFrame, value_col: str, m: int = HLL_M) -> DataFrame:
     intersections; HLL holds ~1.04/√m relative error in m bytes — the
     industry-standard cardinality register file (Redis PFCOUNT, BigQuery
     APPROX_COUNT_DISTINCT)."""
+    hashed = hll_idx_rank(df, value_col, m)
+    return hashed.groupBy("idx").agg(F.max("rank").cast("int").alias("reg"))
+
+
+def hll_idx_rank(
+    df: DataFrame, value_col: str, m: int = HLL_M, keep: Sequence[str] = (),
+) -> DataFrame:
+    """(keep..., idx, rank) per input row — the narrow JVM-side stage both
+    the batch register build and the streaming state fold consume (the
+    Python state stage in ``streaming/stateful.py`` only ever sees two
+    small ints per row, never the values)."""
     h = kmv_hash(F.col(value_col))
     w = F.expr(f"__h div {m}")
     rank = F.when(
@@ -371,12 +382,9 @@ def hll_registers(df: DataFrame, value_col: str, m: int = HLL_M) -> DataFrame:
         F.lit(HLL_RANK_BITS) - (F.length(F.bin(w)) - 1),
     ).otherwise(F.lit(HLL_RANK_BITS + 1))
     return (
-        df.select(h.alias("__h"))
+        df.select(*keep, h.alias("__h"))
         .filter(F.col("__h").isNotNull())
-        .select((F.col("__h") % m).alias("idx"), w.alias("__w"), F.col("__h"))
-        .select("idx", rank.alias("rank"))
-        .groupBy("idx")
-        .agg(F.max("rank").cast("int").alias("reg"))
+        .select(*keep, (F.col("__h") % m).alias("idx"), rank.alias("rank"))
     )
 
 

@@ -168,9 +168,10 @@ def kmv_distinct_stream(
     per key is the bottom-k hash array, merged with each batch exactly as
     ``sketch.merge_sketches`` merges batch sketches. Because KMV merge is
     lossless, the emitted estimate after any number of micro-batches is
-    BIT-IDENTICAL to ``sketch.kmv_distinct`` over the union of all rows —
-    a stream==batch equality the HLL family cannot offer. State size:
-    O(keys × k) longs, no timeout needed.
+    BIT-IDENTICAL to ``sketch.kmv_distinct`` over the union of all rows.
+    (``hll_distinct_stream`` below has the same stream==batch contract via
+    max-merge; KMV's edge is exactness below k and intersection support.)
+    State size: O(keys × k) longs, no timeout needed.
 
     Emits (key, n_kept, distinct_est) per key per batch (update mode)."""
     from graphrag_toolkit_spark.operators.sketch import _HASH_SPACE, kmv_hash
@@ -198,6 +199,67 @@ def kmv_distinct_stream(
     hashed = events.select(
         F.col(key_col), kmv_hash(F.col(value_col)).alias("__h")
     )
+    return hashed.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def hll_distinct_stream(
+    events: DataFrame, key_col: str, value_col: str, m: int = 64
+) -> DataFrame:
+    """Streaming HyperLogLog: per-key running cardinality estimate
+    surviving across micro-batches. The 52-bit hash, register index, and
+    rank are all computed JVM-side (`sketch.hll_idx_rank` — the Python
+    state stage folds two small ints per row); state per key is the m-int
+    register file, merged with each batch by element-wise MAX — the same
+    lossless merge `hll_registers` uses for shard roll-ups, so the emitted
+    estimate after any number of micro-batches is BIT-IDENTICAL to batch
+    `hll_estimate` over the union of all rows (the estimator arithmetic is
+    replicated exactly: power-of-two harmonic terms summed ascending-index
+    — exact in any order — the same α literal, and the linear-counting ln
+    rounded HALF_UP on the double's exact decimal expansion, matching
+    Spark's BigDecimal ROUND semantics, not Python's round-half-even).
+
+    Emits (key, distinct_est, zero_registers) per key per batch (update
+    mode). State: m ints per key, no timeout."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from graphrag_toolkit_spark.operators.sketch import hll_idx_rank
+
+    out_schema = f"{key_col} string, distinct_est double, zero_registers long"
+    state_schema = "regs array<int>"
+    alpha = 0.709
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        regs: list[int] = list(state.get[0]) if state.exists else [0] * m
+        for pdf in pdfs:
+            for idx, rank in zip(pdf["idx"], pdf["rank"]):
+                i = int(idx)
+                if int(rank) > regs[i]:
+                    regs[i] = int(rank)
+        state.update((regs,))
+        s = sum(1.0 / (1 << r) for r in regs)
+        v = sum(1 for r in regs if r == 0)
+        raw = alpha * float(m * m) / s
+        if raw <= 2.5 * m and v > 0:
+            lin = float(m) * math.log(float(m) / float(v))
+            est = float(
+                Decimal(lin).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+            )
+        else:
+            est = raw
+        yield pd.DataFrame(
+            {key_col: [key[0]], "distinct_est": [est], "zero_registers": [v]}
+        )
+
+    hashed = hll_idx_rank(events, value_col, m, keep=[key_col])
     return hashed.groupBy(key_col).applyInPandasWithState(
         fn,
         outputStructType=out_schema,

@@ -193,6 +193,41 @@ class TestKmvStream:
         assert latest["view"] != 3.0 or latest["click"] <= 3.0
 
 
+class TestHllStream:
+    def test_stream_estimate_equals_batch_hll(self, spark, stream_dir):
+        """Max-merge is lossless: after all micro-batches the per-key
+        streaming HLL estimate is bit-identical to batch `hll_estimate`
+        over the union of rows (the estimator arithmetic — exact
+        power-of-two harmonic terms, shared α, HALF_UP-rounded ln — is
+        replicated precisely in the state fold)."""
+        from graphrag_toolkit_spark.operators import sketch
+
+        src = read_jsonl_stream(spark, stream_dir, SCHEMA, max_files_per_trigger=1)
+        _run(
+            stateful.hll_distinct_stream(src, "event_type", "text_hash"),
+            "hll_out",
+            "update",
+        )
+        rows = spark.sql("SELECT * FROM hll_out").collect()
+        latest: dict[str, tuple] = {}
+        for r in rows:  # memory sink appends in batch order; last batch wins
+            latest[r["event_type"]] = (r["distinct_est"], r["zero_registers"])
+
+        all_rows = spark.createDataFrame(
+            [*BATCH1, *BATCH2],
+            "id long, text_hash string, event_type string, value double",
+        )
+        for et in ("click", "view"):
+            est = sketch.hll_estimate(
+                sketch.hll_registers(
+                    all_rows.filter(F.col("event_type") == et), "text_hash"
+                )
+            ).collect()[0]
+            assert latest[et] == (est["distinct_est"], est["zero_registers"]), et
+        # tiny cardinalities exercise the linear-counting branch
+        assert latest["view"][1] > 0
+
+
 class TestEnrichStream:
     def test_stream_static_join_equals_batch(self, spark, stream_dir):
         from graphrag_toolkit_spark.streaming.ingest import enrich_stream
