@@ -211,3 +211,57 @@ def ffill(
         out_col or f"{value_col}_ffill",
         F.last(F.col(value_col), True).over(w),
     )
+
+
+def touch_attribution(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    touch_types: Sequence[str],
+    conversion_type: str,
+    lookback_us: int = 24 * 3600 * 1_000_000,
+) -> DataFrame:
+    """Marketing touch attribution: for every conversion event, the FIRST
+    and LAST touch by the same user inside the lookback window — the
+    first-touch / last-touch attribution models every funnel analysis
+    starts from. Returns (user, event_id, conv_ts_us, n_touches,
+    first_touch_us, last_touch_us); touch columns are NULL for orphan
+    conversions (no touch in window — attribution 'direct').
+
+    Shape: NOT the conversions×touches interval join (which re-scans a
+    user's touch list once per conversion) — one window over the UNION of
+    touches and conversions per user, ordered by exact epoch-microseconds,
+    with a RANGE frame [ts−lookback, ts) and conditional aggregates
+    (``min/max(CASE WHEN touch THEN ts END)``): each user's timeline sorts
+    ONCE, every conversion reads its frame from that sort. The interval
+    join remains the oracle twin (fixture-sized); exactness is integer
+    microsecond arithmetic end to end."""
+    flagged = events.select(
+        F.col(user_col).alias("user"),
+        F.col("event_id"),
+        F.unix_micros(F.col(ts_col)).alias("ts_us"),
+        F.col(type_col).isin(*touch_types).alias("is_touch"),
+        (F.col(type_col) == conversion_type).alias("is_conv"),
+    ).filter(F.col("is_touch") | F.col("is_conv"))
+    w = (
+        Window.partitionBy("user")
+        .orderBy("ts_us")
+        .rangeBetween(-lookback_us, -1)
+    )
+    touch_ts = F.when(F.col("is_touch"), F.col("ts_us"))
+    return (
+        flagged.select(
+            "user", "event_id", "ts_us", "is_conv",
+            F.min(touch_ts).over(w).alias("first_touch_us"),
+            F.max(touch_ts).over(w).alias("last_touch_us"),
+            F.sum(F.when(F.col("is_touch"), 1).otherwise(0))
+            .over(w).cast("bigint").alias("n_touches"),
+        )
+        .filter(F.col("is_conv"))
+        .select(
+            "user", "event_id", F.col("ts_us").alias("conv_ts_us"),
+            F.coalesce("n_touches", F.lit(0)).alias("n_touches"),
+            "first_touch_us", "last_touch_us",
+        )
+    )

@@ -82,6 +82,7 @@ _CHECK_FIRST = [
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",
     "hll_distinct_users_events",
+    "touch_attribution_events",
     # --- green, last driver-verified round 1 ---
     "ann_ivf_topk",
     "cascade_delete_counts",

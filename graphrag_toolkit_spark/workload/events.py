@@ -1297,6 +1297,46 @@ SELECT CASE WHEN 0.709 * 4096.0 / s <= 160.0 AND v > 0
 FROM agg
 """
 
+
+ATTRIB_LOOKBACK_US = 24 * 3600 * 1_000_000
+
+
+def touch_attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch attribution (`temporal.touch_attribution`): every
+    purchase attributed to the same user's first and last click/view in
+    the 24h before it — ONE per-user timeline sort with a RANGE frame,
+    never a conversions×touches re-scan; integer-microsecond arithmetic,
+    hash-exact vs the interval-join oracle twin."""
+    from graphrag_toolkit_spark.operators.temporal import touch_attribution
+
+    ev = load(spark, sf_dir, "events")
+    return touch_attribution(
+        ev, "user_id", "ts", "event_type",
+        touch_types=["click", "view"], conversion_type="purchase",
+        lookback_us=ATTRIB_LOOKBACK_US,
+    )
+
+
+TOUCH_ATTRIBUTION_ORACLE = f"""
+WITH conv AS (
+  SELECT user_id AS "user", event_id, epoch_us(ts) AS conv_ts_us
+  FROM events WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT user_id AS "user", epoch_us(ts) AS tts
+  FROM events WHERE event_type IN ('click', 'view')
+)
+SELECT c."user", c.event_id, c.conv_ts_us,
+       CAST(COUNT(t.tts) AS BIGINT) AS n_touches,
+       MIN(t.tts) AS first_touch_us,
+       MAX(t.tts) AS last_touch_us
+FROM conv c LEFT JOIN touch t
+  ON t."user" = c."user"
+ AND t.tts >= c.conv_ts_us - {ATTRIB_LOOKBACK_US}
+ AND t.tts < c.conv_ts_us
+GROUP BY c."user", c.event_id, c.conv_ts_us
+"""
+
 QUERIES = {
     "tumbling_window_events": tumbling_window_events,
     "salted_agg_events": salted_agg_events,
@@ -1325,6 +1365,7 @@ QUERIES = {
     "interval_join_events": interval_join_events,
     "kmv_distinct_users_events": kmv_distinct_users_events,
     "hll_distinct_users_events": hll_distinct_users_events,
+    "touch_attribution_events": touch_attribution_events,
 }
 
 ORACLES = {
@@ -1345,6 +1386,7 @@ ORACLES = {
     "interval_join_events": INTERVAL_ORACLE,
     "kmv_distinct_users_events": KMV_ORACLE,
     "hll_distinct_users_events": HLL_ORACLE,
+    "touch_attribution_events": TOUCH_ATTRIBUTION_ORACLE,
     "resample_gapfill_events": RESAMPLE_ORACLE,
     "zscore_anomalies_events": ZSCORE_ORACLE,
     "cohort_retention_events": COHORT_ORACLE,

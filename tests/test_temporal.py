@@ -311,3 +311,48 @@ def test_interval_join_matches_bruteforce_random(spark):
         if s <= t <= e
     )
     assert got == want
+
+
+class TestTouchAttribution:
+    def test_first_last_and_orphan(self, spark):
+        """u1: two touches inside the window and one outside → first/last
+        pick the in-window pair; u2's conversion has no touch in window →
+        NULL attribution ('direct'); a touch AT the conversion timestamp
+        is excluded (frame ends at −1 µs)."""
+        from graphrag_toolkit_spark.operators.temporal import touch_attribution
+
+        base = 1_700_000_000_000_000  # µs
+        hour = 3600 * 1_000_000
+
+        def ev(i, user, t_us, typ):
+            return {
+                "event_id": i, "user_id": user,
+                "ts_us": t_us, "event_type": typ,
+            }
+
+        rows = [
+            ev(1, "u1", base - 30 * hour, "click"),   # outside 24h window
+            ev(2, "u1", base - 10 * hour, "view"),    # first in window
+            ev(3, "u1", base - 2 * hour, "click"),    # last in window
+            ev(4, "u1", base, "purchase"),            # conversion
+            ev(5, "u1", base, "click"),               # same-µs: excluded
+            ev(6, "u2", base, "purchase"),            # orphan conversion
+            ev(7, "u2", base + hour, "click"),        # after: excluded
+        ]
+        df = spark.createDataFrame(rows).select(
+            "event_id", "user_id", "event_type",
+            F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        )
+        out = {
+            r["event_id"]: r
+            for r in touch_attribution(
+                df, "user_id", "ts", "event_type",
+                touch_types=["click", "view"], conversion_type="purchase",
+            ).collect()
+        }
+        assert set(out) == {4, 6}
+        assert out[4]["n_touches"] == 2
+        assert out[4]["first_touch_us"] == base - 10 * hour
+        assert out[4]["last_touch_us"] == base - 2 * hour
+        assert out[6]["n_touches"] == 0
+        assert out[6]["first_touch_us"] is None and out[6]["last_touch_us"] is None
