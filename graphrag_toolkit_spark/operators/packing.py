@@ -150,8 +150,8 @@ def encode_documents(
 
 
 def bpe_train_merges(
-    df: DataFrame, text_col: str, rounds: int = 3
-) -> DataFrame:
+    df: DataFrame, text_col: str, rounds: int = 3, return_corpus: bool = False
+):
     """Character-level BPE merge TRAINING (Sennrich et al. 2016, "Neural
     Machine Translation of Rare Words with Subword Units") — the iterative
     step beyond the round-1 statistics of ``bpe_pair_stats``: per round,
@@ -230,4 +230,27 @@ def bpe_train_merges(
     out = merge_rows[0]
     for m in merge_rows[1:]:
         out = out.unionByName(m)
+    if return_corpus:
+        return out, corpus
     return out
+
+
+def bpe_vocab(
+    df: DataFrame, text_col: str, rounds: int = 3, top_n: int = 20
+) -> DataFrame:
+    """The other half of the tokenizer artifact: SYMBOL frequencies after
+    applying the learned merges — train ``rounds`` merges, rewrite the
+    corpus through them (``bpe_train_merges`` already maintains the merged
+    corpus; this just counts it), and return the top-``top_n`` symbols by
+    frequency (count desc, symbol asc). What a BPE tokenizer's vocab file
+    starts from; merged symbols (e.g. 'th') displace their parts."""
+    _, corpus = bpe_train_merges(df, text_col, rounds=rounds, return_corpus=True)
+    toks = F.split(F.expr("trim(BOTH '|' FROM w)"), r"\|\|")
+    return (
+        corpus.select(F.explode(toks).alias("symbol"))
+        .filter(F.col("symbol") != "")
+        .groupBy("symbol")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("symbol"))
+        .limit(top_n)
+    )

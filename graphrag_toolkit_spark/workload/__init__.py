@@ -83,6 +83,7 @@ _CHECK_FIRST = [
     "q18_large_volume_customers",
     "hll_distinct_users_events",
     "touch_attribution_events",
+    "bpe_vocab_documents",
     # --- green, last driver-verified round 1 ---
     "ann_ivf_topk",
     "cascade_delete_counts",

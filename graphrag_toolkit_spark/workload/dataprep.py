@@ -548,6 +548,42 @@ c0 AS (
 )
 
 
+
+BPE_VOCAB_TOP = 20
+
+
+def bpe_vocab_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symbol vocabulary after applying the 3 learned BPE merges
+    (`packing.bpe_vocab`): train → rewrite → count, the other half of the
+    tokenizer artifact. Top-20 symbols, total order on ties."""
+    docs = load(spark, sf_dir, "documents")
+    return packing.bpe_vocab(docs, "text", rounds=BPE_ROUNDS, top_n=BPE_VOCAB_TOP)
+
+
+BPE_VOCAB_ORACLE = (
+    """
+WITH words AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[^0-9a-z]+'),
+                            x -> x <> '')) AS wd
+  FROM documents
+),
+c0 AS (
+  SELECT '|' || array_to_string(
+           list_transform(generate_series(1, length(wd)),
+                          i -> substring(wd, i, 1)), '||') || '|' AS w
+  FROM words
+),"""
+    + ",".join(_bpe_round_sql(r) for r in range(1, BPE_ROUNDS + 1))
+    + f"""
+SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n FROM (
+  SELECT unnest(string_split(trim(w, '|'), '||')) AS symbol FROM c{BPE_ROUNDS}
+) WHERE symbol <> ''
+GROUP BY symbol
+ORDER BY n DESC, symbol ASC
+LIMIT {BPE_VOCAB_TOP}
+"""
+)
+
 # --- split-leakage audit --------------------------------------------------------
 
 LEAK_N = 4
@@ -3775,6 +3811,7 @@ QUERIES = {
     "dsir_weights_documents": dsir_weights_documents,
     "hard_negatives_embeddings": hard_negatives_embeddings,
     "bpe_train_merges_documents": bpe_train_merges_documents,
+    "bpe_vocab_documents": bpe_vocab_documents,
     "simhash_documents": simhash_documents,
     "split_documents": split_documents,
     "stratified_sample_documents": stratified_sample_documents,
@@ -3849,6 +3886,7 @@ ORACLES = {
     "dsir_weights_documents": DSIR_ORACLE,
     "hard_negatives_embeddings": HARD_NEGATIVES_ORACLE,
     "bpe_train_merges_documents": BPE_TRAIN_ORACLE,
+    "bpe_vocab_documents": BPE_VOCAB_ORACLE,
     "simhash_documents": SIMHASH_ORACLE,
     "split_documents": SPLIT_ORACLE,
     "stratified_sample_documents": STRATIFIED_ORACLE,
