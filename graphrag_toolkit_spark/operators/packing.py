@@ -221,11 +221,18 @@ def bpe_train_merges(
                 F.lit(r).alias("merge_round"), "sym_a", "sym_b", "n"
             )
         )
-        corpus = corpus.crossJoin(F.broadcast(best)).select(
-            F.expr(
-                "replace(w, '|' || sym_a || '||' || sym_b || '|',"
-                " '|' || sym_a || sym_b || '|')"
-            ).alias("w")
+        corpus = (
+            corpus.crossJoin(F.broadcast(best))
+            .select(
+                F.expr(
+                    "replace(w, '|' || sym_a || '||' || sym_b || '|',"
+                    " '|' || sym_a || sym_b || '|')"
+                ).alias("w")
+            )
+            # lazy checkpoint: round r's pair count otherwise re-executes
+            # every earlier round's rewrite from the raw corpus (O(rounds²)
+            # corpus scans); materialized-once keeps it O(rounds)
+            .localCheckpoint(eager=False)
         )
     out = merge_rows[0]
     for m in merge_rows[1:]:
