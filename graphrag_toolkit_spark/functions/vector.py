@@ -109,3 +109,50 @@ def dot_prequantized(a: Column, b: Column) -> Column:
     return F.aggregate(
         products, F.lit(0).cast(_DEC_ACC), lambda acc, v: (acc + v).cast(_DEC_ACC)
     ).cast("double")
+
+
+def jl_sign_matrix(in_dim: int, out_dim: int) -> list[list[int]]:
+    """Deterministic ±1 projection matrix for `jl_project`: sign(i, j) from
+    the parity of md5("jl|i|j")'s first hex digit — reproducible anywhere
+    (the DuckDB oracle inlines the same literals), no RNG state. Achlioptas
+    (2003) showed ±1 entries satisfy the Johnson-Lindenstrauss lemma like
+    Gaussians do."""
+    import hashlib
+
+    return [
+        [
+            1 - 2 * (int(hashlib.md5(f"jl|{i}|{j}".encode()).hexdigest()[0], 16) % 2)
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def jl_project(vec: Column, in_dim: int, out_dim: int) -> Column:
+    """Johnson-Lindenstrauss random projection to ``out_dim`` dims:
+    y_j = (Σ_i sign(i,j)·q(x_i)) / √out_dim — the dimensionality-reduction
+    front-end for ANN at scale (project 768-dim model embeddings to 16-64
+    dims before LSH/IVF bucketing; pairwise distances survive within
+    ±ε w.h.p.). Returns array<double>, element order preserved.
+
+    Exactness: inputs are quantized to the 6-decimal grid, signs are ±1
+    integers, so each output sum is an EXACT decimal in any fold order;
+    pick ``out_dim`` a power of four (16, 64) and the √out_dim divisor is
+    an exact power of two, keeping the final division engine-identical.
+    Cost: out_dim × in_dim multiply-adds per row, all whole-stage codegen
+    — a narrow projection, no shuffle, no UDF."""
+    import math
+
+    signs = jl_sign_matrix(in_dim, out_dim)
+    q = _quantize(vec)
+    inv_norm = 1.0 / math.sqrt(out_dim)
+    outs = []
+    for j in range(out_dim):
+        row = F.array(*[F.lit(s) for s in signs[j]])
+        s_j = F.aggregate(
+            F.zip_with(q, row, lambda x, sgn: (x * sgn.cast("decimal(2,0)")).cast("decimal(14,6)")),
+            F.lit(0).cast("decimal(25,6)"),
+            lambda acc, v: (acc + v).cast("decimal(25,6)"),
+        ).cast("double")
+        outs.append(s_j * F.lit(inv_norm))
+    return F.array(*outs)

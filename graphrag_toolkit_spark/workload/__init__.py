@@ -84,6 +84,7 @@ _CHECK_FIRST = [
     "hll_distinct_users_events",
     "touch_attribution_events",
     "bpe_vocab_documents",
+    "jl_project_embeddings",
     # --- green, last driver-verified round 1 ---
     "ann_ivf_topk",
     "cascade_delete_counts",

@@ -1493,6 +1493,51 @@ SELECT anchor_id, vec_id AS neg_id, label AS neg_label, score, rank FROM (
 """
 
 
+
+JL_IN_DIM = 64
+JL_OUT_DIM = 16
+
+
+def jl_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss ±1 projection 64→16 dims
+    (`functions.vector.jl_project`, Achlioptas 2003) — the ANN front-end
+    that makes high-dim model embeddings bucketable at scale. Long-format
+    output (vec_id, j, value); exact decimal sums / power-of-two √16
+    divisor, hash-exact."""
+    from graphrag_toolkit_spark.functions.vector import jl_project
+
+    emb = load(spark, sf_dir, "embeddings")
+    proj = jl_project(F.col("embedding"), JL_IN_DIM, JL_OUT_DIM)
+    return emb.select(
+        "vec_id", F.posexplode(proj).alias("j", "value")
+    ).withColumn("j", F.col("j").cast("int"))
+
+
+def _jl_oracle() -> str:
+    from graphrag_toolkit_spark.functions.vector import jl_sign_matrix
+
+    signs = jl_sign_matrix(JL_IN_DIM, JL_OUT_DIM)
+    rows = ",".join(
+        f"({j},{i},{s})"
+        for j, row in enumerate(signs)
+        for i, s in enumerate(row)
+    )
+    q = _EMB_Q.format(x="e.embedding[sg.i + 1]")
+    return f"""
+WITH sg(j, i, sgn) AS (SELECT * FROM (VALUES {rows})),
+terms AS (
+  SELECT e.vec_id, sg.j,
+         CAST(CAST(sg.sgn AS DECIMAL(2,0)) * {q} AS DECIMAL(14,6)) AS t
+  FROM embeddings e JOIN sg ON TRUE
+)
+SELECT vec_id, CAST(j AS INTEGER) AS j,
+       CAST(SUM(t) AS DOUBLE) / 4.0 AS value
+FROM terms GROUP BY vec_id, j
+"""
+
+
+JL_PROJECT_ORACLE = _jl_oracle()
+
 # --- DSIR importance weighting -----------------------------------------------
 
 DSIR_BUCKETS = 256
@@ -3810,6 +3855,7 @@ QUERIES = {
     "containment_pairs_documents": containment_pairs_documents,
     "dsir_weights_documents": dsir_weights_documents,
     "hard_negatives_embeddings": hard_negatives_embeddings,
+    "jl_project_embeddings": jl_project_embeddings,
     "bpe_train_merges_documents": bpe_train_merges_documents,
     "bpe_vocab_documents": bpe_vocab_documents,
     "simhash_documents": simhash_documents,
@@ -3885,6 +3931,7 @@ ORACLES = {
     "containment_pairs_documents": CONTAINMENT_ORACLE,
     "dsir_weights_documents": DSIR_ORACLE,
     "hard_negatives_embeddings": HARD_NEGATIVES_ORACLE,
+    "jl_project_embeddings": JL_PROJECT_ORACLE,
     "bpe_train_merges_documents": BPE_TRAIN_ORACLE,
     "bpe_vocab_documents": BPE_VOCAB_ORACLE,
     "simhash_documents": SIMHASH_ORACLE,

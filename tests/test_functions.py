@@ -115,3 +115,40 @@ class TestVector:
     def test_unit_normalize(self, spark):
         out = one(spark, unit_normalize(F.col("a")), a=[3.0, 4.0])
         assert math.isclose(sum(x * x for x in out), 1.0, rel_tol=1e-12)
+
+
+class TestJlProject:
+    def test_linear_and_deterministic(self, spark):
+        """proj(a+b) = proj(a) + proj(b) (projection is linear in exact
+        decimal arithmetic) and repeated evaluation is bit-identical."""
+        from graphrag_toolkit_spark.functions.vector import jl_project
+
+        a = [0.25 * (i % 5) for i in range(8)]
+        b = [0.5 - 0.125 * (i % 3) for i in range(8)]
+        ab = [x + y for x, y in zip(a, b)]
+        df = spark.createDataFrame([{"v": a, "w": b, "s": ab}])
+        row = df.select(
+            jl_project(F.col("v"), 8, 4).alias("pa"),
+            jl_project(F.col("w"), 8, 4).alias("pb"),
+            jl_project(F.col("s"), 8, 4).alias("ps"),
+        ).collect()[0]
+        assert [x + y for x, y in zip(row["pa"], row["pb"])] == list(row["ps"])
+        again = df.select(jl_project(F.col("v"), 8, 4).alias("pa")).collect()[0]
+        assert list(again["pa"]) == list(row["pa"])
+
+    def test_norm_roughly_preserved(self, spark):
+        """JL lemma sanity at 64→16: squared norms survive within a loose
+        band (deterministic sign matrix → fixed numbers, not a flaky
+        draw). Checks the 1/√k scaling is right, not concentration."""
+        import math
+
+        from graphrag_toolkit_spark.functions.vector import jl_project
+        from graphrag_toolkit_spark.fixtures import pseudo_embedding
+
+        vecs = [pseudo_embedding(f"doc {i}", dim=64) for i in range(6)]
+        df = spark.createDataFrame([{"v": v} for v in vecs])
+        rows = df.select(jl_project(F.col("v"), 64, 16).alias("p")).collect()
+        for v, r in zip(vecs, rows):
+            n0 = math.sqrt(sum(x * x for x in v))
+            n1 = math.sqrt(sum(x * x for x in r["p"]))
+            assert 0.4 * n0 < n1 < 1.9 * n0
