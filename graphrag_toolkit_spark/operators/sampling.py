@@ -328,3 +328,66 @@ def dsir_log_weights(
             F.coalesce(F.col("_s").cast("double"), F.lit(0.0)).alias("dsir_logw"),
         )
     )
+
+
+IPF_GRID = 1_000_000
+
+
+def ipf_rake(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    iterations: int = 2,
+) -> DataFrame:
+    """Iterative proportional fitting (raking, Deming & Stephan 1940) over
+    a two-way (row × col) contingency of the corpus — the
+    marginal-constrained version of domain-mix rebalancing
+    (``resample_to_mix`` hits ONE categorical's proportions; raking finds
+    per-cell weights whose weighted marginals match targets on BOTH axes
+    simultaneously, e.g. language AND source). Targets here: uniform row
+    and column marginals (the common "balance the corpus" ask). Returns
+    (row_col, col_col, n, w6, weight) — w6 the integer grid weight,
+    weight = w6/10⁶ for use as a sampling/loss weight.
+
+    Exactness: the multiplicative update w ← w·T/current is division-
+    bearing, so (like ``centrality.pagerank``) the loop runs on the 10⁶
+    integer grid with floor semantics — w6·T is an exact BIGINT product,
+    ``div`` is exact floor, and both engines agree by construction. Each
+    half-iteration's truncation loses < 10⁻⁶ relative mass, far below the
+    fitting tolerance raking is used at.
+
+    Scale shape: everything after the first groupBy operates on the CELL
+    table (|langs|×|sources| rows — dimension-sized, broadcast-friendly),
+    not the corpus; per half-iteration one cell-table aggregate + one
+    equi-join. The corpus is touched exactly once."""
+    cells = (
+        df.groupBy(F.col(row_col).alias("r"), F.col(col_col).alias("c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = cells.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.countDistinct("r").alias("nr"),
+        F.countDistinct("c").alias("nc"),
+    )
+    w = cells.crossJoin(F.broadcast(tot)).select(
+        "r", "c", "n", "nn", "nr", "nc",
+        F.lit(IPF_GRID).cast("long").alias("w6"),
+    )
+    for _ in range(iterations):
+        for axis, naxis in (("r", "nr"), ("c", "nc")):
+            sums = w.groupBy(axis).agg(
+                F.sum(F.col("n") * F.col("w6")).cast("long").alias("m")
+            )
+            w = w.join(sums, axis).select(
+                "r", "c", "n", "nn", "nr", "nc",
+                F.expr(
+                    f"cast((w6 * ((nn * {IPF_GRID}L) div {naxis})) div m as long)"
+                ).alias("w6"),
+            )
+    return w.select(
+        F.col("r").alias(row_col),
+        F.col("c").alias(col_col),
+        "n",
+        "w6",
+        (F.col("w6").cast("double") / F.lit(float(IPF_GRID))).alias("weight"),
+    )

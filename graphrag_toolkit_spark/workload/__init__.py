@@ -85,6 +85,7 @@ _CHECK_FIRST = [
     "touch_attribution_events",
     "bpe_vocab_documents",
     "jl_project_embeddings",
+    "ipf_rake_documents",
     # --- green, last driver-verified round 1 ---
     "ann_ivf_topk",
     "cascade_delete_counts",

@@ -1538,6 +1538,52 @@ FROM terms GROUP BY vec_id, j
 
 JL_PROJECT_ORACLE = _jl_oracle()
 
+
+def ipf_rake_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPF raking (`sampling.ipf_rake`, Deming-Stephan): per-(lang, source)
+    cell weights whose weighted marginals approach uniform on BOTH axes
+    after 2 iterations — the two-way mixture balancing resample_to_mix
+    can't express. Scaled-integer floor arithmetic (the pagerank
+    discipline), hash-exact vs the unrolled 4-pass CTE twin."""
+    docs = load(spark, sf_dir, "documents")
+    return sampling.ipf_rake(docs, "lang", "source", iterations=2)
+
+
+def _ipf_oracle() -> str:
+    g = 1_000_000
+    passes = []
+    prev = "w0"
+    for i, (axis, naxis) in enumerate(
+        [("r", "nr"), ("c", "nc"), ("r", "nr"), ("c", "nc")], start=1
+    ):
+        passes.append(f"""
+s{i} AS (SELECT {axis}, CAST(SUM(n * w6) AS BIGINT) AS m FROM {prev} GROUP BY {axis}),
+w{i} AS (
+  SELECT {prev}.r, {prev}.c, {prev}.n,
+         CAST(({prev}.w6 * ((tot.nn * {g}) // tot.{naxis})) // s{i}.m AS BIGINT) AS w6
+  FROM {prev} JOIN s{i} ON s{i}.{axis} = {prev}.{axis} CROSS JOIN tot
+)""")
+        prev = f"w{i}"
+    return f"""
+WITH cells AS (
+  SELECT lang AS r, source AS c, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nn,
+         CAST(COUNT(DISTINCT r) AS BIGINT) AS nr,
+         CAST(COUNT(DISTINCT c) AS BIGINT) AS nc
+  FROM cells
+),
+w0 AS (SELECT r, c, n, CAST({g} AS BIGINT) AS w6 FROM cells),{','.join(passes)}
+SELECT r AS lang, c AS source, n, w6,
+       CAST(w6 AS DOUBLE) / {float(g)} AS weight
+FROM {prev}
+"""
+
+
+IPF_RAKE_ORACLE = _ipf_oracle()
+
 # --- DSIR importance weighting -----------------------------------------------
 
 DSIR_BUCKETS = 256
@@ -3856,6 +3902,7 @@ QUERIES = {
     "dsir_weights_documents": dsir_weights_documents,
     "hard_negatives_embeddings": hard_negatives_embeddings,
     "jl_project_embeddings": jl_project_embeddings,
+    "ipf_rake_documents": ipf_rake_documents,
     "bpe_train_merges_documents": bpe_train_merges_documents,
     "bpe_vocab_documents": bpe_vocab_documents,
     "simhash_documents": simhash_documents,
@@ -3932,6 +3979,7 @@ ORACLES = {
     "dsir_weights_documents": DSIR_ORACLE,
     "hard_negatives_embeddings": HARD_NEGATIVES_ORACLE,
     "jl_project_embeddings": JL_PROJECT_ORACLE,
+    "ipf_rake_documents": IPF_RAKE_ORACLE,
     "bpe_train_merges_documents": BPE_TRAIN_ORACLE,
     "bpe_vocab_documents": BPE_VOCAB_ORACLE,
     "simhash_documents": SIMHASH_ORACLE,

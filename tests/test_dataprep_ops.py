@@ -1660,3 +1660,42 @@ class TestBpeTrainMerges:
             for r in bpe_train_merges(df, "text", rounds=2).collect()
         ]
         assert out == [(1, "a", "b"), (2, "ab", "c")]
+
+
+class TestIpfRake:
+    def test_marginals_converge_toward_uniform(self, spark):
+        """Skewed 2×2 grid: after 2 raking iterations the weighted row and
+        column marginals are within 1% of uniform (floor truncation keeps
+        them just under)."""
+        from graphrag_toolkit_spark.operators.sampling import ipf_rake
+
+        rows = (
+            [{"lang": "en", "source": "a"}] * 70
+            + [{"lang": "en", "source": "b"}] * 10
+            + [{"lang": "de", "source": "a"}] * 15
+            + [{"lang": "de", "source": "b"}] * 5
+        )
+        df = spark.createDataFrame(rows)
+        out = ipf_rake(df, "lang", "source", iterations=2).collect()
+        mass = {(r["lang"], r["source"]): r["n"] * r["weight"] for r in out}
+        total = sum(mass.values())
+        for lang in ("en", "de"):
+            share = sum(v for (l, s), v in mass.items() if l == lang) / total
+            assert abs(share - 0.5) < 0.01, (lang, share)
+        for src_ in ("a", "b"):
+            share = sum(v for (l, s), v in mass.items() if s == src_) / total
+            assert abs(share - 0.5) < 0.01, (src_, share)
+        # the rare cell (de, b) must be up-weighted, the dominant one down
+        w = {(r["lang"], r["source"]): r["weight"] for r in out}
+        assert w[("de", "b")] > 1.0 > w[("en", "a")]
+
+    def test_partitioning_invariant(self, spark):
+        from graphrag_toolkit_spark.operators.sampling import ipf_rake
+
+        rows = [
+            {"lang": f"l{i % 3}", "source": f"s{i % 4}"} for i in range(200)
+        ]
+        df = spark.createDataFrame(rows)
+        a = sorted(map(str, ipf_rake(df, "lang", "source").collect()))
+        b = sorted(map(str, ipf_rake(df.repartition(17), "lang", "source").collect()))
+        assert a == b
