@@ -156,3 +156,68 @@ def jl_project(vec: Column, in_dim: int, out_dim: int) -> Column:
         ).cast("double")
         outs.append(s_j * F.lit(inv_norm))
     return F.array(*outs)
+
+
+def gram_matrix(df, vec_col: str, dim: int):
+    """Distributed Gram/scatter matrix G[i,j] = Σ_rows q(x_i)·q(x_j) —
+    the 64×64 (dim²) aggregate behind PCA/whitening/covariance over a
+    corpus of embeddings: the CORPUS-sized work is one narrow pass + one
+    tiny aggregate; the dim×dim result is driver/dimension-sized, which is
+    why distributed PCA is cheap (eigendecomposition happens on G, not on
+    the data). Returns long-format (i, j, value) for j ≥ i (symmetric
+    upper triangle), exact decimal sums cast to double.
+
+    Exactness: elements quantized to the 6-decimal grid first, products
+    exact decimals, sums exact in any order — hash-gateable like every
+    decimal aggregate here."""
+    from pyspark.sql import functions as F
+
+    q = _quantize(F.col(vec_col))
+    pairs = F.explode(
+        F.expr(
+            f"""flatten(transform(sequence(0, {dim - 1}), i ->
+                 transform(sequence(i, {dim - 1}), j ->
+                   struct(i, j, cast(__q[i] as decimal(12,6))
+                            * cast(__q[j] as decimal(12,6)) as p))))"""
+        )
+    ).alias("e")
+    # products keep their FULL scale-12 precision through the sum — rounding
+    # them back to the 6-decimal grid would hit .5e-6 ties constantly
+    # (grid×grid products are exact 12-decimal values) where engines'
+    # decimal-cast rounding can disagree; scale 12 is exactly the safe
+    # bound for the final decimal→double cast
+    return (
+        df.select(q.alias("__q"))
+        .select(pairs)
+        .select("e.i", "e.j", F.col("e.p").cast("decimal(28,12)").alias("p"))
+        .groupBy("i", "j")
+        .agg(F.sum("p").cast("double").alias("value"))
+    )
+
+
+def pca_components(gram_rows, dim: int, k: int):
+    """Top-k principal directions from a collected `gram_matrix` result —
+    the DRIVER-side eigendecomposition (dim×dim floats: dimension-sized,
+    the same legitimate driver boundary as the ANN centroid seeds and the
+    PQ codebook; the corpus never leaves the cluster). Returns a
+    (k × dim) list-of-lists with a deterministic sign convention (largest-
+    |coordinate| entry made positive; ties broken by lowest index).
+    numpy's symmetric eigensolver is deterministic for a fixed matrix but
+    NOT grid-exact across BLAS builds — so PCA projection is test-bound,
+    while the Gram matrix itself is the oracle-gated artifact."""
+    import numpy as np
+
+    g = np.zeros((dim, dim))
+    for r in gram_rows:
+        g[r["i"], r["j"]] = r["value"]
+        g[r["j"], r["i"]] = r["value"]
+    vals, vecs = np.linalg.eigh(g)
+    order = np.argsort(vals)[::-1][:k]
+    out = []
+    for idx in order:
+        v = vecs[:, idx]
+        pivot = int(np.argmax(np.abs(v)))
+        if v[pivot] < 0:
+            v = -v
+        out.append([float(x) for x in v])
+    return out

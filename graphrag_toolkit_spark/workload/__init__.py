@@ -86,6 +86,7 @@ _CHECK_FIRST = [
     "bpe_vocab_documents",
     "jl_project_embeddings",
     "ipf_rake_documents",
+    "gram_matrix_embeddings",
     # --- green, last driver-verified round 1 ---
     "ann_ivf_topk",
     "cascade_delete_counts",

@@ -1584,6 +1584,47 @@ FROM {prev}
 
 IPF_RAKE_ORACLE = _ipf_oracle()
 
+
+GRAM_DIM = 64
+
+
+def gram_matrix_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram/scatter matrix of the embedding corpus
+    (`functions.vector.gram_matrix`) — the dim²-sized aggregate PCA /
+    whitening / covariance estimation reduce the corpus to; one narrow
+    pass, exact decimal sums, upper triangle long-format. The driver-side
+    eigendecomposition (`pca_components`) is dimension-sized and
+    test-bound (BLAS floats aren't grid-exact); THIS, the distributed
+    part, is the hash-gated artifact."""
+    from graphrag_toolkit_spark.functions.vector import gram_matrix
+
+    emb = load(spark, sf_dir, "embeddings")
+    return gram_matrix(emb, "embedding", GRAM_DIM).withColumn(
+        "i", F.col("i").cast("int")
+    ).withColumn("j", F.col("j").cast("int"))
+
+
+GRAM_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(ROUND(CAST(x AS DOUBLE), 6) AS DECIMAL(12,6)))
+           AS qe
+  FROM embeddings
+),
+pairs AS (
+  SELECT CAST(t.i AS INTEGER) AS i, CAST(u.j AS INTEGER) AS j,
+         CAST(CAST(q.qe[t.i + 1] AS DECIMAL(12,6))
+              * CAST(q.qe[u.j + 1] AS DECIMAL(12,6)) AS DECIMAL(28,12)) AS p
+  FROM q,
+       generate_series(0, {GRAM_DIM - 1}) AS t(i),
+       generate_series(0, {GRAM_DIM - 1}) AS u(j)
+  WHERE u.j >= t.i
+)
+SELECT i, j, CAST(SUM(p) AS DOUBLE) AS value
+FROM pairs GROUP BY i, j
+"""
+
 # --- DSIR importance weighting -----------------------------------------------
 
 DSIR_BUCKETS = 256
@@ -3903,6 +3944,7 @@ QUERIES = {
     "hard_negatives_embeddings": hard_negatives_embeddings,
     "jl_project_embeddings": jl_project_embeddings,
     "ipf_rake_documents": ipf_rake_documents,
+    "gram_matrix_embeddings": gram_matrix_embeddings,
     "bpe_train_merges_documents": bpe_train_merges_documents,
     "bpe_vocab_documents": bpe_vocab_documents,
     "simhash_documents": simhash_documents,
@@ -3980,6 +4022,7 @@ ORACLES = {
     "hard_negatives_embeddings": HARD_NEGATIVES_ORACLE,
     "jl_project_embeddings": JL_PROJECT_ORACLE,
     "ipf_rake_documents": IPF_RAKE_ORACLE,
+    "gram_matrix_embeddings": GRAM_ORACLE,
     "bpe_train_merges_documents": BPE_TRAIN_ORACLE,
     "bpe_vocab_documents": BPE_VOCAB_ORACLE,
     "simhash_documents": SIMHASH_ORACLE,

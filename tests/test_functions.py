@@ -152,3 +152,31 @@ class TestJlProject:
             n0 = math.sqrt(sum(x * x for x in v))
             n1 = math.sqrt(sum(x * x for x in r["p"]))
             assert 0.4 * n0 < n1 < 1.9 * n0
+
+
+class TestGramPca:
+    def test_gram_matches_numpy_and_pca_finds_dominant_axis(self, spark):
+        """Gram long-format equals numpy's X^T X on the quantized inputs;
+        the top principal direction of an anisotropic cloud (variance
+        concentrated on axis 0) aligns with e0 under the deterministic
+        sign convention."""
+        import numpy as np
+
+        from graphrag_toolkit_spark.functions.vector import (
+            gram_matrix,
+            pca_components,
+        )
+
+        rng = [[round(((i * 7 + j * 3) % 11 - 5) / 5.0, 6) * (4.0 if j == 0 else 0.5)
+                for j in range(6)] for i in range(40)]
+        df = spark.createDataFrame([{"v": r} for r in rng])
+        rows = gram_matrix(df, "v", 6).collect()
+        x = np.array(rng)
+        expected = x.T @ x
+        for r in rows:
+            assert abs(r["value"] - expected[r["i"], r["j"]]) < 1e-9, (r["i"], r["j"])
+        assert len(rows) == 6 * 7 // 2  # upper triangle incl. diagonal
+        comps = pca_components(rows, dim=6, k=2)
+        top = np.array(comps[0])
+        assert abs(top[0]) > 0.95          # dominant axis is coordinate 0
+        assert top[int(np.argmax(np.abs(top)))] > 0  # sign convention
