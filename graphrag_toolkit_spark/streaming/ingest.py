@@ -116,3 +116,52 @@ def enrich_stream(
     from pyspark.sql import functions as F
 
     return stream.join(F.broadcast(dim), on, how)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    max_lag: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join (the conversion-attribution
+    shape: a right event joins every left event by the same key in the
+    preceding ``max_lag``): both sides carry event-time watermarks so the
+    engine can bound its join state — a left row is dropped from state
+    once the right watermark passes ``its ts + max_lag``, keeping state
+    O(events inside the lag window), not O(stream). Inner join (Structured
+    Streaming's fully-supported stream-stream mode); the time-range
+    predicate is the state-cleanup contract, so both the lag bound AND the
+    watermark are required.
+
+    Returns (key, l_ts, r_ts, lag_us) — project further downstream.
+    Batch twin for tests: the same interval predicate as a static
+    self-join (`temporal.touch_attribution` is the windowed batch analog)."""
+    l = (
+        left.withWatermark(ts_col, watermark)
+        .select(
+            F.col(key).alias("k"),
+            F.col(ts_col).alias("l_ts"),
+        )
+    )
+    r = (
+        right.withWatermark(ts_col, watermark)
+        .select(
+            F.col(key).alias("rk"),
+            F.col(ts_col).alias("r_ts"),
+        )
+    )
+    return l.join(
+        r,
+        F.expr(
+            f"k = rk AND l_ts <= r_ts AND r_ts <= l_ts + interval {max_lag}"
+        ),
+    ).select(
+        F.col("k").alias(key),
+        "l_ts",
+        "r_ts",
+        (F.unix_micros(F.col("r_ts")) - F.unix_micros(F.col("l_ts")))
+        .alias("lag_us"),
+    )

@@ -289,3 +289,78 @@ class TestHistogramStream:
             for r in h.collect():
                 batch[(k, r["bucket"])] = r["n"]
         assert final == batch
+
+
+class TestStreamStreamJoin:
+    def test_interval_join_equals_batch(self, spark, tmp_path):
+        """Watermarked stream-stream interval join (clicks ⋈ purchases
+        within 10 min by user) through real micro-batches equals the batch
+        interval join over the unioned rows — including a pair arriving in
+        DIFFERENT micro-batches (the buffered-state case)."""
+        import json as _json
+        import os as _os
+
+        from graphrag_toolkit_spark.streaming.ingest import (
+            read_jsonl_stream,
+            stream_stream_interval_join,
+        )
+
+        t0 = "2024-01-01T10:{m:02d}:00.000Z"
+
+        def rows(*specs):
+            return [
+                {"user": u, "ts": t0.format(m=m), "typ": typ}
+                for u, m, typ in specs
+            ]
+
+        b1 = rows(("u1", 0, "click"), ("u1", 5, "purchase"),
+                  ("u2", 1, "click"))
+        # u2's purchase lands in batch 2, 9 min after its batch-1 click
+        # (inside the lag, so the click must still be buffered in state);
+        # u1's second click is 20 min before this purchase -> excluded
+        b2 = rows(("u2", 10, "purchase"), ("u1", 30, "click"),
+                  ("u1", 45, "purchase"))
+        d = tmp_path / "ssj"
+        d.mkdir()
+        for i, batch in enumerate([b1, b2]):
+            p = d / f"b{i}.jsonl"
+            p.write_text("\n".join(_json.dumps(r) for r in batch))
+            _os.utime(p, (1_700_000_000 + i * 60,) * 2)
+
+        schema = "user string, ts timestamp, typ string"
+        src = read_jsonl_stream(spark, str(d), schema, max_files_per_trigger=1)
+        joined = stream_stream_interval_join(
+            src.filter(F.col("typ") == "click"),
+            src.filter(F.col("typ") == "purchase"),
+            key="user", ts_col="ts", max_lag="10 minutes",
+        )
+        _run(joined, "ssj_out", "append")
+        got = {
+            (r["user"], r["l_ts"].minute, r["r_ts"].minute, r["lag_us"])
+            for r in spark.sql("SELECT * FROM ssj_out").collect()
+        }
+        # batch twin: plain interval self-join over all rows
+        all_df = spark.createDataFrame([*b1, *b2]).select(
+            "user", F.col("ts").cast("timestamp").alias("ts"), "typ"
+        )
+        c = all_df.filter(F.col("typ") == "click").select(
+            "user", F.col("ts").alias("l_ts")
+        )
+        p = all_df.filter(F.col("typ") == "purchase").select(
+            F.col("user").alias("ru"), F.col("ts").alias("r_ts")
+        )
+        exp = {
+            (r["user"], r["l_ts"].minute, r["r_ts"].minute, r["lag_us"])
+            for r in c.join(
+                p,
+                (F.col("user") == F.col("ru"))
+                & (F.col("l_ts") <= F.col("r_ts"))
+                & (F.col("r_ts") <= F.col("l_ts") + F.expr("interval 10 minutes")),
+            ).select(
+                "user", "l_ts", "r_ts",
+                (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("lag_us"),
+            ).collect()
+        }
+        assert got == exp
+        assert ("u2", 1, 10, 9 * 60 * 1_000_000) in got  # cross-batch pair
+        assert all(lag <= 10 * 60 * 1_000_000 for _, _, _, lag in got)
