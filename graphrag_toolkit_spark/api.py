@@ -321,10 +321,30 @@ class CorpusPipeline:
         self._stages.append(("shard", n_shards))
         return self
 
+    def with_dsir_selection(
+        self, target_docs: DataFrame, keep_fraction: float = 0.5,
+        n_buckets: int = 256,
+    ) -> "CorpusPipeline":
+        """DSIR data selection stage: keep the ``keep_fraction`` of the
+        surviving corpus most target-like by importance log-weight
+        (`sampling.dsir_log_weights`), ties broken by id."""
+        self._stages.append(("dsir", (target_docs, keep_fraction, n_buckets)))
+        return self
+
+    def with_mixture_weights(
+        self, row_col: str, col_col: str, iterations: int = 2
+    ) -> "CorpusPipeline":
+        """IPF raking stage: append a ``weight`` column balancing the
+        (row_col × col_col) marginals (`sampling.ipf_rake`) — a weighting,
+        not a filter; downstream samplers/losses consume it."""
+        self._stages.append(("rake", (row_col, col_col, iterations)))
+        return self
+
     def _apply(self, docs: DataFrame, name: str, arg) -> DataFrame:
         from graphrag_toolkit_spark.operators import dedup, sampling, textstats
         from graphrag_toolkit_spark.operators.decontam import contamination
         from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
 
         t, i = self.text_col, self.id_col
         if name == "quality_gate":
@@ -356,6 +376,30 @@ class CorpusPipeline:
             )
         if name == "shard":
             return sampling.shard_corpus(docs, i, n_shards=arg)
+        if name == "dsir":
+            target, frac, n_buckets = arg
+            w = sampling.dsir_log_weights(docs, target, t, i, n_buckets=n_buckets)
+            ranked = (
+                w.withColumn(
+                    "__n", F.count(F.lit(1)).over(Window.partitionBy())
+                )
+                .withColumn(
+                    "__rk",
+                    F.row_number().over(
+                        Window.orderBy(F.desc("dsir_logw"), F.asc("id"))
+                    ),
+                )
+                .filter(F.col("__rk") <= F.ceil(F.lit(frac) * F.col("__n")))
+                .select(F.col("id").alias(i))
+            )
+            return docs.join(ranked, i, "left_semi")
+        if name == "rake":
+            row_col, col_col, iters = arg
+            w = sampling.ipf_rake(docs, row_col, col_col, iterations=iters)
+            return docs.join(
+                F.broadcast(w.select(row_col, col_col, "weight")),
+                [row_col, col_col],
+            )
         raise ValueError(f"unknown stage {name!r}")
 
     def run(self, docs: DataFrame) -> DataFrame:

@@ -195,3 +195,43 @@ class TestCorpusPipeline:
             .run(docs)
         )
         assert out.count() == 20  # nothing dropped; plan executes fine
+
+
+class TestCorpusPipelineRound5Stages:
+    def test_dsir_selection_keeps_target_like_half(self, spark):
+        from graphrag_toolkit_spark.api import CorpusPipeline
+
+        corpus = spark.createDataFrame(
+            [{"doc_id": i, "text": "physics maths theorem proofs lemma"}
+             for i in range(10)]
+            + [{"doc_id": 100 + i, "text": "gossip celebrity news rumors scandal"}
+               for i in range(10)]
+        )
+        target = spark.createDataFrame(
+            [{"doc_id": 999, "text": "physics theorem lemma corollary"}]
+        )
+        out = (
+            CorpusPipeline()
+            .with_dsir_selection(target, keep_fraction=0.5)
+            .run(corpus)
+        )
+        ids = {r["doc_id"] for r in out.collect()}
+        assert ids == set(range(10))  # the physics half survives
+
+    def test_mixture_weights_append_column(self, spark):
+        from graphrag_toolkit_spark.api import CorpusPipeline
+
+        corpus = spark.createDataFrame(
+            [{"doc_id": i, "text": "x", "lang": "en" if i % 4 else "de",
+              "source": f"s{i % 2}"} for i in range(40)]
+        )
+        out = (
+            CorpusPipeline()
+            .with_mixture_weights("lang", "source")
+            .run(corpus)
+        )
+        rows = out.collect()
+        assert len(rows) == 40 and all(r["weight"] > 0 for r in rows)
+        w = {(r["lang"], r["source"]): r["weight"] for r in rows}
+        # rare lang up-weighted relative to the dominant one
+        assert w[("de", "s0")] > w[("en", "s0")]
