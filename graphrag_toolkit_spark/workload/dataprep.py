@@ -1700,17 +1700,24 @@ FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
 
 CONTAIN_K = 2
 CONTAIN_THRESHOLD = 0.5
+CONTAIN_MAX_DF = 100
 
 
 def containment_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Broder containment C(A→B) = |S_A∩S_B| / |S_A| over word-bigram
-    shingles (`dedup.containment_pairs`): the asymmetric subset-duplication
-    measure Jaccard misses — a short doc quoted whole inside a long one is
-    containment 1.0 at near-zero Jaccard. Ordered pairs ≥ 0.5."""
+    """Broder containment C(A→B) = |S_A∩S_B| / |S_A| over DISCRIMINATIVE
+    word-bigram shingles (`dedup.containment_pairs`): the asymmetric
+    subset-duplication measure Jaccard misses — a short doc quoted whole
+    inside a long one is containment 1.0 at near-zero Jaccard. The
+    posting-list cutoff (df ≤ 100) is load-bearing at scale: without it
+    this fixture's hot bigrams make 82% of all doc pairs candidates
+    (20.6M at sf0.1 — measured), i.e. the join IS quadratic; with it,
+    candidates ∝ rare-shingle collisions (the same semantics
+    ngram_jaccard_neardup documents). Ordered pairs ≥ 0.5."""
     docs = load(spark, sf_dir, "documents")
     return (
         dedup.containment_pairs(
-            docs, "text", "doc_id", k=CONTAIN_K, threshold=CONTAIN_THRESHOLD
+            docs, "text", "doc_id", k=CONTAIN_K, threshold=CONTAIN_THRESHOLD,
+            max_doc_freq=CONTAIN_MAX_DF,
         )
         .withColumnsRenamed({"id_a": "doc_a", "id_b": "doc_b"})
         .withColumn("n_inter", F.col("n_inter").cast("bigint"))
@@ -1719,13 +1726,17 @@ def containment_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CONTAINMENT_ORACLE = rf"""
-WITH s AS (
+WITH s0 AS (
   SELECT DISTINCT doc_id, shingle FROM (
     SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - {CONTAIN_K - 1}),
                           i -> ws[i] || ' ' || ws[i+1])) AS shingle
     FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws FROM documents)
   ) WHERE shingle <> ''
 ),
+rare AS (
+  SELECT shingle FROM s0 GROUP BY shingle HAVING COUNT(*) <= {CONTAIN_MAX_DF}
+),
+s AS (SELECT s0.doc_id, s0.shingle FROM s0 JOIN rare ON rare.shingle = s0.shingle),
 sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_a FROM s GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
