@@ -216,6 +216,9 @@ def bpe_train_merges(
             .localCheckpoint(eager=True)  # computed once, consumed by the
             # merge table AND every later round's corpus rewrite
         )
+        if best.isEmpty():
+            break  # no adjacent pairs left (e.g. all-single-symbol words):
+            # fewer merges than requested, like any real BPE trainer
         merge_rows.append(
             best.select(
                 F.lit(r).alias("merge_round"), "sym_a", "sym_b", "n"
@@ -234,9 +237,14 @@ def bpe_train_merges(
             # corpus scans); materialized-once keeps it O(rounds)
             .localCheckpoint(eager=False)
         )
-    out = merge_rows[0]
-    for m in merge_rows[1:]:
-        out = out.unionByName(m)
+    if merge_rows:
+        out = merge_rows[0]
+        for m in merge_rows[1:]:
+            out = out.unionByName(m)
+    else:
+        out = df.sparkSession.createDataFrame(
+            [], "merge_round int, sym_a string, sym_b string, n bigint"
+        )
     if return_corpus:
         return out, corpus
     return out

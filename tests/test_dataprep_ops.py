@@ -1699,3 +1699,14 @@ class TestIpfRake:
         a = sorted(map(str, ipf_rake(df, "lang", "source").collect()))
         b = sorted(map(str, ipf_rake(df.repartition(17), "lang", "source").collect()))
         assert a == b
+
+
+class TestBpeNoPairsEdge:
+    def test_all_single_char_words_yield_zero_merges(self, spark):
+        """A corpus with no adjacent symbol pairs trains zero merges (the
+        trainer stops early instead of crashing or emitting a phantom
+        merge) — hypothesis-found edge."""
+        from graphrag_toolkit_spark.operators.packing import bpe_train_merges
+
+        df = spark.createDataFrame([{"text": "a b c a b"}])
+        assert bpe_train_merges(df, "text", rounds=3).collect() == []

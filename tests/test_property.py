@@ -414,3 +414,64 @@ class TestAucProperty:
         neg = [s for s, y in rows if not y]
         wins = sum(1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg)
         assert got == pytest.approx(wins / (len(pos) * len(neg)))
+
+
+class TestContainmentProperty:
+    @given(
+        st.lists(
+            st.lists(st.sampled_from("abcdefgh"), min_size=2, max_size=8),
+            min_size=2, max_size=6,
+        )
+    )
+    @settings(**SETTINGS)
+    def test_containment_matches_set_definition(self, spark, docs_toks):
+        """containment_pairs over word-unigram shingles equals the plain
+        set definition |A∩B|/|A| on random token lists (all pairs with
+        shared tokens, both directions, asymmetric)."""
+        from graphrag_toolkit_spark.operators import dedup
+
+        rows = [
+            {"doc_id": i, "text": " ".join(toks)}
+            for i, toks in enumerate(docs_toks)
+        ]
+        df = spark.createDataFrame(rows)
+        got = {
+            (r["id_a"], r["id_b"]): r["containment"]
+            for r in dedup.containment_pairs(
+                df, "text", "doc_id", k=1, threshold=0.0
+            ).collect()
+        }
+        sets = {i: set(toks) for i, toks in enumerate(docs_toks)}
+        want = {
+            (a, b): len(sets[a] & sets[b]) / len(sets[a])
+            for a in sets
+            for b in sets
+            if a != b and sets[a] & sets[b]
+        }
+        assert got == want
+        assert all(0.0 < v <= 1.0 for v in got.values())
+
+
+class TestBpeProperty:
+    @given(
+        st.lists(st.sampled_from(["ab", "abc", "aab", "ba", "c"]),
+                 min_size=3, max_size=12)
+        .filter(lambda ws: any(len(w) >= 2 for w in ws))
+    )
+    @settings(**SETTINGS)
+    def test_bpe_first_merge_is_argmax_pair(self, spark, words):
+        """Round-1 merge == the argmax adjacent char pair (count desc,
+        pair asc) computed in plain Python with the same LTR-overlap
+        counting."""
+        from collections import Counter
+
+        from graphrag_toolkit_spark.operators.packing import bpe_train_merges
+
+        df = spark.createDataFrame([{"text": " ".join(words)}])
+        got = bpe_train_merges(df, "text", rounds=1).collect()[0]
+        counts = Counter()
+        for w in words:
+            for i in range(len(w) - 1):
+                counts[(w[i], w[i + 1])] += 1
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert (got["sym_a"], got["sym_b"], got["n"]) == (*best[0], best[1])
