@@ -83,7 +83,26 @@ def main() -> None:
     print(f"5. audit: {toks['total_words']} training words; "
           f"entropy/drift/dup-span audits available as workload queries")
 
-    # 6. the same pipeline through the fluent façade ------------------------
+    # 6. round-5 curation: DSIR target-likeness + two-way mixture raking ---
+    docs = load(spark, SF_DIR, "documents")
+    target = docs.filter(F.col("source") == "src0")  # 'curated' slice
+    dsir = sampling.dsir_log_weights(docs, target, "text", "doc_id")
+    top = dsir.orderBy(F.desc("dsir_logw"), F.asc("id")).limit(3).collect()
+    print("6. DSIR: most target-like docs:",
+          [(r["id"], round(r["dsir_logw"], 2)) for r in top])
+    rake = sampling.ipf_rake(docs, "lang", "source")
+    ext = rake.orderBy(F.desc("weight")).limit(2).collect()
+    print("   raking: most up-weighted (lang, source) cells:",
+          [(r["lang"], r["source"], round(r["weight"], 3)) for r in ext])
+
+    # 7. tokenizer training over the cleaned corpus -------------------------
+    from graphrag_toolkit_spark.operators.packing import bpe_train_merges
+
+    merges = bpe_train_merges(clean, "text", rounds=3).collect()
+    print("7. BPE merges learned:",
+          [(r["sym_a"], r["sym_b"], r["n"]) for r in merges])
+
+    # 8. the same pipeline through the fluent façade ------------------------
     from graphrag_toolkit_spark.api import CorpusPipeline
 
     report = (
@@ -91,10 +110,11 @@ def main() -> None:
         .with_quality_gate()
         .with_exact_dedup()
         .with_decontamination(eval_set, n=4)
+        .with_dsir_selection(target, keep_fraction=0.8)
         .with_split()
         .report(load(spark, SF_DIR, "documents"))
     )
-    print("6. CorpusPipeline report:",
+    print("8. CorpusPipeline report:",
           " -> ".join(f"{r['stage']}={r['rows']}" for r in report))
 
     spark.stop()
