@@ -87,6 +87,8 @@ _CHECK_FIRST = [
     "jl_project_embeddings",
     "ipf_rake_documents",
     "gram_matrix_embeddings",
+    "q7_volume_shipping",
+    "q22_global_sales_opportunity",
     # --- green, last driver-verified round 1 ---
     "ann_ivf_topk",
     "cascade_delete_counts",

@@ -1273,6 +1273,122 @@ ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
 LIMIT 20
 """
 
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between two nations): revenue on
+    lineitems where the supplier sits in one nation and the ordering
+    customer in another of a 3-nation set, grouped by the pair and ship
+    year — two dimension-chain joins into one fact scan, a disjunctive
+    cross-nation predicate, exact decimal revenue."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    n1 = F.broadcast(nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    ))
+    n2 = F.broadcast(nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    ))
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(4,2)") - _dec("l_discount", 4)
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(n1, F.col("s_nationkey") == F.col("s_nk"))
+        .join(n2, F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            F.col("supp_nation").isin("NATION_1", "NATION_2", "NATION_3")
+            & F.col("cust_nation").isin("NATION_1", "NATION_2", "NATION_3")
+            & (F.col("supp_nation") != F.col("cust_nation"))
+        )
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_lines"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_ORACLE = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(ROUND(SUM(rev), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE n1.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+    AND n2.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+    AND n1.n_name <> n2.n_name
+)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): customers with
+    above-average account balance and no RECENT orders (none since
+    2000-01-01; every fixture customer has some order) — a scalar aggregate
+    subquery feeding a filter plus an anti join, grouped by a derived
+    country-code prefix. Exactness: acctbal is 2-decimal; the average is
+    an exact decimal sum over a bigint count, compared in the double
+    domain on identical operands."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    pos = cust.filter(F.col("c_acctbal") > 0)
+    avg_bal = pos.agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1)))
+        .alias("avg_bal")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal").cast("double") > F.col("avg_bal")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    no_orders = rich.join(
+        recent, rich.c_custkey == recent.o_custkey, "left_anti"
+    )
+    return (
+        no_orders.groupBy((F.col("c_custkey") % 10).alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum(_dec("c_acctbal")), 2).cast("double").alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+Q22_ORACLE = """
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS a
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_custkey % 10 AS cntrycode,
+       COUNT(*) AS numcust,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE)
+         AS totacctbal
+FROM customer, avg_bal
+WHERE CAST(c_acctbal AS DOUBLE) > a
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_custkey % 10
+ORDER BY cntrycode
+"""
+
 QUERIES = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "q4_order_priority": q4_order_priority,
@@ -1284,6 +1400,8 @@ QUERIES = {
     "q13_customer_distribution": q13_customer_distribution,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q18_large_volume_customers": q18_large_volume_customers,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q22_global_sales_opportunity": q22_global_sales_opportunity,
     "ship_lag_orders": ship_lag_orders,
     "profile_orders": profile_orders,
     "weighted_median_lineitem": weighted_median_lineitem,
@@ -1322,6 +1440,8 @@ ORACLES = {
     "q13_customer_distribution": Q13_ORACLE,
     "q17_small_quantity_revenue": Q17_ORACLE,
     "q18_large_volume_customers": Q18_ORACLE,
+    "q7_volume_shipping": Q7_ORACLE,
+    "q22_global_sales_opportunity": Q22_ORACLE,
     "ship_lag_orders": SHIP_LAG_ORACLE,
     "profile_orders": PROFILE_ORACLE,
     "weighted_median_lineitem": WEIGHTED_MEDIAN_ORACLE,
