@@ -89,6 +89,8 @@ _CHECK_FIRST = [
     "gram_matrix_embeddings",
     "q7_volume_shipping",
     "q22_global_sales_opportunity",
+    "q9_product_type_profit",
+    "q15_top_supplier",
     # --- green, last driver-verified round 1 ---
     "ann_ivf_topk",
     "cascade_delete_counts",

@@ -1389,6 +1389,113 @@ GROUP BY c_custkey % 10
 ORDER BY cntrycode
 """
 
+
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): profit per supplier nation and
+    order year on parts whose name contains a token — adapted to the -ish
+    schema (no partsupp: supply cost := 60% of retail price), so profit =
+    rev − qty·0.6·p_retailprice, all decimal-exact."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").contains("blue"))
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(4,2)") - _dec("l_discount", 4)
+    )
+    cost = (
+        F.lit("0.60").cast("decimal(4,2)")
+        * _dec("p_retailprice")
+        * F.col("l_quantity").cast("decimal(12,2)")
+    )
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+    )
+    return (
+        j.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.round(F.sum((rev - cost).cast("decimal(22,4)")), 2)
+            .cast("double").alias("sum_profit"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+Q9_ORACLE = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(ROUND(SUM(CAST(
+         CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+         - CAST(0.60 AS DECIMAL(4,2)) * CAST(p_retailprice AS DECIMAL(12,2))
+             * CAST(l_quantity AS DECIMAL(12,2))
+       AS DECIMAL(22,4))), 2) AS DOUBLE) AS sum_profit,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%blue%'
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation ASC, o_year DESC
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): quarterly revenue per supplier, then
+    the supplier(s) achieving the GLOBAL max — the aggregate-view +
+    max-of-aggregate self-reference the original expresses with a VIEW;
+    here a broadcast of the 1-row max joined back on exact decimals (the
+    equality compares decimal to decimal, never doubles)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    supp = load(spark, sf_dir, "supplier")
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(4,2)") - _dec("l_discount", 4)
+    )
+    per_s = li.groupBy("l_suppkey").agg(
+        F.sum(rev.cast("decimal(20,4)")).alias("total_rev")
+    )
+    mx = per_s.agg(F.max("total_rev").alias("mx"))
+    return (
+        per_s.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("mx"))
+        .join(F.broadcast(supp), per_s.l_suppkey == supp.s_suppkey)
+        .select(
+            "s_suppkey", "s_name",
+            F.round(F.col("total_rev"), 2).cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_ORACLE = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+             AS DECIMAL(20,4))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       CAST(ROUND(total_rev, 2) AS DOUBLE) AS total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+ORDER BY s_suppkey
+"""
+
 QUERIES = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "q4_order_priority": q4_order_priority,
@@ -1402,6 +1509,8 @@ QUERIES = {
     "q18_large_volume_customers": q18_large_volume_customers,
     "q7_volume_shipping": q7_volume_shipping,
     "q22_global_sales_opportunity": q22_global_sales_opportunity,
+    "q9_product_type_profit": q9_product_type_profit,
+    "q15_top_supplier": q15_top_supplier,
     "ship_lag_orders": ship_lag_orders,
     "profile_orders": profile_orders,
     "weighted_median_lineitem": weighted_median_lineitem,
@@ -1442,6 +1551,8 @@ ORACLES = {
     "q18_large_volume_customers": Q18_ORACLE,
     "q7_volume_shipping": Q7_ORACLE,
     "q22_global_sales_opportunity": Q22_ORACLE,
+    "q9_product_type_profit": Q9_ORACLE,
+    "q15_top_supplier": Q15_ORACLE,
     "ship_lag_orders": SHIP_LAG_ORACLE,
     "profile_orders": PROFILE_ORACLE,
     "weighted_median_lineitem": WEIGHTED_MEDIAN_ORACLE,
