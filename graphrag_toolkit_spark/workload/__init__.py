@@ -91,6 +91,7 @@ _CHECK_FIRST = [
     "q22_global_sales_opportunity",
     "q9_product_type_profit",
     "q15_top_supplier",
+    "q8_market_share",
     # --- green, last driver-verified round 1 ---
     "ann_ivf_topk",
     "cascade_delete_counts",

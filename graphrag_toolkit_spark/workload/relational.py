@@ -1496,6 +1496,83 @@ WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
 ORDER BY s_suppkey
 """
 
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): NATION_1 suppliers' share of
+    revenue on 'widget' parts ordered by ASIA customers, per order year —
+    a conditional-sum over total-sum ratio with two dimension chains into
+    one fact scan. The share divides two exact decimal sums in the double
+    domain (identical operands both engines)."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    cust_nations = F.broadcast(
+        nation.join(region, nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .select(F.col("n_nationkey").alias("c_nk"))
+    )
+    supp_nation = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    rev = (
+        _dec("l_extendedprice")
+        * (F.lit(1).cast("decimal(4,2)") - _dec("l_discount", 4))
+    ).cast("decimal(20,4)")
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(cust_nations, F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp_nation, F.col("s_nationkey") == F.col("s_nk"))
+    )
+    zero = F.lit(0).cast("decimal(20,4)")
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(zero)
+                ).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_ORACLE = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(SUM(CASE WHEN n2.n_name = 'NATION_1' THEN rev
+                ELSE CAST(0 AS DECIMAL(20,4)) END) AS DOUBLE)
+         / CAST(SUM(rev) AS DOUBLE) AS mkt_share,
+       COUNT(*) AS n_lines
+FROM (
+  SELECT o_orderdate, s_nationkey,
+         CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+              * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+              AS DECIMAL(20,4)) AS rev
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE r_name = 'ASIA' AND p_name LIKE '%widget%'
+) t
+JOIN nation n2 ON t.s_nationkey = n2.n_nationkey
+GROUP BY year(o_orderdate)
+ORDER BY o_year
+"""
+
 QUERIES = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "q4_order_priority": q4_order_priority,
@@ -1511,6 +1588,7 @@ QUERIES = {
     "q22_global_sales_opportunity": q22_global_sales_opportunity,
     "q9_product_type_profit": q9_product_type_profit,
     "q15_top_supplier": q15_top_supplier,
+    "q8_market_share": q8_market_share,
     "ship_lag_orders": ship_lag_orders,
     "profile_orders": profile_orders,
     "weighted_median_lineitem": weighted_median_lineitem,
@@ -1553,6 +1631,7 @@ ORACLES = {
     "q22_global_sales_opportunity": Q22_ORACLE,
     "q9_product_type_profit": Q9_ORACLE,
     "q15_top_supplier": Q15_ORACLE,
+    "q8_market_share": Q8_ORACLE,
     "ship_lag_orders": SHIP_LAG_ORACLE,
     "profile_orders": PROFILE_ORACLE,
     "weighted_median_lineitem": WEIGHTED_MEDIAN_ORACLE,
