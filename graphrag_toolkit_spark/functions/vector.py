@@ -140,7 +140,9 @@ def jl_project(vec: Column, in_dim: int, out_dim: int) -> Column:
     pick ``out_dim`` a power of four (16, 64) and the √out_dim divisor is
     an exact power of two, keeping the final division engine-identical.
     Cost: out_dim × in_dim multiply-adds per row, all whole-stage codegen
-    — a narrow projection, no shuffle, no UDF."""
+    — a narrow projection, no shuffle, no UDF. ``in_dim`` must equal the
+    actual vector length: shorter vectors NULL-pad through zip_with and
+    the affected outputs become NULL (visible, not silently wrong)."""
     import math
 
     signs = jl_sign_matrix(in_dim, out_dim)

@@ -142,7 +142,12 @@ def hard_negative_mining(
     brute-force shape, fine for anchor batches × 100 TB because only the
     corpus side scales). For mining over EVERY corpus row as anchor, swap
     candidate generation to the bucketed ANN probes (``operators/ann.py``)
-    and exact-rerank the bucket — same re-rank expression."""
+    and exact-rerank the bucket — same re-rank expression.
+
+    NULL labels: a NULL on either side makes ``neg_label != anchor_label``
+    NULL → the row is dropped, so NULL-labeled anchors get no negatives
+    and NULL-labeled corpus rows are never candidates (three-valued logic,
+    stated rather than silently surprising)."""
     from graphrag_toolkit_spark.functions.vector import (
         dot_prequantized,
         l2_norm_quantized,

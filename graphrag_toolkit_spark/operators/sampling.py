@@ -359,7 +359,14 @@ def ipf_rake(
     Scale shape: everything after the first groupBy operates on the CELL
     table (|langs|×|sources| rows — dimension-sized, broadcast-friendly),
     not the corpus; per half-iteration one cell-table aggregate + one
-    equi-join. The corpus is touched exactly once."""
+    equi-join. The corpus is touched exactly once.
+
+    Degenerate inputs: a cell more than ~10⁶× under-represented relative
+    to its marginal target can floor to w6 = 0 (it then contributes no
+    mass to later passes — the raking simply gives up on a cell that far
+    from feasible); if EVERY cell of an axis value floors to 0 its next
+    scaling pass divides by zero and yields NULL weights for that slice —
+    inputs that skewed need a coarser grid or capped targets."""
     cells = (
         df.groupBy(F.col(row_col).alias("r"), F.col(col_col).alias("c"))
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
