@@ -485,3 +485,57 @@ def test_hard_negatives_broadcast_anchors_one_corpus_scan(spark, sf_dir):
     # BOUNDED broadcast anchor batch — linear in the corpus, never corpus²
     assert "EvalPython" not in plan
     assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_pagerank_round_stays_integer_jvm_side(spark):
+    """One PageRank round: scaled-integer floor arithmetic end to end — no
+    nested loop, no Python eval, and the rank update compiles to integer
+    `div`s (no float division anywhere before the final projection)."""
+    from graphrag_toolkit_spark.operators.centrality import pagerank
+
+    edges = spark.range(500).selectExpr(
+        "cast(id % 50 as string) src", "cast((id * 7) % 50 as string) dst"
+    )
+    plan = plan_of(pagerank(edges, iters=1))
+    assert "NestedLoop" not in plan and "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_round_top1_is_take_ordered(spark):
+    """The per-round argmax pair must compile to TakeOrderedAndProject
+    (per-partition top-1 + merge), never a global Sort of the pair
+    counts."""
+    from graphrag_toolkit_spark.operators.dedup import shingles  # noqa: F401
+    from pyspark.sql import functions as FF
+
+    df = spark.createDataFrame([{"text": "aaab aaab cd cd cd"}])
+    words = FF.filter(
+        FF.split(FF.lower(FF.col("text")), r"[^0-9a-z]+"), lambda t: t != ""
+    )
+    chars = FF.transform(
+        FF.sequence(FF.lit(1), FF.length("wd")),
+        lambda i: FF.col("wd").substr(i, FF.lit(1)),
+    )
+    corpus = df.select(FF.explode(words).alias("wd")).select(
+        FF.concat(FF.lit("|"), FF.array_join(chars, "||"), FF.lit("|")).alias("w")
+    )
+    toks = FF.split(FF.expr("trim(BOTH '|' FROM w)"), r"\|\|")
+    pairs = FF.when(
+        FF.size(toks) >= 2,
+        FF.transform(
+            FF.sequence(FF.lit(1), FF.size(toks) - 1),
+            lambda i: FF.concat(
+                FF.element_at(toks, i), FF.lit(" "), FF.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(FF.array().cast("array<string>"))
+    best = (
+        corpus.select(FF.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(FF.count(FF.lit(1)).alias("n"))
+        .orderBy(FF.desc("n"), FF.asc("pair"))
+        .limit(1)
+    )
+    plan = plan_of(best)
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
