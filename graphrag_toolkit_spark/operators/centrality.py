@@ -330,3 +330,90 @@ def pagerank(
         )
     finally:
         ed.unpersist()
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 4,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg) over a directed simple graph —
+    the link-analysis dual to `pagerank`: a node is a good AUTHORITY if
+    good hubs point at it, a good HUB if it points at good authorities:
+
+        a_t(v) = Σ_{(u,v)∈E} h_{t-1}(u)        (then normalize)
+        h_t(u) = Σ_{(u,v)∈E} a_t(v)            (then normalize)
+
+    Reference capability parity: graph-importance ranking next to Katz /
+    PageRank (lexical-graph retrieval reranks statements by graph
+    centrality); HITS adds the directional hub/authority split.
+
+    EXACTNESS (hash-gate discipline): classic HITS L2-normalizes — a
+    square root that can never cross the engine boundary. This variant
+    normalizes by the MAX instead (rank order and ratio structure are
+    preserved; max-normalized HITS is a standard formulation) and does it
+    entirely in scaled integers: scores live on the 10⁻⁶ grid as BIGINT,
+    and each half-round rescales by FLOOR division with the ceiling of
+    max/10⁶ — ``s = raw div greatest(1, (max_raw + 999999) div 10⁶)`` —
+    so the leader sits at ~10⁶ and every op is exact integer arithmetic,
+    bit-identical in any engine and under any partitioning. Dividing by
+    ceil(max/10⁶) instead of multiplying raw by 10⁶ first keeps every
+    intermediate ≤ Σranks ≤ n·10⁶, overflow-safe to n ≈ 9·10¹² nodes.
+
+    Scale shape (= `pagerank`): the edge list is deduped, repartitioned on
+    each join key once and persisted; per round only (node, score) rows
+    move — two key-partitioned joins + two aggregates; the per-round max
+    is a broadcast one-row cross join (never a driver collect); lazy
+    localCheckpoint keeps the plan round-sized instead of 2^iters deep.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e_by_src = e.repartition(F.col("src")).persist()
+    e_by_dst = e.repartition(F.col("dst")).persist()
+    try:
+        nodes = (
+            e.select(F.col("src").alias("node_id"))
+            .unionByName(e.select(F.col("dst").alias("node_id")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        zeros = nodes.withColumn("m", F.lit(0).cast("long"))
+
+        def _half(scores: DataFrame, join_key: str, out_key: str) -> DataFrame:
+            # one message pass: scores keyed by join_key flow to out_key,
+            # then max-rescale onto the 10^-6 grid (all-BIGINT floor ops)
+            edge = e_by_src if join_key == "src" else e_by_dst
+            raw = (
+                edge.join(scores.withColumnRenamed("node_id", join_key), join_key)
+                .select(F.col(out_key).alias("node_id"), F.col("s6").alias("m"))
+                .unionByName(zeros)
+                .groupBy("node_id")
+                .agg(F.sum("m").alias("raw"))
+            )
+            mx = raw.agg(F.max("raw").alias("mx"))
+            return raw.crossJoin(F.broadcast(mx)).select(
+                "node_id",
+                F.expr(
+                    "raw div greatest(1L, (mx + 999999) div 1000000)"
+                ).cast("long").alias("s6"),
+            ).localCheckpoint(eager=False)
+
+        hubs = nodes.withColumn("s6", F.lit(1_000_000).cast("long"))
+        auths = None
+        for _ in range(iters):
+            auths = _half(hubs, "src", "dst")
+            hubs = _half(auths, "dst", "src")
+        return (
+            hubs.select("node_id", F.col("s6").alias("h6"))
+            .join(auths.select("node_id", F.col("s6").alias("a6")), "node_id")
+            .select(
+                "node_id",
+                (F.col("h6").cast("double") / F.lit(1_000_000.0)).alias("hub"),
+                (F.col("a6").cast("double") / F.lit(1_000_000.0)).alias("authority"),
+            )
+        )
+    finally:
+        e_by_src.unpersist()
+        e_by_dst.unpersist()

@@ -269,3 +269,96 @@ def bpe_vocab(
         .orderBy(F.desc("n"), F.asc("symbol"))
         .limit(top_n)
     )
+
+
+def morton_sql(x: str, y: str, bits: int = 16, floordiv: str = "div") -> str:
+    """SQL expression string for the Morton (Z-order) interleave of two
+    non-negative integer expressions: bit i of ``x`` lands at position 2i,
+    bit i of ``y`` at 2i+1. Built from integer div/mod/multiply only —
+    ``((x div 2^i) % 2) * 4^i`` — so the SAME string (modulo the
+    floor-division spelling: Spark ``div``, DuckDB/ANSI ``//``) evaluates
+    bit-identically in any engine; no reliance on shift-operator
+    signedness. bits=16 keeps the result < 2^32, far inside BIGINT."""
+    if not 1 <= bits <= 31:
+        raise ValueError("bits must be in [1, 31]")
+    terms = []
+    for i in range(bits):
+        p2, p4 = 1 << i, 1 << (2 * i)
+        terms.append(f"(({x} {floordiv} {p2}) % 2) * {p4}")
+        terms.append(f"(({y} {floordiv} {p2}) % 2) * {2 * p4}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def zorder_layout(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    tiebreak_col: str,
+    rows_per_file: int = 256,
+    bits: int = 16,
+) -> DataFrame:
+    """Z-order data layout — sort rows by the Morton interleave of two
+    filter columns and cut the sorted order into fixed-size files, then
+    report each file's min/max envelope on BOTH columns. This is the
+    OPTIMIZE ZORDER primitive behind format-level data skipping: a scan
+    with a predicate on either column prunes every file whose [min, max]
+    misses the range, and Z-ordering keeps both envelopes tight at once
+    (a plain sort tightens one column and shreds the other).
+
+    Output (file_id, n_rows, min_x, max_x, min_y, max_y) IS the skipping
+    index a lakehouse keeps in its manifest — pruning effectiveness for a
+    predicate is directly measurable as the fraction of files whose
+    envelope misses it.
+
+    EXACTNESS: the Morton code is integer div/mod arithmetic (`morton_sql`),
+    the file cut is a row_number over the total order (z, tiebreak), and
+    the envelopes are integer min/max — nothing floating anywhere.
+
+    Scale shape: NO single-partition global window. The z-rank is the
+    two-phase distributed rank — coarse bucket = the Morton code's top 10
+    bits, a ≤1024-row bucket-count table carries the cumulative offsets
+    (tiny window), and each bucket ranks internally with a PARTITIONED
+    row_number — so the sort work distributes exactly like the range
+    partitioning a real OPTIMIZE job samples out. Inputs must already be
+    non-negative integers < 2^bits; at production scale feed
+    ntile-bucketized ranks instead of raw keys so the bit budget covers
+    any domain (the interleave only needs relative order)."""
+    z = F.expr(morton_sql(x_col, y_col, bits=bits))
+    coarse_shift = 1 << max(2 * bits - 10, 0)
+    rows = df.select(
+        F.col(x_col).alias("x"), F.col(y_col).alias("y"),
+        F.col(tiebreak_col).alias("tb"), z.alias("z"),
+    ).withColumn("zb", F.expr(f"z div {coarse_shift}"))
+    offsets = (
+        rows.groupBy("zb")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("cnt").over(
+                    Window.orderBy("zb").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("zb", "offset")
+    )
+    return (
+        rows.join(F.broadcast(offsets), "zb")
+        .withColumn(
+            "rn",
+            F.col("offset")
+            + F.row_number().over(Window.partitionBy("zb").orderBy("z", "tb")),
+        )
+        .withColumn("file_id", F.expr(f"(rn - 1) div {rows_per_file}"))
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+    )

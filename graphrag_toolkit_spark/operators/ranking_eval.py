@@ -155,3 +155,104 @@ def binary_auc(
             / (2 * F.col("p") * n_neg).cast("double"),
         ).alias("auc"),
     )
+
+
+def calibration_bins(
+    df: DataFrame, conf6_col: str, label_col: str, bins: int = 10
+) -> DataFrame:
+    """Reliability-diagram bins for a binary classifier — the calibration
+    half of classifier eval next to `binary_auc`'s discrimination half
+    (ECE / Brier are the standard quality-filter audit metrics: a corpus
+    gate whose confidence is miscalibrated silently over- or under-prunes).
+
+    Takes confidence as a MICRO-GRID integer (`conf6_col`: BIGINT in
+    [0, 10⁶] — produce it upstream with scaled-integer floor arithmetic,
+    never a raw double) so binning has no float boundary: bin =
+    least(conf6 div (10⁶/bins), bins−1). Per bin emits exact-BIGINT
+    sufficient statistics — n, sum_conf6, n_pos, gap6 = |sum_conf6 −
+    10⁶·n_pos| (the ECE numerator; Σ gap6 / (N·10⁶) is ECE) and sq_err12
+    = Σ (conf6 − 10⁶·y)² (the Brier numerator; Σ sq_err12 / (N·10¹²) is
+    the Brier score) — plus avg_conf and frac_pos as single
+    exact-operand IEEE divisions. Double SUMS never cross the engine
+    boundary; only integer sums do, so the table hash-gates under any
+    partitioning.
+
+    Scale shape: one projection + one `bins`-key aggregate — map-side
+    partial combine makes the shuffle `bins` rows per task; nothing else
+    moves."""
+    if bins < 1 or 1_000_000 % bins != 0:
+        raise ValueError("bins must divide 1,000,000")
+    width = 1_000_000 // bins
+    y6 = F.col(label_col).cast("long") * F.lit(1_000_000)
+    c6 = F.col(conf6_col).cast("long")
+    return (
+        df.select(
+            c6.alias("c6"),
+            (c6 - y6).alias("err6"),
+            F.col(label_col).cast("long").alias("y"),
+        )
+        .withColumn("bin", F.expr(f"least(c6 div {width}, {bins - 1})"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c6").alias("sum_conf6"),
+            F.sum("y").alias("n_pos"),
+            F.sum(F.col("err6") * F.col("err6")).alias("sq_err12"),
+        )
+        .select(
+            "bin", "n", "sum_conf6", "n_pos",
+            F.abs(
+                F.col("sum_conf6") - F.lit(1_000_000) * F.col("n_pos")
+            ).alias("gap6"),
+            "sq_err12",
+            (
+                F.col("sum_conf6").cast("double")
+                / (F.col("n") * F.lit(1_000_000)).cast("double")
+            ).alias("avg_conf"),
+            (F.col("n_pos").cast("double") / F.col("n").cast("double")).alias(
+                "frac_pos"
+            ),
+        )
+    )
+
+
+def cohen_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Cohen's kappa between two binary raters — chance-corrected agreement
+    for label-quality audits (two heuristic gates, or a model vs. a human
+    sample: raw agreement is inflated when both raters mostly say "keep").
+
+        kappa = (p_o − p_e) / (1 − p_e),  p_e = (a₁b₁ + a₀b₀)/N²
+
+    EXACTNESS: over the common denominator the whole statistic is one
+    exact-operand IEEE division of BIGINTs —
+    kappa = (N·agree − a₁b₁ − a₀b₀) / (N² − a₁b₁ − a₀b₀) — and p_o, p_e
+    are each a single integer-over-integer division, so the one-row
+    result hash-gates (NULL kappa when p_e = 1: both raters constant).
+
+    Scale shape: one full-corpus aggregate with map-side combine — four
+    conditional counts, no shuffle beyond the single-row reduce."""
+    a = F.col(a_col).cast("long")
+    b = F.col(b_col).cast("long")
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((a == b).cast("long")).alias("n_agree"),
+        F.sum(a).alias("a_pos"),
+        F.sum(b).alias("b_pos"),
+    )
+    chance = (
+        F.col("a_pos") * F.col("b_pos")
+        + (F.col("n") - F.col("a_pos")) * (F.col("n") - F.col("b_pos"))
+    )
+    denom = F.col("n") * F.col("n") - chance
+    return agg.select(
+        "n", "n_agree", "a_pos", "b_pos",
+        (F.col("n_agree").cast("double") / F.col("n").cast("double")).alias("p_o"),
+        (chance.cast("double") / (F.col("n") * F.col("n")).cast("double")).alias(
+            "p_e"
+        ),
+        F.when(
+            denom != 0,
+            (F.col("n") * F.col("n_agree") - chance).cast("double")
+            / denom.cast("double"),
+        ).alias("kappa"),
+    )

@@ -641,3 +641,90 @@ def gopher_gate(
     return out.withColumn(
         "failed_rules", F.concat_ws(",", F.col("failed_rules"))
     )
+
+
+def kneser_ney_bigram_lm(
+    df: DataFrame, text_col: str, min_count: int = 1
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM (discount d = 3/4) — the standard
+    smoothing for the n-gram perplexity filters used in corpus curation
+    (CCNet trains exactly this family to bucket web text by LM score):
+
+        P(w|v) = max(c(vw) - d, 0)/c(v)
+                 + (d · N1+(v,·)/c(v)) · N1+(·,w)/N1+(·,·)
+
+    where N1+ are continuation counts (distinct left/right neighbors).
+    Complements `train_bigram_lm` (unsmoothed MLE): KN reserves mass for
+    unseen bigrams in proportion to how promiscuously a word continues.
+
+    EXACTNESS (hash-gate discipline): with d = 3/4 every term is a ratio
+    of integers once multiplied through by 4 — over the common denominator
+    4·c(v)·N1+(·,·) the probability is
+
+        num = max(4·c(vw) - 3, 0)·N1+(·,·) + 3·N1+(v,·)·N1+(·,w)
+        den = 4·c(v)·N1+(·,·)
+
+    and the emitted score is the micro-grid floor kn_p6 = ⌊num·10⁶/den⌋,
+    computed two-step (``(num div den)·10⁶ + (num mod den)·10⁶ div den``)
+    so no intermediate exceeds den·10⁶ — exact BIGINT in any engine up to
+    ~10⁶ distinct bigrams per 4·c(v) (≈ 1.5·10⁶ corpus tokens at BIGINT;
+    switch the two products to DECIMAL(38,0) beyond that). The final
+    ``kn_prob = kn_p6/10⁶`` is one exact-operand IEEE division.
+
+    Scale shape: one narrow bigram explode, one (prev,w) count shuffle,
+    then two count-table-sized aggregates (per-prev, per-w) joined back —
+    the continuation-count table is the same shuffle class as the count
+    table itself; the corpus-wide N1+(·,·) scalar is a broadcast one-row
+    cross join, never a driver collect. min_count filters OUTPUT rows
+    only — continuation counts always come from the full count table."""
+    from graphrag_toolkit_spark.functions.skew import widen_partitions
+
+    ws = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^0-9a-z]+"), lambda x: x != ""
+    )
+    bigrams = (
+        widen_partitions(df)
+        .select(ws.alias("ws"))
+        .select(
+            F.explode(
+                F.transform(
+                    F.when(
+                        F.size("ws") >= 2, F.sequence(F.lit(2), F.size("ws"))
+                    ).otherwise(F.array().cast("array<int>")),
+                    lambda i: F.struct(
+                        F.element_at(F.col("ws"), (i - 1).cast("int")).alias("prev"),
+                        F.element_at(F.col("ws"), i.cast("int")).alias("w"),
+                    ),
+                )
+            ).alias("b")
+        )
+        .select("b.prev", "b.w")
+    )
+    counts = bigrams.groupBy("prev", "w").agg(F.count(F.lit(1)).alias("n"))
+    prev_stats = counts.groupBy("prev").agg(
+        F.sum("n").alias("c_v"), F.count(F.lit(1)).alias("n1_v")
+    )
+    cont = counts.groupBy("w").agg(F.count(F.lit(1)).alias("n1_w"))
+    nbb = counts.agg(F.count(F.lit(1)).alias("n_bb"))
+    scored = (
+        counts.join(prev_stats, "prev")
+        .join(cont, "w")
+        .crossJoin(F.broadcast(nbb))
+        .withColumn(
+            "num",
+            F.expr("greatest(4 * n - 3, 0L) * n_bb + 3 * n1_v * n1_w"),
+        )
+        .withColumn("den", F.expr("4 * c_v * n_bb"))
+        .withColumn(
+            "kn_p6",
+            F.expr(
+                "(num div den) * 1000000 + ((num % den) * 1000000) div den"
+            ).cast("long"),
+        )
+    )
+    if min_count > 1:
+        scored = scored.filter(F.col("n") >= min_count)
+    return scored.select(
+        "prev", "w", "n", "kn_p6",
+        (F.col("kn_p6").cast("double") / F.lit(1_000_000.0)).alias("kn_prob"),
+    )

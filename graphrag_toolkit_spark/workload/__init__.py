@@ -92,6 +92,11 @@ _CHECK_FIRST = [
     "q9_product_type_profit",
     "q15_top_supplier",
     "q8_market_share",
+    "hits_scores_graph",
+    "kneser_ney_lm_documents",
+    "calibration_documents",
+    "cohen_kappa_documents",
+    "zorder_layout_orders",
     # --- green, last driver-verified round 1 ---
     "ann_ivf_topk",
     "cascade_delete_counts",

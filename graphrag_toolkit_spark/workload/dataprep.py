@@ -1998,6 +1998,57 @@ def train_bigram_lm_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.train_bigram_lm(docs, "text", "doc_id", min_count=LM_MIN_COUNT)
 
 
+def kneser_ney_lm_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM training
+    (`textstats.kneser_ney_bigram_lm`, d = 3/4) — the CCNet-style smoothed
+    LM for perplexity bucketing; continuation counts from the full bigram
+    table, output pruned to n >= LM_MIN_COUNT. Scores are micro-grid
+    floors of exact integer ratios, so the table hash-gates."""
+    docs = load(spark, sf_dir, "documents")
+    return textstats.kneser_ney_bigram_lm(docs, "text", min_count=LM_MIN_COUNT)
+
+
+KN_LM_ORACLE = rf"""
+WITH arr AS (
+  SELECT list_filter(string_split_regex(lower(text), '[^0-9a-z]+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+bi AS (
+  SELECT p.prev, p.w FROM (
+    SELECT unnest(CASE WHEN len(ws) >= 2 THEN
+      list_transform(generate_series(2, len(ws)),
+        i -> struct_pack(prev := ws[i - 1], w := ws[i]))
+      ELSE [] END) AS p
+    FROM arr
+  )
+),
+counts AS (SELECT prev, w, CAST(COUNT(*) AS BIGINT) AS n FROM bi GROUP BY prev, w),
+prev_stats AS (
+  SELECT prev, CAST(SUM(n) AS BIGINT) AS c_v, CAST(COUNT(*) AS BIGINT) AS n1_v
+  FROM counts GROUP BY prev
+),
+cont AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n1_w FROM counts GROUP BY w),
+nbb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bb FROM counts),
+scored AS (
+  SELECT c.prev, c.w, c.n,
+         GREATEST(4 * c.n - 3, 0) * n_bb + 3 * p.n1_v * t.n1_w AS num,
+         4 * p.c_v * n_bb AS den
+  FROM counts c
+  JOIN prev_stats p USING (prev)
+  JOIN cont t USING (w)
+  CROSS JOIN nbb
+)
+SELECT prev, w, n,
+       CAST((num // den) * 1000000 + ((num % den) * 1000000) // den
+            AS BIGINT) AS kn_p6,
+       CAST((num // den) * 1000000 + ((num % den) * 1000000) // den
+            AS DOUBLE) / 1000000.0 AS kn_prob
+FROM scored
+WHERE n >= {LM_MIN_COUNT}
+"""
+
+
 TRAIN_LM_ORACLE = rf"""
 WITH arr AS (
   SELECT list_filter(string_split_regex(lower(text), '[^0-9a-z]+'),
@@ -3885,6 +3936,91 @@ FROM agg
 """
 
 
+# --- classifier calibration / rater agreement ---------------------------------
+
+KAPPA_LEN_THRESHOLD = 300
+
+
+def calibration_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability bins (`ranking_eval.calibration_bins`) for the same
+    length-predicts-English classifier `auc_documents` scores: confidence
+    = n_chars max-normalized onto the micro grid by integer floor
+    ((n_chars·10⁶) div max), label = lang = 'en'. Emits the 10-bin
+    reliability table with exact-BIGINT ECE/Brier numerators."""
+    from graphrag_toolkit_spark.operators.ranking_eval import calibration_bins
+
+    docs = load(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("n_chars").alias("mx"))
+    scored = docs.crossJoin(F.broadcast(mx)).select(
+        F.expr("(n_chars * 1000000) div mx").cast("long").alias("conf6"),
+        (F.col("lang") == "en").alias("label"),
+    )
+    return calibration_bins(scored, "conf6", "label", bins=10)
+
+
+CALIBRATION_ORACLE = """
+WITH mx AS (SELECT MAX(n_chars) AS mx FROM documents),
+d AS (
+  SELECT CAST((n_chars * 1000000) // mx AS BIGINT) AS c6,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents, mx
+),
+b AS (
+  SELECT LEAST(c6 // 100000, 9) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c6) AS BIGINT) AS sum_conf6,
+         CAST(SUM(y) AS BIGINT) AS n_pos,
+         CAST(SUM((c6 - 1000000 * y) * (c6 - 1000000 * y)) AS BIGINT) AS sq_err12
+  FROM d GROUP BY 1
+)
+SELECT bin, n, sum_conf6, n_pos,
+       CAST(ABS(sum_conf6 - 1000000 * n_pos) AS BIGINT) AS gap6,
+       sq_err12,
+       CAST(sum_conf6 AS DOUBLE) / CAST(n * 1000000 AS DOUBLE) AS avg_conf,
+       CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos
+FROM b
+"""
+
+
+def cohen_kappa_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chance-corrected agreement (`ranking_eval.cohen_kappa`) between the
+    naive length rater (n_chars >= KAPPA_LEN_THRESHOLD) and the lang tag
+    (lang = 'en') — the label-audit metric; one-row exact-ratio result."""
+    from graphrag_toolkit_spark.operators.ranking_eval import cohen_kappa
+
+    docs = load(spark, sf_dir, "documents").select(
+        (F.col("n_chars") >= KAPPA_LEN_THRESHOLD).alias("rater_a"),
+        (F.col("lang") == "en").alias("rater_b"),
+    )
+    return cohen_kappa(docs, "rater_a", "rater_b")
+
+
+KAPPA_ORACLE = f"""
+WITH d AS (
+  SELECT CASE WHEN n_chars >= {KAPPA_LEN_THRESHOLD} THEN 1 ELSE 0 END AS a,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS b
+  FROM documents
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+         CAST(SUM(a) AS BIGINT) AS a_pos,
+         CAST(SUM(b) AS BIGINT) AS b_pos
+  FROM d
+)
+SELECT n, n_agree, a_pos, b_pos,
+       CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE) AS p_o,
+       CAST(a_pos * b_pos + (n - a_pos) * (n - b_pos) AS DOUBLE)
+         / CAST(n * n AS DOUBLE) AS p_e,
+       CASE WHEN n * n - (a_pos * b_pos + (n - a_pos) * (n - b_pos)) <> 0
+            THEN CAST(n * n_agree - (a_pos * b_pos + (n - a_pos) * (n - b_pos))
+                      AS DOUBLE)
+                 / CAST(n * n - (a_pos * b_pos + (n - a_pos) * (n - b_pos))
+                        AS DOUBLE)
+            END AS kappa
+FROM agg
+"""
+
+
 # --- deterministic negative sampling ------------------------------------------
 
 NEG_K = 4
@@ -3930,6 +4066,8 @@ QUERIES = {
     "weighted_sample_documents": weighted_sample_documents,
     "per_label_sample_embeddings": per_label_sample_embeddings,
     "auc_documents": auc_documents,
+    "calibration_documents": calibration_documents,
+    "cohen_kappa_documents": cohen_kappa_documents,
     "negative_samples_embeddings": negative_samples_embeddings,
     "incremental_neardup_documents": incremental_neardup_documents,
     "gopher_gate_documents": gopher_gate_documents,
@@ -3971,6 +4109,7 @@ QUERIES = {
     "zipf_fit_documents": zipf_fit_documents,
     "training_data_pipeline": training_data_pipeline,
     "train_bigram_lm_documents": train_bigram_lm_documents,
+    "kneser_ney_lm_documents": kneser_ney_lm_documents,
     "ranking_eval_embeddings": ranking_eval_embeddings,
     "ranking_eval_orphan": ranking_eval_orphan,
     "build_vocab_documents": build_vocab_documents,
@@ -4007,6 +4146,8 @@ ORACLES = {
     "weighted_sample_documents": WEIGHTED_SAMPLE_ORACLE,
     "per_label_sample_embeddings": PER_LABEL_SAMPLE_ORACLE,
     "auc_documents": AUC_ORACLE,
+    "calibration_documents": CALIBRATION_ORACLE,
+    "cohen_kappa_documents": KAPPA_ORACLE,
     "negative_samples_embeddings": NEGATIVE_SAMPLES_ORACLE,
     "incremental_neardup_documents": INCREMENTAL_NEARDUP_ORACLE,
     "gopher_gate_documents": GOPHER_GATE_ORACLE,
@@ -4051,6 +4192,7 @@ ORACLES = {
     "zipf_fit_documents": ZIPF_ORACLE,
     "training_data_pipeline": TRAINING_PIPELINE_ORACLE,
     "train_bigram_lm_documents": TRAIN_LM_ORACLE,
+    "kneser_ney_lm_documents": KN_LM_ORACLE,
     "ranking_eval_embeddings": RANKING_EVAL_ORACLE,
     "ranking_eval_orphan": RANKING_EVAL_ORPHAN_ORACLE,
     "build_vocab_documents": BUILD_VOCAB_ORACLE,

@@ -1035,8 +1035,75 @@ FROM m
 """
 
 
+HITS_ITERS = 4
+
+
+def hits_scores_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the typed-edge graph
+    (`centrality.hits`): max-normalized scaled-integer iteration, so the
+    bipartite-ish customer→order→part→supplier chain separates cleanly —
+    customers are pure hubs, suppliers pure authorities. Hash-gated
+    against an unrolled-CTE twin with identical BIGINT floor arithmetic.
+    Operator dedups edges internally, so the lineitem-branch distincts
+    are skipped (dedup=False)."""
+    from graphrag_toolkit_spark.operators import centrality
+
+    return centrality.hits(_triples(spark, sf_dir, dedup=False), iters=HITS_ITERS)
+
+
+def _hits_oracle() -> str:
+    # mirrors centrality.hits exactly: s6 = score*1e6 as BIGINT; each
+    # half-round raw = Σ incoming s6 (0 for isolated sides), then
+    # s6 = raw // greatest(1, (max_raw + 999999) // 1e6) — all-integer
+    # floor ops, exact by construction in both engines.
+    # MATERIALIZED is load-bearing: each raw CTE is referenced twice (the
+    # scalar MAX + the rescale); DuckDB inlines plain CTEs, which doubles
+    # the whole upstream pipeline per half-round — 2^8 plan copies.
+    steps = []
+    for t in range(1, HITS_ITERS + 1):
+        steps.append(f"""
+rawa{t} AS MATERIALIZED (
+  SELECT n.node_id, CAST(COALESCE(SUM(h.s6), 0) AS BIGINT) AS raw
+  FROM nodes n
+  LEFT JOIN e ON e.dst = n.node_id
+  LEFT JOIN h{t - 1} h ON h.node_id = e.src
+  GROUP BY n.node_id
+),
+a{t} AS MATERIALIZED (
+  SELECT node_id, raw // GREATEST(1,
+    ((SELECT MAX(raw) FROM rawa{t}) + 999999) // 1000000) AS s6
+  FROM rawa{t}
+),
+rawh{t} AS MATERIALIZED (
+  SELECT n.node_id, CAST(COALESCE(SUM(a.s6), 0) AS BIGINT) AS raw
+  FROM nodes n
+  LEFT JOIN e ON e.src = n.node_id
+  LEFT JOIN a{t} a ON a.node_id = e.dst
+  GROUP BY n.node_id
+),
+h{t} AS MATERIALIZED (
+  SELECT node_id, raw // GREATEST(1,
+    ((SELECT MAX(raw) FROM rawh{t}) + 999999) // 1000000) AS s6
+  FROM rawh{t}
+)""")
+    return f"""
+WITH e AS (SELECT src, dst FROM ({EDGES_SQL})),
+nodes AS (SELECT src AS node_id FROM e UNION SELECT dst FROM e),
+h0 AS (SELECT node_id, CAST(1000000 AS BIGINT) AS s6 FROM nodes),
+{','.join(steps)}
+SELECT h.node_id,
+       CAST(h.s6 AS DOUBLE) / 1000000.0 AS hub,
+       CAST(a.s6 AS DOUBLE) / 1000000.0 AS authority
+FROM h{HITS_ITERS} h JOIN a{HITS_ITERS} a USING (node_id)
+"""
+
+
+HITS_ORACLE = _hits_oracle()
+
+
 QUERIES = {
     "kcore_parts": kcore_parts,
+    "hits_scores_graph": hits_scores_graph,
     "clustering_coefficient_parts": clustering_coefficient_parts,
     "degree_distribution_parts": degree_distribution_parts,
     "bfs_shortest_paths": bfs_shortest_paths,
@@ -1067,6 +1134,7 @@ ORACLES = {
     "katz_centrality_graph": KATZ_ORACLE,
     "katz_salted_graph": KATZ_ORACLE,
     "pagerank_graph": PAGERANK_ORACLE,
+    "hits_scores_graph": HITS_ORACLE,
     "personalized_katz_graph": PKATZ_ORACLE,
     "association_rules_parts": ASSOC_ORACLE,
     "triangle_count_parts": TRIANGLE_ORACLE,

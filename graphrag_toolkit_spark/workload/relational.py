@@ -1573,8 +1573,59 @@ GROUP BY year(o_orderdate)
 ORDER BY o_year
 """
 
+ZORDER_ROWS_PER_FILE = 256
+ZORDER_EPOCH = "1995-01-01"
+
+
+def zorder_layout_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER primitive (`packing.zorder_layout`): lay orders out
+    by the Morton interleave of (o_custkey, order-day) and report each
+    256-row file's min/max envelope on both columns — the data-skipping
+    manifest. Both dims stay < 2^16 across the fixture family (custkey
+    ≤ 150k·SF, day span ≈ 3500); production callers feed ntile ranks.
+    All-integer arithmetic, hash-gated against the same interleave in
+    DuckDB."""
+    from graphrag_toolkit_spark.operators.packing import zorder_layout
+
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("ck"),
+        F.datediff(F.col("o_orderdate"), F.lit(ZORDER_EPOCH))
+        .cast("long")
+        .alias("day"),
+        "o_orderkey",
+    )
+    return zorder_layout(
+        orders, "ck", "day", "o_orderkey", rows_per_file=ZORDER_ROWS_PER_FILE
+    )
+
+
+def _zorder_oracle() -> str:
+    from graphrag_toolkit_spark.operators.packing import morton_sql
+
+    z = morton_sql("x", "y", bits=16, floordiv="//")
+    return f"""
+WITH pts AS (
+  SELECT CAST(o_custkey AS BIGINT) AS x,
+         CAST(CAST(o_orderdate AS DATE) - DATE '{ZORDER_EPOCH}' AS BIGINT) AS y,
+         o_orderkey AS tb
+  FROM orders
+),
+zc AS (SELECT x, y, tb, {z} AS z FROM pts),
+rk AS (SELECT x, y, ROW_NUMBER() OVER (ORDER BY z, tb) AS rn FROM zc)
+SELECT CAST((rn - 1) // {ZORDER_ROWS_PER_FILE} AS BIGINT) AS file_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, MAX(y) AS max_y
+FROM rk
+GROUP BY 1
+"""
+
+
+ZORDER_ORACLE = _zorder_oracle()
+
+
 QUERIES = {
     "q6_forecast_revenue": q6_forecast_revenue,
+    "zorder_layout_orders": zorder_layout_orders,
     "q4_order_priority": q4_order_priority,
     "rollup_grouping_orders": rollup_grouping_orders,
     "q12_shipmode_priority": q12_shipmode_priority,
@@ -1618,6 +1669,7 @@ QUERIES = {
 
 ORACLES = {
     "q6_forecast_revenue": Q6_ORACLE,
+    "zorder_layout_orders": ZORDER_ORACLE,
     "q4_order_priority": Q4_ORACLE,
     "rollup_grouping_orders": ROLLUP_GROUPING_ORACLE,
     "q12_shipmode_priority": Q12_ORACLE,

@@ -1710,3 +1710,167 @@ class TestBpeNoPairsEdge:
 
         df = spark.createDataFrame([{"text": "a b c a b"}])
         assert bpe_train_merges(df, "text", rounds=3).collect() == []
+
+
+class TestKneserNeyLm:
+    def test_hand_computed(self, spark):
+        """Corpus 'a b a b a c': counts ab=2, ba=2, ac=1; c(a·)=3,
+        N1+(a,·)=2, c(b·)=2, N1+(b,·)=1, N1+(·,x)=1 ∀x, N1+(·,·)=3.
+        P(b|a) = (max(8−3,0)·3 + 3·2·1)/(4·3·3) = 21/36 → 583333 micro;
+        P(c|a) = (3 + 6)/36 = 9/36 → 250000; P(a|b) = (15+3)/24 → 750000."""
+        from graphrag_toolkit_spark.operators import textstats
+
+        docs = spark.createDataFrame([("a b a b a c",)], "text string")
+        out = {
+            (r["prev"], r["w"]): (r["n"], r["kn_p6"])
+            for r in textstats.kneser_ney_bigram_lm(docs, "text").collect()
+        }
+        assert out == {
+            ("a", "b"): (2, 583333),
+            ("a", "c"): (1, 250000),
+            ("b", "a"): (2, 750000),
+        }
+
+    def test_observed_mass_below_one_per_context(self, spark):
+        """KN reserves mass for unseen continuations: the observed rows of
+        any context sum strictly below 10⁶ micro-units (vs the MLE trainer
+        where they sum to exactly 1)."""
+        from graphrag_toolkit_spark.operators import textstats
+
+        docs = spark.createDataFrame(
+            [("the cat sat on the mat",), ("the cat ate the mat",)],
+            "text string",
+        )
+        rows = textstats.kneser_ney_bigram_lm(docs, "text").collect()
+        per_prev: dict[str, int] = {}
+        for r in rows:
+            per_prev[r["prev"]] = per_prev.get(r["prev"], 0) + r["kn_p6"]
+        assert per_prev and all(v < 1_000_000 for v in per_prev.values())
+
+    def test_min_count_prunes_output_not_statistics(self, spark):
+        """min_count drops OUTPUT rows only — surviving rows keep the
+        probabilities computed from the full count table."""
+        from graphrag_toolkit_spark.operators import textstats
+
+        docs = spark.createDataFrame([("a b a b a c",)], "text string")
+        full = {
+            (r["prev"], r["w"]): r["kn_p6"]
+            for r in textstats.kneser_ney_bigram_lm(docs, "text").collect()
+        }
+        pruned = {
+            (r["prev"], r["w"]): r["kn_p6"]
+            for r in textstats.kneser_ney_bigram_lm(
+                docs, "text", min_count=2
+            ).collect()
+        }
+        assert set(pruned) == {("a", "b"), ("b", "a")}
+        assert all(pruned[k] == full[k] for k in pruned)
+
+
+class TestCalibrationBins:
+    def test_hand_computed_bins(self, spark):
+        from graphrag_toolkit_spark.operators.ranking_eval import calibration_bins
+
+        df = spark.createDataFrame(
+            [(100_000, False), (150_000, True), (1_000_000, True)],
+            "conf6 long, label boolean",
+        )
+        out = {r["bin"]: r for r in calibration_bins(df, "conf6", "label").collect()}
+        b1, b9 = out[1], out[9]
+        assert (b1["n"], b1["sum_conf6"], b1["n_pos"]) == (2, 250_000, 1)
+        assert b1["gap6"] == 750_000
+        assert b1["sq_err12"] == 100_000**2 + 850_000**2
+        assert b1["avg_conf"] == 0.125 and b1["frac_pos"] == 0.5
+        assert (b9["n"], b9["gap6"], b9["sq_err12"]) == (1, 0, 0)
+        assert b9["avg_conf"] == 1.0  # conf6 = 10⁶ lands in bin 9 via the clamp
+        assert b9["frac_pos"] == 1.0
+
+    def test_bins_must_divide_grid(self, spark):
+        from graphrag_toolkit_spark.operators.ranking_eval import calibration_bins
+
+        df = spark.createDataFrame([(1, True)], "conf6 long, label boolean")
+        with pytest.raises(ValueError):
+            calibration_bins(df, "conf6", "label", bins=7)
+
+
+class TestCohenKappa:
+    def test_hand_computed(self, spark):
+        """(T,T),(F,F),(T,T),(F,T): p_o = 3/4, p_e = (2·3 + 2·1)/16 = 1/2,
+        kappa = (12 − 8)/(16 − 8) = 1/2 — all exact-ratio doubles."""
+        from graphrag_toolkit_spark.operators.ranking_eval import cohen_kappa
+
+        df = spark.createDataFrame(
+            [(True, True), (False, False), (True, True), (False, True)],
+            "a boolean, b boolean",
+        )
+        r = cohen_kappa(df, "a", "b").head()
+        assert (r["n"], r["n_agree"], r["a_pos"], r["b_pos"]) == (4, 3, 2, 3)
+        assert r["p_o"] == 0.75 and r["p_e"] == 0.5 and r["kappa"] == 0.5
+
+    def test_constant_raters_yield_null(self, spark):
+        from graphrag_toolkit_spark.operators.ranking_eval import cohen_kappa
+
+        df = spark.createDataFrame(
+            [(True, True), (True, True)], "a boolean, b boolean"
+        )
+        r = cohen_kappa(df, "a", "b").head()
+        assert r["p_o"] == 1.0 and r["kappa"] is None
+
+
+class TestZorderLayout:
+    def test_morton_sql_hand_computed(self, spark):
+        from graphrag_toolkit_spark.operators.packing import morton_sql
+
+        df = spark.createDataFrame([(3, 1)], "x long, y long")
+        z = df.selectExpr(f"{morton_sql('x', 'y', bits=4)} AS z").head()["z"]
+        # x=3 → bits 0,1 at even positions (1 + 4); y=1 → bit 0 at position 1 (2)
+        assert z == 7
+
+    def test_morton_matches_duckdb(self, spark):
+        import duckdb
+
+        from graphrag_toolkit_spark.operators.packing import morton_sql
+
+        pts = [(x, y) for x in range(8) for y in range(8)]
+        df = spark.createDataFrame(pts, "x long, y long")
+        got = sorted(
+            (r["x"], r["y"], r["z"])
+            for r in df.selectExpr(
+                "x", "y", f"{morton_sql('x', 'y', bits=3)} AS z"
+            ).collect()
+        )
+        con = duckdb.connect()
+        want = sorted(
+            con.execute(
+                "SELECT x, y, "
+                + morton_sql("x", "y", bits=3, floordiv="//")
+                + " AS z FROM (SELECT unnest(range(8)) x), (SELECT unnest(range(8)) y)"
+            ).fetchall()
+        )
+        assert got == want
+
+    def test_quadrant_envelopes(self, spark):
+        """4×4 grid, 4-row files: Z-order cuts into the four 2×2 quadrants
+        — every file's envelope spans exactly 2 in BOTH dimensions (a
+        row-major sort would span 4 in one of them)."""
+        from graphrag_toolkit_spark.operators.packing import zorder_layout
+
+        pts = [(x, y, 4 * x + y) for x in range(4) for y in range(4)]
+        df = spark.createDataFrame(pts, "x long, y long, id long")
+        files = zorder_layout(df, "x", "y", "id", rows_per_file=4).collect()
+        assert len(files) == 4
+        for f in files:
+            assert f["n_rows"] == 4
+            assert f["max_x"] - f["min_x"] == 1
+            assert f["max_y"] - f["min_y"] == 1
+
+    def test_rank_is_partitioning_invariant(self, spark):
+        from graphrag_toolkit_spark.operators.packing import zorder_layout
+
+        pts = [(i % 13, (i * 7) % 11, i) for i in range(100)]
+        df = spark.createDataFrame(pts, "x long, y long, id long")
+        a = sorted(map(tuple, zorder_layout(df, "x", "y", "id", 16).collect()))
+        b = sorted(
+            map(tuple, zorder_layout(df.repartition(7), "x", "y", "id", 16).collect())
+        )
+        assert a == b

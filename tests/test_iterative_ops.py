@@ -600,3 +600,80 @@ class TestPagerank:
         edges = spark.createDataFrame([("a", "b")], "src string, dst string")
         out = {r["node_id"]: r["pagerank"] for r in pagerank(edges, iters=0).collect()}
         assert out == {"a": 1.0, "b": 1.0}
+
+
+class TestHits:
+    def test_hand_computed_one_iteration(self, spark):
+        """a→b, a→c, b→c. Auth raw: b=10⁶ (from a), c=2·10⁶ (a+b), a=0;
+        scale = ceil(2·10⁶/10⁶) = 2 → a6 = (0, .5, 1)·10⁶. Hub raw:
+        a = auth(b)+auth(c) = 1.5·10⁶, b = auth(c) = 10⁶, c = 0;
+        scale = 2 → h6 = (.75, .5, 0)·10⁶."""
+        from graphrag_toolkit_spark.operators.centrality import hits
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("a", "c"), ("b", "c")], "src string, dst string"
+        )
+        out = {
+            r["node_id"]: (r["hub"], r["authority"])
+            for r in hits(edges, iters=1).collect()
+        }
+        assert out == {
+            "a": (0.75, 0.0),
+            "b": (0.5, 0.5),
+            "c": (0.0, 1.0),
+        }
+
+    def test_partitioning_invariant(self, spark):
+        """All-BIGINT floor arithmetic (incl. the max-rescale): scores
+        cannot move under repartitioning — the hash-gate property."""
+        from graphrag_toolkit_spark.operators.centrality import hits
+
+        edges = spark.createDataFrame(
+            [(f"n{i}", f"n{(i * 7 + 3) % 20}") for i in range(40)],
+            "src string, dst string",
+        ).distinct()
+        a = {
+            r["node_id"]: (r["hub"], r["authority"])
+            for r in hits(edges, iters=3).collect()
+        }
+        b = {
+            r["node_id"]: (r["hub"], r["authority"])
+            for r in hits(edges.repartition(13), iters=3).collect()
+        }
+        assert a == b
+
+    def test_duplicate_edges_do_not_multiply(self, spark):
+        from graphrag_toolkit_spark.operators.centrality import hits
+
+        once = spark.createDataFrame(
+            [("a", "b"), ("a", "c"), ("b", "c")], "src string, dst string"
+        )
+        dup = once.unionByName(once)
+        assert sorted(hits(once, iters=2).collect()) == sorted(
+            hits(dup, iters=2).collect()
+        )
+
+    def test_star_separates_hub_from_authorities(self, spark):
+        """Pure star a→{b,c,d}: a is the only hub, leaves are equal
+        authorities with zero hub score."""
+        from graphrag_toolkit_spark.operators.centrality import hits
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("a", "c"), ("a", "d")], "src string, dst string"
+        )
+        out = {
+            r["node_id"]: (r["hub"], r["authority"])
+            for r in hits(edges, iters=2).collect()
+        }
+        assert out["a"][1] == 0.0 and out["a"][0] > 0
+        assert out["b"] == out["c"] == out["d"]
+        assert out["b"][0] == 0.0 and out["b"][1] > 0
+
+    def test_iters_must_be_positive(self, spark):
+        import pytest as _pytest
+
+        from graphrag_toolkit_spark.operators.centrality import hits
+
+        edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+        with _pytest.raises(ValueError):
+            hits(edges, iters=0)
