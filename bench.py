@@ -84,6 +84,11 @@ HEADLINE = [
     "bpe_train_merges_documents",
     "containment_pairs_documents",
     "dsir_weights_documents",
+    # round-5 late additions: HITS (the other heavy iterative op),
+    # Kneser-Ney training, and the Z-order layout job
+    "hits_scores_graph",
+    "kneser_ney_lm_documents",
+    "zorder_layout_orders",
 ]
 
 

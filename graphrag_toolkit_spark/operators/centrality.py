@@ -391,6 +391,10 @@ def hits(
                 .unionByName(zeros)
                 .groupBy("node_id")
                 .agg(F.sum("m").alias("raw"))
+                # checkpoint RAW, not the rescale: the max branch and the
+                # rescale branch both read it — without this each half-round
+                # runs the join+aggregate twice
+                .localCheckpoint(eager=False)
             )
             mx = raw.agg(F.max("raw").alias("mx"))
             return raw.crossJoin(F.broadcast(mx)).select(
@@ -398,7 +402,7 @@ def hits(
                 F.expr(
                     "raw div greatest(1L, (mx + 999999) div 1000000)"
                 ).cast("long").alias("s6"),
-            ).localCheckpoint(eager=False)
+            )
 
         hubs = nodes.withColumn("s6", F.lit(1_000_000).cast("long"))
         auths = None
@@ -417,3 +421,89 @@ def hits(
     finally:
         e_by_src.unpersist()
         e_by_dst.unpersist()
+
+
+def modularity(
+    edges: DataFrame,
+    assignments: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node_id",
+    comm_col: str = "community",
+) -> DataFrame:
+    """Newman modularity Q of a community assignment over an undirected
+    simple graph — the standard "is this clustering real structure?"
+    score for the partitions this engine produces (near-dup clusters,
+    entity-resolution groups, label propagation):
+
+        Q = Σ_c [ e_c/m − (d_c/2m)² ]
+
+    with m the edge count, e_c the edges inside community c, d_c the
+    degree sum of c. Q ≈ 0 ⇒ no better than random; Q ≳ 0.3 ⇒ strong
+    structure.
+
+    EXACTNESS: over the common denominator 4m² the whole score is ONE
+    integer ratio — q_num = 4m·Σe_c − Σd_c², q_den = 4m² — so the
+    emitted row is exact-BIGINT statistics plus a single exact-operand
+    IEEE division (BIGINT holds to m ≈ 10⁹ edges; the documented escape
+    beyond is DECIMAL(38,0) for the two products).
+
+    Input contract: edges are canonicalized internally (self-loops
+    dropped, (a,b)/(b,a)/duplicates collapse to one undirected edge);
+    only edges with BOTH endpoints assigned count (inner join —
+    unassigned nodes are outside the evaluated subgraph).
+
+    Scale shape: two broadcast-or-shuffle equi-joins onto the assignment
+    table, then three map-side-combined aggregates (per-community inside
+    counts, per-community degree sums, one global reduce) cross-joined as
+    one-row broadcasts — the edge list is scanned once."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    asg = assignments.select(
+        F.col(node_col).alias("node"), F.col(comm_col).alias("c")
+    )
+    ea = (
+        e.join(asg.withColumnsRenamed({"node": "a", "c": "ca"}), "a")
+        .join(asg.withColumnsRenamed({"node": "b", "c": "cb"}), "b")
+        .select("ca", "cb")
+    )
+    ea = ea.localCheckpoint(eager=False)  # three aggregates read it
+    totals = ea.agg(F.count(F.lit(1)).alias("m"))
+    inside = (
+        ea.filter(F.col("ca") == F.col("cb"))
+        .groupBy("ca")
+        .agg(F.count(F.lit(1)).alias("e_c"))
+        .agg(F.coalesce(F.sum("e_c"), F.lit(0)).cast("long").alias("sum_ec"))
+    )
+    degsq = (
+        ea.select(F.col("ca").alias("c"))
+        .unionByName(ea.select(F.col("cb").alias("c")))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("d_c"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_communities"),
+            F.coalesce(F.sum(F.col("d_c") * F.col("d_c")), F.lit(0))
+            .cast("long")
+            .alias("sum_dsq"),
+        )
+    )
+    return (
+        totals.crossJoin(F.broadcast(inside))
+        .crossJoin(F.broadcast(degsq))
+        .select(
+            "m", "n_communities",
+            (4 * F.col("m") * F.col("sum_ec") - F.col("sum_dsq")).alias("q_num"),
+            (4 * F.col("m") * F.col("m")).alias("q_den"),
+            F.when(
+                F.col("m") > 0,
+                (4 * F.col("m") * F.col("sum_ec") - F.col("sum_dsq")).cast("double")
+                / (4 * F.col("m") * F.col("m")).cast("double"),
+            ).alias("modularity"),
+        )
+    )

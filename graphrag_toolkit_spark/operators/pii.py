@@ -90,3 +90,31 @@ def k_anonymity_summary(
         ).alias("rows_at_risk"),
         F.min("class_size").alias("min_class_size"),
     )
+
+
+def l_diversity(
+    df: DataFrame, quasi_cols: list[str], sensitive_col: str, l: int = 2
+) -> DataFrame:
+    """l-diversity audit — the k-anonymity refinement (Machanavajjhala et
+    al. 2007): a k-anonymous class still leaks the sensitive attribute if
+    every row in it shares one value; a release is l-diverse iff every
+    equivalence class carries ≥ l DISTINCT sensitive values. One row per
+    class: (quasi_cols..., class_size, n_sensitive, is_l_diverse).
+
+    Scale shape: a two-level aggregate — distinct (QI, sensitive) pairs
+    first (map-side combinable), then the per-class rollup — so the wide
+    rows never shuffle twice and the class table stays QI-combination
+    sized, exactly like `k_anonymity`."""
+    pairs = (
+        df.select(*quasi_cols, sensitive_col)
+        .groupBy(*quasi_cols, sensitive_col)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    return (
+        pairs.groupBy(*quasi_cols)
+        .agg(
+            F.sum("n_rows").alias("class_size"),
+            F.count(F.lit(1)).alias("n_sensitive"),
+        )
+        .withColumn("is_l_diverse", F.col("n_sensitive") >= l)
+    )

@@ -728,3 +728,93 @@ def kneser_ney_bigram_lm(
         "prev", "w", "n", "kn_p6",
         (F.col("kn_p6").cast("double") / F.lit(1_000_000.0)).alias("kn_prob"),
     )
+
+
+def kn_perplexity_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int = 3,
+    min_count: int = 1,
+    unk_logp: float = -8.0,
+) -> DataFrame:
+    """CCNet's perplexity-bucketing round trip IN ONE PLAN: train the
+    Kneser-Ney bigram LM on the corpus (`kneser_ney_bigram_lm`), score
+    every document with it, and split the corpus into `n_buckets` quality
+    buckets by average log-probability (CCNet's head/middle/tail terciles
+    — Wenzek et al. 2020 bucket by KenLM perplexity; avg logp is the same
+    ordering, monotone, no exp()).
+
+    EXACTNESS: each trained micro-prob becomes a DECIMAL(12,6) log once —
+    ``round(ln(kn_p6/10⁶), 6)`` (the grid-quantization rule: a raw
+    transcendental never crosses the engine boundary; kn_p6 ≥ 1 is
+    guarded so ln(0) can't appear). Unseen bigrams back off to the
+    ``unk_logp`` literal. Per-doc sums are exact decimal addition;
+    ``avg_logp`` casts the scale-6 sum to double (safe ≤ scale 12) and
+    divides by the exact bigram count. Buckets are ntile over the total
+    order (avg_logp DESC, id ASC) — bucket 1 is the head/cleanest slice.
+
+    Documents with < 2 tokens have no bigrams, no perplexity, and are
+    EXCLUDED (CCNet drops them at an earlier length gate; keeping them
+    would also order NULL avg_logp differently across engines).
+
+    Scale shape: training is `kneser_ney_bigram_lm`'s count shuffle; the
+    scoring leg joins the per-doc bigram stream to the trained table on
+    (prev, w) — a shuffle equi-join on both sides' natural key (broadcast
+    it when the LM fits); one per-doc aggregate. The final ntile is a
+    global window over DOC-level rows only — at production scale swap it
+    for sampled quantile thresholds (the corpus text itself never passes
+    through the window)."""
+    from graphrag_toolkit_spark.functions.skew import widen_partitions
+
+    lm = kneser_ney_bigram_lm(df, text_col, min_count=min_count).select(
+        "prev", "w",
+        F.round(
+            F.log(F.greatest(F.col("kn_p6"), F.lit(1)).cast("double") / F.lit(1_000_000.0)),
+            6,
+        ).cast("decimal(12,6)").alias("blp"),
+    )
+    ws = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^0-9a-z]+"), lambda x: x != ""
+    )
+    bigrams = (
+        widen_partitions(df)
+        .select(F.col(id_col).alias("id"), ws.alias("ws"))
+        .select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.when(
+                        F.size("ws") >= 2, F.sequence(F.lit(2), F.size("ws"))
+                    ).otherwise(F.array().cast("array<int>")),
+                    lambda i: F.struct(
+                        F.element_at(F.col("ws"), (i - 1).cast("int")).alias("prev"),
+                        F.element_at(F.col("ws"), i.cast("int")).alias("w"),
+                    ),
+                )
+            ).alias("b"),
+        )
+        .select("id", "b.prev", "b.w")
+    )
+    unk = F.lit(str(round(unk_logp, 6))).cast("decimal(12,6)")
+    scored = (
+        bigrams.join(lm, ["prev", "w"], "left")
+        .select("id", F.coalesce(F.col("blp"), unk).alias("lp"))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lp").alias("lp_sum"),
+        )
+        .withColumn(
+            "avg_logp",
+            F.col("lp_sum").cast("double") / F.col("n_bigrams").cast("double"),
+        )
+    )
+    w = Window.orderBy(F.desc("avg_logp"), F.asc("id"))
+    return scored.withColumn("bucket", F.ntile(n_buckets).over(w)).select(
+        "id", "n_bigrams",
+        # emit the exact decimal sum as double (scale 6 — safe, one
+        # correctly-rounded cast) so engines agree on the output type
+        F.col("lp_sum").cast("double").alias("lp_sum"),
+        "avg_logp", "bucket",
+    )

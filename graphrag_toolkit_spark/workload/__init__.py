@@ -97,6 +97,9 @@ _CHECK_FIRST = [
     "calibration_documents",
     "cohen_kappa_documents",
     "zorder_layout_orders",
+    "kn_perplexity_buckets_documents",
+    "modularity_parts",
+    "l_diversity_documents",
     # --- green, last driver-verified round 1 ---
     "ann_ivf_topk",
     "cascade_delete_counts",

@@ -2049,6 +2049,77 @@ WHERE n >= {LM_MIN_COUNT}
 """
 
 
+KN_BUCKETS = 3
+
+
+def kn_perplexity_buckets_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity bucketing end-to-end
+    (`textstats.kn_perplexity_buckets`): train the Kneser-Ney LM on the
+    corpus, score every document, cut head/middle/tail terciles by avg
+    log-prob — one Catalyst plan, hash-gated against the full train+score
+    SQL twin."""
+    docs = load(spark, sf_dir, "documents")
+    return textstats.kn_perplexity_buckets(
+        docs, "text", "doc_id", n_buckets=KN_BUCKETS
+    )
+
+
+KN_BUCKETS_ORACLE = rf"""
+WITH arr AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^0-9a-z]+'),
+                             x -> x <> '') AS ws
+  FROM documents
+),
+bi AS MATERIALIZED (
+  SELECT doc_id, p.prev, p.w FROM (
+    SELECT doc_id, unnest(CASE WHEN len(ws) >= 2 THEN
+      list_transform(generate_series(2, len(ws)),
+        i -> struct_pack(prev := ws[i - 1], w := ws[i]))
+      ELSE [] END) AS p
+    FROM arr
+  )
+),
+counts AS MATERIALIZED (
+  SELECT prev, w, CAST(COUNT(*) AS BIGINT) AS n FROM bi GROUP BY prev, w
+),
+prev_stats AS (
+  SELECT prev, CAST(SUM(n) AS BIGINT) AS c_v, CAST(COUNT(*) AS BIGINT) AS n1_v
+  FROM counts GROUP BY prev
+),
+cont AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n1_w FROM counts GROUP BY w),
+nbb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bb FROM counts),
+lm AS MATERIALIZED (
+  SELECT prev, w,
+         CAST(ROUND(LN(CAST(GREATEST(
+           (num // den) * 1000000 + ((num % den) * 1000000) // den, 1
+         ) AS DOUBLE) / 1000000.0), 6) AS DECIMAL(12,6)) AS blp
+  FROM (
+    SELECT c.prev, c.w,
+           GREATEST(4 * c.n - 3, 0) * n_bb + 3 * p.n1_v * t.n1_w AS num,
+           4 * p.c_v * n_bb AS den
+    FROM counts c
+    JOIN prev_stats p USING (prev)
+    JOIN cont t USING (w)
+    CROSS JOIN nbb
+  )
+),
+scored AS (
+  SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         SUM(COALESCE(lm.blp, CAST(-8.0 AS DECIMAL(12,6)))) AS lp_sum
+  FROM bi b LEFT JOIN lm USING (prev, w)
+  GROUP BY b.doc_id
+)
+SELECT doc_id AS id, n_bigrams,
+       CAST(lp_sum AS DOUBLE) AS lp_sum,
+       CAST(lp_sum AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS avg_logp,
+       CAST(NTILE({KN_BUCKETS}) OVER (
+         ORDER BY CAST(lp_sum AS DOUBLE) / CAST(n_bigrams AS DOUBLE) DESC,
+                  doc_id ASC
+       ) AS INTEGER) AS bucket
+FROM scored
+"""
+
+
 TRAIN_LM_ORACLE = rf"""
 WITH arr AS (
   SELECT list_filter(string_split_regex(lower(text), '[^0-9a-z]+'),
@@ -2515,6 +2586,33 @@ K_ANONYMITY_ORACLE = f"""
 SELECT lang, source, COUNT(*) AS class_size,
        COUNT(*) >= {K_ANON} AS is_k_anonymous
 FROM documents GROUP BY lang, source
+"""
+
+
+L_DIVERSE = 3
+
+
+def l_diversity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (`pii.l_diversity`) refining the k-anonymity
+    check: per (lang, source) equivalence class, how many DISTINCT
+    length-bucket values (n_chars div 100 — the stand-in sensitive
+    attribute) does it carry? A class can be k-anonymous yet leak if
+    every member shares one sensitive value."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "len_bucket", F.expr("n_chars div 100")
+    )
+    return pii.l_diversity(docs, ["lang", "source"], "len_bucket", l=L_DIVERSE)
+
+
+L_DIVERSITY_ORACLE = f"""
+WITH pairs AS (
+  SELECT lang, source, n_chars // 100 AS len_bucket, COUNT(*) AS n_rows
+  FROM documents GROUP BY 1, 2, 3
+)
+SELECT lang, source, CAST(SUM(n_rows) AS BIGINT) AS class_size,
+       CAST(COUNT(*) AS BIGINT) AS n_sensitive,
+       COUNT(*) >= {L_DIVERSE} AS is_l_diverse
+FROM pairs GROUP BY lang, source
 """
 
 
@@ -4106,10 +4204,12 @@ QUERIES = {
     "corpus_diff_documents": corpus_diff_documents,
     "cms_heavy_hitters_documents": cms_heavy_hitters_documents,
     "k_anonymity_documents": k_anonymity_documents,
+    "l_diversity_documents": l_diversity_documents,
     "zipf_fit_documents": zipf_fit_documents,
     "training_data_pipeline": training_data_pipeline,
     "train_bigram_lm_documents": train_bigram_lm_documents,
     "kneser_ney_lm_documents": kneser_ney_lm_documents,
+    "kn_perplexity_buckets_documents": kn_perplexity_buckets_documents,
     "ranking_eval_embeddings": ranking_eval_embeddings,
     "ranking_eval_orphan": ranking_eval_orphan,
     "build_vocab_documents": build_vocab_documents,
@@ -4189,10 +4289,12 @@ ORACLES = {
     ),
     "cms_heavy_hitters_documents": CMS_ORACLE,
     "k_anonymity_documents": K_ANONYMITY_ORACLE,
+    "l_diversity_documents": L_DIVERSITY_ORACLE,
     "zipf_fit_documents": ZIPF_ORACLE,
     "training_data_pipeline": TRAINING_PIPELINE_ORACLE,
     "train_bigram_lm_documents": TRAIN_LM_ORACLE,
     "kneser_ney_lm_documents": KN_LM_ORACLE,
+    "kn_perplexity_buckets_documents": KN_BUCKETS_ORACLE,
     "ranking_eval_embeddings": RANKING_EVAL_ORACLE,
     "ranking_eval_orphan": RANKING_EVAL_ORPHAN_ORACLE,
     "build_vocab_documents": BUILD_VOCAB_ORACLE,

@@ -1035,7 +1035,7 @@ FROM m
 """
 
 
-HITS_ITERS = 4
+HITS_ITERS = 3
 
 
 def hits_scores_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1101,9 +1101,75 @@ FROM h{HITS_ITERS} h JOIN a{HITS_ITERS} a USING (node_id)
 HITS_ORACLE = _hits_oracle()
 
 
+MODULARITY_MIN_SHARED = 2
+
+
+def modularity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity (`centrality.modularity`) of the brand partition
+    over the part co-purchase graph (parts sharing >= MODULARITY_MIN_SHARED
+    orders): does brand structure show up in what's bought together?
+    One-row exact-integer statistics + a single-division Q."""
+    from graphrag_toolkit_spark.operators import centrality
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.withColumnsRenamed({"l_partkey": "pa"})
+    b = li.withColumnsRenamed({"l_partkey": "pb"})
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= MODULARITY_MIN_SHARED)
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    assign = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node_id"), F.col("p_brand").alias("community")
+    )
+    return centrality.modularity(edges, assign)
+
+
+MODULARITY_ORACLE = f"""
+WITH bi AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS MATERIALIZED (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM bi a JOIN bi b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY pa, pb HAVING COUNT(*) >= {MODULARITY_MIN_SHARED}
+),
+ea AS MATERIALIZED (
+  SELECT ca.p_brand AS ca, cb.p_brand AS cb
+  FROM e JOIN part ca ON e.pa = ca.p_partkey
+         JOIN part cb ON e.pb = cb.p_partkey
+),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM ea),
+inside AS (
+  SELECT CAST(COALESCE(SUM(e_c), 0) AS BIGINT) AS sum_ec FROM (
+    SELECT CAST(COUNT(*) AS BIGINT) AS e_c FROM ea WHERE ca = cb GROUP BY ca
+  )
+),
+degsq AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+         CAST(COALESCE(SUM(d_c * d_c), 0) AS BIGINT) AS sum_dsq
+  FROM (
+    SELECT c, CAST(COUNT(*) AS BIGINT) AS d_c FROM (
+      SELECT ca AS c FROM ea UNION ALL SELECT cb FROM ea
+    ) GROUP BY c
+  )
+)
+SELECT m, n_communities,
+       CAST(4 * m * sum_ec - sum_dsq AS BIGINT) AS q_num,
+       CAST(4 * m * m AS BIGINT) AS q_den,
+       CASE WHEN m > 0
+            THEN CAST(4 * m * sum_ec - sum_dsq AS DOUBLE)
+                 / CAST(4 * m * m AS DOUBLE)
+            END AS modularity
+FROM m, inside, degsq
+"""
+
+
 QUERIES = {
     "kcore_parts": kcore_parts,
     "hits_scores_graph": hits_scores_graph,
+    "modularity_parts": modularity_parts,
     "clustering_coefficient_parts": clustering_coefficient_parts,
     "degree_distribution_parts": degree_distribution_parts,
     "bfs_shortest_paths": bfs_shortest_paths,
@@ -1135,6 +1201,7 @@ ORACLES = {
     "katz_salted_graph": KATZ_ORACLE,
     "pagerank_graph": PAGERANK_ORACLE,
     "hits_scores_graph": HITS_ORACLE,
+    "modularity_parts": MODULARITY_ORACLE,
     "personalized_katz_graph": PKATZ_ORACLE,
     "association_rules_parts": ASSOC_ORACLE,
     "triangle_count_parts": TRIANGLE_ORACLE,

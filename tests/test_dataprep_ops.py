@@ -1874,3 +1874,62 @@ class TestZorderLayout:
             map(tuple, zorder_layout(df.repartition(7), "x", "y", "id", 16).collect())
         )
         assert a == b
+
+
+class TestKnPerplexityBuckets:
+    def test_buckets_cover_and_head_is_predictable_text(self, spark):
+        from graphrag_toolkit_spark.operators import textstats
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b a b a b a b"),          # one dominant bigram
+                (2, "a b c d a b c d"),          # mixed
+                (3, "q w e r t y u i"),          # all-singleton bigrams
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["id"]: r
+            for r in textstats.kn_perplexity_buckets(
+                docs, "text", "doc_id", n_buckets=3
+            ).collect()
+        }
+        assert sorted(r["bucket"] for r in out.values()) == [1, 2, 3]
+        assert out[1]["bucket"] == 1  # repetitive text scores cleanest
+        assert out[3]["bucket"] == 3
+        assert out[1]["n_bigrams"] == 7
+
+    def test_short_docs_excluded(self, spark):
+        from graphrag_toolkit_spark.operators import textstats
+
+        docs = spark.createDataFrame(
+            [(1, "a b a b"), (2, "solo"), (3, "")],
+            "doc_id long, text string",
+        )
+        ids = {
+            r["id"]
+            for r in textstats.kn_perplexity_buckets(
+                docs, "text", "doc_id", n_buckets=1
+            ).collect()
+        }
+        assert ids == {1}
+
+
+class TestLDiversity:
+    def test_hand_computed(self, spark):
+        from graphrag_toolkit_spark.operators import pii
+
+        df = spark.createDataFrame(
+            [
+                ("en", "web", 1), ("en", "web", 2), ("en", "web", 2),
+                ("fr", "web", 5), ("fr", "web", 5),
+            ],
+            "lang string, source string, sens long",
+        )
+        out = {
+            (r["lang"], r["source"]): r
+            for r in pii.l_diversity(df, ["lang", "source"], "sens", l=2).collect()
+        }
+        en, fr = out[("en", "web")], out[("fr", "web")]
+        assert (en["class_size"], en["n_sensitive"], en["is_l_diverse"]) == (3, 2, True)
+        assert (fr["class_size"], fr["n_sensitive"], fr["is_l_diverse"]) == (2, 1, False)

@@ -677,3 +677,74 @@ class TestHits:
         edges = spark.createDataFrame([("a", "b")], "src string, dst string")
         with _pytest.raises(ValueError):
             hits(edges, iters=0)
+
+
+class TestModularity:
+    def _two_triangles(self, spark):
+        edges = spark.createDataFrame(
+            [
+                ("a", "b"), ("b", "c"), ("c", "a"),
+                ("x", "y"), ("y", "z"), ("z", "x"),
+                ("c", "x"),
+            ],
+            "src string, dst string",
+        )
+        assign = spark.createDataFrame(
+            [("a", "t1"), ("b", "t1"), ("c", "t1"),
+             ("x", "t2"), ("y", "t2"), ("z", "t2")],
+            "node_id string, community string",
+        )
+        return edges, assign
+
+    def test_hand_computed_two_triangles(self, spark):
+        """Two triangles + one bridge, communities = the triangles:
+        m = 7, Σe_c = 6, degrees (2,2,3)×2 → Σd_c² = 49 + 49 = 98,
+        Q = (4·7·6 − 98)/(4·49) = 70/196."""
+        from graphrag_toolkit_spark.operators.centrality import modularity
+
+        edges, assign = self._two_triangles(spark)
+        r = modularity(edges, assign).head()
+        assert (r["m"], r["n_communities"]) == (7, 2)
+        assert (r["q_num"], r["q_den"]) == (70, 196)
+        assert r["modularity"] == 70 / 196
+
+    def test_single_community_is_zero(self, spark):
+        from graphrag_toolkit_spark.operators.centrality import modularity
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c")], "src string, dst string"
+        )
+        assign = spark.createDataFrame(
+            [("a", "all"), ("b", "all"), ("c", "all")],
+            "node_id string, community string",
+        )
+        r = modularity(edges, assign).head()
+        assert r["q_num"] == 0 and r["modularity"] == 0.0
+
+    def test_direction_and_duplicates_collapse(self, spark):
+        """(a,b), (b,a) and repeats are ONE undirected edge; self-loops
+        drop."""
+        from graphrag_toolkit_spark.operators.centrality import modularity
+
+        edges, assign = self._two_triangles(spark)
+        noisy = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).unionByName(
+            spark.createDataFrame([("a", "a")], "src string, dst string")
+        )
+        assert (
+            modularity(edges, assign).collect()
+            == modularity(noisy, assign).collect()
+        )
+
+    def test_unassigned_endpoints_excluded(self, spark):
+        from graphrag_toolkit_spark.operators.centrality import modularity
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "ghost")], "src string, dst string"
+        )
+        assign = spark.createDataFrame(
+            [("a", "c1"), ("b", "c1")], "node_id string, community string"
+        )
+        r = modularity(edges, assign).head()
+        assert r["m"] == 1  # the ghost edge is outside the evaluated subgraph
