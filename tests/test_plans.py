@@ -539,3 +539,66 @@ def test_bpe_round_top1_is_take_ordered(spark):
     plan = plan_of(best)
     assert "TakeOrderedAndProject" in plan
     assert "EvalPython" not in plan
+
+
+def test_zorder_rank_has_no_global_window(spark):
+    """Z-order layout's scale claim: the rank is two-phase (coarse-bucket
+    offsets + PARTITIONED per-bucket windows) — no single-partition global
+    window over the data may appear (`Window [... ORDER BY ...]` with an
+    empty partition spec shows as a SinglePartition exchange feeding the
+    row_number over the full rowset)."""
+    from graphrag_toolkit_spark.operators.packing import zorder_layout
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 97).alias("x"),
+        (F.col("id") % 89).alias("y"),
+        F.col("id").alias("tb"),
+    )
+    plan = plan_of(zorder_layout(df, "x", "y", "tb", rows_per_file=64))
+    # the offsets table (<=1024 rows) is allowed its tiny single-partition
+    # window; the DATA-side window must be hash-partitioned by zb. Assert
+    # the data row_number's window is partitioned: every SinglePartition
+    # exchange in the plan must feed an aggregate of the bucket table, so
+    # the plan may contain at most one, and the partitioned window exists.
+    assert plan.count("SinglePartition") <= 1
+    assert "hashpartitioning(zb" in plan
+
+
+def test_modularity_assignment_joins_are_equijoins(spark):
+    from graphrag_toolkit_spark.operators.centrality import modularity
+
+    edges = spark.range(5_000).select(
+        (F.col("id") % 701).cast("string").alias("src"),
+        ((F.col("id") * 13) % 701).cast("string").alias("dst"),
+    )
+    assign = spark.range(701).select(
+        F.col("id").cast("string").alias("node_id"),
+        (F.col("id") % 7).cast("string").alias("community"),
+    )
+    plan = plan_of(modularity(edges, assign), mode="simple")
+    assert "CartesianProduct" not in plan
+    # the only nested-loop stages permitted are the TWO one-row broadcast
+    # cross joins assembling the final statistics row (simple mode prints
+    # each node once)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_kn_scoring_join_is_equijoin_and_text_scans_once(spark, sf_dir):
+    """The KN round trip must join doc bigrams to the trained table on
+    (prev, w) — never a theta/cartesian pair stage."""
+    from graphrag_toolkit_spark.operators import textstats
+
+    docs = load(spark, sf_dir, "documents")
+    plan = plan_of(
+        textstats.kn_perplexity_buckets(docs, "text", "doc_id"), mode="simple"
+    )
+    assert "CartesianProduct" not in plan
+    # exactly one nested-loop stage is by design: the one-row N1+(·,·)
+    # scalar broadcast cross join inside the trainer
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    # the doc-bigram ⋈ trained-LM pairing must be a hash/sort-merge equi-join
+    assert (
+        "BroadcastHashJoin" in plan
+        or "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+    )
