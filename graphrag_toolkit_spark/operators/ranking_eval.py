@@ -256,3 +256,57 @@ def cohen_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
             / denom.cast("double"),
         ).alias("kappa"),
     )
+
+
+def grouped_auc(
+    scored: DataFrame,
+    group_col: str,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Per-slice exact ROC-AUC — `binary_auc` partitioned by a group
+    column: the fairness/robustness audit shape (a classifier that
+    discriminates well overall can be no better than chance on one
+    language, source, or domain slice; per-slice AUC is how corpus-filter
+    bias is caught). Same integer Mann-Whitney statistic, same NULL
+    pinning (NULL scores excluded, NULL labels count negative, NULL auc
+    when a slice lacks a class); all ranks/windows are PARTITIONED by the
+    group, so no global ordering exists anywhere.
+
+    Scale shape: one (group, score) aggregate, one cumulative window over
+    the distinct-score table partitioned by group, one per-group reduce —
+    every stage keys on the group, so slices parallelize and a skewed
+    slice degrades only itself."""
+    scored = scored.filter(F.col(score_col).isNotNull())
+    g = (
+        scored.groupBy(F.col(group_col).alias("grp"), F.col(score_col).alias("__s"))
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(
+                F.when(F.col(label_col).cast("boolean"), 1).otherwise(0)
+            ).alias("pos"),
+        )
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    g = g.withColumn("cum", F.sum("c").over(w))
+    s2_term = F.col("pos") * (2 * (F.col("cum") - F.col("c") + 1) + F.col("c") - 1)
+    agg = g.groupBy("grp").agg(
+        F.sum(s2_term).cast("bigint").alias("s2"),
+        F.sum("pos").cast("bigint").alias("p"),
+        F.sum("c").cast("bigint").alias("n_total"),
+    )
+    n_neg = F.col("n_total") - F.col("p")
+    return agg.select(
+        F.col("grp").alias(group_col),
+        F.col("p").alias("n_pos"),
+        n_neg.alias("n_neg"),
+        F.when(
+            (F.col("p") > 0) & (n_neg > 0),
+            (F.col("s2") - F.col("p") * (F.col("p") + 1)).cast("double")
+            / (2 * F.col("p") * n_neg).cast("double"),
+        ).alias("auc"),
+    )

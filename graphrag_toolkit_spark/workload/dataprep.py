@@ -4034,6 +4034,50 @@ FROM agg
 """
 
 
+def auc_by_source_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-slice exact AUC (`ranking_eval.grouped_auc`): the same
+    length-predicts-English classifier as `auc_documents`, audited PER
+    SOURCE — the fairness/robustness cut that catches a filter that only
+    discriminates on one slice. Windows partition by source; no global
+    ordering."""
+    from graphrag_toolkit_spark.operators.ranking_eval import grouped_auc
+
+    docs = load(spark, sf_dir, "documents").select(
+        "source",
+        F.col("n_chars").cast("double").alias("score"),
+        (F.col("lang") == "en").alias("label"),
+    )
+    return grouped_auc(docs, "source", "score", "label")
+
+
+AUC_BY_SOURCE_ORACLE = """
+WITH g AS (
+  SELECT source, CAST(n_chars AS DOUBLE) AS s, COUNT(*) AS c,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+  FROM documents GROUP BY 1, 2
+),
+cum AS (
+  SELECT source, c, pos,
+         SUM(c) OVER (PARTITION BY source ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM g
+),
+agg AS (
+  SELECT source,
+         CAST(SUM(pos * (2 * (cum - c + 1) + c - 1)) AS BIGINT) AS s2,
+         CAST(SUM(pos) AS BIGINT) AS p,
+         CAST(SUM(c) AS BIGINT) AS n_total
+  FROM cum GROUP BY source
+)
+SELECT source, p AS n_pos, n_total - p AS n_neg,
+       CASE WHEN p > 0 AND n_total - p > 0
+            THEN CAST(s2 - p * (p + 1) AS DOUBLE)
+                 / CAST(2 * p * (n_total - p) AS DOUBLE)
+            END AS auc
+FROM agg
+"""
+
+
 # --- classifier calibration / rater agreement ---------------------------------
 
 KAPPA_LEN_THRESHOLD = 300
@@ -4165,6 +4209,7 @@ QUERIES = {
     "per_label_sample_embeddings": per_label_sample_embeddings,
     "auc_documents": auc_documents,
     "calibration_documents": calibration_documents,
+    "auc_by_source_documents": auc_by_source_documents,
     "cohen_kappa_documents": cohen_kappa_documents,
     "negative_samples_embeddings": negative_samples_embeddings,
     "incremental_neardup_documents": incremental_neardup_documents,
@@ -4247,6 +4292,7 @@ ORACLES = {
     "per_label_sample_embeddings": PER_LABEL_SAMPLE_ORACLE,
     "auc_documents": AUC_ORACLE,
     "calibration_documents": CALIBRATION_ORACLE,
+    "auc_by_source_documents": AUC_BY_SOURCE_ORACLE,
     "cohen_kappa_documents": KAPPA_ORACLE,
     "negative_samples_embeddings": NEGATIVE_SAMPLES_ORACLE,
     "incremental_neardup_documents": INCREMENTAL_NEARDUP_ORACLE,

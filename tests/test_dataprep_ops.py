@@ -1933,3 +1933,37 @@ class TestLDiversity:
         en, fr = out[("en", "web")], out[("fr", "web")]
         assert (en["class_size"], en["n_sensitive"], en["is_l_diverse"]) == (3, 2, True)
         assert (fr["class_size"], fr["n_sensitive"], fr["is_l_diverse"]) == (2, 1, False)
+
+
+class TestGroupedAuc:
+    def test_matches_binary_auc_per_slice(self, spark):
+        from graphrag_toolkit_spark.operators.ranking_eval import (
+            binary_auc,
+            grouped_auc,
+        )
+
+        rows = [
+            ("a", float(s), s % 3 == 0) for s in range(20)
+        ] + [("b", float(s % 5), s % 2 == 0) for s in range(20)]
+        df = spark.createDataFrame(rows, "grp string, score double, label boolean")
+        sliced = {
+            r["grp"]: (r["n_pos"], r["n_neg"], r["auc"])
+            for r in grouped_auc(df, "grp", "score", "label").collect()
+        }
+        for g in ("a", "b"):
+            solo = binary_auc(
+                df.filter(F.col("grp") == g), "score", "label"
+            ).head()
+            assert sliced[g] == (solo["n_pos"], solo["n_neg"], solo["auc"])
+
+    def test_single_class_slice_is_null(self, spark):
+        from graphrag_toolkit_spark.operators.ranking_eval import grouped_auc
+
+        df = spark.createDataFrame(
+            [("only_pos", 1.0, True), ("only_pos", 2.0, True),
+             ("mixed", 1.0, True), ("mixed", 2.0, False)],
+            "grp string, score double, label boolean",
+        )
+        out = {r["grp"]: r["auc"] for r in grouped_auc(df, "grp", "score", "label").collect()}
+        assert out["only_pos"] is None
+        assert out["mixed"] == 0.0  # the one positive scores LOWER
