@@ -366,3 +366,45 @@ def compact_parquet(
         raise
     shutil.rmtree(old)
     return n_out
+
+
+def compaction_plan(
+    manifest: DataFrame,
+    file_col: str,
+    size_col: str,
+    target_bytes: int,
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Small-file compaction PLANNING over a file manifest — the decide
+    half of lakehouse OPTIMIZE (`compact_parquet` is the act half, and
+    `packing.zorder_layout` emits the post-compaction envelopes): group
+    each partition's files into bins of ~`target_bytes` so one rewrite
+    task merges one bin.
+
+    Deterministic greedy packing, engine-exact: files order by
+    (size DESC, file ASC) within their partition — largest first, the
+    classic first-fit-decreasing shape — and bin = (exclusive running
+    byte total) div target_bytes. All-integer window arithmetic; a file
+    larger than target_bytes gets a bin of its own plus spillover, which
+    is exactly what a rewrite task wants. Output = manifest + ``bin``
+    (0-based per partition).
+
+    Scale shape: the window partitions by the table's partition columns —
+    distributed like the data. With ``partition_cols=None`` the manifest
+    windows globally: manifests are METADATA (100 TB / 128 MB ≈ 800k
+    rows), so a single-partition pass over them is the correct trade —
+    never feed this operator the data itself."""
+    if target_bytes < 1:
+        raise ValueError("target_bytes must be >= 1")
+    parts = [F.col(c) for c in (partition_cols or [])]
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy(F.desc(size_col), F.asc(file_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum(F.col(size_col)).over(w), F.lit(0))
+    return (
+        manifest.withColumn("__prefix", prefix)
+        .withColumn("bin", F.expr(f"__prefix div {target_bytes}").cast("long"))
+        .drop("__prefix")
+    )

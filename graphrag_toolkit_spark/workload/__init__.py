@@ -100,6 +100,8 @@ _CHECK_FIRST = [
     "kn_perplexity_buckets_documents",
     "modularity_parts",
     "l_diversity_documents",
+    "auc_by_source_documents",
+    "compaction_plan_events",
     # --- green, last driver-verified round 1 ---
     "ann_ivf_topk",
     "cascade_delete_counts",

@@ -1337,7 +1337,50 @@ FROM conv c LEFT JOIN touch t
 GROUP BY c."user", c.event_id, c.conv_ts_us
 """
 
+COMPACT_TARGET_BYTES = 3000
+
+
+def compaction_plan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse maintenance planning (`sink.compaction_plan`): roll the
+    events table into a per-(event_type, day) file manifest (size = props
+    bytes), then bin each partition's files into ~COMPACT_TARGET_BYTES
+    rewrite tasks — first-fit-decreasing, all-integer window arithmetic.
+    Day ids compare in exact epoch-microseconds (the timestamp rule)."""
+    from graphrag_toolkit_spark.sources.sink import compaction_plan
+
+    manifest = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+            F.length("props").alias("b"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("b").cast("long").alias("size_bytes"))
+    )
+    return compaction_plan(
+        manifest, "day", "size_bytes", COMPACT_TARGET_BYTES,
+        partition_cols=["event_type"],
+    )
+
+
+COMPACTION_PLAN_ORACLE = f"""
+WITH manifest AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(SUM(length(props)) AS BIGINT) AS size_bytes
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, size_bytes,
+       CAST(COALESCE(SUM(size_bytes) OVER (
+         PARTITION BY event_type ORDER BY size_bytes DESC, day ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+       ), 0) // {COMPACT_TARGET_BYTES} AS BIGINT) AS bin
+FROM manifest
+"""
+
+
 QUERIES = {
+    "compaction_plan_events": compaction_plan_events,
     "tumbling_window_events": tumbling_window_events,
     "salted_agg_events": salted_agg_events,
     "cumulative_distinct_users_events": cumulative_distinct_users_events,
@@ -1369,6 +1412,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "compaction_plan_events": COMPACTION_PLAN_ORACLE,
     "salted_agg_events": SALTED_AGG_ORACLE,
     "cumulative_distinct_users_events": CUMULATIVE_DISTINCT_ORACLE,
     "ewma_events": EWMA_ORACLE,

@@ -1967,3 +1967,49 @@ class TestGroupedAuc:
         out = {r["grp"]: r["auc"] for r in grouped_auc(df, "grp", "score", "label").collect()}
         assert out["only_pos"] is None
         assert out["mixed"] == 0.0  # the one positive scores LOWER
+
+
+class TestCompactionPlan:
+    def test_first_fit_decreasing_bins(self, spark):
+        """Sizes 7,5,4,2 target 8: prefixes 0,7,12,16 → bins 0,0,1,2."""
+        from graphrag_toolkit_spark.sources.sink import compaction_plan
+
+        m = spark.createDataFrame(
+            [("f1", 7), ("f2", 5), ("f3", 4), ("f4", 2)],
+            "file string, size long",
+        )
+        out = {r["file"]: r["bin"] for r in compaction_plan(m, "file", "size", 8).collect()}
+        assert out == {"f1": 0, "f2": 0, "f3": 1, "f4": 2}
+
+    def test_partitions_bin_independently(self, spark):
+        from graphrag_toolkit_spark.sources.sink import compaction_plan
+
+        m = spark.createDataFrame(
+            [("p1", "a", 10), ("p1", "b", 10), ("p2", "a", 10), ("p2", "b", 10)],
+            "part string, file string, size long",
+        )
+        out = {
+            (r["part"], r["file"]): r["bin"]
+            for r in compaction_plan(
+                m, "file", "size", 10, partition_cols=["part"]
+            ).collect()
+        }
+        assert out == {("p1", "a"): 0, ("p1", "b"): 1, ("p2", "a"): 0, ("p2", "b"): 1}
+
+    def test_oversized_file_gets_own_bin(self, spark):
+        from graphrag_toolkit_spark.sources.sink import compaction_plan
+
+        m = spark.createDataFrame(
+            [("big", 100), ("s1", 3), ("s2", 3)], "file string, size long"
+        )
+        out = {r["file"]: r["bin"] for r in compaction_plan(m, "file", "size", 10).collect()}
+        assert out["big"] == 0 and out["s1"] == 10 and out["s2"] == 10
+
+    def test_target_must_be_positive(self, spark):
+        import pytest as _pytest
+
+        from graphrag_toolkit_spark.sources.sink import compaction_plan
+
+        m = spark.createDataFrame([("f", 1)], "file string, size long")
+        with _pytest.raises(ValueError):
+            compaction_plan(m, "file", "size", 0)
