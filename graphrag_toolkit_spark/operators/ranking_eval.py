@@ -310,3 +310,52 @@ def grouped_auc(
             / (2 * F.col("p") * n_neg).cast("double"),
         ).alias("auc"),
     )
+
+
+def classification_report(
+    df: DataFrame, score_col: str, label_col: str, threshold: float
+) -> DataFrame:
+    """Thresholded binary-classification report — the operating-point
+    companion to `binary_auc` (ranking quality) and `calibration_bins`
+    (probability quality): confusion counts + precision/recall/F1/accuracy
+    at ONE decision threshold, which is what a deployed corpus gate
+    actually runs.
+
+    EXACTNESS: counts are conditional sums (BIGINT); each metric is a
+    single exact-operand IEEE division (F1 over the common denominator
+    2TP + FP + FN — never precision·recall over their sum, which would
+    chain three divisions). NULL scores are EXCLUDED (no comparable
+    decision — same pinning as `binary_auc`); NULL labels count negative.
+
+    Scale shape: one map-side-combined full-corpus aggregate; a single
+    row moves."""
+    df = df.filter(F.col(score_col).isNotNull())
+    pred = F.col(score_col) >= F.lit(threshold)
+    y = F.col(label_col).cast("boolean")
+    agg = df.agg(
+        F.sum((pred & y).cast("long")).alias("tp"),
+        F.sum((pred & ~F.coalesce(y, F.lit(False))).cast("long")).alias("fp"),
+        F.sum((~pred & y).cast("long")).alias("fn"),
+        F.sum((~pred & ~F.coalesce(y, F.lit(False))).cast("long")).alias("tn"),
+    ).select(*[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ("tp", "fp", "fn", "tn")])
+    n = F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")
+    return agg.select(
+        "tp", "fp", "fn", "tn",
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast("double"),
+        ).alias("precision"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fn")).cast("double"),
+        ).alias("recall"),
+        F.when(
+            2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+            (2 * F.col("tp")).cast("double")
+            / (2 * F.col("tp") + F.col("fp") + F.col("fn")).cast("double"),
+        ).alias("f1"),
+        F.when(
+            n > 0,
+            (F.col("tp") + F.col("tn")).cast("double") / n.cast("double"),
+        ).alias("accuracy"),
+    )

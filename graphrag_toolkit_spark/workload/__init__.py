@@ -102,6 +102,8 @@ _CHECK_FIRST = [
     "l_diversity_documents",
     "auc_by_source_documents",
     "compaction_plan_events",
+    "classification_report_documents",
+    "group_split_documents",
     # --- green, last driver-verified round 1 ---
     "ann_ivf_topk",
     "cascade_delete_counts",

@@ -4123,6 +4123,75 @@ FROM b
 """
 
 
+def classification_report_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point report (`ranking_eval.classification_report`) for
+    the length rater at the same threshold `cohen_kappa_documents` uses:
+    confusion counts + precision/recall/F1/accuracy, exact single-division
+    ratios."""
+    from graphrag_toolkit_spark.operators.ranking_eval import classification_report
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("double").alias("score"),
+        (F.col("lang") == "en").alias("label"),
+    )
+    return classification_report(
+        docs, "score", "label", threshold=float(KAPPA_LEN_THRESHOLD)
+    )
+
+
+CLASSIFICATION_REPORT_ORACLE = f"""
+WITH d AS (
+  SELECT CASE WHEN n_chars >= {KAPPA_LEN_THRESHOLD} THEN 1 ELSE 0 END AS p,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+agg AS (
+  SELECT CAST(SUM(p * y) AS BIGINT) AS tp,
+         CAST(SUM(p * (1 - y)) AS BIGINT) AS fp,
+         CAST(SUM((1 - p) * y) AS BIGINT) AS fn,
+         CAST(SUM((1 - p) * (1 - y)) AS BIGINT) AS tn
+  FROM d
+)
+SELECT tp, fp, fn, tn,
+       CASE WHEN tp + fp > 0
+            THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+       CASE WHEN tp + fn > 0
+            THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
+       CASE WHEN 2 * tp + fp + fn > 0
+            THEN CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE)
+            END AS f1,
+       CASE WHEN tp + fp + fn + tn > 0
+            THEN CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE)
+            END AS accuracy
+FROM agg
+"""
+
+
+def group_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-FREE train/val/test split: hash the GROUP key (source), not
+    the row id, so every document of a source lands in one split — the
+    prevention counterpart to the `split_leakage_documents` measurement
+    (near-dups cluster within sources; row-hash splits leak them across
+    the boundary). Same `sampling.train_val_test_split`, keyed on source."""
+    docs = load(spark, sf_dir, "documents")
+    return sampling.train_val_test_split(
+        docs, "source", val_fraction=0.1, test_fraction=0.1
+    ).select("doc_id", "source", "split")
+
+
+GROUP_SPLIT_ORACLE = """
+SELECT doc_id, source,
+       CASE WHEN b < 1000 THEN 'test'
+            WHEN b < 2000 THEN 'val'
+            ELSE 'train' END AS split
+FROM (
+  SELECT doc_id, source,
+         CAST('0x' || substring(md5(source), 1, 7) AS BIGINT) % 10000 AS b
+  FROM documents
+)
+"""
+
+
 def cohen_kappa_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chance-corrected agreement (`ranking_eval.cohen_kappa`) between the
     naive length rater (n_chars >= KAPPA_LEN_THRESHOLD) and the lang tag
@@ -4211,6 +4280,8 @@ QUERIES = {
     "calibration_documents": calibration_documents,
     "auc_by_source_documents": auc_by_source_documents,
     "cohen_kappa_documents": cohen_kappa_documents,
+    "classification_report_documents": classification_report_documents,
+    "group_split_documents": group_split_documents,
     "negative_samples_embeddings": negative_samples_embeddings,
     "incremental_neardup_documents": incremental_neardup_documents,
     "gopher_gate_documents": gopher_gate_documents,
@@ -4294,6 +4365,8 @@ ORACLES = {
     "calibration_documents": CALIBRATION_ORACLE,
     "auc_by_source_documents": AUC_BY_SOURCE_ORACLE,
     "cohen_kappa_documents": KAPPA_ORACLE,
+    "classification_report_documents": CLASSIFICATION_REPORT_ORACLE,
+    "group_split_documents": GROUP_SPLIT_ORACLE,
     "negative_samples_embeddings": NEGATIVE_SAMPLES_ORACLE,
     "incremental_neardup_documents": INCREMENTAL_NEARDUP_ORACLE,
     "gopher_gate_documents": GOPHER_GATE_ORACLE,

@@ -2013,3 +2013,60 @@ class TestCompactionPlan:
         m = spark.createDataFrame([("f", 1)], "file string, size long")
         with _pytest.raises(ValueError):
             compaction_plan(m, "file", "size", 0)
+
+
+class TestClassificationReport:
+    def test_hand_computed(self, spark):
+        from graphrag_toolkit_spark.operators.ranking_eval import (
+            classification_report,
+        )
+
+        df = spark.createDataFrame(
+            [(0.9, True), (0.8, False), (0.3, True), (0.1, False), (0.7, True)],
+            "score double, label boolean",
+        )
+        r = classification_report(df, "score", "label", 0.5).head()
+        assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (2, 1, 1, 1)
+        assert r["precision"] == 2 / 3 and r["recall"] == 2 / 3
+        assert r["f1"] == 4 / 6 and r["accuracy"] == 3 / 5
+
+    def test_null_pinning(self, spark):
+        """NULL score rows are excluded; NULL labels count negative."""
+        from graphrag_toolkit_spark.operators.ranking_eval import (
+            classification_report,
+        )
+
+        df = spark.createDataFrame(
+            [(None, True), (0.9, None), (0.1, None)],
+            "score double, label boolean",
+        )
+        r = classification_report(df, "score", "label", 0.5).head()
+        assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (0, 1, 0, 1)
+        assert r["precision"] == 0.0 and r["recall"] is None
+
+    def test_degenerate_all_negative(self, spark):
+        from graphrag_toolkit_spark.operators.ranking_eval import (
+            classification_report,
+        )
+
+        df = spark.createDataFrame([(0.1, False)], "score double, label boolean")
+        r = classification_report(df, "score", "label", 0.5).head()
+        assert r["f1"] is None and r["accuracy"] == 1.0
+
+
+class TestGroupSplit:
+    def test_no_group_spans_two_splits(self, spark, sf_dir):
+        from graphrag_toolkit_spark.operators import sampling
+        from graphrag_toolkit_spark.session import load
+
+        docs = load(spark, sf_dir, "documents")
+        out = sampling.train_val_test_split(
+            docs, "source", val_fraction=0.1, test_fraction=0.1
+        )
+        multi = (
+            out.groupBy("source")
+            .agg(F.countDistinct("split").alias("k"))
+            .filter(F.col("k") > 1)
+            .count()
+        )
+        assert multi == 0
