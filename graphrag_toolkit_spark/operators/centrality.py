@@ -507,3 +507,63 @@ def modularity(
             ).alias("modularity"),
         )
     )
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002) of an undirected
+    simple graph — the Pearson correlation of endpoint degrees over edges:
+    positive = hubs attach to hubs (social nets), negative = hubs attach
+    to leaves (tech/biological nets, and near-dup/boilerplate graphs). A
+    one-row structural fingerprint complementing `modularity`.
+
+    Each undirected edge contributes BOTH orientations (the standard
+    symmetric estimator), so Σx = Σy and the formula reduces to
+
+        r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²)        with M = 2·|E|
+
+    EXACTNESS: degrees and all five sufficient statistics are BIGINT; r
+    is one exact-operand IEEE division (no sqrt needed in the symmetric
+    form — the two variance legs are identical). NULL when the variance
+    is zero (regular graphs: r is undefined).
+
+    Scale shape: canonical edge dedup, one degree aggregate, two
+    degree-table joins back onto edges (equi-joins on the endpoint), one
+    global reduce with map-side combine. BIGINT-safe while M·Σ(d_u·d_v)
+    < 2⁶³ — beyond ~10⁹ heavy-tailed edges switch the two products to
+    DECIMAL(38,0)."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionByName(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ed = (
+        e.join(deg.withColumnsRenamed({"n": "a", "d": "da"}), "a")
+        .join(deg.withColumnsRenamed({"n": "b", "d": "db"}), "b")
+    )
+    agg = ed.agg(
+        (2 * F.count(F.lit(1))).cast("long").alias("m"),
+        F.sum(F.col("da") + F.col("db")).cast("long").alias("sx"),
+        (2 * F.sum(F.col("da") * F.col("db"))).cast("long").alias("sxy"),
+        F.sum(
+            F.col("da") * F.col("da") + F.col("db") * F.col("db")
+        ).cast("long").alias("sxx"),
+    )
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sx")
+    den = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return agg.select(
+        F.col("m"), F.col("sx"), F.col("sxy"), F.col("sxx"),
+        F.when(den != 0, num.cast("double") / den.cast("double")).alias(
+            "assortativity"
+        ),
+    )

@@ -818,3 +818,49 @@ def kn_perplexity_buckets(
         F.col("lp_sum").cast("double").alias("lp_sum"),
         "avg_logp", "bucket",
     )
+
+
+def readability_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Flesch reading-ease per document — the classic readability feature
+    in text-quality stacks (pairs with `quality_score`'s surface ratios):
+
+        flesch = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+
+    with sentences = punctuation-terminated runs (min 1, so fragments
+    count as one sentence) and syllables approximated as vowel-group runs
+    per word (the standard dictionary-free estimator).
+
+    EXACTNESS: counts are integers from regexp arithmetic; the score is a
+    fixed expression tree of exact-operand IEEE ops (two divisions, two
+    multiplies by double literals, two subtractions) — each op is
+    correctly rounded, so engines agree bit-for-bit as long as the oracle
+    writes the SAME tree: ((206.835 − 1.015·(w/s)) − 84.6·(syl/w)).
+    Documents with zero words emit NULL flesch.
+
+    Scale shape: one shuffle-free projection — the quality-signal
+    contract; every count rides the scan."""
+    t = F.lower(F.col(text_col))
+    words = F.size(
+        F.filter(F.split(t, r"[^0-9a-z]+"), lambda x: x != "")
+    ).cast("long")
+    sentences = F.greatest(
+        F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("long")
+    syllables = F.regexp_count(t, F.lit(r"[aeiouy]+")).cast("long")
+    w, s, y = F.col("n_words"), F.col("n_sentences"), F.col("n_syllables")
+    return df.select(
+        F.col(id_col).alias("id"),
+        words.alias("n_words"),
+        sentences.alias("n_sentences"),
+        syllables.alias("n_syllables"),
+    ).withColumn(
+        "flesch",
+        F.when(
+            w > 0,
+            (
+                F.lit(206.835)
+                - F.lit(1.015) * (w.cast("double") / s.cast("double"))
+            )
+            - F.lit(84.6) * (y.cast("double") / w.cast("double")),
+        ),
+    )

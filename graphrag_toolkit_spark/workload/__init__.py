@@ -104,6 +104,8 @@ _CHECK_FIRST = [
     "compaction_plan_events",
     "classification_report_documents",
     "group_split_documents",
+    "readability_documents",
+    "assortativity_parts",
     # --- green, last driver-verified round 1 ---
     "ann_ivf_topk",
     "cascade_delete_counts",

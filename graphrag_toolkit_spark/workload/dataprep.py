@@ -4034,6 +4034,36 @@ FROM agg
 """
 
 
+def readability_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per doc (`textstats.readability_scores`):
+    vowel-group syllable estimator, punctuation-run sentences, fixed
+    IEEE expression tree shared with the oracle — the classic
+    readability feature for text-quality stacks."""
+    docs = load(spark, sf_dir, "documents")
+    return textstats.readability_scores(docs, "text", "doc_id")
+
+
+READABILITY_ORACLE = r"""
+WITH c AS (
+  SELECT doc_id AS id,
+         CAST(len(list_filter(string_split_regex(lower(text), '[^0-9a-z]+'),
+                              x -> x <> '')) AS BIGINT) AS n_words,
+         CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+           AS n_sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+           AS n_syllables
+  FROM documents
+)
+SELECT id, n_words, n_sentences, n_syllables,
+       CASE WHEN n_words > 0 THEN
+         (206.835
+          - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)))
+         - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+       END AS flesch
+FROM c
+"""
+
+
 def auc_by_source_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-slice exact AUC (`ranking_eval.grouped_auc`): the same
     length-predicts-English classifier as `auc_documents`, audited PER
@@ -4282,6 +4312,7 @@ QUERIES = {
     "cohen_kappa_documents": cohen_kappa_documents,
     "classification_report_documents": classification_report_documents,
     "group_split_documents": group_split_documents,
+    "readability_documents": readability_documents,
     "negative_samples_embeddings": negative_samples_embeddings,
     "incremental_neardup_documents": incremental_neardup_documents,
     "gopher_gate_documents": gopher_gate_documents,
@@ -4367,6 +4398,7 @@ ORACLES = {
     "cohen_kappa_documents": KAPPA_ORACLE,
     "classification_report_documents": CLASSIFICATION_REPORT_ORACLE,
     "group_split_documents": GROUP_SPLIT_ORACLE,
+    "readability_documents": READABILITY_ORACLE,
     "negative_samples_embeddings": NEGATIVE_SAMPLES_ORACLE,
     "incremental_neardup_documents": INCREMENTAL_NEARDUP_ORACLE,
     "gopher_gate_documents": GOPHER_GATE_ORACLE,

@@ -1166,10 +1166,61 @@ FROM m, inside, degsq
 """
 
 
+def assortativity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (`centrality.degree_assortativity`) of the part
+    co-purchase graph — do high-degree parts pair with each other or with
+    tail parts? One-row exact-BIGINT statistics, symmetric-estimator form
+    (no sqrt)."""
+    from graphrag_toolkit_spark.operators import centrality
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.withColumnsRenamed({"l_partkey": "pa"})
+    b = li.withColumnsRenamed({"l_partkey": "pb"})
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .distinct()
+    )
+    return centrality.degree_assortativity(edges)
+
+
+ASSORTATIVITY_ORACLE = """
+WITH bi AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM bi a JOIN bi b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS MATERIALIZED (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT a AS n FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY n
+),
+ed AS (
+  SELECT da.d AS da, db.d AS db
+  FROM e JOIN deg da ON e.a = da.n JOIN deg db ON e.b = db.n
+),
+agg AS (
+  SELECT CAST(2 * COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(da + db) AS BIGINT) AS sx,
+         CAST(2 * SUM(da * db) AS BIGINT) AS sxy,
+         CAST(SUM(da * da + db * db) AS BIGINT) AS sxx
+  FROM ed
+)
+SELECT m, sx, sxy, sxx,
+       CASE WHEN m * sxx - sx * sx <> 0
+            THEN CAST(m * sxy - sx * sx AS DOUBLE)
+                 / CAST(m * sxx - sx * sx AS DOUBLE)
+            END AS assortativity
+FROM agg
+"""
+
+
 QUERIES = {
     "kcore_parts": kcore_parts,
     "hits_scores_graph": hits_scores_graph,
     "modularity_parts": modularity_parts,
+    "assortativity_parts": assortativity_parts,
     "clustering_coefficient_parts": clustering_coefficient_parts,
     "degree_distribution_parts": degree_distribution_parts,
     "bfs_shortest_paths": bfs_shortest_paths,
@@ -1202,6 +1253,7 @@ ORACLES = {
     "pagerank_graph": PAGERANK_ORACLE,
     "hits_scores_graph": HITS_ORACLE,
     "modularity_parts": MODULARITY_ORACLE,
+    "assortativity_parts": ASSORTATIVITY_ORACLE,
     "personalized_katz_graph": PKATZ_ORACLE,
     "association_rules_parts": ASSOC_ORACLE,
     "triangle_count_parts": TRIANGLE_ORACLE,

@@ -2070,3 +2070,27 @@ class TestGroupSplit:
             .count()
         )
         assert multi == 0
+
+
+class TestReadability:
+    def test_hand_computed(self, spark):
+        """'See the dog. It runs!': words=5, sentences=2, vowel groups:
+        see(2: e..e->'ee' is one group! s-ee = 1) — count precisely:
+        'see the dog. it runs!' → [ee][e][o][i][u] = 5 syllables.
+        flesch = 206.835 − 1.015·(5/2) − 84.6·(5/5)."""
+        from graphrag_toolkit_spark.operators import textstats
+
+        docs = spark.createDataFrame(
+            [(1, "See the dog. It runs!")], "doc_id long, text string"
+        )
+        r = textstats.readability_scores(docs, "text", "doc_id").head()
+        assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (5, 2, 5)
+        assert r["flesch"] == (206.835 - 1.015 * (5 / 2)) - 84.6 * (5 / 5)
+
+    def test_empty_doc_null_flesch_one_sentence_floor(self, spark):
+        from graphrag_toolkit_spark.operators import textstats
+
+        docs = spark.createDataFrame([(1, "")], "doc_id long, text string")
+        r = textstats.readability_scores(docs, "text", "doc_id").head()
+        assert r["n_words"] == 0 and r["n_sentences"] == 1
+        assert r["flesch"] is None

@@ -748,3 +748,45 @@ class TestModularity:
         )
         r = modularity(edges, assign).head()
         assert r["m"] == 1  # the ghost edge is outside the evaluated subgraph
+
+
+class TestAssortativity:
+    def test_star_is_perfectly_disassortative(self, spark):
+        from graphrag_toolkit_spark.operators.centrality import (
+            degree_assortativity,
+        )
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("a", "c"), ("a", "d")], "src string, dst string"
+        )
+        r = degree_assortativity(edges).head()
+        assert r["assortativity"] == -1.0
+        assert r["m"] == 6  # both orientations of 3 edges
+
+    def test_regular_graph_is_null(self, spark):
+        """Cycle: every degree 2 → zero variance → undefined."""
+        from graphrag_toolkit_spark.operators.centrality import (
+            degree_assortativity,
+        )
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+        )
+        assert degree_assortativity(edges).head()["assortativity"] is None
+
+    def test_orientation_and_duplicates_invariant(self, spark):
+        from graphrag_toolkit_spark.operators.centrality import (
+            degree_assortativity,
+        )
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")],
+            "src string, dst string",
+        )
+        noisy = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        assert (
+            degree_assortativity(edges).collect()
+            == degree_assortativity(noisy).collect()
+        )
