@@ -185,3 +185,40 @@ def hard_negative_mining(
         .filter(F.col("rank") <= k)
         .select("anchor_id", "neg_id", "neg_label", "score", "rank")
     )
+
+
+def pareto_frontier(
+    df: DataFrame, max_col: str, min_col: str
+) -> DataFrame:
+    """2-D Pareto frontier (skyline): the points not weakly dominated when
+    MAXIMIZING `max_col` and MINIMIZING `min_col` — the curation-tradeoff
+    primitive ("largest parts at the lowest price", "longest documents
+    with the least repetition"): every selection policy that's monotone
+    in both axes picks from this frontier.
+
+    Returns distinct frontier POINTS ``(x, y, n_rows)`` (n_rows = ties at
+    the point); join back on (x, y) to recover ids. A point survives iff
+    y equals its x-group minimum AND is strictly below every higher-x
+    group's minimum (weak dominance: x'≥x ∧ y'<y, or x'>x ∧ y'≤y kills).
+
+    EXACTNESS: comparisons and counts only — nothing is computed, so any
+    exactly-stored column types work.
+
+    Scale shape: one (x, y) aggregate over the data, then the skyline
+    scan runs on the DISTINCT-X table (one running-min window over x
+    groups — x's cardinality, not the data's; fine for the priced/sized/
+    bucketed axes skylines are asked of; bucket a continuous axis first)."""
+    pts = df.groupBy(F.col(max_col).alias("x"), F.col(min_col).alias("y")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    per_x = pts.groupBy("x").agg(F.min("y").alias("min_y"))
+    w = Window.orderBy(F.desc("x")).rowsBetween(Window.unboundedPreceding, -1)
+    keep = (
+        per_x.withColumn("best_higher", F.min("min_y").over(w))
+        .filter(
+            F.col("best_higher").isNull()
+            | (F.col("min_y") < F.col("best_higher"))
+        )
+        .select("x", F.col("min_y").alias("y"))
+    )
+    return pts.join(keep, ["x", "y"]).select("x", "y", "n_rows")

@@ -106,6 +106,7 @@ _CHECK_FIRST = [
     "group_split_documents",
     "readability_documents",
     "assortativity_parts",
+    "pareto_parts",
     # --- green, last driver-verified round 1 ---
     "ann_ivf_topk",
     "cascade_delete_counts",

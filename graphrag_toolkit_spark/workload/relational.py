@@ -1623,9 +1623,38 @@ GROUP BY 1
 ZORDER_ORACLE = _zorder_oracle()
 
 
+def pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline query (`features.pareto_frontier`): the largest-size,
+    lowest-price part frontier — no part on it is beaten on both axes.
+    Distinct points + tie counts; exact comparisons only."""
+    from graphrag_toolkit_spark.operators.features import pareto_frontier
+
+    return pareto_frontier(load(spark, sf_dir, "part"), "p_size", "p_retailprice")
+
+
+PARETO_ORACLE = """
+WITH pts AS (
+  SELECT p_size AS x, p_retailprice AS y, CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM part GROUP BY 1, 2
+),
+per_x AS (SELECT x, MIN(y) AS min_y FROM pts GROUP BY x),
+keep AS (
+  SELECT x, min_y AS y FROM (
+    SELECT x, min_y,
+           MIN(min_y) OVER (ORDER BY x DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS best_higher
+    FROM per_x
+  ) WHERE best_higher IS NULL OR min_y < best_higher
+)
+SELECT p.x, p.y, p.n_rows FROM pts p JOIN keep USING (x, y)
+"""
+
+
 QUERIES = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "zorder_layout_orders": zorder_layout_orders,
+    "pareto_parts": pareto_parts,
     "q4_order_priority": q4_order_priority,
     "rollup_grouping_orders": rollup_grouping_orders,
     "q12_shipmode_priority": q12_shipmode_priority,
@@ -1670,6 +1699,7 @@ QUERIES = {
 ORACLES = {
     "q6_forecast_revenue": Q6_ORACLE,
     "zorder_layout_orders": ZORDER_ORACLE,
+    "pareto_parts": PARETO_ORACLE,
     "q4_order_priority": Q4_ORACLE,
     "rollup_grouping_orders": ROLLUP_GROUPING_ORACLE,
     "q12_shipmode_priority": Q12_ORACLE,

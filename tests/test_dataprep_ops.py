@@ -2094,3 +2094,51 @@ class TestReadability:
         r = textstats.readability_scores(docs, "text", "doc_id").head()
         assert r["n_words"] == 0 and r["n_sentences"] == 1
         assert r["flesch"] is None
+
+
+class TestParetoFrontier:
+    def test_hand_computed(self, spark):
+        """Points (size, price): (1,1) survives (cheapest), (2,3), (3,2)
+        — (2,3) is dominated by (3,2); (3,5) dominated by (3,2)."""
+        from graphrag_toolkit_spark.operators.features import pareto_frontier
+
+        df = spark.createDataFrame(
+            [(1, 1.0), (2, 3.0), (3, 2.0), (3, 5.0), (2, 8.0)],
+            "size long, price double",
+        )
+        out = sorted(
+            (r["x"], r["y"], r["n_rows"])
+            for r in pareto_frontier(df, "size", "price").collect()
+        )
+        assert out == [(1, 1.0, 1), (3, 2.0, 1)]
+
+    def test_no_frontier_point_dominated_property(self, spark):
+        from graphrag_toolkit_spark.operators.features import pareto_frontier
+
+        rows = [((i * 7) % 23, float((i * 13) % 31)) for i in range(200)]
+        df = spark.createDataFrame(rows, "x long, y double")
+        frontier = [(r["x"], r["y"]) for r in pareto_frontier(df, "x", "y").collect()]
+        pts = set(rows)
+        for fx, fy in frontier:
+            dominated = any(
+                (px >= fx and py < fy) or (px > fx and py <= fy)
+                for px, py in pts
+            )
+            assert not dominated, (fx, fy)
+        # and everything NOT on the frontier IS dominated
+        for px, py in pts:
+            if (px, py) in frontier:
+                continue
+            assert any(
+                (qx >= px and qy < py) or (qx > px and qy <= py)
+                for qx, qy in pts
+            ), (px, py)
+
+    def test_ties_on_frontier_both_counted(self, spark):
+        from graphrag_toolkit_spark.operators.features import pareto_frontier
+
+        df = spark.createDataFrame(
+            [(5, 2.0), (5, 2.0)], "x long, y double"
+        )
+        out = pareto_frontier(df, "x", "y").collect()
+        assert len(out) == 1 and out[0]["n_rows"] == 2

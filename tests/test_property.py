@@ -475,3 +475,34 @@ class TestBpeProperty:
                 counts[(w[i], w[i + 1])] += 1
         best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
         assert (got["sym_a"], got["sym_b"], got["n"]) == (*best[0], best[1])
+
+
+class TestMortonProperty:
+    def test_interleave_is_bijective_and_order_preserving_on_quadrants(self, spark):
+        """Morton decode(encode(x, y)) == (x, y) for random 8-bit pairs
+        (bijectivity = no two rows collide into one file slot), and the
+        top bit pair selects the quadrant (the envelope-tightness
+        mechanism)."""
+        from graphrag_toolkit_spark.operators.packing import morton_sql
+
+        pairs = [((i * 37) % 256, (i * 101) % 256) for i in range(300)]
+        df = spark.createDataFrame(pairs, "x long, y long")
+        rows = df.selectExpr(
+            "x", "y", f"{morton_sql('x', 'y', bits=8)} AS z"
+        ).collect()
+
+        def decode(z: int) -> tuple[int, int]:
+            x = y = 0
+            for i in range(8):
+                x |= ((z >> (2 * i)) & 1) << i
+                y |= ((z >> (2 * i + 1)) & 1) << i
+            return x, y
+
+        seen = set()
+        for r in rows:
+            assert decode(r["z"]) == (r["x"], r["y"])
+            seen.add(r["z"])
+            quad = (r["x"] >= 128, r["y"] >= 128)
+            top = ((r["z"] >> 14) & 1 == 1, (r["z"] >> 15) & 1 == 1)
+            assert quad == top
+        assert len(seen) == len(set(pairs))
