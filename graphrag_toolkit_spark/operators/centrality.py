@@ -567,3 +567,69 @@ def degree_assortativity(
             "assortativity"
         ),
     )
+
+
+def weighted_pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str = "w",
+    iters: int = 4,
+) -> DataFrame:
+    """Edge-weighted truncated PageRank — `pagerank` where a node's rank
+    splits across out-edges in proportion to INTEGER edge weights (order
+    multiplicity, click counts) instead of uniformly:
+
+        r_{t+1}(v) = 0.15 + 0.85 · Σ_{(u,v,w)∈E} ⌊w · r_t(u) / W(u)⌋
+
+    with W(u) the node's total out-weight. Same scaled-integer floor
+    discipline as `pagerank` (r₆ = rank·10⁶ BIGINT; the per-edge message
+    is ``(w · r6) div W`` — one integer multiply before the floor divide,
+    so weighting adds NO new rounding surface) and the same dangling-mass
+    drop. Weights must be positive integers; the systematic truncation
+    error stays < iters·10⁻⁶ per edge chain.
+
+    Scale shape identical to `pagerank`: (edge ⋈ out-weight) built once,
+    repartitioned on src and persisted; only rank rows move per round."""
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    e = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        F.col(weight_col).cast("long").alias("w"),
+    )
+    tot = e.groupBy("src").agg(F.sum("w").alias("tw"))
+    ed = e.join(tot, "src").repartition(F.col("src"))
+    ed.persist()
+    try:
+        nodes = (
+            e.select(F.col("src").alias("node_id"))
+            .unionByName(e.select(F.col("dst").alias("node_id")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        zeros = nodes.withColumn("m", F.lit(0).cast("long"))
+        ranks = nodes.withColumn("r6", F.lit(1_000_000).cast("long"))
+        for _ in range(iters):
+            msgs = ed.join(
+                ranks.withColumnRenamed("node_id", "src"), "src"
+            ).select(
+                F.col("dst").alias("node_id"),
+                F.expr("(w * r6) div tw").alias("m"),
+            )
+            ranks = (
+                msgs.unionByName(zeros)
+                .groupBy("node_id")
+                .agg(
+                    F.expr("150000 + (85 * sum(m)) div 100")
+                    .cast("long")
+                    .alias("r6")
+                )
+                .localCheckpoint(eager=False)
+            )
+        return ranks.select(
+            "node_id",
+            (F.col("r6").cast("double") / F.lit(1_000_000.0)).alias("pagerank"),
+        )
+    finally:
+        ed.unpersist()

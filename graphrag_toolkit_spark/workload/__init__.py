@@ -107,6 +107,7 @@ _CHECK_FIRST = [
     "readability_documents",
     "assortativity_parts",
     "pareto_parts",
+    "weighted_pagerank_parts",
     # --- green, last driver-verified round 1 ---
     "ann_ivf_topk",
     "cascade_delete_counts",

@@ -1166,6 +1166,57 @@ FROM m, inside, degsq
 """
 
 
+WPAGERANK_ITERS = 4
+
+
+def weighted_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-weighted PageRank (`centrality.weighted_pagerank`) over the
+    order→part multigraph — rank splits by lineitem multiplicity, the
+    weighted twin of `pagerank_graph` (same scaled-integer floor loop,
+    one extra integer multiply per message)."""
+    from graphrag_toolkit_spark.operators import centrality
+
+    li = load(spark, sf_dir, "lineitem")
+    edges = li.groupBy(
+        F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    ).agg(F.count(F.lit(1)).alias("w"))
+    return centrality.weighted_pagerank(edges, iters=WPAGERANK_ITERS)
+
+
+def _wpagerank_oracle() -> str:
+    steps = []
+    for t in range(1, WPAGERANK_ITERS + 1):
+        steps.append(f"""
+r{t} AS (
+  SELECT n.node_id,
+         CAST(150000 + (85 * COALESCE(SUM((e.w * p.r6) // t.tw), 0)) // 100
+              AS BIGINT) AS r6
+  FROM nodes n
+  LEFT JOIN e ON e.dst = n.node_id
+  LEFT JOIN tot t ON t.src = e.src
+  LEFT JOIN r{t - 1} p ON p.node_id = e.src
+  GROUP BY n.node_id
+)""")
+    return f"""
+WITH e AS (
+  SELECT 'o' || CAST(l_orderkey AS VARCHAR) AS src,
+         'p' || CAST(l_partkey AS VARCHAR) AS dst,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2
+),
+tot AS (SELECT src, CAST(SUM(w) AS BIGINT) AS tw FROM e GROUP BY src),
+nodes AS (SELECT src AS node_id FROM e UNION SELECT dst FROM e),
+r0 AS (SELECT node_id, CAST(1000000 AS BIGINT) AS r6 FROM nodes),
+{','.join(steps)}
+SELECT node_id, CAST(r6 AS DOUBLE) / 1000000.0 AS pagerank
+FROM r{WPAGERANK_ITERS}
+"""
+
+
+WPAGERANK_ORACLE = _wpagerank_oracle()
+
+
 def assortativity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree assortativity (`centrality.degree_assortativity`) of the part
     co-purchase graph — do high-degree parts pair with each other or with
@@ -1221,6 +1272,7 @@ QUERIES = {
     "hits_scores_graph": hits_scores_graph,
     "modularity_parts": modularity_parts,
     "assortativity_parts": assortativity_parts,
+    "weighted_pagerank_parts": weighted_pagerank_parts,
     "clustering_coefficient_parts": clustering_coefficient_parts,
     "degree_distribution_parts": degree_distribution_parts,
     "bfs_shortest_paths": bfs_shortest_paths,
@@ -1254,6 +1306,7 @@ ORACLES = {
     "hits_scores_graph": HITS_ORACLE,
     "modularity_parts": MODULARITY_ORACLE,
     "assortativity_parts": ASSORTATIVITY_ORACLE,
+    "weighted_pagerank_parts": WPAGERANK_ORACLE,
     "personalized_katz_graph": PKATZ_ORACLE,
     "association_rules_parts": ASSOC_ORACLE,
     "triangle_count_parts": TRIANGLE_ORACLE,
