@@ -408,3 +408,43 @@ def compaction_plan(
         .withColumn("bin", F.expr(f"__prefix div {target_bytes}").cast("long"))
         .drop("__prefix")
     )
+
+
+def maintain_join(
+    base_view: DataFrame,
+    changes: DataFrame,
+    key_col: str,
+    dim: DataFrame,
+    dim_key: str,
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Incremental view maintenance for an EQUI-JOIN view (fact ⋈
+    dimension) under a fact-side changelog — the delta-join rule that
+    pairs with `maintain_aggregate`'s grouped-aggregate rule:
+
+        J' = (J − rows whose fact key changed)  ∪  (Δfact_last ⋈ dim)
+
+    Only the CHANGELOG joins the dimension — the materialized view is
+    touched with one anti-join, never re-joined, so a refresh costs
+    O(|view| scan + |Δ| ⋈ dim) instead of re-running the full fact ⋈ dim
+    (the 100 TB materialized-view refresh path; with the view bucketed on
+    the key, the anti-join is co-located and shuffle-free).
+
+    Contract: the view's fact columns must equal the changelog payload
+    columns (same names/types); the join is INNER on ``dim_key`` (an
+    updated row whose new dim key has no match drops from the view,
+    exactly as recomputing would). Latest change per key wins
+    (``seq_col``); 'D' deletes. Exactness: row selection + one join —
+    nothing is computed, so the result is hash-identical to the
+    recompute-from-scratch oracle by construction."""
+    payload = [c for c in changes.columns if c not in (seq_col, op_col)]
+    w = Window.partitionBy(key_col).orderBy(F.desc(seq_col))
+    last = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(op_col, *payload)
+    )
+    survivors = base_view.join(last.select(key_col), key_col, "left_anti")
+    fresh = last.filter(F.col(op_col) != "D").drop(op_col).join(dim, dim_key)
+    return survivors.unionByName(fresh)

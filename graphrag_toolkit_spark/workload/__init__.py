@@ -108,6 +108,7 @@ _CHECK_FIRST = [
     "assortativity_parts",
     "pareto_parts",
     "weighted_pagerank_parts",
+    "ivm_join_orders",
     # --- green, last driver-verified round 1 ---
     "ann_ivf_topk",
     "cascade_delete_counts",

@@ -546,8 +546,86 @@ FROM snap GROUP BY st
 """
 
 
+def ivm_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-join view maintenance (`sink.maintain_join`): the materialized
+    orders ⋈ customer view refreshed under the same deterministic
+    changelog family as `cdc_apply_orders` (U reprices, D deletes, I
+    inserts under a shifted key with a remapped customer) — only the
+    changelog joins the dimension; hash-compared against recomputing the
+    join over the applied changelog."""
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"), "o_custkey", "o_totalprice"
+    )
+    dim = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name", "c_mktsegment"
+    )
+    base_view = orders.join(dim, "o_custkey")
+    newprice = (
+        F.col("o_totalprice").cast("decimal(12,2)")
+        + F.lit("1000.00").cast("decimal(12,2)")
+    ).cast("double")
+    src = load(spark, sf_dir, "orders")
+    upd = src.filter(F.col("o_orderkey") % 100 == 0).select(
+        F.col("o_orderkey").alias("key"), "o_custkey",
+        newprice.alias("o_totalprice"),
+        F.lit(1).alias("seq"), F.lit("U").alias("op"),
+    )
+    dels = src.filter(F.col("o_orderkey") % 200 == 0).select(
+        F.col("o_orderkey").alias("key"),
+        F.lit(None).cast("long").alias("o_custkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit(2).alias("seq"), F.lit("D").alias("op"),
+    )
+    ins = src.filter(F.col("o_orderkey") % 500 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("key"),
+        ((F.col("o_orderkey") % 100) + 1).alias("o_custkey"),
+        F.lit(123.45).alias("o_totalprice"),
+        F.lit(1).alias("seq"), F.lit("I").alias("op"),
+    )
+    changes = upd.unionByName(dels).unionByName(ins)
+    return sink.maintain_join(
+        base_view, changes, "key", dim, "o_custkey"
+    ).select(
+        F.col("key").alias("o_orderkey"), "o_custkey", "o_totalprice",
+        "c_name", "c_mktsegment",
+    )
+
+
+IVM_JOIN_ORACLE = """
+WITH ch AS (
+  SELECT o_orderkey AS key, o_custkey, 1 AS seq, 'U' AS op,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2))
+              + CAST('1000.00' AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice
+  FROM orders WHERE o_orderkey % 100 = 0
+  UNION ALL
+  SELECT o_orderkey, NULL, 2, 'D', NULL FROM orders WHERE o_orderkey % 200 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, (o_orderkey % 100) + 1, 1, 'I', 123.45
+  FROM orders WHERE o_orderkey % 500 = 0
+),
+last AS (
+  SELECT key, op, o_custkey, o_totalprice FROM (
+    SELECT key, op, o_custkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+    FROM ch
+  ) WHERE rn = 1
+),
+base AS (SELECT o_orderkey AS key, o_custkey, o_totalprice FROM orders),
+applied AS (
+  SELECT b.key, b.o_custkey, b.o_totalprice
+  FROM base b LEFT JOIN last l ON b.key = l.key WHERE l.key IS NULL
+  UNION ALL
+  SELECT key, o_custkey, o_totalprice FROM last WHERE op <> 'D'
+)
+SELECT a.key AS o_orderkey, a.o_custkey, a.o_totalprice,
+       c.c_name, c.c_mktsegment
+FROM applied a JOIN customer c ON a.o_custkey = c.c_custkey
+"""
+
+
 QUERIES = {
     "scd2_versioning_orders": scd2_versioning_orders,
+    "ivm_join_orders": ivm_join_orders,
     "cdc_apply_orders": cdc_apply_orders,
     "ivm_orders": ivm_orders,
     "versions_at_snapshot": versions_at_snapshot,
@@ -563,6 +641,7 @@ ORACLES = {
     "scd2_versioning_orders": SCD2_ORACLE,
     "cdc_apply_orders": CDC_ORACLE,
     "ivm_orders": IVM_ORACLE,
+    "ivm_join_orders": IVM_JOIN_ORACLE,
     "versions_at_snapshot": SNAPSHOT_ORACLE,
     "statements_per_topic_histogram": HISTOGRAM_ORACLE,
     "cascade_delete_counts": CASCADE_ORACLE,

@@ -356,3 +356,67 @@ class TestTouchAttribution:
         assert out[4]["last_touch_us"] == base - 2 * hour
         assert out[6]["n_touches"] == 0
         assert out[6]["first_touch_us"] is None and out[6]["last_touch_us"] is None
+
+
+class TestMaintainJoin:
+    def _fixture(self, spark):
+        view = spark.createDataFrame(
+            [(1, 10, 5.0, "A"), (2, 20, 6.0, "B")],
+            "key long, ck long, price double, dim_val string",
+        )
+        dim = spark.createDataFrame(
+            [(10, "A"), (20, "B"), (30, "C")], "ck long, dim_val string"
+        )
+        return view, dim
+
+    def test_update_delete_insert(self, spark):
+        from graphrag_toolkit_spark.sources.sink import maintain_join
+
+        view, dim = self._fixture(spark)
+        changes = spark.createDataFrame(
+            [
+                (1, 30, 9.0, 1, "U"),    # key 1 moves to dim 30
+                (2, None, None, 1, "D"),  # key 2 deleted
+                (3, 20, 7.0, 1, "I"),    # new key joins dim 20
+            ],
+            "key long, ck long, price double, seq long, op string",
+        )
+        out = sorted(
+            (r["key"], r["ck"], r["price"], r["dim_val"])
+            for r in maintain_join(view, changes, "key", dim, "ck").collect()
+        )
+        assert out == [(1, 30, 9.0, "C"), (3, 20, 7.0, "B")]
+
+    def test_latest_seq_wins_and_orphan_drops(self, spark):
+        from graphrag_toolkit_spark.sources.sink import maintain_join
+
+        view, dim = self._fixture(spark)
+        changes = spark.createDataFrame(
+            [
+                (1, 30, 9.0, 1, "U"),
+                (1, 99, 1.0, 2, "U"),    # later update to a MISSING dim key
+            ],
+            "key long, ck long, price double, seq long, op string",
+        )
+        out = sorted(
+            (r["key"], r["ck"])
+            for r in maintain_join(view, changes, "key", dim, "ck").collect()
+        )
+        # key 1's final dim key (99) has no match -> drops, exactly as a
+        # recompute would; key 2 untouched
+        assert out == [(2, 20)]
+
+    def test_matches_recompute(self, spark):
+        from graphrag_toolkit_spark.sources.sink import apply_changelog, maintain_join
+
+        view, dim = self._fixture(spark)
+        base = view.select("key", "ck", "price")
+        changes = spark.createDataFrame(
+            [(1, 10, 8.5, 1, "U"), (3, 30, 3.0, 1, "I")],
+            "key long, ck long, price double, seq long, op string",
+        )
+        incremental = maintain_join(view, changes, "key", dim, "ck")
+        recomputed = apply_changelog(base, changes, "key").join(dim, "ck")
+        assert sorted(map(tuple, incremental.select("key", "ck", "price", "dim_val").collect())) == sorted(
+            map(tuple, recomputed.select("key", "ck", "price", "dim_val").collect())
+        )
