@@ -191,7 +191,11 @@ def calibration_bins(
             (c6 - y6).alias("err6"),
             F.col(label_col).cast("long").alias("y"),
         )
-        .withColumn("bin", F.expr(f"least(c6 div {width}, {bins - 1})"))
+        # clamp BOTH ends: confidences outside [0, 10^6] (a buggy upstream
+        # scaler) land in the edge bins instead of minting negative bins
+        .withColumn(
+            "bin", F.expr(f"greatest(least(c6 div {width}, {bins - 1}), 0)")
+        )
         .groupBy("bin")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -230,7 +234,12 @@ def cohen_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
     result hash-gates (NULL kappa when p_e = 1: both raters constant).
 
     Scale shape: one full-corpus aggregate with map-side combine — four
-    conditional counts, no shuffle beyond the single-row reduce."""
+    conditional counts, no shuffle beyond the single-row reduce.
+
+    NULL pinning: rows where EITHER rater is NULL are excluded up front —
+    an unrated row has no agreement status, and counting it in n while
+    skipping it in the sums would skew p_o/p_e inconsistently."""
+    df = df.filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
     a = F.col(a_col).cast("long")
     b = F.col(b_col).cast("long")
     agg = df.agg(

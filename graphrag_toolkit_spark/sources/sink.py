@@ -435,8 +435,10 @@ def maintain_join(
     columns (same names/types); the join is INNER on ``dim_key`` (an
     updated row whose new dim key has no match drops from the view,
     exactly as recomputing would). Latest change per key wins
-    (``seq_col``); 'D' deletes. Exactness: row selection + one join —
-    nothing is computed, so the result is hash-identical to the
+    (``seq_col``; sequence numbers must be UNIQUE per key — a CDC log's
+    offset/LSN is; ties would make the row_number pick arbitrary);
+    'D' deletes. Exactness: row selection + one join — nothing is
+    computed, so the result is hash-identical to the
     recompute-from-scratch oracle by construction."""
     payload = [c for c in changes.columns if c not in (seq_col, op_col)]
     w = Window.partitionBy(key_col).orderBy(F.desc(seq_col))

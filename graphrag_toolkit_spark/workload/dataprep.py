@@ -4138,7 +4138,7 @@ d AS (
   FROM documents, mx
 ),
 b AS (
-  SELECT LEAST(c6 // 100000, 9) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
+  SELECT GREATEST(LEAST(c6 // 100000, 9), 0) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(c6) AS BIGINT) AS sum_conf6,
          CAST(SUM(y) AS BIGINT) AS n_pos,
          CAST(SUM((c6 - 1000000 * y) * (c6 - 1000000 * y)) AS BIGINT) AS sq_err12

@@ -2142,3 +2142,24 @@ class TestParetoFrontier:
         )
         out = pareto_frontier(df, "x", "y").collect()
         assert len(out) == 1 and out[0]["n_rows"] == 2
+
+
+class TestEvalEdgePinning:
+    def test_calibration_out_of_range_conf_clamps_to_edge_bins(self, spark):
+        from graphrag_toolkit_spark.operators.ranking_eval import calibration_bins
+
+        df = spark.createDataFrame(
+            [(-5, False), (2_000_000, True)], "conf6 long, label boolean"
+        )
+        out = {r["bin"] for r in calibration_bins(df, "conf6", "label").collect()}
+        assert out == {0, 9}
+
+    def test_kappa_null_raters_excluded(self, spark):
+        from graphrag_toolkit_spark.operators.ranking_eval import cohen_kappa
+
+        df = spark.createDataFrame(
+            [(True, True), (None, True), (False, None), (False, False)],
+            "a boolean, b boolean",
+        )
+        r = cohen_kappa(df, "a", "b").head()
+        assert r["n"] == 2 and r["n_agree"] == 2 and r["p_o"] == 1.0
