@@ -165,3 +165,48 @@ def stream_stream_interval_join(
         (F.unix_micros(F.col("r_ts")) - F.unix_micros(F.col("l_ts")))
         .alias("lag_us"),
     )
+
+
+def maintain_join_view_stream(
+    changes_stream: DataFrame,
+    spark_view: dict,
+    dim: DataFrame,
+    key_col: str,
+    dim_key: str,
+    seq_col: str = "seq",
+    op_col: str = "op",
+):
+    """STREAMING materialized-view maintenance: a changelog stream keeps a
+    fact ⋈ dimension view current via ``foreachBatch`` + the delta-join
+    rule (`sink.maintain_join`) — the Structured-Streaming face of the
+    same refresh path (CDC topic in, always-fresh denormalized view out).
+
+    ``spark_view`` is a one-key dict ``{"df": <current view DataFrame>}``
+    acting as the view handle: each micro-batch replaces it with the
+    maintained result (localCheckpointed so lineage doesn't accumulate
+    across batches). Production swaps the handle for a Delta/parquet
+    MERGE target; the per-batch algebra — only Δ joins the dimension — is
+    identical, which is what the stream==batch test pins.
+
+    Per-batch cost: O(|view| anti-join + |Δbatch| ⋈ dim). Cross-batch
+    semantics: the last BATCH containing a key wins (within a batch,
+    highest seq) — identical to replaying the full changelog iff sequence
+    numbers are monotone with batch order, which CDC offsets/LSNs are;
+    an out-of-order replay (old seq arriving in a later batch) would need
+    a seq column persisted in the view to fence, as Delta CDC appliers
+    do."""
+    from graphrag_toolkit_spark.sources.sink import maintain_join
+
+    def _apply(batch_df: DataFrame, _epoch: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark_view["df"] = maintain_join(
+            spark_view["df"], batch_df, key_col, dim, dim_key,
+            seq_col=seq_col, op_col=op_col,
+        ).localCheckpoint(eager=True)
+
+    return (
+        changes_stream.writeStream.outputMode("append")
+        .foreachBatch(_apply)
+        .start()
+    )
