@@ -102,3 +102,87 @@ def sample_frames(
             yield pd.DataFrame(rows, columns=["id", "frame_idx", "frame_hash"])
 
     return src.mapInPandas(frame_batches, schema=FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = "id long, out_w int, out_h int, pixel_sum long, corner_tl int, corner_br int"
+
+FEATURES_SCHEMA = (
+    "id long, n_pixels int, mean_lum double, hist array<int>"
+)
+
+
+def _fake_pixels(payload: bytes, width: int, height: int) -> list[int]:
+    """Deterministic fake luminance grid: pixel (r, c) = the payload byte at
+    (r·width + c) mod len — stable across runs/engines, cheap, and
+    non-constant, so downstream math has real structure to chew on."""
+    n = len(payload) or 1
+    data = payload or b"\x00"
+    return [data[(r * width + c) % n] for r in range(height) for c in range(width)]
+
+
+def resize_media(
+    df: DataFrame,
+    bytes_col: str,
+    id_col: str,
+    out_w: int = 8,
+    out_h: int = 8,
+) -> DataFrame:
+    """Resize stage: nearest-neighbor downsample to (out_w, out_h) as an
+    Arrow-batched mapInPandas. The PIXEL SOURCE is the deterministic fake
+    (`_fake_decode` dims + `_fake_pixels` grid — codec libs absent, same
+    honest-stub policy as `decode_media`); the RESIZE MATH is the real
+    production kernel: src index = ⌊out_index · src_dim / out_dim⌋ per
+    axis, exactly what a nearest-neighbor resampler computes. Emits the
+    resized grid's checksum + corners so tests can pin the math against a
+    NumPy reference."""
+    src = df.select(F.col(id_col).alias("id"), F.col(bytes_col).alias("payload"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _id, payload in zip(pdf["id"], pdf["payload"]):
+                data = bytes(payload)
+                _, w, h, _ = _fake_decode(data)
+                px = _fake_pixels(data, w, h)
+                out = [
+                    px[(r * h // out_h) * w + (c * w // out_w)]
+                    for r in range(out_h)
+                    for c in range(out_w)
+                ]
+                rows.append(
+                    (_id, out_w, out_h, sum(out), out[0], out[-1])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "out_w", "out_h", "pixel_sum", "corner_tl", "corner_br"],
+            )
+
+    return src.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+def extract_features(
+    df: DataFrame, bytes_col: str, id_col: str, bins: int = 8
+) -> DataFrame:
+    """Feature-extraction stage: per-item mean luminance + a ``bins``-bin
+    intensity histogram over the (fake) pixel grid — the real reduction
+    math of an image-stats featurizer, Arrow-batched. Histogram bin =
+    ⌊lum · bins / 256⌋ (exact integer), mean is one division on exact
+    integer operands."""
+    src = df.select(F.col(id_col).alias("id"), F.col(bytes_col).alias("payload"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _id, payload in zip(pdf["id"], pdf["payload"]):
+                data = bytes(payload)
+                _, w, h, _ = _fake_decode(data)
+                px = _fake_pixels(data, w, h)
+                hist = [0] * bins
+                for v in px:
+                    hist[v * bins // 256] += 1
+                rows.append((_id, len(px), sum(px) / len(px), hist))
+            yield pd.DataFrame(
+                rows, columns=["id", "n_pixels", "mean_lum", "hist"]
+            )
+
+    return src.mapInPandas(batches, schema=FEATURES_SCHEMA)

@@ -2163,3 +2163,58 @@ class TestEvalEdgePinning:
         )
         r = cohen_kappa(df, "a", "b").head()
         assert r["n"] == 2 and r["n_agree"] == 2 and r["p_o"] == 1.0
+
+
+class TestMultimodalResizeFeatures:
+    @pytest.fixture(scope="class")
+    def payloads(self, spark):
+        return spark.createDataFrame(
+            [{"doc_id": i, "payload": f"media-bytes-{i}".encode()} for i in range(4)]
+        )
+
+    def test_resize_matches_numpy_reference(self, payloads):
+        """The nearest-neighbor kernel must equal a NumPy reference resize
+        over the same fake pixel grid — the MATH is real even though the
+        pixels are the deterministic stand-in."""
+        import numpy as np
+
+        out = {
+            r["id"]: r
+            for r in multimodal.resize_media(
+                payloads, "payload", "doc_id", out_w=5, out_h=3
+            ).collect()
+        }
+        for i in range(4):
+            data = f"media-bytes-{i}".encode()
+            _, w, h, _ = multimodal._fake_decode(data)
+            grid = np.array(
+                multimodal._fake_pixels(data, w, h), dtype=np.int64
+            ).reshape(h, w)
+            rr = (np.arange(3) * h) // 3
+            cc = (np.arange(5) * w) // 5
+            ref = grid[np.ix_(rr, cc)]
+            r = out[i]
+            assert (r["out_w"], r["out_h"]) == (5, 3)
+            assert r["pixel_sum"] == int(ref.sum())
+            assert r["corner_tl"] == int(ref[0, 0])
+            assert r["corner_br"] == int(ref[-1, -1])
+
+    def test_features_match_reference(self, payloads):
+        out = {
+            r["id"]: r
+            for r in multimodal.extract_features(
+                payloads, "payload", "doc_id", bins=8
+            ).collect()
+        }
+        for i in range(4):
+            data = f"media-bytes-{i}".encode()
+            _, w, h, _ = multimodal._fake_decode(data)
+            px = multimodal._fake_pixels(data, w, h)
+            hist = [0] * 8
+            for v in px:
+                hist[v * 8 // 256] += 1
+            r = out[i]
+            assert r["n_pixels"] == w * h == len(px)
+            assert r["mean_lum"] == sum(px) / len(px)
+            assert list(r["hist"]) == hist
+            assert sum(r["hist"]) == r["n_pixels"]
