@@ -38,12 +38,14 @@ _MODULES = [relational, graphish, lexical, vector, dataprep, events, lifecycle, 
 # Driver-check priority (the driver hash-verifies at most ~50 queries/round,
 # reading this dict in order). Ranking rule: queries RED at their latest driver
 # appearance first (none as of round 4 — CORRECTNESS_r04 was 50/50 green), then
-# queries the driver has NEVER checked (round-5 additions insert after that
-# block as they land), then previously-green queries oldest-verified-first
-# (r1-era greens have not been re-verified since round 1). Names absent from
+# queries the driver has NEVER checked (oldest-declared first: the round-4
+# tail block leads, round-5 additions follow in declaration order), then
+# previously-green queries oldest-verified-first (r1-era greens have not been
+# re-verified since round 1). Every listed query is verified green locally at
+# sf0.001/0.01/0.1 via tools/check.py before it lands here. Names absent from
 # the registry are ignored; unlisted queries keep module order at the end.
 _CHECK_FIRST = [
-    # --- never driver-checked (round-4 tail; judge r5 priority #1) ---
+    # --- never driver-checked: round-4 tail (locally green 3× SFs) ---
     "rollup_grouping_orders",
     "ks_drift_documents",
     "ngram_diversity_documents",
@@ -68,7 +70,8 @@ _CHECK_FIRST = [
     "iqr_outliers_events",
     "weighted_median_lineitem",
     "entity_resolution_customers",
-    # --- new in round 5 (insert here as they land) ---
+    # --- never driver-checked: round-5 additions in declaration order
+    # (first session through the continuation; all locally green 3× SFs) ---
     "ranking_eval_orphan",
     "katz_salted_graph",
     "containment_pairs_documents",
