@@ -450,3 +450,58 @@ def maintain_join(
     survivors = base_view.join(last.select(key_col), key_col, "left_anti")
     fresh = last.filter(F.col(op_col) != "D").drop(op_col).join(dim, dim_key)
     return survivors.unionByName(fresh)
+
+
+def derive_changelog(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    seq: int = 1,
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Snapshot diff → CDC changelog: the INVERSE of `apply_changelog` —
+    compare two snapshots of the same keyed table and emit the minimal
+    I/U/D log that transforms ``old`` into ``new`` (the change-data-feed a
+    lakehouse computes when the upstream can't publish its own log):
+
+        I: key only in new (payload from new)
+        D: key only in old (payload NULL)
+        U: key in both with ANY payload column differing (null-safe
+           compare — NULL→value and value→NULL are real updates);
+           identical rows emit NOTHING (minimality).
+
+    Round-trip invariant (pinned in tests and the oracle):
+    ``apply_changelog(old, derive_changelog(old, new, k), k) == new``.
+
+    Scale shape: one full-outer join on the key + a struct-equality
+    filter — both snapshots shuffle once; with both bucketed on the key
+    the join co-locates shuffle-free. The emitted log is change-sized."""
+    payload = [c for c in new.columns if c != key_col]
+    if [c for c in old.columns if c != key_col] != payload:
+        raise ValueError("old/new must share the same payload columns")
+    o = old.select(
+        F.col(key_col), F.struct(*payload).alias("_old"), F.lit(1).alias("_ho")
+    )
+    n = new.select(
+        F.col(key_col), F.struct(*payload).alias("_new"), F.lit(1).alias("_hn")
+    )
+    j = o.join(n, key_col, "full_outer")
+    op = (
+        F.when(F.col("_ho").isNull(), F.lit("I"))
+        .when(F.col("_hn").isNull(), F.lit("D"))
+        .when(~F.col("_old").eqNullSafe(F.col("_new")), F.lit("U"))
+    )
+    return (
+        j.withColumn(op_col, op)
+        .filter(F.col(op_col).isNotNull())
+        .select(
+            key_col,
+            F.lit(seq).alias(seq_col),
+            op_col,
+            *[
+                F.when(F.col(op_col) != "D", F.col(f"_new.{c}")).alias(c)
+                for c in payload
+            ],
+        )
+    )

@@ -112,6 +112,7 @@ _CHECK_FIRST = [
     "pareto_parts",
     "weighted_pagerank_parts",
     "ivm_join_orders",
+    "derive_changelog_orders",
     # --- green, last driver-verified round 1 ---
     "ann_ivf_topk",
     "cascade_delete_counts",

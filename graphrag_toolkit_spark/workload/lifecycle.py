@@ -546,6 +546,67 @@ FROM snap GROUP BY st
 """
 
 
+def derive_changelog_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff → CDC feed (`sink.derive_changelog`): diff the base
+    orders snapshot against its CDC-applied successor (the
+    `cdc_apply_orders` state) and emit the minimal I/U/D log — the
+    change-data-feed direction, inverse of `apply_changelog`
+    (round-trip invariant pinned in pytest). Hash-compared against a
+    full-outer-join diff twin."""
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"), "o_orderstatus", "o_totalprice"
+    )
+    applied = cdc_apply_orders(spark, sf_dir).withColumnRenamed(
+        "o_orderkey", "key"
+    )
+    return sink.derive_changelog(orders, applied, "key").withColumnRenamed(
+        "key", "o_orderkey"
+    )
+
+
+DERIVE_CHANGELOG_ORACLE = """
+WITH ch AS (
+  SELECT o_orderkey AS key, 1 AS seq, 'U' AS op, o_orderstatus AS st,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) + CAST('1000.00' AS DECIMAL(12,2))
+              AS DOUBLE) AS price
+  FROM orders WHERE o_orderkey % 100 = 0
+  UNION ALL
+  SELECT o_orderkey, 2, 'D', NULL, NULL FROM orders WHERE o_orderkey % 200 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, 1, 'I', 'N', 123.45
+  FROM orders WHERE o_orderkey % 500 = 0
+),
+last AS (
+  SELECT key, op, st, price FROM (
+    SELECT key, op, st, price,
+           ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+    FROM ch
+  ) WHERE rn = 1
+),
+base AS (SELECT o_orderkey AS key, o_orderstatus AS st, o_totalprice AS price FROM orders),
+snap AS (
+  SELECT COALESCE(b.key, l.key) AS key,
+         CASE WHEN l.key IS NOT NULL THEN l.st ELSE b.st END AS st,
+         CASE WHEN l.key IS NOT NULL THEN l.price ELSE b.price END AS price
+  FROM base b FULL JOIN last l ON b.key = l.key
+  WHERE l.op IS NULL OR l.op <> 'D'
+),
+d AS (
+  SELECT COALESCE(o.key, n.key) AS key,
+         CASE WHEN o.key IS NULL THEN 'I'
+              WHEN n.key IS NULL THEN 'D'
+              WHEN o.st IS DISTINCT FROM n.st
+                   OR o.price IS DISTINCT FROM n.price THEN 'U' END AS op,
+         n.st, n.price
+  FROM base o FULL JOIN snap n ON o.key = n.key
+)
+SELECT key AS o_orderkey, CAST(1 AS INTEGER) AS seq, op,
+       CASE WHEN op <> 'D' THEN st END AS o_orderstatus,
+       CASE WHEN op <> 'D' THEN price END AS o_totalprice
+FROM d WHERE op IS NOT NULL
+"""
+
+
 def ivm_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta-join view maintenance (`sink.maintain_join`): the materialized
     orders ⋈ customer view refreshed under the same deterministic
@@ -626,6 +687,7 @@ FROM applied a JOIN customer c ON a.o_custkey = c.c_custkey
 QUERIES = {
     "scd2_versioning_orders": scd2_versioning_orders,
     "ivm_join_orders": ivm_join_orders,
+    "derive_changelog_orders": derive_changelog_orders,
     "cdc_apply_orders": cdc_apply_orders,
     "ivm_orders": ivm_orders,
     "versions_at_snapshot": versions_at_snapshot,
@@ -642,6 +704,7 @@ ORACLES = {
     "cdc_apply_orders": CDC_ORACLE,
     "ivm_orders": IVM_ORACLE,
     "ivm_join_orders": IVM_JOIN_ORACLE,
+    "derive_changelog_orders": DERIVE_CHANGELOG_ORACLE,
     "versions_at_snapshot": SNAPSHOT_ORACLE,
     "statements_per_topic_histogram": HISTOGRAM_ORACLE,
     "cascade_delete_counts": CASCADE_ORACLE,

@@ -420,3 +420,61 @@ class TestMaintainJoin:
         assert sorted(map(tuple, incremental.select("key", "ck", "price", "dim_val").collect())) == sorted(
             map(tuple, recomputed.select("key", "ck", "price", "dim_val").collect())
         )
+
+
+class TestDeriveChangelog:
+    def _snapshots(self, spark):
+        old = spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0), (3, "c", None), (4, "d", 4.0)],
+            "key long, st string, price double",
+        )
+        new = spark.createDataFrame(
+            [(1, "a", 1.0), (2, "B", 2.0), (3, "c", 3.0), (5, "e", 5.0)],
+            "key long, st string, price double",
+        )
+        return old, new
+
+    def test_minimal_iud(self, spark):
+        from graphrag_toolkit_spark.sources.sink import derive_changelog
+
+        old, new = self._snapshots(spark)
+        out = {
+            r["key"]: (r["op"], r["st"], r["price"])
+            for r in derive_changelog(old, new, "key").collect()
+        }
+        # key 1 unchanged -> ABSENT (minimality); key 3 NULL->3.0 is a real U
+        assert out == {
+            2: ("U", "B", 2.0),
+            3: ("U", "c", 3.0),
+            4: ("D", None, None),
+            5: ("I", "e", 5.0),
+        }
+
+    def test_round_trip_apply_derive(self, spark):
+        from graphrag_toolkit_spark.sources.sink import (
+            apply_changelog,
+            derive_changelog,
+        )
+
+        old, new = self._snapshots(spark)
+        rebuilt = apply_changelog(
+            old, derive_changelog(old, new, "key"), "key"
+        )
+        assert sorted(map(tuple, rebuilt.collect())) == sorted(
+            map(tuple, new.collect())
+        )
+
+    def test_identical_snapshots_empty_log(self, spark):
+        from graphrag_toolkit_spark.sources.sink import derive_changelog
+
+        old, _ = self._snapshots(spark)
+        assert derive_changelog(old, old, "key").count() == 0
+
+    def test_payload_mismatch_raises(self, spark):
+        import pytest as _pytest
+
+        from graphrag_toolkit_spark.sources.sink import derive_changelog
+
+        old, new = self._snapshots(spark)
+        with _pytest.raises(ValueError):
+            derive_changelog(old, new.drop("price"), "key")
