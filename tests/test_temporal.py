@@ -478,3 +478,33 @@ class TestDeriveChangelog:
         old, new = self._snapshots(spark)
         with _pytest.raises(ValueError):
             derive_changelog(old, new.drop("price"), "key")
+
+
+class TestLifecycleRoundTrip:
+    def test_snapshot_series_via_changelogs_rebuilds_every_state(self, spark):
+        """The lifecycle trio composes: a series of snapshots S0→S1→S2,
+        converted to changelogs with `derive_changelog`, replays through
+        `apply_changelog` to EVERY intermediate state — the
+        snapshots-to-CDC-to-snapshots loop a lakehouse time-travel layer
+        relies on."""
+        from graphrag_toolkit_spark.sources.sink import (
+            apply_changelog,
+            derive_changelog,
+        )
+
+        s0 = spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0)], "key long, st string, price double"
+        )
+        s1 = spark.createDataFrame(
+            [(1, "a", 1.5), (3, "c", 3.0)], "key long, st string, price double"
+        )
+        s2 = spark.createDataFrame(
+            [(3, "c2", 3.0), (4, "d", 4.0)], "key long, st string, price double"
+        )
+        state = s0
+        for target in (s1, s2):
+            log = derive_changelog(state, target, "key")
+            state = apply_changelog(state, log, "key").localCheckpoint(eager=True)
+            assert sorted(map(tuple, state.collect())) == sorted(
+                map(tuple, target.collect())
+            )
