@@ -633,3 +633,90 @@ def weighted_pagerank(
         )
     finally:
         ed.unpersist()
+
+
+def neighborhood_sizes(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    m: int = 64,
+) -> DataFrame:
+    """Per-node neighborhood-size estimation à la HyperBall (Boldi &
+    Vigna 2013): every node keeps an m-register HyperLogLog of the nodes
+    within radius r, and a round merges each node's registers with its
+    neighbors' via (idx, max) — so |ball(v, 2)| for EVERY node costs two
+    register-join rounds instead of per-node BFS (the algorithm behind
+    "four degrees of separation"-scale neighborhood functions). Returns
+    ``(node_id, est_1hop, est_2hop)`` — undirected balls including the
+    node itself.
+
+    EXACTNESS (the sketch is hash-gated, like `sketch.hll_estimate`):
+    each node hashes ONCE (52-bit md5 → register idx + leading-zero
+    rank, pure integer); register merging is (idx, max) groupBys; the
+    per-node harmonic sum is ≤ m exact power-of-two doubles plus an
+    exact integer zero-fill — exact in any accumulation order — and the
+    linear-counting ln is quantized to the 6-decimal grid. Deterministic
+    and engine-identical end to end.
+
+    Scale shape: state is m small ints per node, EXACTLY HyperBall's
+    design point; a round is one edge ⋈ register equi-join + one
+    (node, idx) max aggregate — m× the edge list moves, independent of
+    ball sizes (the exact-BFS alternative moves the balls themselves,
+    which explode combinatorially). Deeper radii = repeat the merge."""
+    from graphrag_toolkit_spark.operators.sketch import hll_idx_rank
+
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    nodes = (
+        e.select(F.col("a").alias("n"))
+        .unionByName(e.select(F.col("b").alias("n")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    und = (
+        e.select(F.col("a").alias("v"), F.col("b").alias("w"))
+        .unionByName(e.select(F.col("b").alias("v"), F.col("a").alias("w")))
+        .unionByName(nodes.select(F.col("n").alias("v"), F.col("n").alias("w")))
+        .distinct()
+    ).localCheckpoint(eager=False)
+    whash = hll_idx_rank(nodes, "n", m=m, keep=["n"]).select(
+        F.col("n").alias("w"), "idx", "rank"
+    )
+    r1 = (
+        und.join(whash, "w")
+        .groupBy(F.col("v"), F.col("idx"))
+        .agg(F.max("rank").cast("int").alias("reg"))
+        .localCheckpoint(eager=False)
+    )
+    r2 = (
+        und.join(r1.withColumnRenamed("v", "w"), "w")
+        .groupBy(F.col("v"), F.col("idx"))
+        .agg(F.max("reg").cast("int").alias("reg"))
+    )
+
+    def _estimate(regs: DataFrame, out_col: str) -> DataFrame:
+        alpha = 0.709  # α₆₄, shared literal with sketch.hll_estimate
+        agg = regs.groupBy("v").agg(
+            F.count(F.lit(1)).alias("np"),
+            F.sum(
+                F.lit(1.0)
+                / F.expr("shiftleft(cast(1 as bigint), reg)").cast("double")
+            ).alias("sp"),
+        )
+        s = (F.lit(m) - F.col("np")).cast("double") + F.col("sp")
+        v0 = (F.lit(m) - F.col("np")).cast("long")
+        raw = F.lit(alpha) * F.lit(float(m * m)) / s
+        lin = F.round(
+            F.lit(float(m)) * F.log(F.lit(float(m)) / v0.cast("double")), 6
+        )
+        return agg.select(
+            "v",
+            F.when((raw <= 2.5 * m) & (v0 > 0), lin).otherwise(raw).alias(out_col),
+        )
+
+    return (
+        _estimate(r1, "est_1hop")
+        .join(_estimate(r2, "est_2hop"), "v")
+        .select(F.col("v").alias("node_id"), "est_1hop", "est_2hop")
+    )

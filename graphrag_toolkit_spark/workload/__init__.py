@@ -113,6 +113,7 @@ _CHECK_FIRST = [
     "weighted_pagerank_parts",
     "ivm_join_orders",
     "derive_changelog_orders",
+    "neighborhood_sizes_parts",
     # --- green, last driver-verified round 1 ---
     "ann_ivf_topk",
     "cascade_delete_counts",

@@ -1217,6 +1217,86 @@ FROM r{WPAGERANK_ITERS}
 WPAGERANK_ORACLE = _wpagerank_oracle()
 
 
+def neighborhood_sizes_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall-style per-node ball-size estimates
+    (`centrality.neighborhood_sizes`) over the part co-purchase graph:
+    every part's 1-hop and 2-hop neighborhood cardinality from m=64 HLL
+    registers merged along edges — deterministic md5 registers, so even
+    this sketch hash-gates against the SQL twin."""
+    from graphrag_toolkit_spark.operators import centrality
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.withColumnsRenamed({"l_partkey": "pa"})
+    b = li.withColumnsRenamed({"l_partkey": "pb"})
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= MODULARITY_MIN_SHARED)
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    return centrality.neighborhood_sizes(edges)
+
+
+NEIGHBORHOOD_ORACLE = f"""
+WITH bi AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+ep AS MATERIALIZED (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM bi a JOIN bi b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {MODULARITY_MIN_SHARED}
+),
+nodes AS MATERIALIZED (SELECT pa AS n FROM ep UNION SELECT pb FROM ep),
+und AS MATERIALIZED (
+  SELECT pa AS v, pb AS w FROM ep
+  UNION SELECT pb, pa FROM ep
+  UNION SELECT n, n FROM nodes
+),
+wh AS MATERIALIZED (
+  SELECT n AS w, hv % 64 AS idx,
+         CAST(CASE WHEN hv // 64 > 0 THEN 46 - (length(bin(hv // 64)) - 1)
+                   ELSE 47 END AS INT) AS rank
+  FROM (
+    SELECT n, CAST('0x' || substring(md5(CAST(n AS VARCHAR)), 1, 13) AS BIGINT)
+             AS hv
+    FROM nodes
+  )
+),
+r1 AS MATERIALIZED (
+  SELECT u.v, h.idx, CAST(MAX(h.rank) AS INT) AS reg
+  FROM und u JOIN wh h ON u.w = h.w GROUP BY u.v, h.idx
+),
+r2 AS MATERIALIZED (
+  SELECT u.v, r.idx, CAST(MAX(r.reg) AS INT) AS reg
+  FROM und u JOIN r1 r ON u.w = r.v GROUP BY u.v, r.idx
+),
+e1 AS (
+  SELECT v, CASE WHEN raw <= 160.0 AND v0 > 0
+                 THEN ROUND(64.0 * ln(64.0 / v0), 6) ELSE raw END AS est_1hop
+  FROM (
+    SELECT v,
+           0.709 * 4096.0 / ((64 - COUNT(*))
+             + SUM(1.0 / CAST(CAST(1 AS BIGINT) << reg AS DOUBLE))) AS raw,
+           64 - COUNT(*) AS v0
+    FROM r1 GROUP BY v
+  )
+),
+e2 AS (
+  SELECT v, CASE WHEN raw <= 160.0 AND v0 > 0
+                 THEN ROUND(64.0 * ln(64.0 / v0), 6) ELSE raw END AS est_2hop
+  FROM (
+    SELECT v,
+           0.709 * 4096.0 / ((64 - COUNT(*))
+             + SUM(1.0 / CAST(CAST(1 AS BIGINT) << reg AS DOUBLE))) AS raw,
+           64 - COUNT(*) AS v0
+    FROM r2 GROUP BY v
+  )
+)
+SELECT e1.v AS node_id, e1.est_1hop, e2.est_2hop
+FROM e1 JOIN e2 ON e1.v = e2.v
+"""
+
+
 def assortativity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree assortativity (`centrality.degree_assortativity`) of the part
     co-purchase graph — do high-degree parts pair with each other or with
@@ -1273,6 +1353,7 @@ QUERIES = {
     "modularity_parts": modularity_parts,
     "assortativity_parts": assortativity_parts,
     "weighted_pagerank_parts": weighted_pagerank_parts,
+    "neighborhood_sizes_parts": neighborhood_sizes_parts,
     "clustering_coefficient_parts": clustering_coefficient_parts,
     "degree_distribution_parts": degree_distribution_parts,
     "bfs_shortest_paths": bfs_shortest_paths,
@@ -1307,6 +1388,7 @@ ORACLES = {
     "modularity_parts": MODULARITY_ORACLE,
     "assortativity_parts": ASSORTATIVITY_ORACLE,
     "weighted_pagerank_parts": WPAGERANK_ORACLE,
+    "neighborhood_sizes_parts": NEIGHBORHOOD_ORACLE,
     "personalized_katz_graph": PKATZ_ORACLE,
     "association_rules_parts": ASSOC_ORACLE,
     "triangle_count_parts": TRIANGLE_ORACLE,

@@ -836,3 +836,51 @@ class TestWeightedPagerank:
         a = weighted_pagerank(edges, iters=3).collect()
         b = weighted_pagerank(edges.repartition(13), iters=3).collect()
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestNeighborhoodSizes:
+    def test_small_graph_estimates_near_truth(self, spark):
+        """Path a-b-c-d-e: 1-hop balls have size 2 (ends) or 3 (middle);
+        2-hop balls 3/4/5. With 64 registers and tiny cardinalities the
+        HLL linear-counting estimate is within ~1 of truth."""
+        from graphrag_toolkit_spark.operators.centrality import neighborhood_sizes
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")],
+            "src string, dst string",
+        )
+        out = {
+            r["node_id"]: (r["est_1hop"], r["est_2hop"])
+            for r in neighborhood_sizes(edges).collect()
+        }
+        truth1 = {"a": 2, "b": 3, "c": 3, "d": 3, "e": 2}
+        truth2 = {"a": 3, "b": 4, "c": 5, "d": 4, "e": 3}
+        for n in truth1:
+            assert abs(out[n][0] - truth1[n]) <= 1.0, (n, out[n])
+            assert abs(out[n][1] - truth2[n]) <= 1.5, (n, out[n])
+        # monotone: the 2-hop ball contains the 1-hop ball
+        assert all(e2 >= e1 for e1, e2 in out.values())
+
+    def test_partitioning_invariant(self, spark):
+        from graphrag_toolkit_spark.operators.centrality import neighborhood_sizes
+
+        edges = spark.createDataFrame(
+            [(f"n{i}", f"n{(i * 7 + 3) % 25}") for i in range(60)],
+            "src string, dst string",
+        ).filter(F.col("src") != F.col("dst"))
+        a = sorted(map(tuple, neighborhood_sizes(edges).collect()))
+        b = sorted(map(tuple, neighborhood_sizes(edges.repartition(11)).collect()))
+        assert a == b
+
+    def test_clique_saturates(self, spark):
+        """In a 5-clique every 1-hop and 2-hop ball is the whole clique —
+        the two estimates are identical per node."""
+        from graphrag_toolkit_spark.operators.centrality import neighborhood_sizes
+
+        nodes = ["a", "b", "c", "d", "e"]
+        edges = spark.createDataFrame(
+            [(x, y) for x in nodes for y in nodes if x < y],
+            "src string, dst string",
+        )
+        for r in neighborhood_sizes(edges).collect():
+            assert r["est_1hop"] == r["est_2hop"]
