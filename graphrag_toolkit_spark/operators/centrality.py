@@ -720,3 +720,65 @@ def neighborhood_sizes(
         .join(_estimate(r2, "est_2hop"), "v")
         .select(F.col("v").alias("node_id"), "est_1hop", "est_2hop")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et al.
+    2007) made DETERMINISTIC: every node starts labeled with itself; each
+    round it adopts the most frequent label among its neighbors, ties
+    broken by MINIMUM label (classic LPA breaks ties randomly — this
+    variant is reproducible across runs, engines, and partitionings,
+    which is what lets it hash-gate). Fixed ``iters`` rounds keep the
+    spec oracle-expressible; isolated rounds converge fast on
+    community-structured graphs, and `modularity` scores the result.
+    Returns ``(node_id, label)``; undirected, deduped edges.
+
+    Scale shape: a round is one edge ⋈ label equi-join + one
+    (node, label) count + one per-node window argmax — the same
+    message-passing class as `pagerank`; labels are the only moving
+    rows. localCheckpoint per round keeps plans round-sized."""
+    from pyspark.sql.window import Window as W
+
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und = (
+        e.select(F.col("a").alias("v"), F.col("b").alias("w"))
+        .unionByName(e.select(F.col("b").alias("v"), F.col("a").alias("w")))
+        .localCheckpoint(eager=True)
+    )
+    nodes = und.select(F.col("v").alias("node_id")).distinct().localCheckpoint(
+        eager=True
+    )
+    labels = nodes.withColumn("label", F.col("node_id"))
+    w_rank = W.partitionBy("v").orderBy(F.desc("n"), F.asc("label"))
+    for _ in range(iters):
+        votes = (
+            und.join(labels.withColumnRenamed("node_id", "w"), "w")
+            .groupBy(F.col("v"), F.col("label"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        best = (
+            votes.withColumn("_rn", F.row_number().over(w_rank))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("v").alias("node_id"), "label")
+        )
+        # isolated nodes (none here — every node has an edge — but the
+        # contract survives filtered inputs): keep the previous label
+        labels = (
+            nodes.join(best, "node_id", "left")
+            .select(
+                "node_id", F.coalesce("label", F.col("node_id")).alias("label")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels

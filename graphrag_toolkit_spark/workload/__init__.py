@@ -114,6 +114,7 @@ _CHECK_FIRST = [
     "ivm_join_orders",
     "derive_changelog_orders",
     "neighborhood_sizes_parts",
+    "label_propagation_parts",
     # --- green, last driver-verified round 1 ---
     "ann_ivf_topk",
     "cascade_delete_counts",

@@ -1217,6 +1217,67 @@ FROM r{WPAGERANK_ITERS}
 WPAGERANK_ORACLE = _wpagerank_oracle()
 
 
+LPA_ITERS = 3
+
+
+def label_propagation_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic label-propagation communities
+    (`centrality.label_propagation`, min-label tie-break) over the part
+    co-purchase graph — the detection op whose output `modularity`
+    scores; 3 synchronous rounds, hash-gated against the unrolled window
+    twin."""
+    from graphrag_toolkit_spark.operators import centrality
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.withColumnsRenamed({"l_partkey": "pa"})
+    b = li.withColumnsRenamed({"l_partkey": "pb"})
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= MODULARITY_MIN_SHARED)
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    return centrality.label_propagation(edges, iters=LPA_ITERS)
+
+
+def _lpa_oracle() -> str:
+    steps = []
+    for t in range(1, LPA_ITERS + 1):
+        steps.append(f"""
+l{t} AS MATERIALIZED (
+  SELECT n.node_id, COALESCE(b.label, n.node_id) AS label
+  FROM nodes n LEFT JOIN (
+    SELECT v AS node_id, label FROM (
+      SELECT u.v, l.label, COUNT(*) AS n,
+             ROW_NUMBER() OVER (PARTITION BY u.v
+                                ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+      FROM und u JOIN l{t - 1} l ON u.w = l.node_id
+      GROUP BY u.v, l.label
+    ) WHERE rn = 1
+  ) b ON b.node_id = n.node_id
+)""")
+    return f"""
+WITH bi AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+ep AS MATERIALIZED (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM bi a JOIN bi b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {MODULARITY_MIN_SHARED}
+),
+und AS MATERIALIZED (
+  SELECT pa AS v, pb AS w FROM ep UNION ALL SELECT pb, pa FROM ep
+),
+nodes AS MATERIALIZED (SELECT DISTINCT v AS node_id FROM und),
+l0 AS (SELECT node_id, node_id AS label FROM nodes),
+{','.join(steps)}
+SELECT node_id, label FROM l{LPA_ITERS}
+"""
+
+
+LPA_ORACLE = _lpa_oracle()
+
+
 def neighborhood_sizes_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperBall-style per-node ball-size estimates
     (`centrality.neighborhood_sizes`) over the part co-purchase graph:
@@ -1354,6 +1415,7 @@ QUERIES = {
     "assortativity_parts": assortativity_parts,
     "weighted_pagerank_parts": weighted_pagerank_parts,
     "neighborhood_sizes_parts": neighborhood_sizes_parts,
+    "label_propagation_parts": label_propagation_parts,
     "clustering_coefficient_parts": clustering_coefficient_parts,
     "degree_distribution_parts": degree_distribution_parts,
     "bfs_shortest_paths": bfs_shortest_paths,
@@ -1389,6 +1451,7 @@ ORACLES = {
     "assortativity_parts": ASSORTATIVITY_ORACLE,
     "weighted_pagerank_parts": WPAGERANK_ORACLE,
     "neighborhood_sizes_parts": NEIGHBORHOOD_ORACLE,
+    "label_propagation_parts": LPA_ORACLE,
     "personalized_katz_graph": PKATZ_ORACLE,
     "association_rules_parts": ASSOC_ORACLE,
     "triangle_count_parts": TRIANGLE_ORACLE,

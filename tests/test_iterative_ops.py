@@ -884,3 +884,50 @@ class TestNeighborhoodSizes:
         )
         for r in neighborhood_sizes(edges).collect():
             assert r["est_1hop"] == r["est_2hop"]
+
+
+class TestLabelPropagation:
+    def test_two_cliques_with_bridge(self, spark):
+        """Two 4-cliques joined by one bridge: after 3 rounds each clique
+        shares one label and the two labels differ — and `modularity`
+        scores the detected partition positive."""
+        from graphrag_toolkit_spark.operators.centrality import (
+            label_propagation,
+            modularity,
+        )
+
+        c1, c2 = ["a1", "a2", "a3", "a4"], ["b1", "b2", "b3", "b4"]
+        pairs = [
+            (x, y) for grp in (c1, c2) for x in grp for y in grp if x < y
+        ] + [("a1", "b1")]
+        edges = spark.createDataFrame(pairs, "src string, dst string")
+        out = {r["node_id"]: r["label"] for r in label_propagation(edges).collect()}
+        assert len({out[n] for n in c1}) == 1
+        assert len({out[n] for n in c2}) == 1
+        assert out["a2"] != out["b2"]
+        assign = spark.createDataFrame(
+            [(n, lbl) for n, lbl in out.items()],
+            "node_id string, community string",
+        )
+        q = modularity(edges, assign).head()["modularity"]
+        assert q > 0.2
+
+    def test_deterministic_across_partitionings(self, spark):
+        from graphrag_toolkit_spark.operators.centrality import label_propagation
+
+        edges = spark.createDataFrame(
+            [(f"n{i}", f"n{(i * 7 + 3) % 30}") for i in range(80)],
+            "src string, dst string",
+        ).filter(F.col("src") != F.col("dst"))
+        a = sorted(map(tuple, label_propagation(edges, iters=3).collect()))
+        b = sorted(
+            map(tuple, label_propagation(edges.repartition(9), iters=3).collect())
+        )
+        assert a == b
+
+    def test_zero_iters_identity_labels(self, spark):
+        from graphrag_toolkit_spark.operators.centrality import label_propagation
+
+        edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+        out = {r["node_id"]: r["label"] for r in label_propagation(edges, iters=0).collect()}
+        assert out == {"a": "a", "b": "b"}
