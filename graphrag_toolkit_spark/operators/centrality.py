@@ -782,3 +782,84 @@ def label_propagation(
             .localCheckpoint(eager=False)
         )
     return labels
+
+
+def ktruss_peel(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 2,
+) -> DataFrame:
+    """k-truss peeling (Cohen 2008) — the EDGE analog of `kcore_peel`: a
+    k-truss is the maximal subgraph where every edge sits in ≥ k−2
+    triangles, a far stronger cohesion filter than degree (k-core keeps
+    hub-and-spoke noise; k-truss demands triangle support — the standard
+    dense-community prefilter). Synchronous peel: each round computes
+    every surviving edge's triangle support and drops edges below k−2; a
+    fixed ``rounds`` count keeps it deterministic and oracle-expressible
+    (callers loop to a fixpoint by comparing counts). Returns the
+    surviving canonical edges with their CURRENT support
+    ``(a, b, support)`` — at the fixpoint that IS the k-truss.
+
+    Scale shape: support = one wedge join (edge ⋈ adjacency on the lower
+    endpoint) semi-joined back against the edge set — the exact
+    triangle-enumeration shape `triangle_count` uses, Σ deg(a) work per
+    round, never |V|² — and the edge list only shrinks; each round's
+    survivors are localCheckpointed."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sup_df = None
+    for _ in range(rounds):
+        und = e.select(F.col("a").alias("v"), F.col("b").alias("w")).unionByName(
+            e.select(F.col("b").alias("v"), F.col("a").alias("w"))
+        )
+        wedges = (
+            e.join(und.withColumnsRenamed({"v": "a", "w": "x"}), "a")
+            .filter(F.col("x") != F.col("b"))
+        )
+        closed = wedges.join(
+            und.withColumnsRenamed({"v": "b", "w": "x"}), ["b", "x"], "left_semi"
+        )
+        sup_df = (
+            e.join(
+                closed.groupBy("a", "b").agg(F.count(F.lit(1)).alias("support")),
+                ["a", "b"],
+                "left",
+            )
+            .select(
+                "a", "b", F.coalesce("support", F.lit(0)).cast("long").alias("support")
+            )
+        )
+        e = (
+            sup_df.filter(F.col("support") >= k - 2)
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    # final support of the SURVIVING edges (post-peel state)
+    und = e.select(F.col("a").alias("v"), F.col("b").alias("w")).unionByName(
+        e.select(F.col("b").alias("v"), F.col("a").alias("w"))
+    )
+    wedges = (
+        e.join(und.withColumnsRenamed({"v": "a", "w": "x"}), "a")
+        .filter(F.col("x") != F.col("b"))
+    )
+    closed = wedges.join(
+        und.withColumnsRenamed({"v": "b", "w": "x"}), ["b", "x"], "left_semi"
+    )
+    return e.join(
+        closed.groupBy("a", "b").agg(F.count(F.lit(1)).alias("support")),
+        ["a", "b"],
+        "left",
+    ).select(
+        "a", "b", F.coalesce("support", F.lit(0)).cast("long").alias("support")
+    )

@@ -115,6 +115,7 @@ _CHECK_FIRST = [
     "derive_changelog_orders",
     "neighborhood_sizes_parts",
     "label_propagation_parts",
+    "ktruss_parts",
     # --- green, last driver-verified round 1 ---
     "ann_ivf_topk",
     "cascade_delete_counts",

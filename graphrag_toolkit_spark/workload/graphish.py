@@ -1217,6 +1217,77 @@ FROM r{WPAGERANK_ITERS}
 WPAGERANK_ORACLE = _wpagerank_oracle()
 
 
+KTRUSS_K = 3
+KTRUSS_ROUNDS = 2
+
+
+def ktruss_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss peel (`centrality.ktruss_peel`, k=3, 2 synchronous rounds)
+    over the part co-purchase graph: surviving edges must sit in ≥ 1
+    triangle among survivors — the edge-cohesion filter next to
+    `kcore_parts`; output (a, b, support), hash-gated against the
+    unrolled wedge-join twin."""
+    from graphrag_toolkit_spark.operators import centrality
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.withColumnsRenamed({"l_partkey": "pa"})
+    b = li.withColumnsRenamed({"l_partkey": "pb"})
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= MODULARITY_MIN_SHARED)
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    return centrality.ktruss_peel(edges, k=KTRUSS_K, rounds=KTRUSS_ROUNDS)
+
+
+def _ktruss_oracle() -> str:
+    sup = """
+  SELECT e.a, e.b, CAST(COALESCE(s.n, 0) AS BIGINT) AS support
+  FROM {E} e LEFT JOIN (
+    SELECT w.a, w.b, COUNT(*) AS n FROM (
+      SELECT e.a, e.b, u.w AS x
+      FROM {E} e JOIN (
+        SELECT a AS v, b AS w FROM {E} UNION ALL SELECT b, a FROM {E}
+      ) u ON u.v = e.a
+      WHERE u.w <> e.b
+    ) w
+    WHERE EXISTS (
+      SELECT 1 FROM (
+        SELECT a AS v, b AS w FROM {E} UNION ALL SELECT b, a FROM {E}
+      ) u2 WHERE u2.v = w.b AND u2.w = w.x
+    )
+    GROUP BY w.a, w.b
+  ) s ON s.a = e.a AND s.b = e.b
+"""
+    parts = [f"""
+e0 AS MATERIALIZED (
+  SELECT pa AS a, pb AS b FROM ep
+)"""]
+    for t in range(1, KTRUSS_ROUNDS + 1):
+        parts.append(f"""
+s{t} AS MATERIALIZED ({sup.format(E=f'e{t - 1}')}),
+e{t} AS MATERIALIZED (
+  SELECT a, b FROM s{t} WHERE support >= {KTRUSS_K - 2}
+)""")
+    return f"""
+WITH bi AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+ep AS MATERIALIZED (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM bi a JOIN bi b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {MODULARITY_MIN_SHARED}
+),
+{','.join(parts)},
+final AS ({sup.format(E=f'e{KTRUSS_ROUNDS}')})
+SELECT a, b, support FROM final
+"""
+
+
+KTRUSS_ORACLE = _ktruss_oracle()
+
+
 LPA_ITERS = 3
 
 
@@ -1416,6 +1487,7 @@ QUERIES = {
     "weighted_pagerank_parts": weighted_pagerank_parts,
     "neighborhood_sizes_parts": neighborhood_sizes_parts,
     "label_propagation_parts": label_propagation_parts,
+    "ktruss_parts": ktruss_parts,
     "clustering_coefficient_parts": clustering_coefficient_parts,
     "degree_distribution_parts": degree_distribution_parts,
     "bfs_shortest_paths": bfs_shortest_paths,
@@ -1452,6 +1524,7 @@ ORACLES = {
     "weighted_pagerank_parts": WPAGERANK_ORACLE,
     "neighborhood_sizes_parts": NEIGHBORHOOD_ORACLE,
     "label_propagation_parts": LPA_ORACLE,
+    "ktruss_parts": KTRUSS_ORACLE,
     "personalized_katz_graph": PKATZ_ORACLE,
     "association_rules_parts": ASSOC_ORACLE,
     "triangle_count_parts": TRIANGLE_ORACLE,

@@ -931,3 +931,49 @@ class TestLabelPropagation:
         edges = spark.createDataFrame([("a", "b")], "src string, dst string")
         out = {r["node_id"]: r["label"] for r in label_propagation(edges, iters=0).collect()}
         assert out == {"a": "a", "b": "b"}
+
+
+class TestKtruss:
+    def test_triangle_survives_tail_peels(self, spark):
+        """Triangle a-b-c with a pendant edge c-d: at k=3 the pendant
+        (support 0) peels in round 1; the triangle survives with every
+        edge at support 1."""
+        from graphrag_toolkit_spark.operators.centrality import ktruss_peel
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")],
+            "src string, dst string",
+        )
+        out = {(r["a"], r["b"]): r["support"] for r in ktruss_peel(edges, 3).collect()}
+        assert out == {("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 1}
+
+    def test_cascade_peel_needs_second_round(self, spark):
+        """Two triangles sharing edge (a,b) plus a third triangle hanging
+        off c-d: peeling the weak parts cascades — a fixed 1-round peel
+        and a 2-round peel differ, pinning the synchronous-round
+        semantics."""
+        from graphrag_toolkit_spark.operators.centrality import ktruss_peel
+
+        edges = spark.createDataFrame(
+            [
+                ("a", "b"), ("a", "c"), ("b", "c"),
+                ("a", "d"), ("b", "d"),
+                ("c", "e"), ("d", "e"),
+            ],
+            "src string, dst string",
+        )
+        r1 = set(
+            (r["a"], r["b"]) for r in ktruss_peel(edges, 4, rounds=1).collect()
+        )
+        r2 = set(
+            (r["a"], r["b"]) for r in ktruss_peel(edges, 4, rounds=2).collect()
+        )
+        assert r2 <= r1 and r2 != r1  # the second round peels more
+
+    def test_k2_keeps_everything(self, spark):
+        from graphrag_toolkit_spark.operators.centrality import ktruss_peel
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c")], "src string, dst string"
+        )
+        assert ktruss_peel(edges, 2).count() == 2  # support >= 0 always
