@@ -116,6 +116,11 @@ _CHECK_FIRST = [
     "neighborhood_sizes_parts",
     "label_propagation_parts",
     "ktruss_parts",
+    "q2_min_cost_supplier",
+    "q11_important_value",
+    "q16_supplier_relationship",
+    "q20_potential_promotion",
+    "q21_waiting_suppliers",
     # --- green, last driver-verified round 1 ---
     "ann_ivf_topk",
     "cascade_delete_counts",

@@ -1651,7 +1651,320 @@ SELECT p.x, p.y, p.n_rows FROM pts p JOIN keep USING (x, y)
 """
 
 
+# --- TPC-H Q2/Q11/Q16/Q20/Q21 shapes: correlated / nested subqueries ---------
+#
+# The fixtures have no partsupp table, so the classic partsupp-backed queries
+# are re-grounded on the (l_partkey, l_suppkey) pairs observed in lineitem —
+# the same correlated-subquery SHAPES (min-per-group join-back, scalar-subquery
+# HAVING, NOT IN anti-join, correlated EXISTS / NOT EXISTS) over the available
+# tables. Spark has no correlated-subquery executor to lean on; each shape is
+# decorrelated by hand into aggregate + join-back, which is exactly what a
+# 100 TB plan wants anyway (one shuffle per aggregate, broadcast dims).
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier): for STANDARD parts of size 10-20,
+    the EUROPE supplier(s) offering the part at its minimum observed price —
+    the correlated ``MIN`` subquery decorrelated into a per-part aggregate
+    broadcast-joined back on exact-decimal equality. Supply cost stands in as
+    ``MIN(l_extendedprice)`` per (part, supplier) pair since the -ish schema
+    has no partsupp."""
+    part = load(spark, sf_dir, "part").filter(
+        F.col("p_size").between(10, 20) & (F.col("p_type") == "STANDARD")
+    )
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    eu_supp = F.broadcast(
+        supp.join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    # Per-(part, supplier) min price over eligible region suppliers and the
+    # filtered parts only — the part filter rides the correlation key, so
+    # restricting before the min is equivalent to the correlated original.
+    pairs = (
+        li.join(F.broadcast(part.select("p_partkey", "p_name")),
+                li.l_partkey == F.col("p_partkey"))
+        .join(eu_supp, li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name",
+                 "s_acctbal", "n_name")
+        .agg(F.min(_dec("l_extendedprice")).alias("supply_cost"))
+    )
+    min_cost = pairs.groupBy(F.col("p_partkey").alias("mc_pk")).agg(
+        F.min("supply_cost").alias("min_cost")
+    )
+    return (
+        pairs.join(
+            F.broadcast(min_cost),
+            (pairs.p_partkey == F.col("mc_pk"))
+            & (pairs.supply_cost == F.col("min_cost")),
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            F.col("supply_cost").cast("double").alias("supply_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+    )
+
+
+Q2_ORACLE = """
+WITH pairs AS (
+  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+         MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS supply_cost
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE' AND p_size BETWEEN 10 AND 20 AND p_type = 'STANDARD'
+  GROUP BY 1, 2, 3, 4, 5, 6
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       CAST(supply_cost AS DOUBLE) AS supply_cost
+FROM pairs p1
+WHERE supply_cost = (SELECT MIN(supply_cost) FROM pairs p2
+                     WHERE p2.p_partkey = p1.p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+"""
+
+
+def q11_important_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock value): per-part sales value through
+    NATION_3 suppliers, keeping parts whose value exceeds
+    the nation's MEAN per-part value (×2) — the scalar-subquery HAVING
+    decorrelated into a 1-row broadcast. TPC-H scales its fraction by 1/SF;
+    a mean-relative threshold is the scale-free equivalent, and the compare
+    cross-multiplies (value × n_parts > 2 × total) so it stays exact decimal
+    with no division in either engine."""
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    n5 = F.broadcast(
+        supp.join(nation, supp.s_nationkey == nation.n_nationkey)
+        .filter(F.col("n_name") == "NATION_3")
+        .select("s_suppkey")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    scoped = li.join(n5, li.l_suppkey == F.col("s_suppkey"))
+    per_part = scoped.groupBy("l_partkey").agg(
+        F.sum(_dec("l_extendedprice")).cast("decimal(20,2)").alias("value")
+    )
+    total = per_part.agg(
+        F.sum(F.col("value")).cast("decimal(24,2)").alias("total"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value") * F.col("n_parts").cast("decimal(12,0)")
+            > F.col("total") * F.lit(2).cast("decimal(2,0)")
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round(F.col("value"), 2).cast("double").alias("value"),
+        )
+        .orderBy(F.desc("value"), "p_partkey")
+    )
+
+
+Q11_ORACLE = """
+WITH scoped AS (
+  SELECT l_partkey, CAST(l_extendedprice AS DECIMAL(12,2)) AS px
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+),
+per_part AS (
+  SELECT l_partkey, CAST(SUM(px) AS DECIMAL(20,2)) AS value
+  FROM scoped GROUP BY l_partkey
+)
+SELECT l_partkey AS p_partkey, CAST(ROUND(value, 2) AS DOUBLE) AS value
+FROM per_part
+WHERE value * (SELECT CAST(COUNT(*) AS DECIMAL(12,0)) FROM per_part)
+      > (SELECT CAST(SUM(value) AS DECIMAL(24,2)) FROM per_part)
+        * CAST(2 AS DECIMAL(2,0))
+ORDER BY value DESC, p_partkey
+"""
+
+
+def q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): distinct supplier count
+    per (brand, type, size) over observed (part, supplier) pairs, excluding
+    Brand#1 / PROMO / off-list sizes and NOT-IN-excluding suppliers with a
+    negative account balance (the 'complaints' stand-in) — the NOT IN
+    subquery expressed as a broadcast anti-join."""
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34, 39, 44, 49)
+    )
+    bad_supp = F.broadcast(
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("bad_sk"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(bad_supp, li.l_suppkey == F.col("bad_sk"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+Q16_ORACLE = """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34, 39, 44, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): ASIA suppliers that
+    dominated some 'red' part's 1997 volume — shipped more than half the
+    part's total (the correlated ``0.5 × SUM`` scalar subquery, decorrelated
+    to a per-part total joined back; the half-compare is 2·qty_sp > qty_p in
+    exact decimals, no division). IN-subquery becomes a distinct semi-join."""
+    part_red = F.broadcast(
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("red"))
+        .select("p_partkey")
+    )
+    li97 = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(part_red, F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_suppkey", "l_partkey", _dec("l_quantity").alias("q"))
+    )
+    sp = li97.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum("q").cast("decimal(20,2)").alias("qty_sp")
+    )
+    per_part = li97.groupBy(F.col("l_partkey").alias("pp_pk")).agg(
+        F.sum("q").cast("decimal(20,2)").alias("qty_p")
+    )
+    qual = (
+        sp.join(F.broadcast(per_part), sp.l_partkey == F.col("pp_pk"))
+        .filter(
+            F.col("qty_sp") * F.lit(2).cast("decimal(2,0)") > F.col("qty_p")
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    asia = (
+        supp.join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        asia.join(F.broadcast(qual), asia.s_suppkey == qual.l_suppkey, "semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name")
+    )
+
+
+Q20_ORACLE = """
+WITH li97 AS (
+  SELECT l_suppkey, l_partkey, CAST(l_quantity AS DECIMAL(12,2)) AS q
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%red%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+),
+sp AS (
+  SELECT l_suppkey, l_partkey, CAST(SUM(q) AS DECIMAL(20,2)) AS qty_sp
+  FROM li97 GROUP BY 1, 2
+)
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM sp s1
+    WHERE qty_sp * CAST(2 AS DECIMAL(2,0)) >
+          (SELECT CAST(SUM(q) AS DECIMAL(20,2)) FROM li97 l2
+           WHERE l2.l_partkey = s1.l_partkey)
+  )
+ORDER BY s_name
+"""
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): late lines
+    (shipped >60 days after order date) in finalized multi-supplier orders
+    where no OTHER supplier was late — the EXISTS / NOT EXISTS double
+    correlation decorrelated into one per-order aggregate pass (distinct
+    suppliers, distinct late suppliers, late-line count) with zero
+    self-joins; counts late LINES per supplier like the rowwise original."""
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = load(spark, sf_dir, "lineitem")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    per_order = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+            F.min(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+            F.sum(F.when(late, 1).otherwise(0)).alias("n_late_lines"),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    supp = F.broadcast(load(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    return (
+        per_order.join(supp, per_order.late_supp == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.sum("n_late_lines").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+Q21_ORACLE = """
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM lineitem l1
+JOIN orders ON l1.l_orderkey = o_orderkey
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+"""
+
+
 QUERIES = {
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q11_important_value": q11_important_value,
+    "q16_supplier_relationship": q16_supplier_relationship,
+    "q20_potential_promotion": q20_potential_promotion,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
     "q6_forecast_revenue": q6_forecast_revenue,
     "zorder_layout_orders": zorder_layout_orders,
     "pareto_parts": pareto_parts,
@@ -1697,6 +2010,11 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q2_min_cost_supplier": Q2_ORACLE,
+    "q11_important_value": Q11_ORACLE,
+    "q16_supplier_relationship": Q16_ORACLE,
+    "q20_potential_promotion": Q20_ORACLE,
+    "q21_waiting_suppliers": Q21_ORACLE,
     "q6_forecast_revenue": Q6_ORACLE,
     "zorder_layout_orders": ZORDER_ORACLE,
     "pareto_parts": PARETO_ORACLE,
