@@ -121,6 +121,9 @@ _CHECK_FIRST = [
     "q16_supplier_relationship",
     "q20_potential_promotion",
     "q21_waiting_suppliers",
+    "link_prediction_parts",
+    "random_walks_parts",
+    "cusum_changepoint_events",
     # --- green, last driver-verified round 1 ---
     "ann_ivf_topk",
     "cascade_delete_counts",

@@ -1379,7 +1379,78 @@ FROM manifest
 """
 
 
+def cusum_changepoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event type: the day where the
+    cumulative deviation of daily counts from the series mean peaks.
+
+    The textbook statistic is S_k − k·μ with μ = S_n/n; cross-multiplying by
+    n gives ``n·S_k − k·S_n`` — all BIGINT, no division, so the argmax (and
+    the statistic itself) is hash-exact. One groupBy to daily counts, then
+    per-type window scans — no shuffle beyond the two keyed aggregations;
+    at 100 TB the daily-count table is tiny (types × days) regardless of
+    input volume, so the window stage never skews."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    tot = Window.partitionBy("event_type")
+    cur = daily.select(
+        "event_type",
+        "d",
+        F.row_number().over(w).cast("bigint").alias("k"),
+        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("sk"),
+        F.sum("cnt").over(tot).alias("stot"),
+        F.count(F.lit(1)).over(tot).cast("bigint").alias("n_days"),
+    ).withColumn(
+        "cusum_stat", F.col("n_days") * F.col("sk") - F.col("k") * F.col("stot")
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.desc(F.abs(F.col("cusum_stat"))), F.asc("d")
+    )
+    return (
+        cur.withColumn("r", F.row_number().over(pick))
+        .filter(F.col("r") == 1)
+        .select(
+            "event_type",
+            F.col("d").alias("changepoint_date"),
+            "cusum_stat",
+            "n_days",
+        )
+        .orderBy("event_type")
+    )
+
+
+CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+cur AS (
+  SELECT event_type, d,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS BIGINT)
+           AS k,
+         CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY d
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sk,
+         CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS stot,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days
+  FROM daily
+),
+scored AS (
+  SELECT event_type, d, n_days * sk - k * stot AS cusum_stat, n_days,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY ABS(n_days * sk - k * stot) DESC, d ASC)
+           AS r
+  FROM cur
+)
+SELECT event_type, d AS changepoint_date, cusum_stat, n_days
+FROM scored WHERE r = 1
+ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "cusum_changepoint_events": cusum_changepoint_events,
     "compaction_plan_events": compaction_plan_events,
     "tumbling_window_events": tumbling_window_events,
     "salted_agg_events": salted_agg_events,
@@ -1412,6 +1483,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "cusum_changepoint_events": CUSUM_ORACLE,
     "compaction_plan_events": COMPACTION_PLAN_ORACLE,
     "salted_agg_events": SALTED_AGG_ORACLE,
     "cumulative_distinct_users_events": CUMULATIVE_DISTINCT_ORACLE,

@@ -1479,7 +1479,133 @@ FROM agg
 """
 
 
+LINKPRED_MIN_COMMON = 1
+
+
+def _part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The co-occurrence edge list shared by triangle/k-core/link-pred:
+    part pairs (pa < pb) appearing together in ≥ TRI_MIN_SHARED orders."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.withColumnsRenamed({"l_partkey": "pa"})
+    b = li.withColumnsRenamed({"l_partkey": "pb"})
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= TRI_MIN_SHARED)
+        .select("pa", "pb")
+    )
+
+
+_EDGES_CTE = f"""
+WITH bi AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS MATERIALIZED (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM bi a JOIN bi b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {TRI_MIN_SHARED}
+),
+und AS (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e)
+"""
+
+
+def link_prediction_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the part co-occurrence graph: non-adjacent pairs
+    at distance 2 scored by common-neighbor count, Jaccard, and
+    preferential attachment (operators/linkpred.py). The wedge join is the
+    only quadratic-ish stage and is bounded by the edge threshold; scores
+    are exact ints plus one IEEE division, so the hash gate is exact."""
+    from graphrag_toolkit_spark.operators.linkpred import link_prediction
+
+    scored = link_prediction(
+        _part_edges(spark, sf_dir), min_common=LINKPRED_MIN_COMMON
+    )
+    return scored.orderBy(F.desc("common_neighbors"), "node_u", "node_v")
+
+
+LINKPRED_ORACLE = _EDGES_CTE + f""",
+deg AS MATERIALIZED (
+  SELECT u AS n, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY u
+),
+cn AS (
+  SELECT a.u AS cu, b.v AS cv, CAST(COUNT(*) AS BIGINT) AS common_neighbors
+  FROM und a JOIN und b ON a.v = b.u AND a.u < b.v
+  GROUP BY 1, 2 HAVING COUNT(*) >= {LINKPRED_MIN_COMMON}
+),
+cand AS (
+  SELECT * FROM cn
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.pa = cn.cu AND e.pb = cn.cv)
+)
+SELECT cu AS node_u, cv AS node_v, common_neighbors,
+       CAST(common_neighbors AS DOUBLE) / (du.d + dv.d - common_neighbors)
+         AS jaccard,
+       du.d * dv.d AS pref_attachment
+FROM cand
+JOIN deg du ON cand.cu = du.n
+JOIN deg dv ON cand.cv = dv.n
+ORDER BY common_neighbors DESC, node_u, node_v
+"""
+
+
+WALK_LENGTH = 3
+
+
+def random_walks_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random-walk corpus over the part co-occurrence graph
+    (operators/linkpred.py): one walk per node, 3 hops, next hop chosen by
+    an engine-portable md5 pick (hash mod degree indexes into the id-sorted
+    adjacency). The node2vec-style sampling stage of a graph-embedding
+    pipeline, reproducible across partitionings — the oracle replays the
+    identical hash arithmetic hop by hop."""
+    from graphrag_toolkit_spark.operators.linkpred import random_walks
+
+    walks = random_walks(
+        _part_edges(spark, sf_dir), walk_length=WALK_LENGTH, salt="walk"
+    )
+    return walks.orderBy("start", "step", "node")
+
+
+def _walk_oracle() -> str:
+    pick = (
+        "CAST('0x' || substring(md5('walk|' || CAST({src}.start AS VARCHAR)"
+        " || '|{step}|' || CAST({src}.node AS VARCHAR)), 1, 7) AS BIGINT)"
+    )
+    steps = []
+    prev = "w0"
+    for s in range(1, WALK_LENGTH + 1):
+        steps.append(
+            f"w{s} AS (SELECT {prev}.start, adj.v AS node"
+            f" FROM {prev} JOIN adj ON adj.u = {prev}.node"
+            f" WHERE {pick.format(src=prev, step=s)} % adj.deg = adj.idx)"
+        )
+        prev = f"w{s}"
+    selects = " UNION ALL ".join(
+        f"SELECT start, {s} AS step, node FROM w{s}"
+        for s in range(0, WALK_LENGTH + 1)
+    )
+    return (
+        _EDGES_CTE
+        + """,
+adj AS MATERIALIZED (
+  SELECT u, v,
+         CAST(ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) - 1 AS BIGINT)
+           AS idx,
+         CAST(COUNT(*) OVER (PARTITION BY u) AS BIGINT) AS deg
+  FROM und
+),
+w0 AS (SELECT DISTINCT u AS start, u AS node FROM und),
+"""
+        + ",\n".join(steps)
+        + f"\nSELECT * FROM ({selects}) ORDER BY start, step, node"
+    )
+
+
+WALKS_ORACLE = _walk_oracle()
+
+
 QUERIES = {
+    "link_prediction_parts": link_prediction_parts,
+    "random_walks_parts": random_walks_parts,
     "kcore_parts": kcore_parts,
     "hits_scores_graph": hits_scores_graph,
     "modularity_parts": modularity_parts,
@@ -1511,6 +1637,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "link_prediction_parts": LINKPRED_ORACLE,
+    "random_walks_parts": WALKS_ORACLE,
     "kcore_parts": KCORE_ORACLE,
     "clustering_coefficient_parts": CLUSTERING_COEFF_ORACLE,
     "degree_distribution_parts": DEGREE_DISTRIBUTION_ORACLE,

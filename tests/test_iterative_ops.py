@@ -977,3 +977,89 @@ class TestKtruss:
             [("a", "b"), ("b", "c")], "src string, dst string"
         )
         assert ktruss_peel(edges, 2).count() == 2  # support >= 0 always
+
+
+class TestLinkPrediction:
+    @pytest.fixture(scope="class")
+    def edges(self, spark):
+        # path a-b-c-d plus triangle b-c-e: candidates at distance 2 exist
+        return spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (2, 5), (3, 5)], "pa int, pb int"
+        )
+
+    def test_candidates_are_nonadjacent(self, spark, edges):
+        from graphrag_toolkit_spark.operators.linkpred import link_prediction
+
+        got = link_prediction(edges).collect()
+        edge_set = {(r["pa"], r["pb"]) for r in edges.collect()}
+        for r in got:
+            assert (r["node_u"], r["node_v"]) not in edge_set
+            assert r["node_u"] < r["node_v"]
+
+    def test_scores_exact(self, spark, edges):
+        from graphrag_toolkit_spark.operators.linkpred import link_prediction
+
+        got = {
+            (r["node_u"], r["node_v"]): r
+            for r in link_prediction(edges).collect()
+        }
+        # pair (1,3): common neighbor {2}; deg(1)=1, deg(3)=3
+        r = got[(1, 3)]
+        assert r["common_neighbors"] == 1
+        assert r["jaccard"] == 1 / (1 + 3 - 1)
+        assert r["pref_attachment"] == 3
+        # pair (4,5): common neighbor {3}
+        assert got[(4, 5)]["common_neighbors"] == 1
+
+    def test_min_common_filters(self, spark, edges):
+        from graphrag_toolkit_spark.operators.linkpred import link_prediction
+
+        for r in link_prediction(edges, min_common=2).collect():
+            assert r["common_neighbors"] >= 2
+
+
+class TestRandomWalks:
+    @pytest.fixture(scope="class")
+    def edges(self, spark):
+        return spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (1, 4), (2, 4)], "pa int, pb int"
+        )
+
+    def test_walk_shape(self, spark, edges):
+        from graphrag_toolkit_spark.operators.linkpred import random_walks
+
+        got = random_walks(edges, walk_length=3).collect()
+        starts = {r["start"] for r in got}
+        assert starts == {1, 2, 3, 4}
+        # one row per (start, step): 4 nodes x 4 steps (0..3)
+        assert len(got) == 16
+        assert {(r["start"], r["step"]) for r in got} == {
+            (s, k) for s in starts for k in range(4)
+        }
+
+    def test_walk_follows_edges(self, spark, edges):
+        from graphrag_toolkit_spark.operators.linkpred import random_walks
+
+        und = {(r["pa"], r["pb"]) for r in edges.collect()}
+        und |= {(b, a) for a, b in und}
+        by_walk = {}
+        for r in random_walks(edges, walk_length=3).collect():
+            by_walk.setdefault(r["start"], {})[r["step"]] = r["node"]
+        for start, steps in by_walk.items():
+            assert steps[0] == start
+            for k in range(1, 4):
+                assert (steps[k - 1], steps[k]) in und
+
+    def test_deterministic_across_partitionings(self, spark, edges):
+        from graphrag_toolkit_spark.operators.linkpred import random_walks
+
+        a = sorted(map(tuple, random_walks(edges).collect()))
+        b = sorted(map(tuple, random_walks(edges.repartition(7)).collect()))
+        assert a == b
+
+    def test_salt_changes_walks(self, spark, edges):
+        from graphrag_toolkit_spark.operators.linkpred import random_walks
+
+        a = sorted(map(tuple, random_walks(edges, salt="walk").collect()))
+        b = sorted(map(tuple, random_walks(edges, salt="other").collect()))
+        assert a != b  # different hash stream picks different neighbors
