@@ -398,3 +398,45 @@ def ipf_rake(
         "w6",
         (F.col("w6").cast("double") / F.lit(float(IPF_GRID))).alias("weight"),
     )
+
+
+def budget_fill(
+    df: DataFrame,
+    group_col: str,
+    size_col: str,
+    budgets: DataFrame,
+    order_by: list,
+) -> DataFrame:
+    """Greedy per-group budget fill (the 'token budget per domain' step of a
+    pre-training mixture: each domain contributes its best documents until
+    its token budget is spent).
+
+    ``budgets`` is a small (group, budget) table — broadcast; ``order_by``
+    is the priority order WITHIN a group (must be a total order for
+    reproducibility — end it with the id column). A row is kept iff the
+    running ``size_col`` total up to and including it stays ≤ the group's
+    budget — the classic greedy prefix, exact in integer arithmetic.
+
+    Scale shape: one shuffle (the per-group window, keyed on the group) over
+    rows that already survived upstream filters; the budget table is
+    broadcast. Group skew is bounded by the budget itself — a group stops
+    accumulating selected rows once its budget is reached, and the window
+    scan is a single pass.
+
+    Output: the selected rows plus ``cum_size`` (running total including the
+    row) and the group's ``budget``.
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    bcols = budgets.columns
+    budget_col = [c for c in bcols if c != group_col][0]
+    return (
+        df.join(F.broadcast(budgets), group_col)
+        .withColumn("cum_size", F.sum(size_col).over(w))
+        .filter(F.col("cum_size") <= F.col(budget_col))
+    )

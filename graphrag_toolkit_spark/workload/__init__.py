@@ -124,6 +124,7 @@ _CHECK_FIRST = [
     "link_prediction_parts",
     "random_walks_parts",
     "cusum_changepoint_events",
+    "token_budget_mix_documents",
     # --- green, last driver-verified round 1 ---
     "ann_ivf_topk",
     "cascade_delete_counts",

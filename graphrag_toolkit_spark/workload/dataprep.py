@@ -4301,7 +4301,93 @@ WHERE r.neg_id <> p.anchor
 """
 
 
+def token_budget_mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget domain mix (operators/sampling.budget_fill): each source
+    gets a token budget — a per-source share (10-30%, derived from the
+    source id so the mix is heterogeneous) of its own total tokens — and
+    contributes its longest documents first until the budget is spent.
+
+    The greedy-prefix selection is the 'fill each domain's token budget by
+    quality rank' step of assembling a pre-training mixture. Budgets use
+    integer floor division (``div``/``//``), cumulative sums are BIGINT, and
+    utilization is one double division of exact ints — hash-exact. Returns
+    the per-source summary (selection lives in the pipeline; the summary is
+    the auditable artifact)."""
+    from graphrag_toolkit_spark.operators.sampling import budget_fill
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.regexp_count(F.col("text"), F.lit(r"\S+")).alias("n_tokens"),
+    )
+    src_num = F.regexp_extract(F.col("source"), r"(\d+)", 1).cast("bigint")
+    budgets = (
+        docs.groupBy("source")
+        .agg(F.sum("n_tokens").alias("total_tokens"))
+        .withColumn("share_pct", F.lit(10) + (src_num % 5) * F.lit(5))
+        .withColumn(
+            "budget_tokens",
+            F.expr("div(total_tokens * share_pct, 100)"),
+        )
+        .select("source", "budget_tokens")
+    )
+    picked = budget_fill(
+        docs,
+        group_col="source",
+        size_col="n_tokens",
+        budgets=budgets,
+        order_by=[F.desc("n_tokens"), F.asc("doc_id")],
+    )
+    return (
+        picked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_selected"),
+            F.sum("n_tokens").alias("tokens_selected"),
+            F.max("budget_tokens").alias("budget_tokens"),
+        )
+        .withColumn(
+            "utilization",
+            F.col("tokens_selected").cast("double") / F.col("budget_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+TOKEN_BUDGET_MIX_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+budgets AS (
+  SELECT source,
+         (SUM(n_tokens) * (10 + (CAST(regexp_extract(source, '(\d+)', 1)
+                                      AS BIGINT) % 5) * 5)) // 100
+           AS budget_tokens
+  FROM toks GROUP BY source
+),
+cum AS (
+  SELECT t.doc_id, t.source, t.n_tokens, b.budget_tokens,
+         CAST(SUM(t.n_tokens) OVER (PARTITION BY t.source
+                                    ORDER BY t.n_tokens DESC, t.doc_id ASC
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_size
+  FROM toks t JOIN budgets b USING (source)
+),
+picked AS (SELECT * FROM cum WHERE cum_size <= budget_tokens)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_selected,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_selected,
+       CAST(MAX(budget_tokens) AS BIGINT) AS budget_tokens,
+       CAST(SUM(n_tokens) AS DOUBLE) / MAX(budget_tokens) AS utilization
+FROM picked
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
+    "token_budget_mix_documents": token_budget_mix_documents,
     "dedup_exact_documents": dedup_exact_documents,
     "typo_pairs_customers": typo_pairs_customers,
     "weighted_sample_documents": weighted_sample_documents,
@@ -4389,6 +4475,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "token_budget_mix_documents": TOKEN_BUDGET_MIX_ORACLE,
     "typo_pairs_customers": TYPO_PAIRS_ORACLE,
     "weighted_sample_documents": WEIGHTED_SAMPLE_ORACLE,
     "per_label_sample_embeddings": PER_LABEL_SAMPLE_ORACLE,

@@ -2218,3 +2218,41 @@ class TestMultimodalResizeFeatures:
             assert r["mean_lum"] == sum(px) / len(px)
             assert list(r["hist"]) == hist
             assert sum(r["hist"]) == r["n_pixels"]
+
+
+class TestBudgetFill:
+    def test_greedy_prefix_semantics(self, spark):
+        from pyspark.sql import functions as F
+        from graphrag_toolkit_spark.operators.sampling import budget_fill
+
+        rows = spark.createDataFrame(
+            [("a", 1, 60), ("a", 2, 30), ("a", 3, 30), ("b", 4, 200)],
+            "grp string, id int, sz long",
+        )
+        budgets = spark.createDataFrame(
+            [("a", 90), ("b", 100)], "grp string, budget long"
+        )
+        got = budget_fill(
+            rows, "grp", "sz", budgets, [F.desc("sz"), F.asc("id")]
+        ).collect()
+        ids = sorted(r["id"] for r in got)
+        # a: 60 then 30 fills exactly to 90 (boundary row INCLUDED);
+        #    the second 30 would exceed -> excluded.
+        # b: first row already over budget -> nothing selected.
+        assert ids == [1, 2]
+        by_id = {r["id"]: r for r in got}
+        assert by_id[2]["cum_size"] == 90
+
+    def test_total_order_ties_break_by_id(self, spark):
+        from pyspark.sql import functions as F
+        from graphrag_toolkit_spark.operators.sampling import budget_fill
+
+        rows = spark.createDataFrame(
+            [("a", i, 10) for i in range(10)], "grp string, id int, sz long"
+        )
+        budgets = spark.createDataFrame([("a", 35)], "grp string, budget long")
+        got = budget_fill(
+            rows.repartition(5), "grp", "sz", budgets,
+            [F.desc("sz"), F.asc("id")],
+        ).collect()
+        assert sorted(r["id"] for r in got) == [0, 1, 2]
