@@ -89,6 +89,13 @@ HEADLINE = [
     "hits_scores_graph",
     "kneser_ney_lm_documents",
     "zorder_layout_orders",
+    # round-5 continuation: wedge-join link prediction, hash-walk corpus,
+    # the hardest TPC-H subquery shape (Q21 double-correlation), and the
+    # greedy token-budget mixture
+    "link_prediction_parts",
+    "random_walks_parts",
+    "q21_waiting_suppliers",
+    "token_budget_mix_documents",
 ]
 
 

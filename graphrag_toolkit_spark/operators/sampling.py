@@ -440,3 +440,46 @@ def budget_fill(
         .withColumn("cum_size", F.sum(size_col).over(w))
         .filter(F.col("cum_size") <= F.col(budget_col))
     )
+
+
+def temperature_weights(df: DataFrame, class_col: str) -> DataFrame:
+    """Temperature-based mixture weights (the mT5/XLM-R alpha-sampling rule
+    at alpha = 0.5): a class's sampling share is sqrt(n_c) / Σ sqrt(n_c),
+    flattening the head and boosting the tail of a skewed class (language /
+    domain) distribution.
+
+    alpha is fixed at 0.5 because sqrt is IEEE-correctly-rounded (bit-exact
+    in every engine) while pow(x, alpha) is not — an arbitrary-alpha variant
+    would not survive a cross-engine hash gate. The sqrt terms are summed in
+    a FIXED order (running sum over class_col ascending; terms are positive,
+    so the final running value is the max) — an unordered SUM of doubles is
+    order-dependent and engine-ambiguous.
+
+    Output per class: n_rows, share_raw (n_c / N), share_alpha, and boost
+    (share_alpha / share_raw — the up/down-sampling factor to apply).
+    Scale shape: one k-row aggregate; everything after is arithmetic on a
+    k-row table (k = number of classes).
+    """
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(class_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    run = Window.orderBy(class_col).rowsBetween(Window.unboundedPreceding, 0)
+    full = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    s = F.sqrt(F.col("n_rows").cast("double"))
+    return (
+        counts.withColumn("_cum", F.sum(s).over(run))
+        .withColumn("_stot", F.max(F.col("_cum")).over(full))
+        .withColumn("_ntot", F.sum("n_rows").over(full))
+        .select(
+            class_col,
+            "n_rows",
+            (F.col("n_rows").cast("double") / F.col("_ntot")).alias("share_raw"),
+            (s / F.col("_stot")).alias("share_alpha"),
+            (
+                (s / F.col("_stot"))
+                / (F.col("n_rows").cast("double") / F.col("_ntot"))
+            ).alias("boost"),
+        )
+    )

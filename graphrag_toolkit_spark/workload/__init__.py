@@ -125,6 +125,9 @@ _CHECK_FIRST = [
     "random_walks_parts",
     "cusum_changepoint_events",
     "token_budget_mix_documents",
+    "walk_skipgram_parts",
+    "temperature_mix_documents",
+    "node_features_parts",
     # --- green, last driver-verified round 1 ---
     "ann_ivf_topk",
     "cascade_delete_counts",

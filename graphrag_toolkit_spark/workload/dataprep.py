@@ -4386,7 +4386,46 @@ ORDER BY source
 """
 
 
+def temperature_mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mT5-style alpha-sampling weights per language
+    (operators/sampling.temperature_weights, alpha = 0.5): sqrt-flattened
+    shares and the per-language up/down-sampling boost. The sqrt-share sum
+    runs in fixed lang order so every double is bit-identical to the
+    oracle's replay of the same arithmetic."""
+    from graphrag_toolkit_spark.operators.sampling import temperature_weights
+
+    docs = load(spark, sf_dir, "documents")
+    return temperature_weights(docs, "lang").orderBy("lang")
+
+
+TEMPERATURE_MIX_ORACLE = """
+WITH counts AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows FROM documents GROUP BY lang
+),
+run AS (
+  SELECT lang, n_rows,
+         SUM(sqrt(CAST(n_rows AS DOUBLE)))
+           OVER (ORDER BY lang ROWS UNBOUNDED PRECEDING) AS cum
+  FROM counts
+),
+tot AS (
+  SELECT lang, n_rows,
+         MAX(cum) OVER () AS stot,
+         SUM(n_rows) OVER () AS ntot
+  FROM run
+)
+SELECT lang, n_rows,
+       CAST(n_rows AS DOUBLE) / ntot AS share_raw,
+       sqrt(CAST(n_rows AS DOUBLE)) / stot AS share_alpha,
+       (sqrt(CAST(n_rows AS DOUBLE)) / stot)
+         / (CAST(n_rows AS DOUBLE) / ntot) AS boost
+FROM tot
+ORDER BY lang
+"""
+
+
 QUERIES = {
+    "temperature_mix_documents": temperature_mix_documents,
     "token_budget_mix_documents": token_budget_mix_documents,
     "dedup_exact_documents": dedup_exact_documents,
     "typo_pairs_customers": typo_pairs_customers,
@@ -4475,6 +4514,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "temperature_mix_documents": TEMPERATURE_MIX_ORACLE,
     "token_budget_mix_documents": TOKEN_BUDGET_MIX_ORACLE,
     "typo_pairs_customers": TYPO_PAIRS_ORACLE,
     "weighted_sample_documents": WEIGHTED_SAMPLE_ORACLE,

@@ -1565,7 +1565,9 @@ def random_walks_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return walks.orderBy("start", "step", "node")
 
 
-def _walk_oracle() -> str:
+def _walks_cte() -> str:
+    """CTE chain ending in relation ``walks(start, step, node)`` — the
+    hop-by-hop replay of operators/linkpred.random_walks' hash arithmetic."""
     pick = (
         "CAST('0x' || substring(md5('walk|' || CAST({src}.start AS VARCHAR)"
         " || '|{step}|' || CAST({src}.node AS VARCHAR)), 1, 7) AS BIGINT)"
@@ -1596,16 +1598,138 @@ adj AS MATERIALIZED (
 w0 AS (SELECT DISTINCT u AS start, u AS node FROM und),
 """
         + ",\n".join(steps)
-        + f"\nSELECT * FROM ({selects}) ORDER BY start, step, node"
+        + f",\nwalks AS (SELECT * FROM ({selects}))"
     )
 
 
-WALKS_ORACLE = _walk_oracle()
+WALKS_ORACLE = _walks_cte() + "\nSELECT * FROM walks ORDER BY start, step, node"
+
+
+SKIPGRAM_WINDOW = 2
+
+
+def walk_skipgram_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk/node2vec skip-gram training pairs from the deterministic
+    walk corpus: (center, context) node pairs within ±SKIPGRAM_WINDOW steps
+    on the same walk, aggregated to pair counts — the co-occurrence table a
+    graph-embedding trainer consumes. One self-join keyed on the walk id
+    (start), bounded by walk length, then an exact count aggregate."""
+    from graphrag_toolkit_spark.operators.linkpred import random_walks
+
+    walks = random_walks(
+        _part_edges(spark, sf_dir), walk_length=WALK_LENGTH, salt="walk"
+    )
+    a = walks.select("start", F.col("step").alias("sa"), F.col("node").alias("center"))
+    b = walks.select("start", F.col("step").alias("sb"), F.col("node").alias("context"))
+    return (
+        a.join(b, "start")
+        .filter(
+            (F.col("sb") > F.col("sa"))
+            & (F.col("sb") - F.col("sa") <= SKIPGRAM_WINDOW)
+        )
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), "center", "context")
+    )
+
+
+SKIPGRAM_ORACLE = _walks_cte() + f"""
+SELECT a.node AS center, b.node AS context, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM walks a JOIN walks b
+  ON a.start = b.start AND b.step > a.step
+ AND b.step - a.step <= {SKIPGRAM_WINDOW}
+GROUP BY 1, 2
+ORDER BY n_pairs DESC, center, context
+"""
+
+
+def node_features_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GNN feature engineering over the part co-occurrence graph: per-node
+    structural features — degree, min/max/mean neighbor degree (mean is one
+    double division of exact ints), and the exact 2-hop ball size (distinct
+    nodes within distance ≤ 2, excluding the node). The neighbor-degree
+    pass is one equi-join against the k-row degree table; the 2-hop count
+    is the wedge join deduped per node — the same bounded frontier shape
+    every sampling-based GNN loader (GraphSAGE et al.) materializes."""
+    edges = _part_edges(spark, sf_dir)
+    und = edges.select(
+        F.col("pa").alias("u"), F.col("pb").alias("v")
+    ).unionByName(edges.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    dv = deg.select(F.col("u").alias("v"), F.col("deg").alias("deg_v"))
+    nb = (
+        und.join(dv, "v")
+        .groupBy("u")
+        .agg(
+            F.min("deg_v").alias("min_nb_deg"),
+            F.max("deg_v").alias("max_nb_deg"),
+            F.sum("deg_v").alias("sum_nb_deg"),
+        )
+    )
+    two_hop = (
+        und.select("u", "v")
+        .unionByName(
+            und.select(F.col("u").alias("cu"), F.col("v").alias("x"))
+            .join(
+                und.select(F.col("u").alias("x"), F.col("v").alias("cv")),
+                "x",
+            )
+            .select(F.col("cu").alias("u"), F.col("cv").alias("v"))
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("n_within_2hops"))
+    )
+    return (
+        deg.join(nb, "u")
+        .join(two_hop, "u")
+        .select(
+            F.col("u").alias("node"),
+            "deg",
+            "min_nb_deg",
+            "max_nb_deg",
+            (F.col("sum_nb_deg").cast("double") / F.col("deg")).alias(
+                "mean_nb_deg"
+            ),
+            "n_within_2hops",
+        )
+        .orderBy("node")
+    )
+
+
+NODE_FEATURES_ORACLE = _EDGES_CTE + """,
+deg AS MATERIALIZED (
+  SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY u
+),
+nb AS (
+  SELECT und.u,
+         MIN(d.deg) AS min_nb_deg,
+         MAX(d.deg) AS max_nb_deg,
+         CAST(SUM(d.deg) AS BIGINT) AS sum_nb_deg
+  FROM und JOIN deg d ON und.v = d.u
+  GROUP BY und.u
+),
+two_hop AS (
+  SELECT u, CAST(COUNT(*) AS BIGINT) AS n_within_2hops FROM (
+    SELECT u, v FROM und
+    UNION
+    SELECT a.u, b.v FROM und a JOIN und b ON a.v = b.u
+  ) WHERE u <> v GROUP BY u
+)
+SELECT deg.u AS node, deg.deg, nb.min_nb_deg, nb.max_nb_deg,
+       CAST(nb.sum_nb_deg AS DOUBLE) / deg.deg AS mean_nb_deg,
+       two_hop.n_within_2hops
+FROM deg JOIN nb ON deg.u = nb.u JOIN two_hop ON deg.u = two_hop.u
+ORDER BY node
+"""
 
 
 QUERIES = {
     "link_prediction_parts": link_prediction_parts,
     "random_walks_parts": random_walks_parts,
+    "walk_skipgram_parts": walk_skipgram_parts,
+    "node_features_parts": node_features_parts,
     "kcore_parts": kcore_parts,
     "hits_scores_graph": hits_scores_graph,
     "modularity_parts": modularity_parts,
@@ -1639,6 +1763,8 @@ QUERIES = {
 ORACLES = {
     "link_prediction_parts": LINKPRED_ORACLE,
     "random_walks_parts": WALKS_ORACLE,
+    "walk_skipgram_parts": SKIPGRAM_ORACLE,
+    "node_features_parts": NODE_FEATURES_ORACLE,
     "kcore_parts": KCORE_ORACLE,
     "clustering_coefficient_parts": CLUSTERING_COEFF_ORACLE,
     "degree_distribution_parts": DEGREE_DISTRIBUTION_ORACLE,
