@@ -323,3 +323,58 @@ def histogram_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def budget_admission_stream(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    size_col: str = "n_tokens",
+) -> DataFrame:
+    """Streaming token-budget admission: the stream twin of
+    ``operators.sampling.budget_fill`` — each group admits arriving rows
+    until its token budget is spent, with state = the group's running
+    size total surviving across micro-batches.
+
+    PREFIX semantics (identical to the batch operator): the running total
+    advances for EVERY row seen, admitted or not, and a row is admitted iff
+    the total up to and including it stays ≤ the budget. Once a group
+    overflows, nothing later is admitted — so when rows arrive in priority
+    order (in streaming, arrival IS the priority order — you cannot reorder
+    the future), the admitted set equals ``budget_fill`` over the same rows
+    ordered by arrival. Within a micro-batch rows are processed in
+    ``id_col`` order for determinism under Spark's unordered batch grouping.
+
+    State is one BIGINT per group — bounded by group cardinality, not
+    stream length. Output mode: append (each admitted row exactly once).
+    """
+    out_schema = (
+        f"{group_col} string, {id_col} long, {size_col} long, cum_size long"
+    )
+    state_schema = "seen_total long"
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        seen = state.get[0] if state.exists else 0
+        budget = int(budgets.get(key[0], 0))
+        out: list[tuple] = []
+        for pdf in pdfs:
+            for row in pdf.sort_values(id_col).itertuples(index=False):
+                size = int(getattr(row, size_col))
+                seen += size
+                if seen <= budget:
+                    out.append((key[0], int(getattr(row, id_col)), size, seen))
+        state.update((seen,))
+        yield pd.DataFrame(
+            out, columns=[group_col, id_col, size_col, "cum_size"]
+        )
+
+    return docs.groupBy(group_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

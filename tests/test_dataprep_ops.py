@@ -2256,3 +2256,34 @@ class TestBudgetFill:
             [F.desc("sz"), F.asc("id")],
         ).collect()
         assert sorted(r["id"] for r in got) == [0, 1, 2]
+
+
+class TestTemperatureWeights:
+    def test_flattens_skew(self, spark):
+        from graphrag_toolkit_spark.operators.sampling import temperature_weights
+
+        df = spark.createDataFrame(
+            [("en",)] * 16 + [("fr",)] * 4 + [("zh",)] * 1, "lang string"
+        )
+        got = {r["lang"]: r for r in temperature_weights(df, "lang").collect()}
+        # shares sum to 1 in both spaces
+        assert sum(r["share_raw"] for r in got.values()) == pytest.approx(1.0)
+        assert sum(r["share_alpha"] for r in got.values()) == pytest.approx(1.0)
+        # sqrt flattening: head boosted down, tail boosted up
+        assert got["en"]["boost"] < 1.0
+        assert got["zh"]["boost"] > 1.0
+        # alpha=0.5 exact ratios: sqrt(16):sqrt(4):sqrt(1) = 4:2:1
+        assert got["en"]["share_alpha"] == pytest.approx(4 / 7)
+        assert got["fr"]["share_alpha"] == pytest.approx(2 / 7)
+
+    def test_partitioning_invariant(self, spark):
+        from graphrag_toolkit_spark.operators.sampling import temperature_weights
+
+        df = spark.createDataFrame(
+            [(f"l{i % 7}",) for i in range(200)], "lang string"
+        )
+        a = sorted(map(tuple, temperature_weights(df, "lang").collect()))
+        b = sorted(
+            map(tuple, temperature_weights(df.repartition(13), "lang").collect())
+        )
+        assert a == b

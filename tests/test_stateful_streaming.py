@@ -418,3 +418,65 @@ class TestStreamingViewMaintenance:
         # 10 at 2.5, key 2 gone, key 3 inserted
         got = {r["key"]: (r["ck"], r["price"]) for r in view["df"].collect()}
         assert got == {1: (10, 2.5), 3: (20, 7.0)}
+
+
+BUDGET_SCHEMA = "doc_id long, source string, n_tokens long"
+
+# ascending doc_ids across batches: arrival order == id order, so the
+# streaming admission must equal batch budget_fill ordered by doc_id
+BUDGET_B1 = [
+    {"doc_id": 1, "source": "a", "n_tokens": 40},
+    {"doc_id": 2, "source": "a", "n_tokens": 40},
+    {"doc_id": 3, "source": "b", "n_tokens": 90},
+]
+BUDGET_B2 = [
+    {"doc_id": 10, "source": "a", "n_tokens": 40},  # overflows a's 100
+    {"doc_id": 11, "source": "a", "n_tokens": 10},  # after overflow: rejected
+    {"doc_id": 12, "source": "b", "n_tokens": 10},  # fills b exactly to 100
+]
+BUDGETS = {"a": 100, "b": 100}
+
+
+@pytest.fixture(scope="module")
+def budget_stream_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("budget_stream_src")
+    for i, batch in enumerate([BUDGET_B1, BUDGET_B2]):
+        p = d / f"docs{i}.jsonl"
+        p.write_text("\n".join(json.dumps(r) for r in batch))
+        os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    return str(d)
+
+
+class TestBudgetAdmissionStream:
+    def test_stream_equals_batch_budget_fill(self, spark, budget_stream_dir):
+        src = read_jsonl_stream(
+            spark, budget_stream_dir, BUDGET_SCHEMA, max_files_per_trigger=1
+        )
+        _run(
+            stateful.budget_admission_stream(src, BUDGETS),
+            "budget_out",
+            "append",
+        )
+        got = {
+            (r["source"], r["doc_id"]): r["cum_size"]
+            for r in spark.sql("SELECT * FROM budget_out").collect()
+        }
+        # a: 40+40 admitted (cum 80); doc 10 overflows (120) and doc 11 is
+        # ALSO rejected (prefix semantics: cum only grows). b: 90 then +10.
+        assert got == {("a", 1): 40, ("a", 2): 80, ("b", 3): 90, ("b", 12): 100}
+
+        from graphrag_toolkit_spark.operators.sampling import budget_fill
+
+        rows = spark.createDataFrame(
+            [tuple(r.values()) for r in BUDGET_B1 + BUDGET_B2], BUDGET_SCHEMA
+        )
+        budgets_df = spark.createDataFrame(
+            list(BUDGETS.items()), "source string, budget long"
+        )
+        batch = {
+            (r["source"], r["doc_id"]): r["cum_size"]
+            for r in budget_fill(
+                rows, "source", "n_tokens", budgets_df, [F.asc("doc_id")]
+            ).collect()
+        }
+        assert got == batch
