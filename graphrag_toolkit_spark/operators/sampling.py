@@ -483,3 +483,68 @@ def temperature_weights(df: DataFrame, class_col: str) -> DataFrame:
             ).alias("boost"),
         )
     )
+
+
+# Poisson(1) CDF thresholds scaled to the 2^28 hash domain (floor(CDF_k·2^28)
+# for k = 0..5; multiplicity is capped at 6, which the CDF reaches with
+# probability < 1e-4). Hardcoded INTEGERS, not exp(-1) at runtime: libm exp
+# is not bit-portable across engines, integer literals are.
+POISSON1_THRESHOLDS = (
+    98751885, 197503771, 246879713, 263338361, 267453023, 268275955,
+)
+
+
+def poisson_bootstrap(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    n_resamples: int = 32,
+    salt: str = "boot",
+) -> DataFrame:
+    """Poisson bootstrap of the mean (the bootstrap that actually works on a
+    cluster: per-row multiplicities m ~ Poisson(1) replace the global
+    with-replacement draw, so no pass needs to know n — Chamandy et al.,
+    'Estimating Uncertainty for Massive Data Streams', Google 2012).
+
+    Multiplicity is the inverse-CDF of Poisson(1) applied to the row's
+    deterministic 28-bit hash u = md5(salt|id|b): pure integer compares
+    against ``POISSON1_THRESHOLDS`` — reproducible across runs, engines,
+    and partitionings, and replayable in an oracle.
+
+    Output: one row per resample b — n_eff (Σ m), total (Σ m·value), and
+    ``mean_value`` (one double division of exact ints).
+
+    Scale shape: the B-way explode is a narrow generator fused into a
+    partial (map-side) aggregate — the shuffle carries B×partitions partial
+    rows, never B× the data. Integer sums stay exact below 2^63.
+    """
+    b = F.explode(F.sequence(F.lit(0), F.lit(n_resamples - 1))).alias("b")
+    rows = df.select(F.col(id_col), F.col(value_col), b)
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", F.lit(salt), F.col(id_col).cast("string"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            7,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    m = F.lit(len(POISSON1_THRESHOLDS))
+    for k in range(len(POISSON1_THRESHOLDS) - 1, -1, -1):
+        m = F.when(h < POISSON1_THRESHOLDS[k], F.lit(k)).otherwise(m)
+    return (
+        rows.withColumn("m", m.cast("bigint"))
+        .groupBy("b")
+        .agg(
+            F.sum("m").alias("n_eff"),
+            F.sum(F.col("m") * F.col(value_col).cast("bigint")).alias("total"),
+        )
+        .withColumn(
+            "mean_value", F.col("total").cast("double") / F.col("n_eff")
+        )
+    )

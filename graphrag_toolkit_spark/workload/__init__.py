@@ -128,6 +128,7 @@ _CHECK_FIRST = [
     "walk_skipgram_parts",
     "temperature_mix_documents",
     "node_features_parts",
+    "poisson_bootstrap_documents",
     # --- green, last driver-verified round 1 ---
     "ann_ivf_topk",
     "cascade_delete_counts",

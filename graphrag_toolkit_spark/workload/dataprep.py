@@ -4424,7 +4424,56 @@ ORDER BY lang
 """
 
 
+BOOT_B = 32
+
+
+def poisson_bootstrap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap uncertainty for the corpus mean document length
+    (operators/sampling.poisson_bootstrap, B=32): the cluster-native
+    bootstrap — deterministic integer-threshold multiplicities, exact
+    integer sums, one double division per resample. The spread of
+    ``mean_value`` across the 32 rows IS the standard-error estimate a
+    data-quality dashboard reports next to every corpus statistic."""
+    from graphrag_toolkit_spark.operators.sampling import poisson_bootstrap
+
+    docs = load(spark, sf_dir, "documents")
+    return poisson_bootstrap(
+        docs, "doc_id", "n_chars", n_resamples=BOOT_B
+    ).orderBy("b")
+
+
+def _poisson_bootstrap_oracle() -> str:
+    from graphrag_toolkit_spark.operators.sampling import POISSON1_THRESHOLDS
+
+    cases = " ".join(
+        f"WHEN h < {t} THEN {k}" for k, t in enumerate(POISSON1_THRESHOLDS)
+    )
+    return f"""
+WITH drawn AS (
+  SELECT t.b, d.n_chars,
+         CAST('0x' || substring(md5('boot|' || CAST(d.doc_id AS VARCHAR)
+                                    || '|' || CAST(t.b AS VARCHAR)), 1, 7)
+              AS BIGINT) AS h
+  FROM documents d, generate_series(0, {BOOT_B - 1}) AS t(b)
+),
+mult AS (
+  SELECT b, n_chars,
+         CASE {cases} ELSE {len(POISSON1_THRESHOLDS)} END AS m
+  FROM drawn
+)
+SELECT CAST(b AS INTEGER) AS b,
+       CAST(SUM(m) AS BIGINT) AS n_eff,
+       CAST(SUM(m * n_chars) AS BIGINT) AS total,
+       CAST(SUM(m * n_chars) AS DOUBLE) / SUM(m) AS mean_value
+FROM mult GROUP BY b ORDER BY b
+"""
+
+
+POISSON_BOOTSTRAP_ORACLE = _poisson_bootstrap_oracle()
+
+
 QUERIES = {
+    "poisson_bootstrap_documents": poisson_bootstrap_documents,
     "temperature_mix_documents": temperature_mix_documents,
     "token_budget_mix_documents": token_budget_mix_documents,
     "dedup_exact_documents": dedup_exact_documents,
@@ -4514,6 +4563,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "poisson_bootstrap_documents": POISSON_BOOTSTRAP_ORACLE,
     "temperature_mix_documents": TEMPERATURE_MIX_ORACLE,
     "token_budget_mix_documents": TOKEN_BUDGET_MIX_ORACLE,
     "typo_pairs_customers": TYPO_PAIRS_ORACLE,

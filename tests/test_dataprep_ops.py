@@ -2287,3 +2287,32 @@ class TestTemperatureWeights:
             map(tuple, temperature_weights(df.repartition(13), "lang").collect())
         )
         assert a == b
+
+
+class TestPoissonBootstrap:
+    def test_multiplicities_near_poisson1(self, spark):
+        from graphrag_toolkit_spark.operators.sampling import poisson_bootstrap
+
+        n = 2000
+        df = spark.createDataFrame(
+            [(i, 100) for i in range(n)], "id long, v long"
+        )
+        got = poisson_bootstrap(df, "id", "v", n_resamples=8).collect()
+        assert len(got) == 8
+        # E[n_eff] = n; Poisson(1) sum concentrates tightly for n=2000
+        for r in got:
+            assert abs(r["n_eff"] - n) < 4 * (n ** 0.5)
+            # constant value -> every resample mean is exactly 100
+            assert r["mean_value"] == 100.0
+
+    def test_partitioning_invariant(self, spark):
+        from graphrag_toolkit_spark.operators.sampling import poisson_bootstrap
+
+        df = spark.createDataFrame(
+            [(i, i % 37) for i in range(500)], "id long, v long"
+        )
+        a = sorted(map(tuple, poisson_bootstrap(df, "id", "v", 4).collect()))
+        b = sorted(
+            map(tuple, poisson_bootstrap(df.repartition(11), "id", "v", 4).collect())
+        )
+        assert a == b

@@ -602,3 +602,47 @@ def test_kn_scoring_join_is_equijoin_and_text_scans_once(spark, sf_dir):
         or "SortMergeJoin" in plan
         or "ShuffledHashJoin" in plan
     )
+
+
+def test_link_prediction_wedge_is_equijoin(spark):
+    """The wedge enumeration and the degree joins must all be hash
+    equi-joins — a cartesian/nested-loop here would be |V|² at scale."""
+    from graphrag_toolkit_spark.operators.linkpred import link_prediction
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 30)] + [(1, 15), (5, 25)],
+        "pa int, pb int",
+    )
+    plan = plan_of(link_prediction(edges), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_random_walks_reuses_adjacency_equijoins(spark):
+    """Every hop is an equi-join of the frontier against the indexed
+    adjacency; no cartesian anywhere in the L-hop chain."""
+    from graphrag_toolkit_spark.operators.linkpred import random_walks
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 20)], "pa int, pb int"
+    )
+    plan = plan_of(random_walks(edges, walk_length=3), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_budget_fill_broadcasts_budgets(spark):
+    """The budget table must ride a broadcast join — shuffling candidates
+    against a k-row dimension would be the classic small-dim mistake."""
+    from pyspark.sql import functions as F
+    from graphrag_toolkit_spark.operators.sampling import budget_fill
+
+    rows = spark.createDataFrame(
+        [("a", i, 10) for i in range(100)], "grp string, id int, sz long"
+    )
+    budgets = spark.createDataFrame([("a", 55)], "grp string, budget long")
+    plan = plan_of(
+        budget_fill(rows, "grp", "sz", budgets, [F.asc("id")]), mode="simple"
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
