@@ -129,6 +129,8 @@ _CHECK_FIRST = [
     "temperature_mix_documents",
     "node_features_parts",
     "poisson_bootstrap_documents",
+    "community_rollup_parts",
+    "frequent_paths_events",
     # --- green, last driver-verified round 1 ---
     "ann_ivf_topk",
     "cascade_delete_counts",

@@ -1449,7 +1449,53 @@ ORDER BY event_type
 """
 
 
+PATHS_TOP_K = 20
+
+
+def frequent_paths_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining, the cheap-and-scalable core: the top-K
+    most frequent length-3 event-type paths across per-user event streams
+    (LEAD windows over (user, time) order — one shuffle keyed on user_id),
+    with support = number of occurrences. The per-user window never skews
+    beyond a user's own event count; the count aggregate is exact and the
+    top-K sits under a total order (support desc, path asc)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t2 = F.lead("event_type", 1).over(w)
+    t3 = F.lead("event_type", 2).over(w)
+    return (
+        ev.select(
+            F.concat_ws(">", F.col("event_type"), t2, t3).alias("path"),
+            t3.alias("_t3"),
+        )
+        .filter(F.col("_t3").isNotNull())
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.desc("support"), F.asc("path"))
+        .limit(PATHS_TOP_K)
+    )
+
+
+FREQUENT_PATHS_ORACLE = f"""
+WITH seq AS (
+  SELECT event_type AS t1,
+         LEAD(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS t2,
+         LEAD(event_type, 2) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS t3
+  FROM events
+)
+SELECT t1 || '>' || t2 || '>' || t3 AS path,
+       CAST(COUNT(*) AS BIGINT) AS support
+FROM seq WHERE t3 IS NOT NULL
+GROUP BY 1
+ORDER BY support DESC, path ASC
+LIMIT {PATHS_TOP_K}
+"""
+
+
 QUERIES = {
+    "frequent_paths_events": frequent_paths_events,
     "cusum_changepoint_events": cusum_changepoint_events,
     "compaction_plan_events": compaction_plan_events,
     "tumbling_window_events": tumbling_window_events,
@@ -1483,6 +1529,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "frequent_paths_events": FREQUENT_PATHS_ORACLE,
     "cusum_changepoint_events": CUSUM_ORACLE,
     "compaction_plan_events": COMPACTION_PLAN_ORACLE,
     "salted_agg_events": SALTED_AGG_ORACLE,

@@ -1341,12 +1341,60 @@ und AS MATERIALIZED (
 ),
 nodes AS MATERIALIZED (SELECT DISTINCT v AS node_id FROM und),
 l0 AS (SELECT node_id, node_id AS label FROM nodes),
-{','.join(steps)}
-SELECT node_id, label FROM l{LPA_ITERS}
+{','.join(steps)}"""
+
+
+LPA_ORACLE = _lpa_oracle() + f"\nSELECT node_id, label FROM l{LPA_ITERS}"
+
+
+def community_rollup_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph coarsening: contract the part co-purchase graph to its
+    label-propagation communities — the supergraph edge list
+    (community pair, original-edge count) plus the diagonal
+    (intra-community edges). Coarsening is how iterative graph algorithms
+    scale past memory (run the expensive pass on the community-sized
+    supergraph, project back); one label join per endpoint + one count
+    aggregate after the LPA rounds."""
+    from graphrag_toolkit_spark.operators import centrality
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.withColumnsRenamed({"l_partkey": "pa"})
+    b = li.withColumnsRenamed({"l_partkey": "pb"})
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= MODULARITY_MIN_SHARED)
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    labels = centrality.label_propagation(edges, iters=LPA_ITERS)
+    la = labels.select(F.col("node_id").alias("src"), F.col("label").alias("la"))
+    lb = labels.select(F.col("node_id").alias("dst"), F.col("label").alias("lb"))
+    return (
+        edges.join(la, "src")
+        .join(lb, "dst")
+        .select(
+            F.least("la", "lb").alias("ca"),
+            F.greatest("la", "lb").alias("cb"),
+        )
+        .groupBy("ca", "cb")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+        .orderBy("ca", "cb")
+    )
+
+
+COMMUNITY_ROLLUP_ORACLE = _lpa_oracle() + f""",
+labels AS MATERIALIZED (SELECT node_id, label FROM l{LPA_ITERS})
+SELECT LEAST(la.label, lb.label) AS ca,
+       GREATEST(la.label, lb.label) AS cb,
+       CAST(COUNT(*) AS BIGINT) AS n_edges
+FROM ep
+JOIN labels la ON ep.pa = la.node_id
+JOIN labels lb ON ep.pb = lb.node_id
+GROUP BY 1, 2
+ORDER BY ca, cb
 """
-
-
-LPA_ORACLE = _lpa_oracle()
 
 
 def neighborhood_sizes_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1730,6 +1778,7 @@ QUERIES = {
     "random_walks_parts": random_walks_parts,
     "walk_skipgram_parts": walk_skipgram_parts,
     "node_features_parts": node_features_parts,
+    "community_rollup_parts": community_rollup_parts,
     "kcore_parts": kcore_parts,
     "hits_scores_graph": hits_scores_graph,
     "modularity_parts": modularity_parts,
@@ -1765,6 +1814,7 @@ ORACLES = {
     "random_walks_parts": WALKS_ORACLE,
     "walk_skipgram_parts": SKIPGRAM_ORACLE,
     "node_features_parts": NODE_FEATURES_ORACLE,
+    "community_rollup_parts": COMMUNITY_ROLLUP_ORACLE,
     "kcore_parts": KCORE_ORACLE,
     "clustering_coefficient_parts": CLUSTERING_COEFF_ORACLE,
     "degree_distribution_parts": DEGREE_DISTRIBUTION_ORACLE,
