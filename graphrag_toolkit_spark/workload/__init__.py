@@ -131,6 +131,7 @@ _CHECK_FIRST = [
     "poisson_bootstrap_documents",
     "community_rollup_parts",
     "frequent_paths_events",
+    "phrase_search_documents",
     # --- green, last driver-verified round 1 ---
     "ann_ivf_topk",
     "cascade_delete_counts",

@@ -4472,7 +4472,53 @@ FROM mult GROUP BY b ORDER BY b
 POISSON_BOOTSTRAP_ORACLE = _poisson_bootstrap_oracle()
 
 
+PHRASE = ("fast", "spark")
+
+
+def phrase_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search (token-adjacency, not substring): per-doc count
+    of the two-token phrase via Spark's higher-order array functions —
+    ``zip_with`` over the shifted token array + ``filter``/``size``, one
+    JVM-side narrow projection, no explode, no UDF, no shuffle until the
+    top-k. The positional-adjacency semantics a search engine's phrase
+    operator implements over its positions index, here fused into the scan.
+    Reference: lexical-graph keyword search lands on exact-match lookups
+    (graph_utils.search_string_from); phrase adjacency is the n>1 extension.
+    """
+    docs = load(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    heads = F.slice(t, 1, F.size(t) - 1)
+    tails = F.slice(t, 2, F.size(t) - 1)
+    hits = F.filter(
+        F.zip_with(
+            heads, tails, lambda a, b: (a == PHRASE[0]) & (b == PHRASE[1])
+        ),
+        lambda x: x,
+    )
+    return (
+        docs.select("doc_id", F.size(hits).alias("n_matches"))
+        .filter(F.col("n_matches") > 0)
+        .orderBy(F.desc("n_matches"), "doc_id")
+    )
+
+
+PHRASE_SEARCH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+)
+SELECT doc_id,
+       CAST(len(list_filter(list_zip(t[1:-2], t[2:-1]),
+                            p -> p[1] = '{PHRASE[0]}' AND p[2] = '{PHRASE[1]}'))
+            AS INTEGER) AS n_matches
+FROM toks
+WHERE len(list_filter(list_zip(t[1:-2], t[2:-1]),
+                      p -> p[1] = '{PHRASE[0]}' AND p[2] = '{PHRASE[1]}')) > 0
+ORDER BY n_matches DESC, doc_id
+"""
+
+
 QUERIES = {
+    "phrase_search_documents": phrase_search_documents,
     "poisson_bootstrap_documents": poisson_bootstrap_documents,
     "temperature_mix_documents": temperature_mix_documents,
     "token_budget_mix_documents": token_budget_mix_documents,
@@ -4563,6 +4609,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "phrase_search_documents": PHRASE_SEARCH_ORACLE,
     "poisson_bootstrap_documents": POISSON_BOOTSTRAP_ORACLE,
     "temperature_mix_documents": TEMPERATURE_MIX_ORACLE,
     "token_budget_mix_documents": TOKEN_BUDGET_MIX_ORACLE,
