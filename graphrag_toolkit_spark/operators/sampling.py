@@ -548,3 +548,48 @@ def poisson_bootstrap(
             "mean_value", F.col("total").cast("double") / F.col("n_eff")
         )
     )
+
+
+def poisson_bootstrap_by(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+    n_resamples: int = 32,
+    salt: str = "boot",
+) -> DataFrame:
+    """Grouped Poisson bootstrap: ``poisson_bootstrap`` stratified by
+    ``group_col`` — one (group, b) row per stratum and resample, so every
+    per-group statistic ships with its own uncertainty band. Same integer
+    thresholds, same map-side-combine shape; the shuffle carries
+    groups × B partial rows."""
+    b = F.explode(F.sequence(F.lit(0), F.lit(n_resamples - 1))).alias("b")
+    rows = df.select(F.col(group_col), F.col(id_col), F.col(value_col), b)
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", F.lit(salt), F.col(id_col).cast("string"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            7,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    m = F.lit(len(POISSON1_THRESHOLDS))
+    for k in range(len(POISSON1_THRESHOLDS) - 1, -1, -1):
+        m = F.when(h < POISSON1_THRESHOLDS[k], F.lit(k)).otherwise(m)
+    return (
+        rows.withColumn("m", m.cast("bigint"))
+        .groupBy(group_col, "b")
+        .agg(
+            F.sum("m").alias("n_eff"),
+            F.sum(F.col("m") * F.col(value_col).cast("bigint")).alias("total"),
+        )
+        .withColumn(
+            "mean_value", F.col("total").cast("double") / F.col("n_eff")
+        )
+    )

@@ -132,6 +132,8 @@ _CHECK_FIRST = [
     "community_rollup_parts",
     "frequent_paths_events",
     "phrase_search_documents",
+    "bootstrap_by_source_documents",
+    "seasonal_anomalies_events",
     # --- green, last driver-verified round 1 ---
     "ann_ivf_topk",
     "cascade_delete_counts",

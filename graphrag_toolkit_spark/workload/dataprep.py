@@ -4517,7 +4517,52 @@ ORDER BY n_matches DESC, doc_id
 """
 
 
+def bootstrap_by_source_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Poisson-bootstrap distribution of mean document length
+    (operators/sampling.poisson_bootstrap_by, B=32): every per-domain
+    statistic on a corpus dashboard needs its own uncertainty band — this
+    is the stratified twin of ``poisson_bootstrap_documents``, one
+    (source, resample) row each."""
+    from graphrag_toolkit_spark.operators.sampling import poisson_bootstrap_by
+
+    docs = load(spark, sf_dir, "documents")
+    return poisson_bootstrap_by(
+        docs, "source", "doc_id", "n_chars", n_resamples=BOOT_B
+    ).orderBy("source", "b")
+
+
+def _bootstrap_by_oracle() -> str:
+    from graphrag_toolkit_spark.operators.sampling import POISSON1_THRESHOLDS
+
+    cases = " ".join(
+        f"WHEN h < {t} THEN {k}" for k, t in enumerate(POISSON1_THRESHOLDS)
+    )
+    return f"""
+WITH drawn AS (
+  SELECT d.source, t.b, d.n_chars,
+         CAST('0x' || substring(md5('boot|' || CAST(d.doc_id AS VARCHAR)
+                                    || '|' || CAST(t.b AS VARCHAR)), 1, 7)
+              AS BIGINT) AS h
+  FROM documents d, generate_series(0, {BOOT_B - 1}) AS t(b)
+),
+mult AS (
+  SELECT source, b, n_chars,
+         CASE {cases} ELSE {len(POISSON1_THRESHOLDS)} END AS m
+  FROM drawn
+)
+SELECT source, CAST(b AS INTEGER) AS b,
+       CAST(SUM(m) AS BIGINT) AS n_eff,
+       CAST(SUM(m * n_chars) AS BIGINT) AS total,
+       CAST(SUM(m * n_chars) AS DOUBLE) / SUM(m) AS mean_value
+FROM mult GROUP BY source, b ORDER BY source, b
+"""
+
+
+BOOTSTRAP_BY_ORACLE = _bootstrap_by_oracle()
+
+
 QUERIES = {
+    "bootstrap_by_source_documents": bootstrap_by_source_documents,
     "phrase_search_documents": phrase_search_documents,
     "poisson_bootstrap_documents": poisson_bootstrap_documents,
     "temperature_mix_documents": temperature_mix_documents,
@@ -4609,6 +4654,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "bootstrap_by_source_documents": BOOTSTRAP_BY_ORACLE,
     "phrase_search_documents": PHRASE_SEARCH_ORACLE,
     "poisson_bootstrap_documents": POISSON_BOOTSTRAP_ORACLE,
     "temperature_mix_documents": TEMPERATURE_MIX_ORACLE,

@@ -1494,7 +1494,68 @@ LIMIT {PATHS_TOP_K}
 """
 
 
+def seasonal_anomalies_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted anomaly detection: hourly event counts flagged
+    against their own hour-of-day baseline (the mean count for that
+    (type, hour-of-day) across all days), catching spikes a global z-score
+    misses because 3 am is ALWAYS quiet. The deviation test
+    cross-multiplies (cnt·n_days vs 2·total and vs total/2) so the flag is
+    exact-integer; the reported baseline is one double division. Input
+    collapses to (type, day, hour) counts first — the anomaly scan runs on
+    a table sized by the calendar, not the event volume."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        F.hour("ts").alias("h"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    base = hourly.groupBy(F.col("event_type").alias("bt"), F.col("h").alias("bh")).agg(
+        F.sum("cnt").alias("total"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    j = hourly.join(
+        base, (hourly.event_type == base.bt) & (hourly.h == base.bh)
+    )
+    hi = F.col("cnt") * F.col("n_days") > F.col("total") * 2
+    lo = F.col("cnt") * F.col("n_days") * 2 < F.col("total")
+    return (
+        j.filter(hi | lo)
+        .select(
+            "event_type",
+            "d",
+            "h",
+            "cnt",
+            (F.col("total").cast("double") / F.col("n_days")).alias("baseline"),
+            F.when(hi, F.lit("spike")).otherwise(F.lit("drop")).alias("kind"),
+        )
+        .orderBy("event_type", "d", "h")
+    )
+
+
+SEASONAL_ANOMALIES_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(hour(ts) AS INTEGER) AS h, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2, 3
+),
+base AS (
+  SELECT event_type, h, CAST(SUM(cnt) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM hourly GROUP BY 1, 2
+)
+SELECT hourly.event_type, hourly.d, hourly.h, hourly.cnt,
+       CAST(base.total AS DOUBLE) / base.n_days AS baseline,
+       CASE WHEN hourly.cnt * base.n_days > base.total * 2 THEN 'spike'
+            ELSE 'drop' END AS kind
+FROM hourly JOIN base USING (event_type, h)
+WHERE hourly.cnt * base.n_days > base.total * 2
+   OR hourly.cnt * base.n_days * 2 < base.total
+ORDER BY event_type, d, h
+"""
+
+
 QUERIES = {
+    "seasonal_anomalies_events": seasonal_anomalies_events,
     "frequent_paths_events": frequent_paths_events,
     "cusum_changepoint_events": cusum_changepoint_events,
     "compaction_plan_events": compaction_plan_events,
@@ -1529,6 +1590,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "seasonal_anomalies_events": SEASONAL_ANOMALIES_ORACLE,
     "frequent_paths_events": FREQUENT_PATHS_ORACLE,
     "cusum_changepoint_events": CUSUM_ORACLE,
     "compaction_plan_events": COMPACTION_PLAN_ORACLE,
