@@ -143,6 +143,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "loadavg_1min": round(os.getloadavg()[0], 2),
+                "repeats": 1,  # per-query measurements are single-shot
                 "cpus": os.cpu_count(),
             }
         )
