@@ -186,3 +186,94 @@ def extract_features(
             )
 
     return src.mapInPandas(batches, schema=FEATURES_SCHEMA)
+
+
+PHASH_ROWS, PHASH_COLS = 8, 8  # 8x(8+1) grid -> 8 rows x 7 comparisons = 56 bits
+PHASH_SCHEMA = "id long, phash long"
+
+
+def perceptual_hash(df: DataFrame, bytes_col: str, id_col: str) -> DataFrame:
+    """dHash-style perceptual hash over the (fake-)decoded luminance grid:
+    sample an 8×9 grid of pixels, emit 1 bit per horizontal neighbor
+    comparison (56 bits → BIGINT). Identical media → identical hash;
+    near-identical media (same bytes, small edits) → small Hamming
+    distance. The real path would run the same comparisons on actual
+    decoded pixels; the sampling arithmetic (content-hash dimensions,
+    byte-at-(row·width+col) luminance) is deterministic and engine-
+    replayable, so the DISTRIBUTED part — Arrow batching, banding,
+    bucket joins — is what the oracle gates.
+
+    O(72) byte probes per item regardless of claimed dimensions — never
+    materializes the width×height grid."""
+    src = df.select(F.col(id_col).alias("id"), F.col(bytes_col).alias("payload"))
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _id, payload in zip(pdf["id"], pdf["payload"]):
+                data = bytes(payload) or b"\x00"
+                n = len(data)
+                _, w, h, _ = _fake_decode(bytes(payload))
+                phash = 0
+                for r in range(PHASH_ROWS):
+                    row = (r * h) // PHASH_ROWS
+                    vals = [
+                        data[(row * w + (c * w) // (PHASH_COLS + 1)) % n]
+                        for c in range(PHASH_COLS + 1)
+                    ]
+                    for c in range(PHASH_COLS - 1):
+                        if vals[c] > vals[c + 1]:
+                            phash |= 1 << (r * (PHASH_COLS - 1) + c)
+                rows.append((_id, phash))
+            yield pd.DataFrame(rows, columns=["id", "phash"])
+
+    return src.mapInPandas(hash_batches, schema=PHASH_SCHEMA)
+
+
+def phash_near_dup_pairs(
+    hashes: DataFrame, n_bands: int = 4, max_hamming: int = 6
+) -> DataFrame:
+    """Near-duplicate media pairs from perceptual hashes: band the 56-bit
+    hash into ``n_bands`` 14-bit keys, bucket-join per band (two items are
+    candidates iff they agree on SOME band — the LSH guarantee for small
+    Hamming distance), then verify with the exact Hamming distance
+    (bit_count of xor, JVM-side). Candidate volume ∝ band collisions,
+    never n²."""
+    bits = PHASH_ROWS * (PHASH_COLS - 1)
+    band_bits = bits // n_bands
+    banded = hashes.select(
+        "id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        (
+                            F.shiftright(F.col("phash"), k * band_bits)
+                            % F.lit(1 << band_bits)
+                        ).alias("key"),
+                    )
+                    for k in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "phash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.select(
+        "band", "key", F.col("id").alias("id_a"), F.col("phash").alias("ph_a")
+    )
+    b = banded.select(
+        "band", "key", F.col("id").alias("id_b"), F.col("phash").alias("ph_b")
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ph_a", "ph_b")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -134,6 +134,7 @@ _CHECK_FIRST = [
     "phrase_search_documents",
     "bootstrap_by_source_documents",
     "seasonal_anomalies_events",
+    "phash_neardup_documents",
     # --- green, last driver-verified round 1 ---
     "ann_ivf_topk",
     "cascade_delete_counts",

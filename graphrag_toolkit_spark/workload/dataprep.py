@@ -4561,7 +4561,72 @@ FROM mult GROUP BY source, b ORDER BY source, b
 BOOTSTRAP_BY_ORACLE = _bootstrap_by_oracle()
 
 
+PHASH_HAMMING_T = 6
+
+
+def phash_neardup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate media pairs
+    (operators/multimodal.perceptual_hash + phash_near_dup_pairs): dHash
+    bits over the fake-decoded luminance grid (O(72) byte probes per item
+    in an Arrow mapInPandas stage), 14-bit LSH bands, bucket join, exact
+    Hamming verify — the image-dedup leg of a multimodal pipeline with the
+    text-dedup operators' exact banding discipline. The oracle replays the
+    grid sampling, bit packing, banding, and bit_count arithmetic in SQL."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    hashes = multimodal.perceptual_hash(docs, "payload", "doc_id")
+    return multimodal.phash_near_dup_pairs(
+        hashes, max_hamming=PHASH_HAMMING_T
+    ).orderBy("id_a", "id_b")
+
+
+PHASH_NEARDUP_ORACLE = f"""
+WITH meta AS (
+  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+         CAST(16 + CAST('0x' || substring(sha256(text), 1, 4) AS BIGINT) % 2032
+              AS BIGINT) AS w,
+         CAST(16 + CAST('0x' || substring(sha256(text), 5, 4) AS BIGINT) % 2032
+              AS BIGINT) AS h
+  FROM documents
+),
+grid AS (
+  SELECT doc_id, r.r, c.c,
+         ord(substring(text,
+             CAST((((r.r * h) // 8) * w + (c.c * w) // 9) % n + 1 AS INTEGER),
+             1)) AS val
+  FROM meta, generate_series(0, 7) r(r), generate_series(0, 8) c(c)
+),
+bits AS (
+  SELECT g1.doc_id,
+         CASE WHEN g1.val > g2.val
+              THEN CAST(1 AS BIGINT) << CAST(g1.r * 7 + g1.c AS INTEGER)
+              ELSE CAST(0 AS BIGINT) END AS bit
+  FROM grid g1
+  JOIN grid g2 ON g1.doc_id = g2.doc_id AND g1.r = g2.r AND g2.c = g1.c + 1
+  WHERE g1.c <= 6
+),
+ph AS (SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS phash FROM bits GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, phash, k.k AS band,
+         (phash >> CAST(k.k * 14 AS INTEGER)) % 16384 AS key
+  FROM ph, generate_series(0, 3) k(k)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.phash AS pa, b.phash AS pb
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(pa, pb)) <= {PHASH_HAMMING_T}
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES = {
+    "phash_neardup_documents": phash_neardup_documents,
     "bootstrap_by_source_documents": bootstrap_by_source_documents,
     "phrase_search_documents": phrase_search_documents,
     "poisson_bootstrap_documents": poisson_bootstrap_documents,
@@ -4654,6 +4719,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "phash_neardup_documents": PHASH_NEARDUP_ORACLE,
     "bootstrap_by_source_documents": BOOTSTRAP_BY_ORACLE,
     "phrase_search_documents": PHRASE_SEARCH_ORACLE,
     "poisson_bootstrap_documents": POISSON_BOOTSTRAP_ORACLE,

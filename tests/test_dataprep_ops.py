@@ -2316,3 +2316,50 @@ class TestPoissonBootstrap:
             map(tuple, poisson_bootstrap(df.repartition(11), "id", "v", 4).collect())
         )
         assert a == b
+
+
+class TestPerceptualHash:
+    def test_identical_payloads_collide_at_zero(self, spark):
+        from graphrag_toolkit_spark.operators import multimodal
+
+        rows = spark.createDataFrame(
+            [
+                (1, bytearray(b"the same media payload bytes everywhere")),
+                (2, bytearray(b"the same media payload bytes everywhere")),
+                (3, bytearray(b"totally different content with other rhythm")),
+            ],
+            "id long, payload binary",
+        )
+        hashes = multimodal.perceptual_hash(rows, "payload", "id")
+        pairs = multimodal.phash_near_dup_pairs(hashes, max_hamming=6).collect()
+        assert [(r["id_a"], r["id_b"], r["hamming"]) for r in pairs] == [(1, 2, 0)]
+
+    def test_hash_deterministic_across_partitionings(self, spark):
+        from graphrag_toolkit_spark.operators import multimodal
+
+        rows = spark.createDataFrame(
+            [(i, bytearray(f"payload number {i} with some body".encode()))
+             for i in range(20)],
+            "id long, payload binary",
+        )
+        a = sorted(map(tuple, multimodal.perceptual_hash(rows, "payload", "id").collect()))
+        b = sorted(
+            map(
+                tuple,
+                multimodal.perceptual_hash(
+                    rows.repartition(7), "payload", "id"
+                ).collect(),
+            )
+        )
+        assert a == b
+
+    def test_56_bit_range(self, spark):
+        from graphrag_toolkit_spark.operators import multimodal
+
+        rows = spark.createDataFrame(
+            [(i, bytearray(f"doc {i} body text for hashing".encode()))
+             for i in range(10)],
+            "id long, payload binary",
+        )
+        for r in multimodal.perceptual_hash(rows, "payload", "id").collect():
+            assert 0 <= r["phash"] < (1 << 56)
