@@ -277,3 +277,55 @@ def phash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+VAD_WINDOW = 16  # bytes per analysis window (the fake-waveform hop size)
+VAD_SCHEMA = (
+    "id long, n_windows int, n_silent int, peak_energy bigint, peak_window int"
+)
+
+
+def audio_energy(
+    df: DataFrame,
+    bytes_col: str,
+    id_col: str,
+    window: int = VAD_WINDOW,
+    silence_threshold: int = 80,
+) -> DataFrame:
+    """Voice-activity-detection plumbing (audio analog of ``decode_media``):
+    treat the payload as a PCM-ish waveform, compute per-window energy
+    (mean byte value over ``window`` samples; the real path would be RMS
+    over decoded PCM), and report windows count, silent-window count
+    (mean < threshold), and the peak window. Arrow-batched mapInPandas,
+    O(len) per item; all-integer outputs via cross-multiplied threshold
+    compares (sum < threshold·n, no division), so an oracle can replay the
+    arithmetic byte for byte. Trailing partial windows are analyzed at
+    their true length."""
+    src = df.select(F.col(id_col).alias("id"), F.col(bytes_col).alias("payload"))
+
+    def vad_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _id, payload in zip(pdf["id"], pdf["payload"]):
+                data = bytes(payload) or b"\x00"
+                n_windows = (len(data) + window - 1) // window
+                n_silent = 0
+                peak_energy = -1
+                peak_window = -1
+                for wi in range(n_windows):
+                    chunk = data[wi * window : (wi + 1) * window]
+                    s = sum(chunk)
+                    if s * 1 < silence_threshold * len(chunk):
+                        n_silent += 1
+                    if s > peak_energy:
+                        peak_energy = s
+                        peak_window = wi
+                rows.append((_id, n_windows, n_silent, peak_energy, peak_window))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "n_windows", "n_silent", "peak_energy", "peak_window",
+                ],
+            )
+
+    return src.mapInPandas(vad_batches, schema=VAD_SCHEMA)

@@ -135,6 +135,7 @@ _CHECK_FIRST = [
     "bootstrap_by_source_documents",
     "seasonal_anomalies_events",
     "phash_neardup_documents",
+    "audio_vad_documents",
     # --- green, last driver-verified round 1 ---
     "ann_ivf_topk",
     "cascade_delete_counts",

@@ -4625,7 +4625,52 @@ ORDER BY id_a, id_b
 """
 
 
+def audio_vad_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed energy / voice-activity stats over the stand-in waveform
+    (operators/multimodal.audio_energy): per item — window count, silent
+    windows (integer cross-multiplied threshold), peak-energy window
+    (first-wins argmax). The audio leg of the multimodal family; the
+    oracle replays every byte sum in SQL."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return multimodal.audio_energy(docs, "payload", "doc_id").orderBy("id")
+
+
+AUDIO_VAD_ORACLE = """
+WITH chars AS (
+  -- DuckDB 1.0 generate_series takes only constants: fixed 1..1024 series
+  -- filtered to the doc's true length (fixture max length is 577)
+  SELECT doc_id, (p.p - 1) // 16 AS wi,
+         ord(substring(text, CAST(p.p AS INTEGER), 1)) AS v
+  FROM documents, generate_series(1, 1024) AS p(p)
+  WHERE p.p <= length(text)
+),
+win AS (
+  SELECT doc_id, wi, CAST(SUM(v) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS wlen
+  FROM chars GROUP BY doc_id, wi
+),
+ranked AS (
+  SELECT doc_id, wi, s, wlen,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, wi ASC) AS r
+  FROM win
+)
+SELECT w.doc_id AS id,
+       CAST(COUNT(*) AS INTEGER) AS n_windows,
+       CAST(SUM(CASE WHEN w.s < 80 * w.wlen THEN 1 ELSE 0 END) AS INTEGER)
+         AS n_silent,
+       CAST(MAX(p.s) AS BIGINT) AS peak_energy,
+       CAST(MAX(p.wi) AS INTEGER) AS peak_window
+FROM win w
+JOIN (SELECT doc_id, wi, s FROM ranked WHERE r = 1) p ON w.doc_id = p.doc_id
+GROUP BY w.doc_id
+ORDER BY id
+"""
+
+
 QUERIES = {
+    "audio_vad_documents": audio_vad_documents,
     "phash_neardup_documents": phash_neardup_documents,
     "bootstrap_by_source_documents": bootstrap_by_source_documents,
     "phrase_search_documents": phrase_search_documents,
@@ -4719,6 +4764,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "audio_vad_documents": AUDIO_VAD_ORACLE,
     "phash_neardup_documents": PHASH_NEARDUP_ORACLE,
     "bootstrap_by_source_documents": BOOTSTRAP_BY_ORACLE,
     "phrase_search_documents": PHRASE_SEARCH_ORACLE,

@@ -2363,3 +2363,29 @@ class TestPerceptualHash:
         )
         for r in multimodal.perceptual_hash(rows, "payload", "id").collect():
             assert 0 <= r["phash"] < (1 << 56)
+
+
+class TestAudioEnergy:
+    def test_window_math_exact(self, spark):
+        from graphrag_toolkit_spark.operators import multimodal
+
+        # 20 bytes: window 0 = 16 low bytes (silent), window 1 = 4 loud
+        payload = bytes([10] * 16 + [200] * 4)
+        rows = spark.createDataFrame(
+            [(1, bytearray(payload))], "id long, payload binary"
+        )
+        r = multimodal.audio_energy(rows, "payload", "id").collect()[0]
+        assert r["n_windows"] == 2
+        assert r["n_silent"] == 1          # mean 10 < 80; mean 200 >= 80
+        assert r["peak_energy"] == 800     # 4 * 200
+        assert r["peak_window"] == 1
+
+    def test_first_wins_on_ties(self, spark):
+        from graphrag_toolkit_spark.operators import multimodal
+
+        payload = bytes([100] * 32)  # two identical windows
+        rows = spark.createDataFrame(
+            [(1, bytearray(payload))], "id long, payload binary"
+        )
+        r = multimodal.audio_energy(rows, "payload", "id").collect()[0]
+        assert r["peak_window"] == 0
