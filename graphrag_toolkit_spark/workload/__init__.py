@@ -136,6 +136,7 @@ _CHECK_FIRST = [
     "seasonal_anomalies_events",
     "phash_neardup_documents",
     "audio_vad_documents",
+    "late_interaction_topk",
     # --- green, last driver-verified round 1 ---
     "ann_ivf_topk",
     "cascade_delete_counts",

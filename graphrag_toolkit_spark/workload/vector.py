@@ -59,6 +59,84 @@ SELECT vec_id, score FROM scores ORDER BY score DESC, vec_id LIMIT 10
 """
 
 
+LI_SUBS, LI_DIM, LI_K = 4, 16, 10
+
+
+def late_interaction_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction (MaxSim) top-k: each 64-d vector is
+    treated as 4 × 16-d token sub-embeddings; score(q, d) =
+    Σ_qi max_dj dot(q_qi, d_dj). One posexplode (4× rows, narrow), the
+    sub-vector dots in exact quantized decimal, one groupBy taking the 4
+    per-query-token maxes, decimal sum → double. At scale the explode
+    factor is the token count — the standard ColBERT storage trade — and
+    candidate generation would sit in front (ann.py); this is the exact
+    scoring leg. Reference analog: multi-embedding rerank is what
+    `rerank.py`'s cross-encoder stub approximates without a model."""
+    from graphrag_toolkit_spark.functions.vector import dot_quantized
+
+    emb = load(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    qsubs = [qv[j * LI_DIM:(j + 1) * LI_DIM] for j in range(LI_SUBS)]
+    subs = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("embedding", j * LI_DIM + 1, LI_DIM)
+                    for j in range(LI_SUBS)
+                ]
+            )
+        ).alias("dj", "sub"),
+    )
+    dots = subs.select(
+        "vec_id",
+        *[
+            dot_quantized(
+                F.col("sub"),
+                F.array(*[F.lit(float(x)) for x in qsubs[qi]]),
+            ).alias(f"d{qi}")
+            for qi in range(LI_SUBS)
+        ],
+    )
+    maxes = dots.groupBy("vec_id").agg(
+        *[F.max(f"d{qi}").alias(f"m{qi}") for qi in range(LI_SUBS)]
+    )
+    score = sum(F.col(f"m{qi}") for qi in range(LI_SUBS)).cast("double")
+    return (
+        maxes.select("vec_id", score.alias("score"))
+        .orderBy(F.desc("score"), "vec_id")
+        .limit(LI_K)
+    )
+
+
+LATE_INTERACTION_ORACLE = f"""
+WITH q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT e.vec_id, dj.j AS dj, qi.i AS qi,
+         SUM({_Q.format(x='e.embedding[dj.j * {d} + t.t]').format(d=LI_DIM)}
+             * {_Q.format(x='q.qemb[qi.i * {d} + t.t]').format(d=LI_DIM)}) AS d
+  FROM embeddings e, q,
+       generate_series(0, {LI_SUBS - 1}) AS dj(j),
+       generate_series(0, {LI_SUBS - 1}) AS qi(i),
+       generate_series(1, {LI_DIM}) AS t(t)
+  GROUP BY 1, 2, 3
+),
+-- dot_quantized casts EACH dot to double before max/sum, so the oracle
+-- maxes doubles and adds the four maxes in fixed qi order (double addition
+-- is order-sensitive; decimal-sum-then-cast would drift by an ulp)
+maxes AS (
+  SELECT vec_id,
+         MAX(CASE WHEN qi = 0 THEN CAST(d AS DOUBLE) END) AS m0,
+         MAX(CASE WHEN qi = 1 THEN CAST(d AS DOUBLE) END) AS m1,
+         MAX(CASE WHEN qi = 2 THEN CAST(d AS DOUBLE) END) AS m2,
+         MAX(CASE WHEN qi = 3 THEN CAST(d AS DOUBLE) END) AS m3
+  FROM pairs GROUP BY vec_id
+)
+SELECT vec_id, ((m0 + m1) + m2) + m3 AS score
+FROM maxes ORDER BY score DESC, vec_id LIMIT {LI_K}
+"""
+
+
 def cosine_topk_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V3: over-fetch 50 then round-robin one per label until 10."""
     emb = load(spark, sf_dir, "embeddings")
@@ -707,6 +785,7 @@ QUERIES = {
     "label_centroids_embeddings": label_centroids_embeddings,
     "retrieval_eval_pipeline": retrieval_eval_pipeline,
     "cosine_topk": cosine_topk,
+    "late_interaction_topk": late_interaction_topk,
     "bm25_documents": bm25_documents,
     "hybrid_rrf_documents": hybrid_rrf_documents,
     "boolean_and_search_documents": boolean_and_search_documents,
@@ -723,6 +802,7 @@ ORACLES = {
     "label_centroids_embeddings": LABEL_CENTROIDS_ORACLE,
     "retrieval_eval_pipeline": RETRIEVAL_EVAL_ORACLE,
     "cosine_topk": COSINE_TOPK_ORACLE,
+    "late_interaction_topk": LATE_INTERACTION_ORACLE,
     "bm25_documents": BM25_ORACLE,
     "hybrid_rrf_documents": HYBRID_RRF_ORACLE,
     "boolean_and_search_documents": BOOL_AND_ORACLE,
