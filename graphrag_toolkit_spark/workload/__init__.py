@@ -137,6 +137,7 @@ _CHECK_FIRST = [
     "phash_neardup_documents",
     "audio_vad_documents",
     "late_interaction_topk",
+    "mutual_nn_embeddings",
     # --- green, last driver-verified round 1 ---
     "ann_ivf_topk",
     "cascade_delete_counts",

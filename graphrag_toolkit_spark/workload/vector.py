@@ -137,6 +137,121 @@ FROM maxes ORDER BY score DESC, vec_id LIMIT {LI_K}
 """
 
 
+MNN_N, MNN_K = 100, 3
+
+
+def mutual_nn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-nearest-neighbor pair mining with ratio-margin scoring
+    (the bitext-mining / alignment recipe of Artetxe & Schwenk 2019):
+    within the first MNN_N vectors, a pair qualifies iff each side is in
+    the other's top-MNN_K by quantized cosine; margin = sim divided by the
+    mean of the two sides' top-K averages. All double arithmetic happens
+    in a FIXED order (top-K sums added rank-by-rank) so the oracle replays
+    it bit-exactly. At corpus scale the all-pairs stage is replaced by an
+    ANN candidate join (ann.py); the mutual/margin logic is unchanged."""
+    from graphrag_toolkit_spark.functions.vector import (
+        cosine_similarity_quantized,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < MNN_N)
+    a = emb.select(F.col("vec_id").alias("ida"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("idb"), F.col("embedding").alias("eb"))
+    from pyspark.sql.window import Window
+
+    scores = (
+        a.join(b, F.col("ida") != F.col("idb"))
+        .select(
+            "ida",
+            "idb",
+            cosine_similarity_quantized(F.col("ea"), F.col("eb")).alias("s"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("ida").orderBy(F.desc("s"), F.asc("idb"))
+            ),
+        )
+        .filter(F.col("rank") <= MNN_K)
+    )
+    # per-node top-K mean, summed in rank order (double addition order is
+    # part of the contract)
+    ranked = scores.groupBy("ida").pivot("rank", list(range(1, MNN_K + 1))).sum("s")
+    avg = ranked.select(
+        F.col("ida").alias("node"),
+        (
+            (F.col("1") + F.col("2")) + F.col("3")
+        ).alias("top_sum"),
+    ).withColumn("top_avg", F.col("top_sum") / MNN_K)
+    fwd = scores.select("ida", "idb", "s")
+    rev = scores.select(
+        F.col("ida").alias("idb2"), F.col("idb").alias("ida2")
+    )
+    mutual = fwd.join(
+        rev,
+        (fwd.ida == F.col("ida2")) & (fwd.idb == F.col("idb2")),
+        "semi",
+    ).filter(F.col("ida") < F.col("idb"))
+    aa = avg.select(F.col("node").alias("ida"), F.col("top_avg").alias("avg_a"))
+    ab = avg.select(F.col("node").alias("idb"), F.col("top_avg").alias("avg_b"))
+    return (
+        mutual.join(aa, "ida")
+        .join(ab, "idb")
+        .select(
+            "ida",
+            "idb",
+            "s",
+            (F.col("s") / ((F.col("avg_a") + F.col("avg_b")) / 2)).alias(
+                "margin"
+            ),
+        )
+        .orderBy("ida", "idb")
+    )
+
+
+MUTUAL_NN_ORACLE = f"""
+WITH uni AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {MNN_N}),
+terms AS (
+  SELECT a.vec_id AS ida, b.vec_id AS idb,
+         {_Q.format(x='a.embedding[i]')} AS xa,
+         {_Q.format(x='b.embedding[i]')} AS xb
+  FROM uni a, uni b, generate_series(1, 64) AS t(i)
+  WHERE a.vec_id <> b.vec_id
+),
+scores0 AS (
+  SELECT ida, idb,
+         CAST(SUM(xa * xb) AS DOUBLE)
+           / (sqrt(CAST(SUM(xa * xa) AS DOUBLE))
+              * sqrt(CAST(SUM(xb * xb) AS DOUBLE))) AS s
+  FROM terms GROUP BY ida, idb
+),
+scores AS (
+  SELECT ida, idb, s,
+         ROW_NUMBER() OVER (PARTITION BY ida ORDER BY s DESC, idb ASC) AS rank
+  FROM scores0
+),
+topk AS (SELECT * FROM scores WHERE rank <= {MNN_K}),
+avg AS (
+  SELECT ida AS node,
+         ((MAX(CASE WHEN rank = 1 THEN s END)
+           + MAX(CASE WHEN rank = 2 THEN s END))
+          + MAX(CASE WHEN rank = 3 THEN s END)) / {MNN_K} AS top_avg
+  FROM topk GROUP BY ida
+),
+mutual AS (
+  SELECT f.ida, f.idb, f.s
+  FROM topk f
+  WHERE f.ida < f.idb
+    AND EXISTS (SELECT 1 FROM topk r WHERE r.ida = f.idb AND r.idb = f.ida)
+)
+SELECT m.ida, m.idb, m.s,
+       m.s / ((aa.top_avg + ab.top_avg) / 2) AS margin
+FROM mutual m
+JOIN avg aa ON m.ida = aa.node
+JOIN avg ab ON m.idb = ab.node
+ORDER BY ida, idb
+"""
+
+
 def cosine_topk_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V3: over-fetch 50 then round-robin one per label until 10."""
     emb = load(spark, sf_dir, "embeddings")
@@ -786,6 +901,7 @@ QUERIES = {
     "retrieval_eval_pipeline": retrieval_eval_pipeline,
     "cosine_topk": cosine_topk,
     "late_interaction_topk": late_interaction_topk,
+    "mutual_nn_embeddings": mutual_nn_embeddings,
     "bm25_documents": bm25_documents,
     "hybrid_rrf_documents": hybrid_rrf_documents,
     "boolean_and_search_documents": boolean_and_search_documents,
@@ -803,6 +919,7 @@ ORACLES = {
     "retrieval_eval_pipeline": RETRIEVAL_EVAL_ORACLE,
     "cosine_topk": COSINE_TOPK_ORACLE,
     "late_interaction_topk": LATE_INTERACTION_ORACLE,
+    "mutual_nn_embeddings": MUTUAL_NN_ORACLE,
     "bm25_documents": BM25_ORACLE,
     "hybrid_rrf_documents": HYBRID_RRF_ORACLE,
     "boolean_and_search_documents": BOOL_AND_ORACLE,
