@@ -96,6 +96,12 @@ HEADLINE = [
     "random_walks_parts",
     "q21_waiting_suppliers",
     "token_budget_mix_documents",
+    # round-5 continuation, second wave: multimodal perceptual-hash dedup,
+    # ColBERT-style MaxSim scoring, mutual-NN mining, grouped bootstrap
+    "phash_neardup_documents",
+    "late_interaction_topk",
+    "mutual_nn_embeddings",
+    "bootstrap_by_source_documents",
 ]
 
 
