@@ -37,12 +37,14 @@ _MODULES = [relational, graphish, lexical, vector, dataprep, events, lifecycle, 
 
 # Driver-check priority (the driver hash-verifies at most ~50 queries/round,
 # reading this dict in order). Ranking rule: queries RED at their latest driver
-# appearance first (none as of round 4 — CORRECTNESS_r04 was 50/50 green), then
-# queries the driver has NEVER checked (oldest-declared first: the round-4
-# tail block leads, round-5 additions follow in declaration order), then
-# previously-green queries oldest-verified-first (r1-era greens have not been
-# re-verified since round 1). Every listed query is verified green locally at
-# sf0.001/0.01/0.1 via tools/check.py before it lands here. Names absent from
+# appearance first (none — every driver check through round 4 is green at its
+# latest appearance), then queries the driver has NEVER checked
+# (oldest-declared first: the round-4 tail block leads, round-5 additions
+# follow in declaration order), then previously-green queries
+# oldest-verified-first (r1-era greens have not been re-verified since
+# round 1). Every listed query is verified green locally at sf0.001/0.01/0.1
+# via tools/check.py before it lands here (`tools/coverage_report.py` prints
+# the never-checked ledger this ordering is rotated from). Names absent from
 # the registry are ignored; unlisted queries keep module order at the end.
 _CHECK_FIRST = [
     # --- never driver-checked: round-4 tail (locally green 3× SFs) ---
