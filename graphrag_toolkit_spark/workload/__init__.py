@@ -140,6 +140,8 @@ _CHECK_FIRST = [
     "audio_vad_documents",
     "late_interaction_topk",
     "mutual_nn_embeddings",
+    "kfold_balance_documents",
+    "winsorize_events",
     # --- green, last driver-verified round 1 ---
     "ann_ivf_topk",
     "cascade_delete_counts",

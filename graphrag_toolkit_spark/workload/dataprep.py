@@ -4669,7 +4669,73 @@ ORDER BY id
 """
 
 
+KFOLDS = 5
+
+
+def kfold_balance_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold assignment audit (fold = content-hash mod k —
+    the same md5 discipline as the split/sample operators, so folds are
+    stable under re-ingestion and engine-portable): per (fold, lang) doc
+    counts plus the fold's share of that language — the balance table a
+    cross-validation harness checks before trusting fold metrics. One
+    narrow hash projection + one aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("fold|"), F.col("doc_id").cast("string"))),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % KFOLDS
+    ).cast("int")
+    per = docs.select(fold.alias("fold"), "lang").groupBy("fold", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tot = docs.groupBy(F.col("lang").alias("tl")).agg(
+        F.count(F.lit(1)).alias("lang_total")
+    )
+    return (
+        per.join(F.broadcast(tot), per.lang == F.col("tl"))
+        .select(
+            "fold",
+            "lang",
+            "n_docs",
+            (F.col("n_docs").cast("double") / F.col("lang_total")).alias(
+                "lang_share"
+            ),
+        )
+        .orderBy("fold", "lang")
+    )
+
+
+KFOLD_BALANCE_ORACLE = f"""
+WITH folded AS (
+  SELECT CAST(CAST('0x' || substring(md5('fold|' || CAST(doc_id AS VARCHAR)),
+                                     1, 7) AS BIGINT) % {KFOLDS} AS INTEGER)
+           AS fold,
+         lang
+  FROM documents
+),
+per AS (
+  SELECT fold, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM folded GROUP BY 1, 2
+),
+tot AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS lang_total FROM documents GROUP BY 1
+)
+SELECT fold, per.lang, n_docs,
+       CAST(n_docs AS DOUBLE) / lang_total AS lang_share
+FROM per JOIN tot ON per.lang = tot.lang
+ORDER BY fold, per.lang
+"""
+
+
 QUERIES = {
+    "kfold_balance_documents": kfold_balance_documents,
     "audio_vad_documents": audio_vad_documents,
     "phash_neardup_documents": phash_neardup_documents,
     "bootstrap_by_source_documents": bootstrap_by_source_documents,
@@ -4764,6 +4830,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "kfold_balance_documents": KFOLD_BALANCE_ORACLE,
     "audio_vad_documents": AUDIO_VAD_ORACLE,
     "phash_neardup_documents": PHASH_NEARDUP_ORACLE,
     "bootstrap_by_source_documents": BOOTSTRAP_BY_ORACLE,

@@ -1554,7 +1554,90 @@ ORDER BY event_type, d, h
 """
 
 
+def winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-type value totals: clamp each event's value at the
+    exact 5th/95th order statistics of its type (rank = ceil(0.05·n) /
+    ceil(0.95·n), pure integer arithmetic) and report the clamp bounds,
+    clipped-row counts, and the clamped decimal sum — the robust-total
+    recipe that makes revenue/latency aggregates outlier-proof. Two keyed
+    passes: one rank window, one aggregate; bounds broadcast back."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    klo = F.expr("div(n * 5 + 99, 100)")
+    khi = F.expr("div(n * 95 + 99, 100)")
+    bounds = (
+        ranked.groupBy(F.col("event_type").alias("bt"))
+        .agg(
+            F.max(F.when(F.col("r") == klo, F.col("value"))).alias("lo"),
+            F.max(F.when(F.col("r") == khi, F.col("value"))).alias("hi"),
+        )
+    )
+    clamped = ev.join(
+        F.broadcast(bounds), ev.event_type == F.col("bt")
+    ).withColumn(
+        "cv",
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")),
+    )
+    return (
+        clamped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("lo").alias("lo"),
+            F.max("hi").alias("hi"),
+            F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0)).alias(
+                "n_clipped_low"
+            ),
+            F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0)).alias(
+                "n_clipped_high"
+            ),
+            F.round(F.sum(_dec("cv")), 2).cast("double").alias("sum_winsorized"),
+        )
+        .orderBy("event_type")
+    )
+
+
+WINSORIZE_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS r,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM events
+),
+bounds AS (
+  SELECT event_type,
+         MAX(CASE WHEN r = (n * 5 + 99) // 100 THEN value END) AS lo,
+         MAX(CASE WHEN r = (n * 95 + 99) // 100 THEN value END) AS hi
+  FROM ranked GROUP BY event_type
+),
+clamped AS (
+  SELECT e.event_type, e.value, b.lo, b.hi,
+         LEAST(GREATEST(e.value, b.lo), b.hi) AS cv
+  FROM events e JOIN bounds b USING (event_type)
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MAX(lo) AS lo, MAX(hi) AS hi,
+       CAST(SUM(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_low,
+       CAST(SUM(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_high,
+       CAST(ROUND(SUM(CAST(cv AS DECIMAL(12,2))), 2) AS DOUBLE)
+         AS sum_winsorized
+FROM clamped
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "winsorize_events": winsorize_events,
     "seasonal_anomalies_events": seasonal_anomalies_events,
     "frequent_paths_events": frequent_paths_events,
     "cusum_changepoint_events": cusum_changepoint_events,
@@ -1590,6 +1673,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "winsorize_events": WINSORIZE_ORACLE,
     "seasonal_anomalies_events": SEASONAL_ANOMALIES_ORACLE,
     "frequent_paths_events": FREQUENT_PATHS_ORACLE,
     "cusum_changepoint_events": CUSUM_ORACLE,
