@@ -188,14 +188,17 @@ def extract_features(
     return src.mapInPandas(batches, schema=FEATURES_SCHEMA)
 
 
-PHASH_ROWS, PHASH_COLS = 8, 8  # 8x(8+1) grid -> 8 rows x 7 comparisons = 56 bits
+# 8 rows x 8 samples (at 9ths-of-width offsets) -> 7 horizontal neighbor
+# comparisons per row = 56 bits total.
+PHASH_ROWS, PHASH_COLS = 8, 8
 PHASH_SCHEMA = "id long, phash long"
 
 
 def perceptual_hash(df: DataFrame, bytes_col: str, id_col: str) -> DataFrame:
     """dHash-style perceptual hash over the (fake-)decoded luminance grid:
-    sample an 8×9 grid of pixels, emit 1 bit per horizontal neighbor
-    comparison (56 bits → BIGINT). Identical media → identical hash;
+    sample 8 pixels per row at ninth-of-width offsets (8 rows), emit 1 bit
+    per horizontal neighbor comparison (7 per row, 56 bits → BIGINT).
+    Identical media → identical hash;
     near-identical media (same bytes, small edits) → small Hamming
     distance. The real path would run the same comparisons on actual
     decoded pixels; the sampling arithmetic (content-hash dimensions,
@@ -203,7 +206,7 @@ def perceptual_hash(df: DataFrame, bytes_col: str, id_col: str) -> DataFrame:
     replayable, so the DISTRIBUTED part — Arrow batching, banding,
     bucket joins — is what the oracle gates.
 
-    O(72) byte probes per item regardless of claimed dimensions — never
+    O(64) byte probes per item regardless of claimed dimensions — never
     materializes the width×height grid."""
     src = df.select(F.col(id_col).alias("id"), F.col(bytes_col).alias("payload"))
 
@@ -211,15 +214,20 @@ def perceptual_hash(df: DataFrame, bytes_col: str, id_col: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for _id, payload in zip(pdf["id"], pdf["payload"]):
-                data = bytes(payload) or b"\x00"
+                raw = bytes(payload) if payload is not None else b""
+                data = raw or b"\x00"
                 n = len(data)
-                _, w, h, _ = _fake_decode(bytes(payload))
+                _, w, h, _ = _fake_decode(raw)
                 phash = 0
                 for r in range(PHASH_ROWS):
                     row = (r * h) // PHASH_ROWS
+                    # Sample positions keep the (PHASH_COLS + 1) divisor so
+                    # offsets land at ninths of the width; only PHASH_COLS
+                    # samples are taken — the comparisons below touch
+                    # vals[0..PHASH_COLS-1] exclusively.
                     vals = [
                         data[(row * w + (c * w) // (PHASH_COLS + 1)) % n]
-                        for c in range(PHASH_COLS + 1)
+                        for c in range(PHASH_COLS)
                     ]
                     for c in range(PHASH_COLS - 1):
                         if vals[c] > vals[c + 1]:
@@ -307,7 +315,9 @@ def audio_energy(
         for pdf in batches:
             rows = []
             for _id, payload in zip(pdf["id"], pdf["payload"]):
-                data = bytes(payload) or b"\x00"
+                # NULL payloads follow the same convention as empty ones:
+                # a single zero byte, i.e. one all-silent window.
+                data = (bytes(payload) if payload is not None else b"") or b"\x00"
                 n_windows = (len(data) + window - 1) // window
                 n_silent = 0
                 peak_energy = -1

@@ -406,12 +406,15 @@ def budget_fill(
     size_col: str,
     budgets: DataFrame,
     order_by: list,
+    budget_col: str | None = None,
 ) -> DataFrame:
     """Greedy per-group budget fill (the 'token budget per domain' step of a
     pre-training mixture: each domain contributes its best documents until
     its token budget is spent).
 
-    ``budgets`` is a small (group, budget) table — broadcast; ``order_by``
+    ``budgets`` is a small (group, budget) table — broadcast; when it
+    carries extra columns, name the budget with ``budget_col`` (inference
+    requires exactly two columns and fails loudly otherwise). ``order_by``
     is the priority order WITHIN a group (must be a total order for
     reproducibility — end it with the id column). A row is kept iff the
     running ``size_col`` total up to and including it stays ≤ the group's
@@ -433,8 +436,17 @@ def budget_fill(
         .orderBy(*order_by)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    bcols = budgets.columns
-    budget_col = [c for c in bcols if c != group_col][0]
+    if budget_col is None:
+        # Inference is only safe when the budgets table is exactly
+        # (group, budget): with extra columns the first non-group column
+        # could silently cap groups by the wrong value.
+        bcols = budgets.columns
+        if len(bcols) != 2 or group_col not in bcols:
+            raise ValueError(
+                f"budgets must be exactly ({group_col}, <budget>) to infer "
+                f"the budget column; got {bcols} — pass budget_col explicitly"
+            )
+        budget_col = next(c for c in bcols if c != group_col)
     return (
         df.join(F.broadcast(budgets), group_col)
         .withColumn("cum_size", F.sum(size_col).over(w))

@@ -37,69 +37,16 @@ _MODULES = [relational, graphish, lexical, vector, dataprep, events, lifecycle, 
 
 # Driver-check priority (the driver hash-verifies at most ~50 queries/round,
 # reading this dict in order). Ranking rule: queries RED at their latest driver
-# appearance first (none — every driver check through round 4 is green at its
-# latest appearance), then queries the driver has NEVER checked
-# (oldest-declared first: the round-4 tail block leads, round-5 additions
-# follow in declaration order), then previously-green queries
-# oldest-verified-first (r1-era greens have not been re-verified since
-# round 1). Every listed query is verified green locally at sf0.001/0.01/0.1
+# appearance first (none — every driver check through round 5 is green at its
+# latest appearance), then queries the driver has NEVER checked (42 as of the
+# round-6 rotation, declaration order), then previously-green queries
+# oldest-verified-first (r1-era greens lead; the 50 verified in round 5 sit
+# last). Every listed query is verified green locally at sf0.001/0.01/0.1
 # via tools/check.py before it lands here (`tools/coverage_report.py` prints
 # the never-checked ledger this ordering is rotated from). Names absent from
 # the registry are ignored; unlisted queries keep module order at the end.
 _CHECK_FIRST = [
-    # --- never driver-checked: round-4 tail (locally green 3× SFs) ---
-    "rollup_grouping_orders",
-    "ks_drift_documents",
-    "ngram_diversity_documents",
-    "pmi_collocations_documents",
-    "bpe_pair_stats_documents",
-    "clustering_coefficient_parts",
-    "dau_mau_events",
-    "top_terms_documents",
-    "markov_accuracy_events",
-    "q12_shipmode_priority",
-    "q14_promo_revenue",
-    "split_leakage_documents",
-    "dedup_canonical_documents",
-    "mixed_language_documents",
-    "chi_square_documents",
-    "label_centroids_embeddings",
-    "source_concentration_documents",
-    "ship_lag_orders",
-    "degree_distribution_parts",
-    "dup_rate_by_source_documents",
-    "profile_orders",
-    "iqr_outliers_events",
-    "weighted_median_lineitem",
-    "entity_resolution_customers",
-    # --- never driver-checked: round-5 additions in declaration order
-    # (first session through the continuation; all locally green 3× SFs) ---
-    "ranking_eval_orphan",
-    "katz_salted_graph",
-    "containment_pairs_documents",
-    "dsir_weights_documents",
-    "hard_negatives_embeddings",
-    "bpe_train_merges_documents",
-    "q10_returned_items",
-    "q19_discounted_revenue",
-    "pagerank_graph",
-    "q13_customer_distribution",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "hll_distinct_users_events",
-    "touch_attribution_events",
-    "bpe_vocab_documents",
-    "jl_project_embeddings",
-    "ipf_rake_documents",
-    "gram_matrix_embeddings",
-    "q7_volume_shipping",
-    "q22_global_sales_opportunity",
-    "q9_product_type_profit",
-    "q15_top_supplier",
-    "q8_market_share",
-    "hits_scores_graph",
-    "kneser_ney_lm_documents",
-    "calibration_documents",
+    # --- never driver-checked (locally green 3x SFs via tools/check.py) ---
     "cohen_kappa_documents",
     "zorder_layout_orders",
     "kn_perplexity_buckets_documents",
@@ -300,6 +247,57 @@ _CHECK_FIRST = [
     "retrieval_eval_pipeline",
     "gopher_gate_documents",
     "q4_order_priority",
+    # --- green, last driver-verified round 5 ---
+    "rollup_grouping_orders",
+    "ks_drift_documents",
+    "ngram_diversity_documents",
+    "pmi_collocations_documents",
+    "bpe_pair_stats_documents",
+    "clustering_coefficient_parts",
+    "dau_mau_events",
+    "top_terms_documents",
+    "markov_accuracy_events",
+    "q12_shipmode_priority",
+    "q14_promo_revenue",
+    "split_leakage_documents",
+    "dedup_canonical_documents",
+    "mixed_language_documents",
+    "chi_square_documents",
+    "label_centroids_embeddings",
+    "source_concentration_documents",
+    "ship_lag_orders",
+    "degree_distribution_parts",
+    "dup_rate_by_source_documents",
+    "profile_orders",
+    "iqr_outliers_events",
+    "weighted_median_lineitem",
+    "entity_resolution_customers",
+    "ranking_eval_orphan",
+    "katz_salted_graph",
+    "containment_pairs_documents",
+    "dsir_weights_documents",
+    "hard_negatives_embeddings",
+    "bpe_train_merges_documents",
+    "q10_returned_items",
+    "q19_discounted_revenue",
+    "pagerank_graph",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "hll_distinct_users_events",
+    "touch_attribution_events",
+    "bpe_vocab_documents",
+    "jl_project_embeddings",
+    "ipf_rake_documents",
+    "gram_matrix_embeddings",
+    "q7_volume_shipping",
+    "q22_global_sales_opportunity",
+    "q9_product_type_profit",
+    "q15_top_supplier",
+    "q8_market_share",
+    "hits_scores_graph",
+    "kneser_ney_lm_documents",
+    "calibration_documents",
 ]
 
 

@@ -4595,7 +4595,9 @@ grid AS (
          ord(substring(text,
              CAST((((r.r * h) // 8) * w + (c.c * w) // 9) % n + 1 AS INTEGER),
              1)) AS val
-  FROM meta, generate_series(0, 7) r(r), generate_series(0, 8) c(c)
+  -- 8 samples per row at ninth-of-width offsets (divisor 9 in the
+  -- position formula below); comparisons touch c and c+1 for c <= 6.
+  FROM meta, generate_series(0, 7) r(r), generate_series(0, 7) c(c)
 ),
 bits AS (
   SELECT g1.doc_id,
@@ -4637,13 +4639,20 @@ def audio_vad_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.audio_energy(docs, "payload", "doc_id").orderBy("id")
 
 
-AUDIO_VAD_ORACLE = """
+# DuckDB 1.0 generate_series takes only constants, so the oracle scans a
+# fixed 1..AUDIO_ORACLE_MAX_LEN position series filtered to each doc's true
+# length, while the Spark operator scans the full payload. Any fixture doc
+# longer than this bound would be silently truncated ORACLE-SIDE ONLY —
+# tests/test_dataprep_ops.py::TestAudioEnergy::test_oracle_len_bound asserts
+# max(length(text)) <= AUDIO_ORACLE_MAX_LEN at every available SF so growth
+# past the bound fails loudly instead of hash-mismatching.
+AUDIO_ORACLE_MAX_LEN = 1024
+
+AUDIO_VAD_ORACLE = f"""
 WITH chars AS (
-  -- DuckDB 1.0 generate_series takes only constants: fixed 1..1024 series
-  -- filtered to the doc's true length (fixture max length is 577)
   SELECT doc_id, (p.p - 1) // 16 AS wi,
          ord(substring(text, CAST(p.p AS INTEGER), 1)) AS v
-  FROM documents, generate_series(1, 1024) AS p(p)
+  FROM documents, generate_series(1, {AUDIO_ORACLE_MAX_LEN}) AS p(p)
   WHERE p.p <= length(text)
 ),
 win AS (
@@ -4665,6 +4674,14 @@ SELECT w.doc_id AS id,
 FROM win w
 JOIN (SELECT doc_id, wi, s FROM ranked WHERE r = 1) p ON w.doc_id = p.doc_id
 GROUP BY w.doc_id
+UNION ALL
+-- Empty/NULL-text docs: the operator coerces the payload to a single
+-- zero byte (one all-silent window); replay that convention here so an
+-- empty doc matches instead of vanishing from the oracle side.
+SELECT doc_id AS id, CAST(1 AS INTEGER) AS n_windows,
+       CAST(1 AS INTEGER) AS n_silent, CAST(0 AS BIGINT) AS peak_energy,
+       CAST(0 AS INTEGER) AS peak_window
+FROM documents WHERE text IS NULL OR length(text) = 0
 ORDER BY id
 """
 

@@ -1458,8 +1458,13 @@ def frequent_paths_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (LEAD windows over (user, time) order — one shuffle keyed on user_id),
     with support = number of occurrences. The per-user window never skews
     beyond a user's own event count; the count aggregate is exact and the
-    top-K sits under a total order (support desc, path asc)."""
-    ev = load(spark, sf_dir, "events")
+    top-K sits under a total order (support desc, path asc).
+
+    NULL event types are filtered BEFORE the window in both engines:
+    concat_ws would silently skip a NULL (shortened path) while the
+    oracle's ``||`` would null the whole path — a latent hash divergence
+    if the fixture ever gains NULL types."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     t2 = F.lead("event_type", 1).over(w)
     t3 = F.lead("event_type", 2).over(w)
@@ -1484,6 +1489,7 @@ WITH seq AS (
          LEAD(event_type, 2) OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id) AS t3
   FROM events
+  WHERE event_type IS NOT NULL
 )
 SELECT t1 || '>' || t2 || '>' || t3 AS path,
        CAST(COUNT(*) AS BIGINT) AS support

@@ -4,6 +4,7 @@ golden Python implementations and recall checks."""
 from __future__ import annotations
 
 import hashlib
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -2257,6 +2258,25 @@ class TestBudgetFill:
         ).collect()
         assert sorted(r["id"] for r in got) == [0, 1, 2]
 
+    def test_wide_budgets_require_explicit_budget_col(self, spark):
+        # Inference is only safe for an exactly-two-column budgets table;
+        # extra columns must either fail loudly or be named explicitly.
+        from pyspark.sql import functions as F
+        from graphrag_toolkit_spark.operators.sampling import budget_fill
+
+        rows = spark.createDataFrame(
+            [("a", 1, 10), ("a", 2, 10)], "grp string, id int, sz long"
+        )
+        wide = spark.createDataFrame(
+            [("a", 999, 15)], "grp string, total_tokens long, budget long"
+        )
+        with pytest.raises(ValueError, match="budget_col"):
+            budget_fill(rows, "grp", "sz", wide, [F.asc("id")])
+        got = budget_fill(
+            rows, "grp", "sz", wide, [F.asc("id")], budget_col="budget"
+        ).collect()
+        assert sorted(r["id"] for r in got) == [1]
+
 
 class TestTemperatureWeights:
     def test_flattens_skew(self, spark):
@@ -2389,3 +2409,42 @@ class TestAudioEnergy:
         )
         r = multimodal.audio_energy(rows, "payload", "id").collect()[0]
         assert r["peak_window"] == 0
+
+    def test_empty_and_null_payload_convention(self, spark):
+        # Empty/NULL payloads coerce to a single zero byte: one all-silent
+        # window, peak energy 0 at window 0 — the exact rows the oracle's
+        # UNION ALL branch emits for length(text)=0 / NULL docs.
+        from graphrag_toolkit_spark.operators import multimodal
+
+        rows = spark.createDataFrame(
+            [(1, bytearray(b"")), (2, None)], "id long, payload binary"
+        )
+        got = {
+            r["id"]: (r["n_windows"], r["n_silent"], r["peak_energy"], r["peak_window"])
+            for r in multimodal.audio_energy(rows, "payload", "id").collect()
+        }
+        assert got == {1: (1, 1, 0, 0), 2: (1, 1, 0, 0)}
+
+    def test_oracle_len_bound(self):
+        # AUDIO_VAD_ORACLE scans a fixed 1..AUDIO_ORACLE_MAX_LEN position
+        # series (DuckDB generate_series takes only constants); any fixture
+        # doc longer than the bound would be truncated oracle-side only.
+        # Fail loudly here instead of hash-mismatching in the driver gate.
+        import duckdb
+
+        from graphrag_toolkit_spark.workload.dataprep import AUDIO_ORACLE_MAX_LEN
+
+        checked = 0
+        for sf in ("sf0.001", "sf0.01", "sf0.1"):
+            path = f"/root/testdata/{sf}/documents.parquet"
+            if not os.path.exists(path):
+                continue
+            (max_len,) = duckdb.sql(
+                f"SELECT max(length(text)) FROM '{path}'"
+            ).fetchone()
+            assert max_len <= AUDIO_ORACLE_MAX_LEN, (
+                f"{sf}: max doc length {max_len} exceeds the oracle's "
+                f"fixed scan bound {AUDIO_ORACLE_MAX_LEN}"
+            )
+            checked += 1
+        assert checked > 0
