@@ -863,3 +863,146 @@ def ktruss_peel(
     ).select(
         "a", "b", F.coalesce("support", F.lit(0)).cast("long").alias("support")
     )
+
+
+def conductance(
+    edges: DataFrame,
+    assignments: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node_id",
+    comm_col: str = "community",
+) -> DataFrame:
+    """Per-community conductance φ(S) over an undirected simple graph —
+    the community-quality dual of `modularity` (which scores the whole
+    partition): for each community S,
+
+        φ(S) = cut(S) / min(vol(S), vol(V\\S))
+
+    with cut(S) the edges crossing the boundary and vol(S) the degree sum
+    inside S. Low φ ⇒ a well-separated community; φ near 1 ⇒ the "community"
+    leaks most of its edges. The per-community view localizes what
+    modularity's one global Q cannot: WHICH clusters are real.
+
+    EXACTNESS: cut and vol are exact BIGINT counts; the score is a single
+    exact-operand IEEE division (NULL when the community has no volume —
+    an isolated, edgeless group).
+
+    Input contract: same as `modularity` — edges canonicalized internally,
+    only edges with both endpoints assigned count.
+
+    Scale shape: two equi-joins onto the assignment table, then two
+    map-side-combined per-community aggregates; the total volume is a
+    one-row broadcast (2m — derived, never a second scan)."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    asg = assignments.select(
+        F.col(node_col).alias("node"), F.col(comm_col).alias("c")
+    )
+    ea = (
+        e.join(asg.withColumnsRenamed({"node": "a", "c": "ca"}), "a")
+        .join(asg.withColumnsRenamed({"node": "b", "c": "cb"}), "b")
+        .select("ca", "cb")
+        .localCheckpoint(eager=False)  # volume + cut legs both read it
+    )
+    # vol(S): each endpoint contributes 1 per incident edge.
+    vol = (
+        ea.select(F.col("ca").alias("c"))
+        .unionByName(ea.select(F.col("cb").alias("c")))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).cast("long").alias("vol"))
+    )
+    cut = (
+        ea.filter(F.col("ca") != F.col("cb"))
+        .select(F.explode(F.array("ca", "cb")).alias("c"))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).cast("long").alias("cut"))
+    )
+    total = ea.agg((F.count(F.lit(1)) * 2).cast("long").alias("vol_total"))
+    comp = F.least(F.col("vol"), F.col("vol_total") - F.col("vol"))
+    return (
+        vol.join(cut, "c", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("c").alias("community"),
+            "vol",
+            F.coalesce("cut", F.lit(0)).cast("long").alias("cut"),
+            F.when(
+                comp > 0,
+                F.coalesce("cut", F.lit(0)).cast("double") / comp.cast("double"),
+            ).alias("conductance"),
+        )
+    )
+
+
+def harmonic_2hop(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded-radius harmonic centrality over an undirected simple graph:
+
+        H₂(u) = Σ_{d(u,v)=1} 1 + Σ_{d(u,v)=2} 1/2
+
+    — the distance-discounted reach signal (Boldi–Vigna's harmonic
+    centrality truncated at radius 2, the radius where the score is still
+    an exact join computation rather than an all-pairs BFS). Complements
+    `neighborhood_sizes` (HLL ball-size ESTIMATES) with exact counts and
+    the 1/d weighting.
+
+    EXACTNESS: counts are exact BIGINT; the half-weight is folded as
+    score2 = 2·n1 + n2 (integer) and the final H₂ = score2 / 2 is one
+    IEEE division by a POWER OF TWO — exact in binary, bit-identical in
+    any engine.
+
+    Scale shape: symmetric adjacency built once and reused for both hops;
+    the 2-hop frontier is one self-join keyed on the middle node (work ∝
+    Σ_v deg(v)² — wedge count, the same budget every triangle/clustering
+    op on this graph already pays) followed by a distinct and an anti-join
+    to drop distance-1 pairs."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und = (
+        e.select(F.col("a").alias("v"), F.col("b").alias("w"))
+        .unionByName(e.select(F.col("b").alias("v"), F.col("a").alias("w")))
+        .localCheckpoint(eager=False)  # both hops + the anti-join read it
+    )
+    n1 = und.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("n1"))
+    two = (
+        und.withColumnsRenamed({"v": "u", "w": "mid"})
+        .join(und.withColumnsRenamed({"v": "mid", "w": "t"}), "mid")
+        .filter(F.col("u") != F.col("t"))
+        .select("u", "t")
+        .distinct()
+        .join(
+            und.withColumnsRenamed({"v": "u", "w": "t"}),
+            ["u", "t"],
+            "left_anti",
+        )
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("n2"))
+    )
+    return (
+        n1.join(two.withColumnsRenamed({"u": "v"}), "v", "left")
+        .select(
+            F.col("v").alias("node_id"),
+            "n1",
+            F.coalesce("n2", F.lit(0)).cast("long").alias("n2"),
+            (
+                (2 * F.col("n1") + F.coalesce("n2", F.lit(0))).cast("double")
+                / F.lit(2.0)
+            ).alias("harmonic_2hop"),
+        )
+    )

@@ -39,7 +39,8 @@ _MODULES = [relational, graphish, lexical, vector, dataprep, events, lifecycle, 
 # reading this dict in order). Ranking rule: queries RED at their latest driver
 # appearance first (none — every driver check through round 5 is green at its
 # latest appearance), then queries the driver has NEVER checked (42 as of the
-# round-6 rotation, declaration order), then previously-green queries
+# round-6 rotation + the round-6 additions, declaration order), then
+# previously-green queries
 # oldest-verified-first (r1-era greens lead; the 50 verified in round 5 sit
 # last). Every listed query is verified green locally at sf0.001/0.01/0.1
 # via tools/check.py before it lands here (`tools/coverage_report.py` prints
@@ -89,6 +90,13 @@ _CHECK_FIRST = [
     "mutual_nn_embeddings",
     "kfold_balance_documents",
     "winsorize_events",
+    # --- round-6 additions (never driver-checked; locally green 3x SFs) ---
+    "conductance_parts",
+    "harmonic_2hop_parts",
+    "quantize_int8_embeddings",
+    "lsh_bucket_purity_embeddings",
+    "oov_rate_documents",
+    "doc_length_gate_documents",
     # --- green, last driver-verified round 1 ---
     "ann_ivf_topk",
     "cascade_delete_counts",

@@ -3641,6 +3641,283 @@ def _pq_codebook(spark: SparkSession, sf_dir: str):
     return pq.codebook_first_c(emb, "vec_id", "embedding", PQ_SUB, PQ_CENT)
 
 
+OOV_MIN_COUNT = 5
+
+
+def oov_rate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source out-of-vocabulary rate against the corpus vocabulary
+    (`packing.build_vocab` at min_count={OOV_MIN_COUNT}): token share and
+    distinct-type count that a trained tokenizer/vocab would map to UNK —
+    the coverage check run before freezing a vocab, and the per-domain
+    drill-down when one source drags coverage down. Tail tokens
+    (freq < min_count) are the OOV set, exactly the tokens
+    `encode_documents` sends to UNK_ID.
+
+    Scale shape: one token groupBy to build the vocab (≪ corpus), then a
+    broadcast-joined token scan aggregated per source — integer counts,
+    one exact-operand division for the rate."""
+    docs = load(spark, sf_dir, "documents")
+    vocab = packing.build_vocab(docs, "text", min_count=OOV_MIN_COUNT).select(
+        "token", F.lit(1).alias("in_vocab")
+    )
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), r"[^0-9a-z]+")).alias("token"),
+    ).filter(F.col("token") != "")
+    oov = F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total_tokens"),
+            F.sum(oov).cast("long").alias("oov_tokens"),
+            F.count_distinct(
+                F.when(F.col("in_vocab").isNull(), F.col("token"))
+            ).cast("long").alias("oov_types"),
+            (F.sum(oov).cast("double") / F.count(F.lit(1)).cast("double"))
+            .alias("oov_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+OOV_RATE_ORACLE = f"""
+WITH tk AS (
+  SELECT source, token FROM (
+    SELECT source,
+           unnest(string_split_regex(lower(text), '[^0-9a-z]+')) AS token
+    FROM documents
+  ) WHERE token <> ''
+),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, COUNT(*) AS freq FROM tk GROUP BY token
+  ) WHERE freq >= {OOV_MIN_COUNT}
+)
+SELECT tk.source,
+       CAST(COUNT(*) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS oov_tokens,
+       CAST(COUNT(DISTINCT CASE WHEN v.token IS NULL THEN tk.token END)
+            AS BIGINT) AS oov_types,
+       CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+FROM tk LEFT JOIN vocab v ON tk.token = v.token
+GROUP BY tk.source
+ORDER BY tk.source
+"""
+
+
+# Percentile bounds for the length gate: exact order statistics at
+# ceil(p·n) ranks — integer thresholds, no interpolation ambiguity.
+DOC_LEN_GATE_LO_PCT = 5
+DOC_LEN_GATE_HI_PCT = 95
+
+
+def doc_length_gate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length gate (the C4/Gopher-style 'drop the degenerate length
+    tails' filter, as a per-source audit): exact p5/p95 whitespace-token-
+    count thresholds via order statistics (value at rank ceil(p·n) under
+    (n_tok, doc_id) total order), then per-source kept / dropped-short /
+    dropped-long counts and the kept fraction.
+
+    EXACTNESS: thresholds are integer token counts picked by integer
+    rank — no percentile interpolation (engines disagree on those); the
+    kept fraction is one exact-operand division.
+
+    Scale shape: one narrow token-count projection; the thresholds come
+    from a rank window (sorted once) materialized as a one-row broadcast;
+    the gate itself is a map-side comparison + per-source aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    lens = docs.select(
+        "doc_id", "source", F.regexp_count(F.col("text"), F.lit(r"\S+")).alias("n_tok")
+    )
+    lens = lens.localCheckpoint(eager=False)  # ranked + gated legs both read it
+    w = Window.orderBy("n_tok", "doc_id")
+    # Thresholds stay in-plan (no driver-side count): the total is a
+    # full-frame window count over the already-globally-sorted rank frame.
+    ranked = lens.select(
+        "n_tok",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))).alias("n_total"),
+    )
+    k_lo = F.expr(f"({DOC_LEN_GATE_LO_PCT} * n_total + 99) div 100")
+    k_hi = F.expr(f"({DOC_LEN_GATE_HI_PCT} * n_total + 99) div 100")
+    bounds = ranked.groupBy().agg(
+        F.min(F.when(F.col("rk") == k_lo, F.col("n_tok"))).alias("lo"),
+        F.min(F.when(F.col("rk") == k_hi, F.col("n_tok"))).alias("hi"),
+    )
+    g = lens.crossJoin(F.broadcast(bounds))
+    kept = F.when((F.col("n_tok") >= F.col("lo")) & (F.col("n_tok") <= F.col("hi")), 1).otherwise(0)
+    return (
+        g.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(kept).cast("long").alias("kept"),
+            F.sum(F.when(F.col("n_tok") < F.col("lo"), 1).otherwise(0))
+            .cast("long").alias("dropped_short"),
+            F.sum(F.when(F.col("n_tok") > F.col("hi"), 1).otherwise(0))
+            .cast("long").alias("dropped_long"),
+            F.min("lo").cast("long").alias("lo_tokens"),
+            F.min("hi").cast("long").alias("hi_tokens"),
+            (F.sum(kept).cast("double") / F.count(F.lit(1)).cast("double"))
+            .alias("kept_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+DOC_LEN_GATE_ORACLE = rf"""
+WITH lens AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok
+  FROM documents
+),
+ranked AS (
+  SELECT n_tok, ROW_NUMBER() OVER (ORDER BY n_tok, doc_id) AS rk FROM lens
+),
+n AS (SELECT COUNT(*) AS n_total FROM lens),
+bounds AS (
+  SELECT MIN(CASE WHEN rk = ({DOC_LEN_GATE_LO_PCT} * n_total + 99) // 100
+                  THEN n_tok END) AS lo,
+         MIN(CASE WHEN rk = ({DOC_LEN_GATE_HI_PCT} * n_total + 99) // 100
+                  THEN n_tok END) AS hi
+  FROM ranked, n
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_tok BETWEEN lo AND hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS kept,
+       CAST(SUM(CASE WHEN n_tok < lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS dropped_short,
+       CAST(SUM(CASE WHEN n_tok > hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS dropped_long,
+       CAST(MIN(lo) AS BIGINT) AS lo_tokens,
+       CAST(MIN(hi) AS BIGINT) AS hi_tokens,
+       CAST(SUM(CASE WHEN n_tok BETWEEN lo AND hi THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS kept_frac
+FROM lens, bounds
+GROUP BY source
+ORDER BY source
+"""
+
+
+def lsh_bucket_purity_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label purity of the sign-LSH buckets (same 6-plane/64-bucket space
+    as `embedding_neardup_lsh`): per bucket — occupancy, majority label
+    (ties to the smaller label), and purity = majority share. The
+    diagnostic that tells you whether an LSH partition is label-coherent
+    enough to serve as a cheap router/shard key before paying for trained
+    centroids. One narrow projection + two aggregates; purity is a single
+    exact-operand division."""
+    emb = load(spark, sf_dir, "embeddings")
+    planes = ann.hyperplanes(N_PLANES_DEDUP, 64)
+    b = emb.select(
+        "vec_id", "label", ann.lsh_bucket(F.col("embedding"), planes).alias("bucket")
+    )
+    cnt = b.groupBy("bucket", "label").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("bucket").orderBy(F.desc("n"), F.asc("label"))
+    maj = (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("bucket", F.col("label").alias("majority_label"),
+                F.col("n").alias("majority_n"))
+    )
+    sz = cnt.groupBy("bucket").agg(F.sum("n").cast("long").alias("n_vecs"))
+    return (
+        sz.join(maj, "bucket")
+        .select(
+            "bucket", "n_vecs",
+            "majority_label",
+            F.col("majority_n").cast("long").alias("majority_n"),
+            (F.col("majority_n").cast("double") / F.col("n_vecs").cast("double"))
+            .alias("purity"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _lsh_purity_oracle() -> str:
+    return f"""
+WITH {_bucket_sql(N_PLANES_DEDUP)},
+bl AS (
+  SELECT b.bucket, e.label FROM buckets b JOIN embeddings e USING (vec_id)
+),
+cnt AS (
+  SELECT bucket, label, CAST(COUNT(*) AS BIGINT) AS n FROM bl GROUP BY 1, 2
+),
+sz AS (SELECT bucket, CAST(SUM(n) AS BIGINT) AS n_vecs FROM cnt GROUP BY 1),
+maj AS (
+  SELECT bucket, label AS majority_label, n AS majority_n FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket
+                                 ORDER BY n DESC, label) AS rn
+    FROM cnt
+  ) WHERE rn = 1
+)
+SELECT s.bucket, s.n_vecs, m.majority_label,
+       CAST(m.majority_n AS BIGINT) AS majority_n,
+       CAST(m.majority_n AS DOUBLE) / CAST(s.n_vecs AS DOUBLE) AS purity
+FROM sz s JOIN maj m USING (bucket)
+ORDER BY bucket
+"""
+
+
+LSH_PURITY_ORACLE = _lsh_purity_oracle()
+
+
+def quantize_int8_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization (`pq.quantize_int8`) of the
+    embedding table — SQ8, the lighter compression rung beside PQ: per
+    vector a max-abs scale and 64 floor-quantized codes, emitted as the
+    full ordered code string plus saturation/summary stats so the gate
+    hashes every code. One narrow projection, no shuffle."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = pq.quantize_int8(emb, "vec_id", "embedding")
+    return out.select(
+        F.col("id").alias("vec_id"),
+        "scale",
+        F.size("codes").cast("long").alias("n_dims"),
+        F.array_min("codes").alias("code_min"),
+        F.array_max("codes").alias("code_max"),
+        F.aggregate(
+            "codes", F.lit(0).cast("long"), lambda a, c: a + c.cast("long")
+        ).alias("code_sum"),
+        F.aggregate(
+            "codes",
+            F.lit(0).cast("long"),
+            lambda a, c: a + F.when(F.abs(c) == 127, 1).otherwise(0),
+        ).alias("n_sat"),
+        F.concat_ws(",", F.transform("codes", lambda c: c.cast("string"))).alias(
+            "codes_str"
+        ),
+    ).orderBy("vec_id")
+
+
+QUANTIZE_INT8_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id, t.i, {_EMB_Q.format(x='embedding[t.i]')} AS qv
+  FROM embeddings, generate_series(1, 64) AS t(i)
+),
+sc AS (SELECT vec_id, MAX(ABS(qv)) AS s_dec FROM q GROUP BY vec_id),
+codes AS (
+  SELECT q.vec_id, q.i,
+         CASE WHEN sc.s_dec = 0 THEN 0
+              ELSE CAST(FLOOR(CAST(q.qv AS DOUBLE) * 127.0
+                              / CAST(sc.s_dec AS DOUBLE)) AS INTEGER)
+         END AS code,
+         CAST(sc.s_dec AS DOUBLE) AS scale
+  FROM q JOIN sc USING (vec_id)
+)
+SELECT vec_id, MAX(scale) AS scale,
+       CAST(COUNT(*) AS BIGINT) AS n_dims,
+       MIN(code) AS code_min, MAX(code) AS code_max,
+       CAST(SUM(code) AS BIGINT) AS code_sum,
+       CAST(SUM(CASE WHEN ABS(code) = 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_sat,
+       string_agg(CAST(code AS VARCHAR), ',' ORDER BY i) AS codes_str
+FROM codes GROUP BY vec_id ORDER BY vec_id
+"""
+
+
 def pq_codes_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-encode the embedding table: 64 floats → 8 nibble codes (32×
     compression), one narrow projection against the literal codebook."""
@@ -4830,6 +5107,10 @@ QUERIES = {
     "pii_scrub_documents": pii_scrub_documents,
     "resample_mix_documents": resample_mix_documents,
     "pq_codes_embeddings": pq_codes_embeddings,
+    "quantize_int8_embeddings": quantize_int8_embeddings,
+    "lsh_bucket_purity_embeddings": lsh_bucket_purity_embeddings,
+    "oov_rate_documents": oov_rate_documents,
+    "doc_length_gate_documents": doc_length_gate_documents,
     "pq_adc_topk": pq_adc_topk,
     "pack_sequences_documents": pack_sequences_documents,
     "dedup_keep_best_documents": dedup_keep_best_documents,
@@ -4927,6 +5208,10 @@ ORACLES = {
     "pii_scrub_documents": PII_SCRUB_ORACLE,
     "resample_mix_documents": RESAMPLE_MIX_ORACLE,
     "pq_codes_embeddings": PQ_CODES_ORACLE,
+    "quantize_int8_embeddings": QUANTIZE_INT8_ORACLE,
+    "lsh_bucket_purity_embeddings": LSH_PURITY_ORACLE,
+    "oov_rate_documents": OOV_RATE_ORACLE,
+    "doc_length_gate_documents": DOC_LEN_GATE_ORACLE,
     "pq_adc_topk": _pq_adc_oracle(),
     "pack_sequences_documents": PACK_SEQUENCES_ORACLE,
     "dedup_keep_best_documents": DEDUP_KEEP_BEST_ORACLE,

@@ -1166,6 +1166,115 @@ FROM m, inside, degsq
 """
 
 
+def conductance_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community conductance (`centrality.conductance`) of the brand
+    partition over the part co-purchase graph — the per-community
+    localization of `modularity_parts`' one global Q: WHICH brands form
+    well-separated co-purchase clusters (low φ) and which leak (φ→1).
+    Exact-BIGINT cut/volume counts + one exact-operand division per row."""
+    from graphrag_toolkit_spark.operators import centrality
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.withColumnsRenamed({"l_partkey": "pa"})
+    b = li.withColumnsRenamed({"l_partkey": "pb"})
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= MODULARITY_MIN_SHARED)
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    assign = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node_id"), F.col("p_brand").alias("community")
+    )
+    return centrality.conductance(edges, assign).orderBy("community")
+
+
+CONDUCTANCE_ORACLE = f"""
+WITH bi AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS MATERIALIZED (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM bi a JOIN bi b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY pa, pb HAVING COUNT(*) >= {MODULARITY_MIN_SHARED}
+),
+ea AS MATERIALIZED (
+  SELECT ca.p_brand AS ca, cb.p_brand AS cb
+  FROM e JOIN part ca ON e.pa = ca.p_partkey
+         JOIN part cb ON e.pb = cb.p_partkey
+),
+vol AS (
+  SELECT c, CAST(COUNT(*) AS BIGINT) AS vol FROM (
+    SELECT ca AS c FROM ea UNION ALL SELECT cb FROM ea
+  ) GROUP BY c
+),
+cut AS (
+  SELECT c, CAST(COUNT(*) AS BIGINT) AS cut FROM (
+    SELECT ca AS c FROM ea WHERE ca <> cb
+    UNION ALL SELECT cb FROM ea WHERE ca <> cb
+  ) GROUP BY c
+),
+tot AS (SELECT CAST(2 * COUNT(*) AS BIGINT) AS vol_total FROM ea)
+SELECT v.c AS community, v.vol,
+       CAST(COALESCE(t.cut, 0) AS BIGINT) AS cut,
+       CASE WHEN LEAST(v.vol, tot.vol_total - v.vol) > 0
+            THEN CAST(COALESCE(t.cut, 0) AS DOUBLE)
+                 / CAST(LEAST(v.vol, tot.vol_total - v.vol) AS DOUBLE)
+            END AS conductance
+FROM vol v LEFT JOIN cut t ON v.c = t.c, tot
+ORDER BY community
+"""
+
+
+def harmonic_2hop_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-2 harmonic centrality (`centrality.harmonic_2hop`) over the
+    part co-purchase graph: exact 1-hop/2-hop reach with Boldi–Vigna 1/d
+    weighting — the exact-count companion to `neighborhood_sizes_parts`'
+    HLL estimates. All-integer until one final division by 2 (exact in
+    binary)."""
+    from graphrag_toolkit_spark.operators import centrality
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.withColumnsRenamed({"l_partkey": "pa"})
+    b = li.withColumnsRenamed({"l_partkey": "pb"})
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= MODULARITY_MIN_SHARED)
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    return centrality.harmonic_2hop(edges).orderBy("node_id")
+
+
+HARMONIC_2HOP_ORACLE = f"""
+WITH bi AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS MATERIALIZED (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM bi a JOIN bi b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY pa, pb HAVING COUNT(*) >= {MODULARITY_MIN_SHARED}
+),
+und AS MATERIALIZED (
+  SELECT pa AS v, pb AS w FROM e UNION ALL SELECT pb, pa FROM e
+),
+n1 AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS n1 FROM und GROUP BY v),
+two AS (
+  SELECT u, CAST(COUNT(*) AS BIGINT) AS n2 FROM (
+    SELECT DISTINCT a.v AS u, b.w AS t
+    FROM und a JOIN und b ON a.w = b.v
+    WHERE a.v <> b.w
+      AND NOT EXISTS (SELECT 1 FROM und d WHERE d.v = a.v AND d.w = b.w)
+  ) GROUP BY u
+)
+SELECT n1.v AS node_id, n1.n1,
+       CAST(COALESCE(two.n2, 0) AS BIGINT) AS n2,
+       CAST(2 * n1.n1 + COALESCE(two.n2, 0) AS DOUBLE) / 2.0 AS harmonic_2hop
+FROM n1 LEFT JOIN two ON n1.v = two.u
+ORDER BY node_id
+"""
+
+
 WPAGERANK_ITERS = 4
 
 
@@ -1807,6 +1916,8 @@ QUERIES = {
     "fuzzy_link_parts": fuzzy_link_parts,
     "fuzzy_link_token_set": fuzzy_link_token_set,
     "entity_context_parts": entity_context_parts,
+    "conductance_parts": conductance_parts,
+    "harmonic_2hop_parts": harmonic_2hop_parts,
 }
 
 ORACLES = {
@@ -1824,6 +1935,8 @@ ORACLES = {
     "pagerank_graph": PAGERANK_ORACLE,
     "hits_scores_graph": HITS_ORACLE,
     "modularity_parts": MODULARITY_ORACLE,
+    "conductance_parts": CONDUCTANCE_ORACLE,
+    "harmonic_2hop_parts": HARMONIC_2HOP_ORACLE,
     "assortativity_parts": ASSORTATIVITY_ORACLE,
     "weighted_pagerank_parts": WPAGERANK_ORACLE,
     "neighborhood_sizes_parts": NEIGHBORHOOD_ORACLE,

@@ -2448,3 +2448,36 @@ class TestAudioEnergy:
             )
             checked += 1
         assert checked > 0
+
+
+class TestQuantizeInt8:
+    def test_codes_and_saturation(self, spark):
+        from graphrag_toolkit_spark.operators.pq import quantize_int8
+
+        emb = spark.createDataFrame(
+            [(1, [1.0, -1.0, 0.5, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+            "vec_id long, embedding array<float>",
+        )
+        got = {r["id"]: r for r in quantize_int8(emb).collect()}
+        # max element quantizes to exactly +127; the min to -127; half to
+        # floor(63.5) = 63; zero stays 0.
+        assert got[1]["scale"] == 1.0
+        assert list(got[1]["codes"]) == [127, -127, 63, 0]
+        # zero vector: scale 0 guarded, all-zero codes
+        assert got[2]["scale"] == 0.0
+        assert list(got[2]["codes"]) == [0, 0, 0, 0]
+
+    def test_partition_invariant(self, spark):
+        from graphrag_toolkit_spark.operators.pq import quantize_int8
+
+        emb = spark.createDataFrame(
+            [(i, [float((i * j) % 13) - 6.0 for j in range(8)])
+             for i in range(40)],
+            "vec_id long, embedding array<float>",
+        )
+        a = sorted((r["id"], list(r["codes"])) for r in quantize_int8(emb).collect())
+        b = sorted(
+            (r["id"], list(r["codes"]))
+            for r in quantize_int8(emb.repartition(7)).collect()
+        )
+        assert a == b

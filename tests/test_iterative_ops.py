@@ -1063,3 +1063,64 @@ class TestRandomWalks:
         a = sorted(map(tuple, random_walks(edges, salt="walk").collect()))
         b = sorted(map(tuple, random_walks(edges, salt="other").collect()))
         assert a != b  # different hash stream picks different neighbors
+
+
+class TestConductance:
+    def test_two_cliques_one_bridge(self, spark):
+        from graphrag_toolkit_spark.operators.centrality import conductance
+
+        # two triangles joined by one bridge edge
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+            "src int, dst int",
+        )
+        assign = spark.createDataFrame(
+            [(n, "a" if n <= 3 else "b") for n in range(1, 7)],
+            "node_id int, community string",
+        )
+        rows = {r["community"]: r for r in conductance(edges, assign).collect()}
+        # each community: vol = 2*3 inside + 1 bridge endpoint = 7, cut = 1
+        for c in ("a", "b"):
+            assert rows[c]["vol"] == 7
+            assert rows[c]["cut"] == 1
+            assert rows[c]["conductance"] == 1.0 / 7.0
+
+    def test_partition_invariant(self, spark):
+        from graphrag_toolkit_spark.operators.centrality import conductance
+
+        edges = spark.createDataFrame(
+            [(i, (i * 3) % 17 + 1) for i in range(1, 40)], "src int, dst int"
+        )
+        assign = spark.createDataFrame(
+            [(n, n % 3) for n in range(0, 20)], "node_id int, community int"
+        )
+        a = sorted(map(tuple, conductance(edges, assign).collect()))
+        b = sorted(
+            map(tuple, conductance(edges.repartition(7), assign).collect())
+        )
+        assert a == b
+
+
+class TestHarmonic2Hop:
+    def test_path_graph_exact(self, spark):
+        from graphrag_toolkit_spark.operators.centrality import harmonic_2hop
+
+        # path 1-2-3-4: H2(1) = 1 (node 2) + 1/2 (node 3) = 1.5
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4)], "src int, dst int"
+        )
+        got = {r["node_id"]: r for r in harmonic_2hop(edges).collect()}
+        assert got[1]["n1"] == 1 and got[1]["n2"] == 1
+        assert got[1]["harmonic_2hop"] == 1.5
+        assert got[2]["n1"] == 2 and got[2]["n2"] == 1
+        assert got[2]["harmonic_2hop"] == 2.5
+
+    def test_distance_one_excluded_from_two(self, spark):
+        from graphrag_toolkit_spark.operators.centrality import harmonic_2hop
+
+        # triangle: everyone is distance 1 from everyone — n2 must be 0
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3)], "src int, dst int"
+        )
+        for r in harmonic_2hop(edges).collect():
+            assert r["n1"] == 2 and r["n2"] == 0

@@ -646,3 +646,28 @@ def test_budget_fill_broadcasts_budgets(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_quantize_int8_is_single_narrow_projection(spark):
+    """SQ8 quantization must stay a map stage: no shuffle (Exchange), no
+    join, no window — a petabyte corpus quantizes partition-local."""
+    from graphrag_toolkit_spark.operators.pq import quantize_int8
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7) - 3.0] * 8) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    plan = plan_of(quantize_int8(emb), mode="simple")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_harmonic_2hop_no_cartesian(spark):
+    from graphrag_toolkit_spark.operators.centrality import harmonic_2hop
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 15)], "src int, dst int"
+    )
+    plan = plan_of(harmonic_2hop(edges), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
