@@ -99,3 +99,59 @@ def contamination(
             (F.col("n_hit").cast("double") / F.col("n_grams")).alias("contamination"),
         )
     )
+
+
+def embedding_decontaminate(
+    test: DataFrame,
+    train: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_planes: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """SEMANTIC decontamination — the embedding-space complement of the
+    n-gram `contamination` pass (GPT-3 appendix C catches copies; this
+    catches paraphrases and translations that share no 13-gram): flag
+    every test item whose embedding is cosine-≥-threshold to some train
+    item. Candidates come from the same one-bucket sign-LSH as
+    `dedup.embedding_near_dup_pairs_lsh`; the verify is the exact
+    quantized cosine.
+
+    Scale shape: the join is test×train THROUGH the bucket key — the
+    train corpus never self-joins, and only co-bucketed cross-split pairs
+    form (work ∝ Σ_b |test_b|·|train_b|, never |test|·|train|). Both
+    sides project to (id, quantized vec, norm, bucket) once. Recall < 1
+    is the LSH trade, measurable exactly as `embedding_neardup_recall`
+    does for the dedup leg.
+
+    Returns (test_id, train_id, cos) for every flagged pair."""
+    from graphrag_toolkit_spark.functions.vector import (
+        dot_prequantized,
+        l2_norm_quantized,
+        prequantize,
+    )
+    from graphrag_toolkit_spark.operators import ann
+
+    planes = ann.hyperplanes(n_planes, dim)
+
+    def prep(df: DataFrame, idn: str, qn: str, nn: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(idn),
+            prequantize(F.col(vec_col)).alias(qn),
+            l2_norm_quantized(F.col(vec_col)).alias(nn),
+            ann.lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        )
+
+    t = prep(test, "test_id", "qt", "nt")
+    r = prep(train, "train_id", "qr", "nr")
+    return (
+        t.join(r, "bucket")
+        .withColumn(
+            "cos",
+            dot_prequantized(F.col("qt"), F.col("qr"))
+            / (F.col("nt") * F.col("nr")),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("test_id", "train_id", "cos")
+    )

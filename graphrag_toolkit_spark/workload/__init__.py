@@ -97,6 +97,9 @@ _CHECK_FIRST = [
     "lsh_bucket_purity_embeddings",
     "oov_rate_documents",
     "doc_length_gate_documents",
+    "semantic_decontaminate_embeddings",
+    "minhash_jaccard_error_documents",
+    "neyman_allocation_events",
     # --- green, last driver-verified round 1 ---
     "ann_ivf_topk",
     "cascade_delete_counts",

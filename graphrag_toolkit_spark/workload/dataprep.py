@@ -1084,6 +1084,102 @@ WHERE i.n_inter / (sa.n + sb.n - i.n_inter) >= {JACCARD_THRESHOLD}
 """
 
 
+def minhash_jaccard_error_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator accuracy, measured on the real corpus: for every
+    banded-LSH candidate pair, the signature estimate (matching minhash
+    rows / num_hashes) next to the exact shingle Jaccard and their
+    absolute error — the calibration table that justifies (or indicts)
+    the signature width before a corpus-scale dedup run trusts it.
+    Candidates come from the same banded join as `minhash_neardup`;
+    zero-intersection candidates (band collisions without shared
+    shingles) stay in the table with exact = 0, since those are precisely
+    the estimator's false positives. Every number is an exact integer or
+    a single exact-operand division."""
+    docs = load(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs, "text", "doc_id", k=SHINGLE_K)
+    sh.persist()
+    try:
+        sig = dedup.minhash_signatures(sh, NUM_HASHES)
+        cand = dedup.lsh_bucket_pairs(sig, NUM_HASHES, BANDS).localCheckpoint(
+            eager=True
+        )
+        a = sig.select(
+            F.col("id").alias("id_a"),
+            *[F.col(f"mh{h}").alias(f"a{h}") for h in range(NUM_HASHES)],
+        )
+        b = sig.select(
+            F.col("id").alias("id_b"),
+            *[F.col(f"mh{h}").alias(f"b{h}") for h in range(NUM_HASHES)],
+        )
+        n_match = sum(
+            F.when(F.col(f"a{h}") == F.col(f"b{h}"), 1).otherwise(0)
+            for h in range(NUM_HASHES)
+        )
+        est = (
+            cand.join(a, "id_a")
+            .join(b, "id_b")
+            .select(
+                "id_a", "id_b",
+                (n_match.cast("double") / F.lit(float(NUM_HASHES))).alias(
+                    "est_jaccard"
+                ),
+            )
+        )
+        exact = dedup.jaccard_on_pairs(sh, cand)
+        out = (
+            est.join(exact, ["id_a", "id_b"], "left")
+            .select(
+                F.col("id_a").alias("doc_a"),
+                F.col("id_b").alias("doc_b"),
+                "est_jaccard",
+                F.coalesce("jaccard", F.lit(0.0)).alias("exact_jaccard"),
+                F.abs(
+                    F.col("est_jaccard") - F.coalesce("jaccard", F.lit(0.0))
+                ).alias("abs_err"),
+            )
+            .orderBy("doc_a", "doc_b")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()
+
+
+_MH_MATCH_SQL = " + ".join(
+    f"(CASE WHEN a.mh{h} = b.mh{h} THEN 1 ELSE 0 END)" for h in range(NUM_HASHES)
+)
+
+MINHASH_JACCARD_ERROR_ORACLE = f"""
+WITH {_SHINGLES_SQL}, {_SIG_SQL}, {_BANDED_SQL}, {_CAND_SQL},
+est AS (
+  SELECT c.id_a, c.id_b,
+         CAST({_MH_MATCH_SQL} AS DOUBLE) / {NUM_HASHES} AS est_jaccard
+  FROM cand c
+  JOIN sig a ON a.doc_id = c.id_a
+  JOIN sig b ON b.doc_id = c.id_b
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+),
+ex AS (
+  SELECT e.id_a, e.id_b, e.est_jaccard,
+         COALESCE(i.n_inter / (sa.n + sb.n - i.n_inter), 0.0) AS exact_jaccard
+  FROM est e
+  JOIN sizes sa ON sa.doc_id = e.id_a
+  JOIN sizes sb ON sb.doc_id = e.id_b
+  LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+)
+SELECT id_a AS doc_a, id_b AS doc_b, est_jaccard, exact_jaccard,
+       ABS(est_jaccard - exact_jaccard) AS abs_err
+FROM ex
+ORDER BY doc_a, doc_b
+"""
+
+
 # --- near-dup clusters (pairs → transitive closure → survivors) --------------
 
 def neardup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3259,6 +3355,70 @@ SELECT id_a, id_b, cos FROM scores WHERE cos >= {EMBED_DUP_THRESHOLD}
 """
 
 
+def semantic_decontaminate_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination (`decontam.embedding_decontaminate`):
+    content-hash split of the vector table, then every TEST vector flagged
+    whose cosine to some TRAIN vector clears the near-dup threshold —
+    catches the paraphrase-shaped eval leakage the 13-gram pass can't see.
+    LSH-bucketed test×train join (never |test|·|train|), exact quantized-
+    cosine verify."""
+    from graphrag_toolkit_spark.operators.decontam import embedding_decontaminate
+    from graphrag_toolkit_spark.operators.sampling import train_val_test_split
+
+    emb = load(spark, sf_dir, "embeddings")
+    split = train_val_test_split(emb, "vec_id")
+    test = split.filter(F.col("split") == "test").select("vec_id", "embedding")
+    train = split.filter(F.col("split") == "train").select("vec_id", "embedding")
+    return embedding_decontaminate(
+        test, train, "vec_id", "embedding", EMBED_DUP_THRESHOLD,
+        n_planes=N_PLANES_DEDUP,
+    ).orderBy("test_id", "train_id")
+
+
+SEMANTIC_DECON_ORACLE = f"""
+WITH {{bucket_sql}},
+split AS (
+  SELECT vec_id,
+         CASE WHEN b < 1000 THEN 'test'
+              WHEN b < 2000 THEN 'val' ELSE 'train' END AS split
+  FROM (
+    SELECT vec_id,
+           CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 7) AS BIGINT)
+             % 10000 AS b
+    FROM embeddings
+  )
+),
+cand AS (
+  SELECT t.vec_id AS test_id, r.vec_id AS train_id
+  FROM buckets t
+  JOIN split st ON st.vec_id = t.vec_id AND st.split = 'test'
+  JOIN buckets r ON r.bucket = t.bucket
+  JOIN split sr ON sr.vec_id = r.vec_id AND sr.split = 'train'
+),
+terms AS (
+  SELECT c.test_id, c.train_id,
+         {{qa}} AS xa,
+         {{qb}} AS xb
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.test_id
+  JOIN embeddings eb ON eb.vec_id = c.train_id, generate_series(1, 64) AS t(i)
+),
+scores AS (
+  SELECT test_id, train_id,
+         CAST(SUM(xa * xb) AS DOUBLE)
+           / (sqrt(CAST(SUM(xa * xa) AS DOUBLE))
+              * sqrt(CAST(SUM(xb * xb) AS DOUBLE))) AS cos
+  FROM terms GROUP BY test_id, train_id
+)
+SELECT test_id, train_id, cos FROM scores WHERE cos >= {EMBED_DUP_THRESHOLD}
+ORDER BY test_id, train_id
+""".format(
+    bucket_sql=_bucket_sql(N_PLANES_DEDUP),
+    qa=_EMB_Q.format(x="ea.embedding[i]"),
+    qb=_EMB_Q.format(x="eb.embedding[i]"),
+)
+
+
 # banded recall-amplified generator for the recall measurement: k=3 planes
 # × L=8 bands → theoretical recall 1-(1-p³)⁸ ≈ 0.88 at the fixture's wide
 # angle (cos 0.35 ⇒ p = 1-θ/π ≈ 0.614). See the operator docstring for why
@@ -5111,6 +5271,8 @@ QUERIES = {
     "lsh_bucket_purity_embeddings": lsh_bucket_purity_embeddings,
     "oov_rate_documents": oov_rate_documents,
     "doc_length_gate_documents": doc_length_gate_documents,
+    "semantic_decontaminate_embeddings": semantic_decontaminate_embeddings,
+    "minhash_jaccard_error_documents": minhash_jaccard_error_documents,
     "pq_adc_topk": pq_adc_topk,
     "pack_sequences_documents": pack_sequences_documents,
     "dedup_keep_best_documents": dedup_keep_best_documents,
@@ -5212,6 +5374,8 @@ ORACLES = {
     "lsh_bucket_purity_embeddings": LSH_PURITY_ORACLE,
     "oov_rate_documents": OOV_RATE_ORACLE,
     "doc_length_gate_documents": DOC_LEN_GATE_ORACLE,
+    "semantic_decontaminate_embeddings": SEMANTIC_DECON_ORACLE,
+    "minhash_jaccard_error_documents": MINHASH_JACCARD_ERROR_ORACLE,
     "pq_adc_topk": _pq_adc_oracle(),
     "pack_sequences_documents": PACK_SEQUENCES_ORACLE,
     "dedup_keep_best_documents": DEDUP_KEEP_BEST_ORACLE,

@@ -1642,7 +1642,147 @@ ORDER BY event_type
 """
 
 
+NEYMAN_BUDGET = 1000
+
+
+def neyman_allocation_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation over event types:
+    quota_h ∝ N_h·S_h (Neyman 1934 — minimum-variance allocation of a
+    fixed sample budget across strata), with largest-remainder rounding so
+    the integer quotas sum exactly to the budget. The planning step before
+    a stratified telemetry sample; the output is the per-stratum audit
+    (size, spread, share, quota).
+
+    EXACTNESS: values live on the 10⁻⁶ decimal grid; the variance
+    numerator n·Σv² − (Σv)² is exact decimal arithmetic; S_h is one sqrt
+    of one exact-operand division; the share denominator is a FIXED-ORDER
+    running sum of the positive N_h·S_h terms (unordered double SUM is
+    engine-ambiguous — `temperature_weights` discipline); floor + ranked
+    remainders keep the rounding integer-exact.
+
+    Scale shape: one per-stratum aggregate (map-side combined); everything
+    after runs on a k-row table (k = distinct event types)."""
+    ev = load(spark, sf_dir, "events")
+    vq = F.round(F.col("value").cast("double"), 6).cast("decimal(12,6)")
+    per = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_h"),
+        F.sum(vq).alias("sum_v"),
+        F.sum(vq * vq).alias("sum_v2"),
+    )
+    # The variance numerator MUST stay exact decimal in BOTH engines: with
+    # the default SUM result widths, Spark's n·Σv² product overflows
+    # precision 38 and silently REDUCES SCALE (rounds), while DuckDB falls
+    # back to DOUBLE — two different inexact paths, a 1-ulp hash divergence
+    # (seen at sf0.01). Re-cast to tight widths first so every product fits
+    # exactly: n_h < 10⁹, |Σv| < 10¹² (fixture max ~10⁷), Σv² < 10¹².
+    n_dec = F.col("n_h").cast("decimal(9,0)")
+    sv = F.col("sum_v").cast("decimal(18,6)")
+    sv2 = F.col("sum_v2").cast("decimal(24,12)")
+    var_num = (n_dec * sv2 - sv * sv).cast("decimal(38,12)")
+    # decimal→double is only correctly rounded when the RAW scaled integer
+    # fits in 2^53; var_num's raw value is ~10²² here, where DuckDB's
+    # int128→double path and Spark's BigDecimal path round DIFFERENTLY
+    # (1-ulp hash divergence, seen at sf0.01). Split into integer part
+    # (< 2^53, exact as double — documented bound: variance numerator
+    # < 9·10¹⁵) + fraction (raw < 10¹², exact), one IEEE add — identical
+    # bits in both engines.
+    num_int = F.floor(var_num)
+    num_frac = var_num - num_int.cast("decimal(38,12)")
+    num_dbl = num_int.cast("double") + num_frac.cast("double")
+    s_h = F.sqrt(
+        num_dbl / (F.col("n_h") * (F.col("n_h") - 1)).cast("double")
+    )
+    scored = per.select(
+        "event_type", "n_h", (F.col("n_h").cast("double") * s_h).alias("w")
+    )
+    run = Window.orderBy("event_type").rowsBetween(Window.unboundedPreceding, 0)
+    full = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    shared = (
+        scored.withColumn("_cum", F.sum("w").over(run))
+        .withColumn("_wtot", F.max("_cum").over(full))
+        .withColumn("share", F.col("w") / F.col("_wtot"))
+        .withColumn("raw", F.lit(float(NEYMAN_BUDGET)) * F.col("share"))
+        .withColumn("base", F.floor("raw").cast("long"))
+        .withColumn("_rem", F.col("raw") - F.floor("raw"))
+        .withColumn("_short", F.lit(NEYMAN_BUDGET) - F.sum("base").over(full))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.orderBy(F.desc("_rem"), F.asc("event_type"))
+            ),
+        )
+    )
+    return shared.select(
+        "event_type", "n_h",
+        (F.col("w") / F.col("n_h").cast("double")).alias("s_h"),
+        "share",
+        (
+            F.col("base")
+            + F.when(F.col("_rk") <= F.col("_short"), 1).otherwise(0)
+        ).cast("long").alias("alloc"),
+    ).orderBy("event_type")
+
+
+NEYMAN_ORACLE = f"""
+WITH per AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_h,
+         SUM(CAST(ROUND(CAST(value AS DOUBLE), 6) AS DECIMAL(12,6))) AS sum_v,
+         SUM(CAST(ROUND(CAST(value AS DOUBLE), 6) AS DECIMAL(12,6))
+             * CAST(ROUND(CAST(value AS DOUBLE), 6) AS DECIMAL(12,6))) AS sum_v2
+  FROM events GROUP BY event_type
+),
+vnum AS (
+  -- tight decimal widths keep n·Σv² − (Σv)² exact (see the Spark twin:
+  -- default widths overflow → Spark rounds scale, DuckDB falls to DOUBLE);
+  -- one DECIMAL(20,*) operand forces DuckDB's HUGEINT multiply path
+  -- (symmetric 18x18 overflows its INT64 fast path on this data)
+  SELECT event_type, n_h,
+         CAST(CAST(n_h AS DECIMAL(9,0)) * CAST(sum_v2 AS DECIMAL(24,12))
+              AS DECIMAL(38,12))
+         - CAST(CAST(sum_v AS DECIMAL(20,6)) * CAST(sum_v AS DECIMAL(18,6))
+                AS DECIMAL(38,12)) AS vn
+  FROM per
+),
+scored AS (
+  -- decimal→double split: integer part (< 2^53) + fraction, one IEEE add —
+  -- a direct CAST of the ~10²²-raw decimal rounds differently per engine
+  SELECT event_type, n_h,
+         CAST(n_h AS DOUBLE)
+           * sqrt((CAST(FLOOR(vn) AS DOUBLE)
+                   + CAST(vn - FLOOR(vn) AS DOUBLE))
+                  / CAST(n_h * (n_h - 1) AS DOUBLE)) AS w
+  FROM vnum
+),
+shared AS (
+  SELECT event_type, n_h, w,
+         MAX(cum) OVER () AS wtot
+  FROM (
+    SELECT *, SUM(w) OVER (ORDER BY event_type ROWS UNBOUNDED PRECEDING) AS cum
+    FROM scored
+  )
+),
+alloc AS (
+  SELECT event_type, n_h, w, w / wtot AS share,
+         {NEYMAN_BUDGET} * (w / wtot) AS raw,
+         CAST(FLOOR({NEYMAN_BUDGET} * (w / wtot)) AS BIGINT) AS base
+  FROM shared
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (ORDER BY raw - FLOOR(raw) DESC, event_type) AS rk,
+         {NEYMAN_BUDGET} - SUM(base) OVER () AS short
+  FROM alloc
+)
+SELECT event_type, n_h, w / CAST(n_h AS DOUBLE) AS s_h, share,
+       CAST(base + CASE WHEN rk <= short THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM ranked
+ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "neyman_allocation_events": neyman_allocation_events,
     "winsorize_events": winsorize_events,
     "seasonal_anomalies_events": seasonal_anomalies_events,
     "frequent_paths_events": frequent_paths_events,
@@ -1679,6 +1819,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "neyman_allocation_events": NEYMAN_ORACLE,
     "winsorize_events": WINSORIZE_ORACLE,
     "seasonal_anomalies_events": SEASONAL_ANOMALIES_ORACLE,
     "frequent_paths_events": FREQUENT_PATHS_ORACLE,
