@@ -102,6 +102,14 @@ HEADLINE = [
     "late_interaction_topk",
     "mutual_nn_embeddings",
     "bootstrap_by_source_documents",
+    # round-6 additions: SQ8 quantization (narrow map stage), embedding-space
+    # decontamination (cross-split LSH join), MinHash estimator calibration
+    # (signature + exact-Jaccard legs), exact 2-hop harmonic centrality
+    # (wedge-budget join)
+    "quantize_int8_embeddings",
+    "semantic_decontaminate_embeddings",
+    "minhash_jaccard_error_documents",
+    "harmonic_2hop_parts",
 ]
 
 

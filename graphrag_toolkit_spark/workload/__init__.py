@@ -100,6 +100,8 @@ _CHECK_FIRST = [
     "semantic_decontaminate_embeddings",
     "minhash_jaccard_error_documents",
     "neyman_allocation_events",
+    "ann_ivf_recall",
+    "packing_efficiency_documents",
     # --- green, last driver-verified round 1 ---
     "ann_ivf_topk",
     "cascade_delete_counts",

@@ -1425,6 +1425,85 @@ FROM c
 """
 
 
+def packing_efficiency_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-quality audit over `packing.pack_sequences`' layout: per
+    bucket — docs, tokens, sequences used (ceil(tokens/seq_len)), pad
+    waste in the final sequence, the fraction of docs split across a
+    sequence boundary (the attention-fragmentation cost of contiguous
+    packing), and fill efficiency. The dashboard a training-export job
+    checks before shipping shards. Exact integers + two exact-operand
+    divisions; one aggregate over the packing projection."""
+    docs = load(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(textstats.WORD_RE)).alias("n_tok"),
+    )
+    packed = packing.pack_sequences(
+        with_tokens, "doc_id", "n_tok", seq_len=PACK_SEQ_LEN, n_buckets=PACK_BUCKETS
+    ).withColumnRenamed("id", "doc_id")
+    j = packed.join(with_tokens, "doc_id")
+    split_doc = F.when(F.col("offset") + F.col("n_tok") > PACK_SEQ_LEN, 1).otherwise(0)
+    n_seqs = F.expr(f"(sum(n_tok) + {PACK_SEQ_LEN - 1}) div {PACK_SEQ_LEN}")
+    return (
+        j.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            n_seqs.cast("long").alias("n_seqs"),
+            (n_seqs * PACK_SEQ_LEN - F.sum("n_tok")).cast("long").alias("pad_waste"),
+            F.sum(split_doc).cast("long").alias("n_split_docs"),
+            (F.sum(split_doc).cast("double") / F.count(F.lit(1)).cast("double"))
+            .alias("split_frac"),
+            (
+                F.sum("n_tok").cast("double")
+                / (n_seqs * PACK_SEQ_LEN).cast("double")
+            ).alias("efficiency"),
+        )
+        .orderBy("bucket")
+    )
+
+
+PACKING_EFFICIENCY_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{textstats.WORD_RE}')) AS n_tok,
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) AS h
+  FROM documents
+),
+b AS (
+  SELECT doc_id, n_tok, h, CAST(h % {PACK_BUCKETS} AS INTEGER) AS bucket FROM t
+),
+c AS (
+  SELECT doc_id, bucket, n_tok,
+         SUM(n_tok) OVER (PARTITION BY bucket ORDER BY h, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM b
+),
+d AS (
+  SELECT bucket, n_tok,
+         CASE WHEN (cum - n_tok) % {PACK_SEQ_LEN} + n_tok > {PACK_SEQ_LEN}
+              THEN 1 ELSE 0 END AS split_doc
+  FROM c
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST((SUM(n_tok) + {PACK_SEQ_LEN - 1}) // {PACK_SEQ_LEN} AS BIGINT)
+         AS n_seqs,
+       CAST((SUM(n_tok) + {PACK_SEQ_LEN - 1}) // {PACK_SEQ_LEN}
+            * {PACK_SEQ_LEN} - SUM(n_tok) AS BIGINT) AS pad_waste,
+       CAST(SUM(split_doc) AS BIGINT) AS n_split_docs,
+       CAST(SUM(split_doc) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS split_frac,
+       CAST(SUM(n_tok) AS DOUBLE)
+         / CAST((SUM(n_tok) + {PACK_SEQ_LEN - 1}) // {PACK_SEQ_LEN}
+                * {PACK_SEQ_LEN} AS DOUBLE) AS efficiency
+FROM d
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
 def dedup_keep_best_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware dedup survivors: MinHash near-dup clusters, keep the
     highest-quality member per cluster — the composition a real corpus
@@ -3589,6 +3668,54 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_RECALL_K = 5
+
+
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF completeness check, the `embedding_neardup_recall` twin for the
+    other index family: recall@k of the nprobe-bounded IVF probe against
+    the exact brute-force cosine top-k, per query — the measured price of
+    probing nprobe of the centroid lists instead of scanning the corpus.
+    The brute-force leg is the bounded verifier (|queries|×corpus, queries
+    broadcast); recall is integer hits over one exact division."""
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    queries = emb.filter(
+        (F.col("vec_id") >= 10) & (F.col("vec_id") < 13)
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    ivf = ann.ivf_topk(
+        emb, centroids, queries, id_col="vec_id", nprobe=NPROBE, k=IVF_RECALL_K
+    ).select("query_id", "id", F.lit(1).alias("_i"))
+    from graphrag_toolkit_spark.functions.vector import cosine_similarity_quantized
+
+    q = queries.select("query_id", F.col("embedding").alias("qe"))
+    scored = emb.crossJoin(F.broadcast(q)).withColumn(
+        "score", cosine_similarity_quantized(F.col("embedding"), F.col("qe"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    exact = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= IVF_RECALL_K)
+        .select("query_id", F.col("vec_id").alias("id"))
+    )
+    return (
+        exact.join(ivf, ["query_id", "id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.count("_i").cast("long").alias("n_hit"),
+            (F.count("_i").cast("double") / F.lit(float(IVF_RECALL_K))).alias(
+                "recall"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+
+
 KMEANS_ITERS = 2
 
 
@@ -3783,6 +3910,76 @@ SELECT query_id, vec_id AS id, score, rank FROM (
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
   FROM final_scores
 ) WHERE rank <= 5
+"""
+
+
+ANN_IVF_RECALL_ORACLE = f"""
+WITH cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < {N_CENTROIDS}),
+pairs AS (
+  SELECT e.vec_id AS key_a, c.cid AS key_b, e.embedding AS ea, c.cemb AS eb
+  FROM embeddings e, cent c
+),
+assign_scores AS ({_PAIR_COSINE}),
+assigned AS (
+  SELECT key_a AS vec_id, key_b AS cid FROM (
+    SELECT key_a, key_b, score,
+           ROW_NUMBER() OVER (PARTITION BY key_a ORDER BY score DESC, key_b) AS rn
+    FROM assign_scores
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT key_a AS query_id, key_b AS cid FROM (
+    SELECT key_a, key_b, score,
+           ROW_NUMBER() OVER (PARTITION BY key_a ORDER BY score DESC, key_b) AS rn
+    FROM assign_scores WHERE key_a >= 10 AND key_a < 13
+  ) WHERE rn <= {NPROBE}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probes p JOIN assigned a ON a.cid = p.cid
+),
+qterms AS (
+  SELECT c.query_id, c.vec_id,
+         {_EMB_Q.format(x='e.embedding[i]')} AS xe,
+         {_EMB_Q.format(x='q.embedding[i]')} AS xq
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN embeddings q ON q.vec_id = c.query_id, generate_series(1, 64) AS t(i)
+),
+final_scores AS (
+  SELECT query_id, vec_id,
+         CAST(SUM(xe * xq) AS DOUBLE)
+           / (sqrt(CAST(SUM(xe * xe) AS DOUBLE)) * sqrt(CAST(SUM(xq * xq) AS DOUBLE))) AS score
+  FROM qterms GROUP BY query_id, vec_id
+),
+ivf AS (
+  SELECT query_id, vec_id AS id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+    FROM final_scores
+  ) WHERE rank <= {IVF_RECALL_K}
+),
+epairs AS (
+  SELECT q.vec_id AS key_a, e.vec_id AS key_b, q.embedding AS ea, e.embedding AS eb
+  FROM embeddings q, embeddings e
+  WHERE q.vec_id >= 10 AND q.vec_id < 13
+),
+exact_scores AS ({_PAIR_COSINE.replace("FROM pairs l", "FROM epairs l")}),
+exact AS (
+  SELECT key_a AS query_id, key_b AS id FROM (
+    SELECT key_a, key_b,
+           ROW_NUMBER() OVER (PARTITION BY key_a ORDER BY score DESC, key_b) AS rn
+    FROM exact_scores
+  ) WHERE rn <= {IVF_RECALL_K}
+)
+SELECT x.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(COUNT(v.id) AS BIGINT) AS n_hit,
+       CAST(COUNT(v.id) AS DOUBLE) / {float(IVF_RECALL_K)} AS recall
+FROM exact x
+LEFT JOIN ivf v ON v.query_id = x.query_id AND v.id = x.id
+GROUP BY x.query_id
+ORDER BY x.query_id
 """
 
 
@@ -5273,6 +5470,8 @@ QUERIES = {
     "doc_length_gate_documents": doc_length_gate_documents,
     "semantic_decontaminate_embeddings": semantic_decontaminate_embeddings,
     "minhash_jaccard_error_documents": minhash_jaccard_error_documents,
+    "ann_ivf_recall": ann_ivf_recall,
+    "packing_efficiency_documents": packing_efficiency_documents,
     "pq_adc_topk": pq_adc_topk,
     "pack_sequences_documents": pack_sequences_documents,
     "dedup_keep_best_documents": dedup_keep_best_documents,
@@ -5376,6 +5575,8 @@ ORACLES = {
     "doc_length_gate_documents": DOC_LEN_GATE_ORACLE,
     "semantic_decontaminate_embeddings": SEMANTIC_DECON_ORACLE,
     "minhash_jaccard_error_documents": MINHASH_JACCARD_ERROR_ORACLE,
+    "ann_ivf_recall": ANN_IVF_RECALL_ORACLE,
+    "packing_efficiency_documents": PACKING_EFFICIENCY_ORACLE,
     "pq_adc_topk": _pq_adc_oracle(),
     "pack_sequences_documents": PACK_SEQUENCES_ORACLE,
     "dedup_keep_best_documents": DEDUP_KEEP_BEST_ORACLE,

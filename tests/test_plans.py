@@ -671,3 +671,23 @@ def test_harmonic_2hop_no_cartesian(spark):
     plan = plan_of(harmonic_2hop(edges), mode="simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_decontaminate_joins_through_bucket(spark):
+    """test×train pairs may only form through the LSH bucket equi-join —
+    no cartesian / nested-loop path from test to train."""
+    from graphrag_toolkit_spark.operators.decontam import embedding_decontaminate
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 5) - 2.0 for j in range(8)]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    test = emb.filter("vec_id < 5")
+    train = emb.filter("vec_id >= 5")
+    plan = plan_of(
+        embedding_decontaminate(test, train, "vec_id", "embedding", 0.9,
+                                n_planes=4, dim=8),
+        mode="simple",
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
