@@ -102,6 +102,7 @@ _CHECK_FIRST = [
     "neyman_allocation_events",
     "ann_ivf_recall",
     "packing_efficiency_documents",
+    "burstiness_events",
     # --- green, last driver-verified round 1 ---
     "ann_ivf_topk",
     "cascade_delete_counts",

@@ -1642,6 +1642,60 @@ ORDER BY event_type
 """
 
 
+def burstiness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type traffic burstiness: the Fano factor (variance/mean) of the
+    DAILY event counts — F ≈ 1 is Poisson-like arrivals, F ≫ 1 is bursty
+    (flash crowds, batch jobs), F ≪ 1 is metronomic. The dispersion
+    diagnostic a pipeline checks before trusting rate-based anomaly
+    thresholds. Days with zero events don't emit a daily row and are
+    OUTSIDE the statistic (observed-days convention, both engines).
+
+    EXACTNESS: daily counts are integers, so variance·n·(n−1) and the
+    Fano numerator n·(n·Σc² − (Σc)²) are exact BIGINT; mean and Fano are
+    each ONE division of exact operands."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n = F.count(F.lit(1))
+    sc = F.sum("c")
+    sc2 = F.sum(F.col("c") * F.col("c"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            n.cast("long").alias("n_days"),
+            sc.cast("long").alias("n_events"),
+            (sc.cast("double") / n.cast("double")).alias("mean_daily"),
+            (
+                (n * (n * sc2 - sc * sc)).cast("double")
+                / (n * (n - 1) * sc).cast("double")
+            ).alias("fano"),
+        )
+        .orderBy("event_type")
+    )
+
+
+BURSTINESS_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+agg AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS sc,
+         CAST(SUM(c * c) AS BIGINT) AS sc2
+  FROM daily GROUP BY event_type
+)
+SELECT event_type, n AS n_days, sc AS n_events,
+       CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) AS mean_daily,
+       CAST(n * (n * sc2 - sc * sc) AS DOUBLE)
+         / CAST(n * (n - 1) * sc AS DOUBLE) AS fano
+FROM agg
+ORDER BY event_type
+"""
+
+
 NEYMAN_BUDGET = 1000
 
 
@@ -1783,6 +1837,7 @@ ORDER BY event_type
 
 QUERIES = {
     "neyman_allocation_events": neyman_allocation_events,
+    "burstiness_events": burstiness_events,
     "winsorize_events": winsorize_events,
     "seasonal_anomalies_events": seasonal_anomalies_events,
     "frequent_paths_events": frequent_paths_events,
@@ -1820,6 +1875,7 @@ QUERIES = {
 
 ORACLES = {
     "neyman_allocation_events": NEYMAN_ORACLE,
+    "burstiness_events": BURSTINESS_ORACLE,
     "winsorize_events": WINSORIZE_ORACLE,
     "seasonal_anomalies_events": SEASONAL_ANOMALIES_ORACLE,
     "frequent_paths_events": FREQUENT_PATHS_ORACLE,
