@@ -2481,3 +2481,45 @@ class TestQuantizeInt8:
             for r in quantize_int8(emb.repartition(7)).collect()
         )
         assert a == b
+
+
+class TestRound6TextOps:
+    def test_doc_length_gate_exact_rank_thresholds(self, spark):
+        # 20 docs with token counts 1..20: k_lo = ceil(0.05*20) = 1 -> lo=1,
+        # k_hi = ceil(0.95*20) = 19 -> hi=19: exactly one doc dropped (20).
+        from graphrag_toolkit_spark.workload.dataprep import (
+            doc_length_gate_documents,
+        )
+        import tempfile, os
+
+        docs = spark.createDataFrame(
+            [(i, " ".join(["w"] * i), "en", "s0", 0) for i in range(1, 21)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        with tempfile.TemporaryDirectory() as d:
+            docs.write.parquet(os.path.join(d, "documents.parquet"))
+            out = doc_length_gate_documents(spark, d).collect()
+        r = out[0]
+        assert (r["lo_tokens"], r["hi_tokens"]) == (1, 19)
+        assert r["n_docs"] == 20 and r["kept"] == 19
+        assert r["dropped_short"] == 0 and r["dropped_long"] == 1
+        assert r["kept_frac"] == 19 / 20
+
+    def test_oov_rate_min_count_boundary(self, spark):
+        # "rare" appears 4 times (< min_count 5 -> OOV); "common" 5 times
+        # (in vocab). Source s0 holds all rare tokens.
+        from graphrag_toolkit_spark.workload.dataprep import oov_rate_documents
+        import tempfile, os
+
+        rows = [(i, "common", "en", "s1", 0) for i in range(5)] + [
+            (10 + i, "rare", "en", "s0", 0) for i in range(4)
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        with tempfile.TemporaryDirectory() as d:
+            docs.write.parquet(os.path.join(d, "documents.parquet"))
+            got = {r["source"]: r for r in oov_rate_documents(spark, d).collect()}
+        assert got["s0"]["oov_tokens"] == 4 and got["s0"]["oov_types"] == 1
+        assert got["s0"]["oov_rate"] == 1.0
+        assert got["s1"]["oov_tokens"] == 0 and got["s1"]["oov_rate"] == 0.0
