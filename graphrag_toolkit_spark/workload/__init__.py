@@ -103,6 +103,7 @@ _CHECK_FIRST = [
     "ann_ivf_recall",
     "packing_efficiency_documents",
     "burstiness_events",
+    "embedding_outliers",
     # --- green, last driver-verified round 1 ---
     "ann_ivf_topk",
     "cascade_delete_counts",

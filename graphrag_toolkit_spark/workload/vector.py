@@ -765,6 +765,104 @@ HAVING COUNT(DISTINCT token) = {len(set(BOOL_TERMS))}
 """
 
 
+OUTLIER_TOP_N = 20
+
+
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier detection: the top-N vectors farthest from the
+    corpus centroid — the quality gate that catches corrupt/degenerate
+    embeddings (failed encodes, zero rows, wrong-model strays) before they
+    poison an index or a clustering run.
+
+    EXACTNESS: comparing distances to a MEAN centroid usually forces
+    inexact double sums, so the ranking key is the n²-scaled distance
+    D_i = Σ_j (n·v_ij − S_j)² computed ENTIRELY in decimal (v on the 10⁻⁶
+    grid, S_j the exact per-dimension decimal sum) — D_i/n² = |v_i − μ|²
+    exactly, and decimal comparisons are engine-exact. The reported d2
+    divides the FLOOR-split double of D (decimal→double is only correctly
+    rounded under 2^53 raw) by the exact n².
+
+    Scale shape: one posexplode aggregate for the 64-row centroid table
+    (broadcast), one narrow scan for the per-vector fold, one
+    TakeOrderedAndProject for the top-N. Tight decimal widths documented
+    inline (|n·v − S| < 10¹³) keep every product exact in both engines."""
+    from pyspark.sql.window import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double"), 6).cast("decimal(12,6)"),
+    )
+    ex = emb.select("vec_id", F.posexplode(q).alias("dim", "v"))
+    cent = ex.groupBy("dim").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    # diff = n·v − S fits decimal(19,6); the asymmetric (19,6)×(13,6)
+    # square keeps DuckDB's twin on its HUGEINT multiply path (symmetric
+    # 18-digit operands overflow its INT64 fast path).
+    diff = (
+        F.col("n").cast("decimal(9,0)") * F.col("v") - F.col("s").cast("decimal(22,6)")
+    )
+    d2 = (
+        diff.cast("decimal(19,6)") * diff.cast("decimal(13,6)")
+    )
+    per = (
+        ex.join(F.broadcast(cent), "dim")
+        .select("vec_id", d2.alias("_d2"), "n")
+        .groupBy("vec_id")
+        .agg(F.sum("_d2").alias("_big"), F.max("n").alias("_n"))
+    )
+    # FLOOR-split needs headroom: a (38,12)−(38,12) subtraction requires
+    # precision 39, so Spark silently rounds the fraction to scale 11
+    # (1-ulp d2 divergence, seen at sf0.001/0.01). Re-bound to (30,12)
+    # first — D < 10¹⁸ by the width analysis above — so the subtraction
+    # fits at (31,12) exactly.
+    big30 = F.col("_big").cast("decimal(30,12)")
+    d2_dbl = (
+        F.floor(big30).cast("double")
+        + (big30 - F.floor(big30).cast("decimal(30,12)")).cast("double")
+    ) / (F.col("_n") * F.col("_n")).cast("double")
+    w = Window.orderBy(F.desc("_big"), F.asc("vec_id"))
+    return (
+        per.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= OUTLIER_TOP_N)
+        .select("vec_id", F.col("rank").cast("int").alias("rank"), d2_dbl.alias("d2"))
+        .orderBy("rank")
+    )
+
+
+EMBEDDING_OUTLIERS_ORACLE = f"""
+WITH ex AS (
+  SELECT vec_id, t.i AS dim,
+         CAST(ROUND(CAST(embedding[t.i] AS DOUBLE), 6) AS DECIMAL(12,6)) AS v
+  FROM embeddings, generate_series(1, 64) AS t(i)
+),
+cent AS (
+  SELECT dim, SUM(v) AS s, CAST(COUNT(*) AS BIGINT) AS n FROM ex GROUP BY dim
+),
+per AS (
+  SELECT ex.vec_id,
+         SUM(CAST(CAST(cent.n AS DECIMAL(9,0)) * ex.v
+                  - CAST(cent.s AS DECIMAL(22,6)) AS DECIMAL(19,6))
+             * CAST(CAST(cent.n AS DECIMAL(9,0)) * ex.v
+                    - CAST(cent.s AS DECIMAL(22,6)) AS DECIMAL(13,6))) AS big,
+         MAX(cent.n) AS n
+  FROM ex JOIN cent USING (dim)
+  GROUP BY ex.vec_id
+),
+ranked AS (
+  SELECT vec_id, big, n,
+         ROW_NUMBER() OVER (ORDER BY big DESC, vec_id) AS rank
+  FROM per
+)
+SELECT vec_id, CAST(rank AS INTEGER) AS rank,
+       (CAST(FLOOR(big) AS DOUBLE) + CAST(big - FLOOR(big) AS DOUBLE))
+         / CAST(n * n AS DOUBLE) AS d2
+FROM ranked WHERE rank <= {OUTLIER_TOP_N}
+ORDER BY rank
+"""
+
+
 def embedding_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector component statistics via higher-order array folds (no
     explode): min/max via array functions, mean from the quantized-decimal
@@ -906,6 +1004,7 @@ QUERIES = {
     "hybrid_rrf_documents": hybrid_rrf_documents,
     "boolean_and_search_documents": boolean_and_search_documents,
     "embedding_component_stats": embedding_component_stats,
+    "embedding_outliers": embedding_outliers,
     "cosine_topk_diverse": cosine_topk_diverse,
     "dense_link_embeddings": dense_link_embeddings,
     "beam_search_embeddings": beam_search_embeddings,
@@ -924,6 +1023,7 @@ ORACLES = {
     "hybrid_rrf_documents": HYBRID_RRF_ORACLE,
     "boolean_and_search_documents": BOOL_AND_ORACLE,
     "embedding_component_stats": COMPONENT_STATS_ORACLE,
+    "embedding_outliers": EMBEDDING_OUTLIERS_ORACLE,
     "cosine_topk_diverse": DIVERSITY_ORACLE,
     "dense_link_embeddings": DENSE_LINK_ORACLE,
     "beam_search_embeddings": BEAM_ORACLE,
