@@ -104,6 +104,7 @@ _CHECK_FIRST = [
     "packing_efficiency_documents",
     "burstiness_events",
     "embedding_outliers",
+    "vector_index_pipeline",
     # --- green, last driver-verified round 1 ---
     "ann_ivf_topk",
     "cascade_delete_counts",

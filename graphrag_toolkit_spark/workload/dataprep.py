@@ -4222,6 +4222,126 @@ ORDER BY bucket
 LSH_PURITY_ORACLE = _lsh_purity_oracle()
 
 
+def vector_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end vector-index build, composed from the gated primitives
+    (`training_data_pipeline`'s discipline in vector land): drop the
+    exact-decimal centroid outliers (`workload.vector.embedding_outliers`
+    core), SQ8-quantize the survivors (`pq.quantize_int8`), shard by
+    sign-LSH bucket, and emit the per-shard build manifest (occupancy,
+    scale range, integer code sums, saturation). One Catalyst plan; the
+    oracle chains the same CTEs. All emitted aggregates are exact
+    integers or min/max of per-vector doubles (no double summation)."""
+    from graphrag_toolkit_spark.workload.vector import OUTLIER_TOP_N
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double"), 6).cast("decimal(12,6)"),
+    )
+    ex = emb.select("vec_id", F.posexplode(q).alias("dim", "v"))
+    cent = ex.groupBy("dim").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    diff = (
+        F.col("n").cast("decimal(9,0)") * F.col("v")
+        - F.col("s").cast("decimal(22,6)")
+    )
+    d2 = diff.cast("decimal(19,6)") * diff.cast("decimal(13,6)")
+    per = (
+        ex.join(F.broadcast(cent), "dim")
+        .select("vec_id", d2.alias("_d2"))
+        .groupBy("vec_id")
+        .agg(F.sum("_d2").alias("_big"))
+    )
+    w = Window.orderBy(F.desc("_big"), F.asc("vec_id"))
+    outlier_ids = (
+        per.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= OUTLIER_TOP_N)
+        .select("vec_id")
+    )
+    clean = emb.join(F.broadcast(outlier_ids), "vec_id", "left_anti")
+    quant = pq.quantize_int8(clean, "vec_id", "embedding").select(
+        F.col("id").alias("vec_id"),
+        "scale",
+        F.aggregate(
+            "codes", F.lit(0).cast("long"), lambda a, c: a + c.cast("long")
+        ).alias("code_sum"),
+        F.aggregate(
+            "codes",
+            F.lit(0).cast("long"),
+            lambda a, c: a + F.when(F.abs(c) == 127, 1).otherwise(0),
+        ).alias("n_sat"),
+    )
+    planes = ann.hyperplanes(N_PLANES_DEDUP, 64)
+    bucketed = clean.select(
+        "vec_id", ann.lsh_bucket(F.col("embedding"), planes).alias("bucket")
+    )
+    return (
+        bucketed.join(quant, "vec_id")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.min("scale").alias("min_scale"),
+            F.max("scale").alias("max_scale"),
+            F.sum("code_sum").cast("long").alias("sum_codes"),
+            F.sum("n_sat").cast("long").alias("n_sat"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _vector_index_pipeline_oracle() -> str:
+    from graphrag_toolkit_spark.workload.vector import (
+        OUTLIER_CTE_SQL,
+        OUTLIER_TOP_N,
+    )
+
+    bucket_over_clean = _bucket_sql(N_PLANES_DEDUP).replace(
+        "FROM embeddings e", "FROM clean e"
+    )
+    return f"""
+WITH {OUTLIER_CTE_SQL},
+clean AS (
+  SELECT e.* FROM embeddings e
+  WHERE NOT EXISTS (SELECT 1 FROM ranked r
+                    WHERE r.vec_id = e.vec_id AND r.rank <= {OUTLIER_TOP_N})
+),
+q2 AS (
+  SELECT vec_id, t.i, {_EMB_Q.format(x='embedding[t.i]')} AS qv
+  FROM clean, generate_series(1, 64) AS t(i)
+),
+sc2 AS (SELECT vec_id, MAX(ABS(qv)) AS s_dec FROM q2 GROUP BY vec_id),
+codes2 AS (
+  SELECT q2.vec_id,
+         CASE WHEN sc2.s_dec = 0 THEN 0
+              ELSE CAST(FLOOR(CAST(q2.qv AS DOUBLE) * 127.0
+                              / CAST(sc2.s_dec AS DOUBLE)) AS INTEGER)
+         END AS code,
+         CAST(sc2.s_dec AS DOUBLE) AS scale
+  FROM q2 JOIN sc2 USING (vec_id)
+),
+sums AS (
+  SELECT vec_id, MAX(scale) AS scale,
+         CAST(SUM(code) AS BIGINT) AS code_sum,
+         CAST(SUM(CASE WHEN ABS(code) = 127 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_sat
+  FROM codes2 GROUP BY vec_id
+),
+{bucket_over_clean.strip().rstrip()}
+SELECT b.bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       MIN(s.scale) AS min_scale, MAX(s.scale) AS max_scale,
+       CAST(SUM(s.code_sum) AS BIGINT) AS sum_codes,
+       CAST(SUM(s.n_sat) AS BIGINT) AS n_sat
+FROM buckets b JOIN sums s USING (vec_id)
+GROUP BY b.bucket
+ORDER BY b.bucket
+"""
+
+
+VECTOR_INDEX_PIPELINE_ORACLE = _vector_index_pipeline_oracle()
+
+
 def quantize_int8_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 scalar quantization (`pq.quantize_int8`) of the
     embedding table — SQ8, the lighter compression rung beside PQ: per
@@ -5472,6 +5592,7 @@ QUERIES = {
     "minhash_jaccard_error_documents": minhash_jaccard_error_documents,
     "ann_ivf_recall": ann_ivf_recall,
     "packing_efficiency_documents": packing_efficiency_documents,
+    "vector_index_pipeline": vector_index_pipeline,
     "pq_adc_topk": pq_adc_topk,
     "pack_sequences_documents": pack_sequences_documents,
     "dedup_keep_best_documents": dedup_keep_best_documents,
@@ -5577,6 +5698,7 @@ ORACLES = {
     "minhash_jaccard_error_documents": MINHASH_JACCARD_ERROR_ORACLE,
     "ann_ivf_recall": ANN_IVF_RECALL_ORACLE,
     "packing_efficiency_documents": PACKING_EFFICIENCY_ORACLE,
+    "vector_index_pipeline": VECTOR_INDEX_PIPELINE_ORACLE,
     "pq_adc_topk": _pq_adc_oracle(),
     "pack_sequences_documents": PACK_SEQUENCES_ORACLE,
     "dedup_keep_best_documents": DEDUP_KEEP_BEST_ORACLE,

@@ -831,8 +831,9 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EMBEDDING_OUTLIERS_ORACLE = f"""
-WITH ex AS (
+# Shared CTE body (ex → cent → per → ranked): the exact-decimal outlier
+# ranking, reused by dataprep's vector_index_pipeline oracle.
+OUTLIER_CTE_SQL = """ex AS (
   SELECT vec_id, t.i AS dim,
          CAST(ROUND(CAST(embedding[t.i] AS DOUBLE), 6) AS DECIMAL(12,6)) AS v
   FROM embeddings, generate_series(1, 64) AS t(i)
@@ -854,7 +855,10 @@ ranked AS (
   SELECT vec_id, big, n,
          ROW_NUMBER() OVER (ORDER BY big DESC, vec_id) AS rank
   FROM per
-)
+)"""
+
+EMBEDDING_OUTLIERS_ORACLE = f"""
+WITH {OUTLIER_CTE_SQL}
 SELECT vec_id, CAST(rank AS INTEGER) AS rank,
        (CAST(FLOOR(big) AS DOUBLE) + CAST(big - FLOOR(big) AS DOUBLE))
          / CAST(n * n AS DOUBLE) AS d2
