@@ -691,3 +691,21 @@ def test_embedding_decontaminate_joins_through_bucket(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_vector_index_pipeline_no_cartesian(spark, tmp_path):
+    """The composed index build must stay equi-join-only: outlier anti-join,
+    quantize projection, bucket join — no cartesian anywhere."""
+    import os
+    from graphrag_toolkit_spark.workload.dataprep import vector_index_pipeline
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 3 + j) % 9) - 4.0 for j in range(64)], i % 4)
+         for i in range(40)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    d = str(tmp_path)
+    emb.write.parquet(os.path.join(d, "embeddings.parquet"))
+    plan = plan_of(vector_index_pipeline(spark, d), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
