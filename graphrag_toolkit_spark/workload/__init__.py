@@ -105,6 +105,7 @@ _CHECK_FIRST = [
     "burstiness_events",
     "embedding_outliers",
     "vector_index_pipeline",
+    "neyman_sample_events",
     # --- green, last driver-verified round 1 ---
     "ann_ivf_topk",
     "cascade_delete_counts",

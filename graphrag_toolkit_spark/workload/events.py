@@ -1777,8 +1777,31 @@ def neyman_allocation_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
-NEYMAN_ORACLE = f"""
-WITH per AS (
+def neyman_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE the Neyman plan: draw exactly `alloc` rows per stratum by
+    content-hash order (the deterministic-sample discipline — the same
+    rows survive on every engine, every run) — plan → sample in one job.
+    Output is the sampled (event_type, event_id) set itself, so the gate
+    hashes the exact membership, not just counts.
+
+    Scale shape: the quota table is stratum-sized and broadcast; the draw
+    is one per-stratum rank window over the events scan."""
+    alloc = neyman_allocation_events(spark, sf_dir).select("event_type", "alloc")
+    ev = load(spark, sf_dir, "events").select("event_type", "event_id")
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.concat(F.lit("ns|"), F.col("event_id").cast("string"))),
+        F.asc("event_id"),
+    )
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(alloc), "event_type")
+        .filter(F.col("_rn") <= F.col("alloc"))
+        .select("event_type", "event_id")
+        .orderBy("event_type", "event_id")
+    )
+
+
+_NEYMAN_CTE = f"""per AS (
   SELECT event_type,
          CAST(COUNT(*) AS BIGINT) AS n_h,
          SUM(CAST(ROUND(CAST(value AS DOUBLE), 6) AS DECIMAL(12,6))) AS sum_v,
@@ -1827,16 +1850,42 @@ ranked AS (
          ROW_NUMBER() OVER (ORDER BY raw - FLOOR(raw) DESC, event_type) AS rk,
          {NEYMAN_BUDGET} - SUM(base) OVER () AS short
   FROM alloc
-)
+)"""
+
+NEYMAN_ORACLE = f"""
+WITH {_NEYMAN_CTE}
 SELECT event_type, n_h, w / CAST(n_h AS DOUBLE) AS s_h, share,
        CAST(base + CASE WHEN rk <= short THEN 1 ELSE 0 END AS BIGINT) AS alloc
 FROM ranked
 ORDER BY event_type
 """
 
+NEYMAN_SAMPLE_ORACLE = f"""
+WITH {_NEYMAN_CTE},
+quota AS (
+  SELECT event_type,
+         CAST(base + CASE WHEN rk <= short THEN 1 ELSE 0 END AS BIGINT)
+           AS alloc
+  FROM ranked
+),
+drawn AS (
+  SELECT event_type, event_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type
+           ORDER BY md5('ns|' || CAST(event_id AS VARCHAR)), event_id
+         ) AS rn
+  FROM events
+)
+SELECT d.event_type, d.event_id
+FROM drawn d JOIN quota q USING (event_type)
+WHERE d.rn <= q.alloc
+ORDER BY d.event_type, d.event_id
+"""
+
 
 QUERIES = {
     "neyman_allocation_events": neyman_allocation_events,
+    "neyman_sample_events": neyman_sample_events,
     "burstiness_events": burstiness_events,
     "winsorize_events": winsorize_events,
     "seasonal_anomalies_events": seasonal_anomalies_events,
@@ -1875,6 +1924,7 @@ QUERIES = {
 
 ORACLES = {
     "neyman_allocation_events": NEYMAN_ORACLE,
+    "neyman_sample_events": NEYMAN_SAMPLE_ORACLE,
     "burstiness_events": BURSTINESS_ORACLE,
     "winsorize_events": WINSORIZE_ORACLE,
     "seasonal_anomalies_events": SEASONAL_ANOMALIES_ORACLE,
