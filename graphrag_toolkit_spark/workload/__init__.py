@@ -106,6 +106,7 @@ _CHECK_FIRST = [
     "embedding_outliers",
     "vector_index_pipeline",
     "neyman_sample_events",
+    "content_chunks_documents",
     # --- green, last driver-verified round 1 ---
     "ann_ivf_topk",
     "cascade_delete_counts",

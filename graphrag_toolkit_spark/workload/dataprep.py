@@ -29,6 +29,13 @@ _STOP_PAT = r"\b(" + "|".join(textstats.STOPWORDS) + r")\b"
 NUM_HASHES = 12
 BANDS = 6  # 6 bands x 2 rows: catch prob ~0.93 at j=0.6, ~1.0 at j=0.9
 SHINGLE_K = 2
+
+# DuckDB 1.0 generate_series takes only constants, so position-scanning
+# oracles (audio VAD, content-defined chunking) use a fixed 1..N series
+# filtered to each doc's true length. tests/test_dataprep_ops.py::
+# TestAudioEnergy::test_oracle_len_bound asserts max(length(text)) <= N at
+# every available SF so fixture growth past the bound fails loudly.
+AUDIO_ORACLE_MAX_LEN = 1024
 JACCARD_THRESHOLD = 0.5
 
 # shared shingle CTE (word unigrams, lowercased, distinct per doc)
@@ -4222,6 +4229,84 @@ ORDER BY bucket
 LSH_PURITY_ORACLE = _lsh_purity_oracle()
 
 
+CDC_WINDOW = 8     # bytes hashed per boundary probe
+CDC_MASK = 64      # P(boundary) = 1/64 -> expected chunk ~64 chars
+
+
+def content_chunks_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the LBFS/restic/borg dedup-storage trick,
+    and the chunking layer under incremental-sync pipelines): a chunk
+    boundary falls wherever the hash of the CDC_WINDOW-byte window at
+    position i satisfies h % CDC_MASK == 0 — so boundaries move WITH the
+    content, and an insertion only re-chunks its neighborhood instead of
+    shifting every downstream chunk (what fixed-size chunking gets wrong).
+    Per doc: boundary count, chunk count, first boundary, mean chunk
+    length (one exact-operand division).
+
+    Engine-portable hashing: md5 of the window (first 7 hex chars → int),
+    not Spark's murmur `hash()`. The whole probe sequence is a JVM-side
+    higher-order array expression (sequence → transform → filter) — no
+    explode, no shuffle, no Python. Docs shorter than the window have no
+    probe positions: 0 boundaries, 1 chunk, in BOTH engines. The oracle
+    scans a fixed 1..{AUDIO_ORACLE_MAX_LEN} position series (same DuckDB
+    constant-bound workaround — and the same fixture-length pytest —
+    as the audio oracle)."""
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    length = F.length(t)
+    pos = F.when(
+        length >= CDC_WINDOW,
+        F.sequence(F.lit(1), length - F.lit(CDC_WINDOW - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    probe = F.transform(
+        pos,
+        lambda i: F.when(
+            F.conv(
+                F.substring(F.md5(t.substr(i, F.lit(CDC_WINDOW))), 1, 7), 16, 10
+            ).cast("long")
+            % CDC_MASK
+            == 0,
+            i,
+        ),
+    )
+    bnd = F.filter(probe, lambda x: x.isNotNull())
+    n_b = F.size(bnd).cast("long")
+    return docs.select(
+        "doc_id",
+        length.cast("long").alias("n_chars"),
+        n_b.alias("n_boundaries"),
+        (n_b + 1).cast("long").alias("n_chunks"),
+        F.try_element_at(bnd, F.lit(1)).cast("long").alias("first_boundary"),
+        (length.cast("double") / (n_b + 1).cast("double")).alias("mean_chunk_len"),
+    ).orderBy("doc_id")
+
+
+CONTENT_CHUNKS_ORACLE = f"""
+WITH probes AS (
+  SELECT doc_id, p.p AS i
+  FROM documents, generate_series(1, {AUDIO_ORACLE_MAX_LEN}) AS p(p)
+  WHERE p.p <= length(text) - {CDC_WINDOW - 1}
+    AND CAST('0x' || substring(md5(substring(text, CAST(p.p AS INTEGER),
+                                             {CDC_WINDOW})), 1, 7) AS BIGINT)
+        % {CDC_MASK} = 0
+),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_b,
+         CAST(MIN(i) AS BIGINT) AS first_b
+  FROM probes GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(length(d.text) AS BIGINT) AS n_chars,
+       CAST(COALESCE(a.n_b, 0) AS BIGINT) AS n_boundaries,
+       CAST(COALESCE(a.n_b, 0) + 1 AS BIGINT) AS n_chunks,
+       a.first_b AS first_boundary,
+       CAST(length(d.text) AS DOUBLE)
+         / CAST(COALESCE(a.n_b, 0) + 1 AS DOUBLE) AS mean_chunk_len
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def vector_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end vector-index build, composed from the gated primitives
     (`training_data_pipeline`'s discipline in vector land): drop the
@@ -5393,15 +5478,10 @@ def audio_vad_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.audio_energy(docs, "payload", "doc_id").orderBy("id")
 
 
-# DuckDB 1.0 generate_series takes only constants, so the oracle scans a
-# fixed 1..AUDIO_ORACLE_MAX_LEN position series filtered to each doc's true
-# length, while the Spark operator scans the full payload. Any fixture doc
-# longer than this bound would be silently truncated ORACLE-SIDE ONLY —
-# tests/test_dataprep_ops.py::TestAudioEnergy::test_oracle_len_bound asserts
-# max(length(text)) <= AUDIO_ORACLE_MAX_LEN at every available SF so growth
-# past the bound fails loudly instead of hash-mismatching.
-AUDIO_ORACLE_MAX_LEN = 1024
-
+# AUDIO_VAD_ORACLE scans a fixed 1..AUDIO_ORACLE_MAX_LEN series (constant
+# defined at the top of this module, shared with the content-chunking
+# oracle) filtered to each doc's true length, while the Spark operator
+# scans the full payload.
 AUDIO_VAD_ORACLE = f"""
 WITH chars AS (
   SELECT doc_id, (p.p - 1) // 16 AS wi,
@@ -5593,6 +5673,7 @@ QUERIES = {
     "ann_ivf_recall": ann_ivf_recall,
     "packing_efficiency_documents": packing_efficiency_documents,
     "vector_index_pipeline": vector_index_pipeline,
+    "content_chunks_documents": content_chunks_documents,
     "pq_adc_topk": pq_adc_topk,
     "pack_sequences_documents": pack_sequences_documents,
     "dedup_keep_best_documents": dedup_keep_best_documents,
@@ -5699,6 +5780,7 @@ ORACLES = {
     "ann_ivf_recall": ANN_IVF_RECALL_ORACLE,
     "packing_efficiency_documents": PACKING_EFFICIENCY_ORACLE,
     "vector_index_pipeline": VECTOR_INDEX_PIPELINE_ORACLE,
+    "content_chunks_documents": CONTENT_CHUNKS_ORACLE,
     "pq_adc_topk": _pq_adc_oracle(),
     "pack_sequences_documents": PACK_SEQUENCES_ORACLE,
     "dedup_keep_best_documents": DEDUP_KEEP_BEST_ORACLE,
