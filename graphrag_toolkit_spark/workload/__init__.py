@@ -107,6 +107,7 @@ _CHECK_FIRST = [
     "vector_index_pipeline",
     "neyman_sample_events",
     "content_chunks_documents",
+    "heaps_law_documents",
     # --- green, last driver-verified round 1 ---
     "ann_ivf_topk",
     "cascade_delete_counts",

@@ -4229,6 +4229,128 @@ ORDER BY bucket
 LSH_PURITY_ORACLE = _lsh_purity_oracle()
 
 
+HEAPS_DECILES = 10
+
+
+def heaps_law_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit: V(n) ≈ K·n^β over hash-ordered
+    corpus prefixes — the companion corpus-health diagnostic to
+    `zipf_fit_documents` (natural text: β ≈ 0.4-0.6; templated/duplicated
+    corpora flatten early, synthetic token soups run β → 1). Detects
+    "vocabulary exhaustion", the classic symptom of a crawl that's been
+    re-crawling itself.
+
+    The growth curve needs distinct-token counts at every prefix, but ONE
+    aggregate suffices: a token's first-appearance rank fr = min(doc rank
+    containing it), and V(k) = |{t : fr_t ≤ k}| — no per-prefix rescan.
+    Doc order is the content-hash order (engine-portable, re-ingestion
+    stable); the ln-fit uses the zipf/word_entropy grid-quantization
+    discipline with exact-decimal moment sums.
+
+    Scale shape: one token groupBy (vocab-sized), a 10-row broadcast
+    checkpoint table, a scalar moment aggregate. The doc-rank window is
+    the one global sort — at 100 TB swap in a precomputed ingest sequence
+    number for the same total order at zero sort cost."""
+    docs = load(spark, sf_dir, "documents")
+    wr = Window.orderBy(
+        F.md5(F.concat(F.lit("hp|"), F.col("doc_id").cast("string"))),
+        F.asc("doc_id"),
+    )
+    ranked = docs.select(
+        "text",
+        F.row_number().over(wr).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))).alias("n"),
+    )
+    tok = ranked.select(
+        "r",
+        F.explode(F.split(F.lower(F.col("text")), r"[^0-9a-z]+")).alias("token"),
+    ).filter(F.col("token") != "")
+    first = tok.groupBy("token").agg(F.min("r").alias("fr"))
+    cp = (
+        ranked.agg(F.max("n").alias("n"))
+        .select(
+            F.explode(F.sequence(F.lit(1), F.lit(HEAPS_DECILES))).alias("decile"),
+            "n",
+        )
+        .select(
+            "decile",
+            F.expr(f"(decile * n + {HEAPS_DECILES - 1}) div {HEAPS_DECILES}")
+            .alias("k"),
+        )
+    )
+    v = (
+        first.crossJoin(F.broadcast(cp))
+        .filter(F.col("fr") <= F.col("k"))
+        .groupBy("decile", "k")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    lnq = lambda c: F.round(F.log(c), 6).cast("decimal(12,6)")  # noqa: E731
+    pts = v.select(lnq(F.col("k")).alias("x"), lnq(F.col("v")).alias("y"))
+    agg = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_points"),
+        slope.alias("beta"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
+    )
+
+
+HEAPS_LAW_ORACLE = f"""
+WITH rk AS (
+  SELECT doc_id, text,
+         ROW_NUMBER() OVER (
+           ORDER BY md5('hp|' || CAST(doc_id AS VARCHAR)), doc_id) AS r,
+         COUNT(*) OVER () AS n
+  FROM documents
+),
+tok AS (
+  SELECT r, token FROM (
+    SELECT r, unnest(string_split_regex(lower(text), '[^0-9a-z]+')) AS token
+    FROM rk
+  ) WHERE token <> ''
+),
+first AS (SELECT token, MIN(r) AS fr FROM tok GROUP BY token),
+cp AS (
+  SELECT i.i AS decile,
+         (i.i * n + {HEAPS_DECILES - 1}) // {HEAPS_DECILES} AS k
+  FROM (SELECT DISTINCT n FROM rk), generate_series(1, {HEAPS_DECILES}) AS i(i)
+),
+v AS (
+  SELECT decile, k, CAST(COUNT(*) AS BIGINT) AS v
+  FROM first, cp WHERE fr <= k GROUP BY decile, k
+),
+pts AS (
+  SELECT CAST(ROUND(ln(k), 6) AS DECIMAL(12,6)) AS x,
+         CAST(ROUND(ln(v), 6) AS DECIMAL(12,6)) AS y
+  FROM v
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS sxx
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_points,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta,
+       (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept
+FROM agg
+"""
+
+
 CDC_WINDOW = 8     # bytes hashed per boundary probe
 CDC_MASK = 64      # P(boundary) = 1/64 -> expected chunk ~64 chars
 
@@ -5674,6 +5796,7 @@ QUERIES = {
     "packing_efficiency_documents": packing_efficiency_documents,
     "vector_index_pipeline": vector_index_pipeline,
     "content_chunks_documents": content_chunks_documents,
+    "heaps_law_documents": heaps_law_documents,
     "pq_adc_topk": pq_adc_topk,
     "pack_sequences_documents": pack_sequences_documents,
     "dedup_keep_best_documents": dedup_keep_best_documents,
@@ -5781,6 +5904,7 @@ ORACLES = {
     "packing_efficiency_documents": PACKING_EFFICIENCY_ORACLE,
     "vector_index_pipeline": VECTOR_INDEX_PIPELINE_ORACLE,
     "content_chunks_documents": CONTENT_CHUNKS_ORACLE,
+    "heaps_law_documents": HEAPS_LAW_ORACLE,
     "pq_adc_topk": _pq_adc_oracle(),
     "pack_sequences_documents": PACK_SEQUENCES_ORACLE,
     "dedup_keep_best_documents": DEDUP_KEEP_BEST_ORACLE,
