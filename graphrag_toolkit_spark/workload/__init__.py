@@ -108,6 +108,7 @@ _CHECK_FIRST = [
     "neyman_sample_events",
     "content_chunks_documents",
     "heaps_law_documents",
+    "sorted_batching_documents",
     # --- green, last driver-verified round 1 ---
     "ann_ivf_topk",
     "cascade_delete_counts",

@@ -4229,6 +4229,100 @@ ORDER BY bucket
 LSH_PURITY_ORACLE = _lsh_purity_oracle()
 
 
+BATCH_B = 32  # rows per training batch
+
+
+def sorted_batching_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-batching audit: padding waste of length-sorted batches vs
+    content-hash-random batches at batch size B — the quantified case for
+    the standard length-bucketing trick (a padded batch costs
+    B·max_len(batch) tokens; sorting by length collapses the in-batch
+    spread). One row per strategy: batches, real tokens, padded tokens,
+    pad fraction. All-integer until one exact-operand division per row.
+
+    Scale shape: each leg is one rank window (the sort a training export
+    pays anyway) + one batch-max aggregate + one scalar rollup; the two
+    legs union."""
+    docs = load(spark, sf_dir, "documents")
+    lens = docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(r"\S+")).cast("long").alias("n_tok"),
+    )
+    lens = lens.localCheckpoint(eager=False)  # both strategy legs read it
+
+    def leg(order_cols: list, name: str) -> DataFrame:
+        w = Window.orderBy(*order_cols)
+        batched = lens.select(
+            "n_tok",
+            ((F.row_number().over(w) - 1) / F.lit(BATCH_B))
+            .cast("long")
+            .alias("batch"),
+        )
+        per_batch = batched.groupBy("batch").agg(
+            F.count(F.lit(1)).alias("bsz"),
+            F.sum("n_tok").alias("real"),
+            F.max("n_tok").alias("mx"),
+        )
+        padded = F.sum(F.col("bsz") * F.col("mx")).cast("long")
+        return per_batch.agg(
+            F.count(F.lit(1)).cast("long").alias("n_batches"),
+            F.sum("real").cast("long").alias("real_tokens"),
+            padded.alias("padded_tokens"),
+            (
+                (padded - F.sum("real")).cast("double") / padded.cast("double")
+            ).alias("pad_frac"),
+        ).select(
+            F.lit(name).alias("strategy"),
+            "n_batches", "real_tokens", "padded_tokens", "pad_frac",
+        )
+
+    sorted_leg = leg([F.asc("n_tok"), F.asc("doc_id")], "sorted")
+    random_leg = leg(
+        [
+            F.md5(F.concat(F.lit("sb|"), F.col("doc_id").cast("string"))),
+            F.asc("doc_id"),
+        ],
+        "random",
+    )
+    return sorted_leg.unionByName(random_leg).orderBy("strategy")
+
+
+SORTED_BATCHING_ORACLE = rf"""
+WITH lens AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok
+  FROM documents
+),
+legs AS (
+  SELECT 'sorted' AS strategy, n_tok,
+         (ROW_NUMBER() OVER (ORDER BY n_tok, doc_id) - 1) // {BATCH_B} AS batch
+  FROM lens
+  UNION ALL
+  SELECT 'random', n_tok,
+         (ROW_NUMBER() OVER (
+            ORDER BY md5('sb|' || CAST(doc_id AS VARCHAR)), doc_id) - 1)
+           // {BATCH_B}
+  FROM lens
+),
+per_batch AS (
+  SELECT strategy, batch,
+         CAST(COUNT(*) AS BIGINT) AS bsz,
+         CAST(SUM(n_tok) AS BIGINT) AS real,
+         CAST(MAX(n_tok) AS BIGINT) AS mx
+  FROM legs GROUP BY strategy, batch
+)
+SELECT strategy,
+       CAST(COUNT(*) AS BIGINT) AS n_batches,
+       CAST(SUM(real) AS BIGINT) AS real_tokens,
+       CAST(SUM(bsz * mx) AS BIGINT) AS padded_tokens,
+       CAST(SUM(bsz * mx) - SUM(real) AS DOUBLE)
+         / CAST(SUM(bsz * mx) AS DOUBLE) AS pad_frac
+FROM per_batch
+GROUP BY strategy
+ORDER BY strategy
+"""
+
+
 HEAPS_DECILES = 10
 
 
@@ -5797,6 +5891,7 @@ QUERIES = {
     "vector_index_pipeline": vector_index_pipeline,
     "content_chunks_documents": content_chunks_documents,
     "heaps_law_documents": heaps_law_documents,
+    "sorted_batching_documents": sorted_batching_documents,
     "pq_adc_topk": pq_adc_topk,
     "pack_sequences_documents": pack_sequences_documents,
     "dedup_keep_best_documents": dedup_keep_best_documents,
@@ -5905,6 +6000,7 @@ ORACLES = {
     "vector_index_pipeline": VECTOR_INDEX_PIPELINE_ORACLE,
     "content_chunks_documents": CONTENT_CHUNKS_ORACLE,
     "heaps_law_documents": HEAPS_LAW_ORACLE,
+    "sorted_batching_documents": SORTED_BATCHING_ORACLE,
     "pq_adc_topk": _pq_adc_oracle(),
     "pack_sequences_documents": PACK_SEQUENCES_ORACLE,
     "dedup_keep_best_documents": DEDUP_KEEP_BEST_ORACLE,
