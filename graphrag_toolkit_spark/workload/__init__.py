@@ -109,6 +109,7 @@ _CHECK_FIRST = [
     "content_chunks_documents",
     "heaps_law_documents",
     "sorted_batching_documents",
+    "survival_curve_events",
     # --- green, last driver-verified round 1 ---
     "ann_ivf_topk",
     "cascade_delete_counts",

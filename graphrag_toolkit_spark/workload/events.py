@@ -1642,6 +1642,120 @@ ORDER BY event_type
 """
 
 
+def survival_curve_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier user-retention curve, log domain: per-user lifetime =
+    days between first and last event; a user whose last event falls on
+    the corpus's final day is CENSORED (still active), everyone else
+    churned at their lifetime. Emits the KM table per distinct lifetime —
+    at-risk count, churn events, censored exits, the quantized ln of the
+    step factor (1 − d/n), and the RUNNING log-survival (exact decimal
+    running sum in lifetime order; `exp` of it is the KM estimate, left
+    to the caller because libm exp is not bit-portable — the
+    `word_entropy` ln discipline, applied to survival analysis).
+
+    All-churn terminal steps (d = n) have survival 0: factor/log emitted
+    as NULL in both engines rather than −inf.
+
+    Scale shape: one per-user aggregate, then everything runs on a table
+    sized by DISTINCT LIFETIMES (≤ observation days), not events."""
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_d"),
+        F.max(F.to_date("ts")).alias("last_d"),
+    )
+    horizon = ev.agg(F.max(F.to_date("ts")).alias("end_d"))
+    life = (
+        per_user.crossJoin(F.broadcast(horizon))
+        .select(
+            F.datediff("last_d", "first_d").cast("long").alias("t"),
+            F.when(F.col("last_d") == F.col("end_d"), 1).otherwise(0).alias("cens"),
+        )
+        .groupBy("t")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_at_t"),
+            F.sum(F.expr("1 - cens")).cast("long").alias("d_t"),
+            F.sum("cens").cast("long").alias("c_t"),
+        )
+    )
+    w_risk = Window.orderBy(F.asc("t")).rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    w_run = Window.orderBy(F.asc("t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risked = life.withColumn("n_risk", F.sum("n_at_t").over(w_risk))
+    qf = F.when(
+        F.col("d_t") < F.col("n_risk"),
+        F.round(
+            F.log(
+                F.lit(1.0)
+                - F.col("d_t").cast("double") / F.col("n_risk").cast("double")
+            ),
+            6,
+        ).cast("decimal(12,6)"),
+    )
+    return (
+        risked.withColumn("_qf", qf)
+        .withColumn(
+            "log_survival",
+            F.when(
+                F.max(F.col("_qf").isNull().cast("int")).over(w_run) == 0,
+                F.sum("_qf").over(w_run).cast("decimal(18,6)"),
+            ).cast("double"),
+        )
+        .select(
+            "t",
+            F.col("n_risk").cast("long").alias("n_risk"),
+            "d_t", "c_t",
+            F.col("_qf").cast("double").alias("ln_factor"),
+            "log_survival",
+        )
+        .orderBy("t")
+    )
+
+
+SURVIVAL_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CAST(ts AS DATE)) AS first_d,
+         MAX(CAST(ts AS DATE)) AS last_d
+  FROM events GROUP BY user_id
+),
+horizon AS (SELECT MAX(CAST(ts AS DATE)) AS end_d FROM events),
+life AS (
+  SELECT CAST(datediff('day', first_d, last_d) AS BIGINT) AS t,
+         CAST(COUNT(*) AS BIGINT) AS n_at_t,
+         CAST(SUM(CASE WHEN last_d = end_d THEN 0 ELSE 1 END) AS BIGINT) AS d_t,
+         CAST(SUM(CASE WHEN last_d = end_d THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+  FROM per_user, horizon GROUP BY 1
+),
+risked AS (
+  SELECT *,
+         SUM(n_at_t) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                           AND UNBOUNDED FOLLOWING) AS n_risk
+  FROM life
+),
+stepped AS (
+  SELECT *,
+         CASE WHEN d_t < n_risk
+              THEN CAST(ROUND(ln(1.0 - CAST(d_t AS DOUBLE)
+                                     / CAST(n_risk AS DOUBLE)), 6)
+                        AS DECIMAL(12,6))
+         END AS qf
+  FROM risked
+)
+SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d_t, c_t,
+       CAST(qf AS DOUBLE) AS ln_factor,
+       CASE WHEN MAX(CASE WHEN qf IS NULL THEN 1 ELSE 0 END)
+                 OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) = 0
+            THEN CAST(CAST(SUM(qf) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                           AS DECIMAL(18,6)) AS DOUBLE)
+       END AS log_survival
+FROM stepped
+ORDER BY t
+"""
+
+
 def burstiness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type traffic burstiness: the Fano factor (variance/mean) of the
     DAILY event counts — F ≈ 1 is Poisson-like arrivals, F ≫ 1 is bursty
@@ -1887,6 +2001,7 @@ QUERIES = {
     "neyman_allocation_events": neyman_allocation_events,
     "neyman_sample_events": neyman_sample_events,
     "burstiness_events": burstiness_events,
+    "survival_curve_events": survival_curve_events,
     "winsorize_events": winsorize_events,
     "seasonal_anomalies_events": seasonal_anomalies_events,
     "frequent_paths_events": frequent_paths_events,
@@ -1926,6 +2041,7 @@ ORACLES = {
     "neyman_allocation_events": NEYMAN_ORACLE,
     "neyman_sample_events": NEYMAN_SAMPLE_ORACLE,
     "burstiness_events": BURSTINESS_ORACLE,
+    "survival_curve_events": SURVIVAL_ORACLE,
     "winsorize_events": WINSORIZE_ORACLE,
     "seasonal_anomalies_events": SEASONAL_ANOMALIES_ORACLE,
     "frequent_paths_events": FREQUENT_PATHS_ORACLE,
