@@ -378,3 +378,59 @@ def budget_admission_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_moments_stream(
+    events: DataFrame, key_col: str = "event_type", value_col: str = "value"
+) -> DataFrame:
+    """Per-key running FIRST TWO MOMENTS surviving across micro-batches —
+    the state that powers online z-score / drift monitors. Values are
+    2-decimal doubles, so the state is EXACT scaled integers
+    (n, Σ100v, Σ(100v)²): merge is integer addition, which makes the
+    emitted row after any number of micro-batches BIT-IDENTICAL to the
+    same arithmetic over the union of all rows (pytest pins stream ==
+    batch). mean and variance are derived by exact-operand divisions:
+
+        mean = Σ100v / (100·n)
+        var  = (n·Σ(100v)² − (Σ100v)²) / (10⁴·n²)
+
+    State size: 3 longs per key, no timeout needed. Emits
+    (key, n, s1, s2, mean, variance) per key per batch (update mode)."""
+    out_schema = (
+        f"{key_col} string, n long, s1 long, s2 long, mean double, variance double"
+    )
+    state_schema = "n long, s1 long, s2 long"
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        n, s1, s2 = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            for v in pdf["__v100"]:
+                iv = int(v)
+                n += 1
+                s1 += iv
+                s2 += iv * iv
+        state.update((n, s1, s2))
+        mean = s1 / (100.0 * n)
+        variance = (n * s2 - s1 * s1) / (10_000.0 * n * n)
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n": [n], "s1": [s1], "s2": [s2],
+                "mean": [mean], "variance": [variance],
+            }
+        )
+
+    # scale to integers JVM-side: 2-decimal doubles -> exact longs
+    scaled = events.select(
+        F.col(key_col),
+        F.round(F.col(value_col) * 100).cast("long").alias("__v100"),
+    )
+    return scaled.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -480,3 +480,36 @@ class TestBudgetAdmissionStream:
             ).collect()
         }
         assert got == batch
+
+
+class TestRunningMoments:
+    def test_stream_equals_batch_moments(self, spark, stream_dir):
+        src = read_jsonl_stream(spark, stream_dir, SCHEMA, max_files_per_trigger=1)
+        _run(
+            stateful.running_moments_stream(src, "event_type", "value"),
+            "moments_out",
+            "update",
+        )
+        rows = spark.sql("SELECT * FROM moments_out").collect()
+        last = {}
+        for r in rows:  # update mode: last emission per key wins
+            last[r["event_type"]] = (r["n"], r["s1"], r["s2"], r["mean"], r["variance"])
+        # batch reference: same integer-scaled arithmetic over the union
+        batch = (
+            spark.createDataFrame(BATCH1 + BATCH2, SCHEMA)
+            .select(
+                "event_type",
+                F.round(F.col("value") * 100).cast("long").alias("v"),
+            )
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("v").alias("s1"),
+                F.sum(F.col("v") * F.col("v")).alias("s2"),
+            )
+            .collect()
+        )
+        for r in batch:
+            n, s1, s2 = r["n"], r["s1"], r["s2"]
+            want = (n, s1, s2, s1 / (100.0 * n), (n * s2 - s1 * s1) / (10_000.0 * n * n))
+            assert last[r["event_type"]] == want  # bit-exact, not approx
