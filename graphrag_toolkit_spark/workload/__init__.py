@@ -110,6 +110,7 @@ _CHECK_FIRST = [
     "heaps_law_documents",
     "sorted_batching_documents",
     "survival_curve_events",
+    "embedding_drift_dims",
     # --- green, last driver-verified round 1 ---
     "ann_ivf_topk",
     "cascade_delete_counts",

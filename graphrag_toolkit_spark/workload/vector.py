@@ -765,6 +765,103 @@ HAVING COUNT(DISTINCT token) = {len(set(BOOL_TERMS))}
 """
 
 
+DRIFT_TOP_DIMS = 10
+
+
+def embedding_drift_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding drift between content-hash halves of the
+    vector table — the check run when an embedding model is upgraded or a
+    pipeline is re-run: which DIMENSIONS moved, ranked by absolute mean
+    shift. A uniform hash split of one healthy corpus should show ~zero
+    shift everywhere; a re-embedded or corrupted slice lights up specific
+    dimensions. Top-N dims by |Δmean| with a decimal-exact ranking key:
+    Δ = n_b·S_a − n_a·S_b (exact decimal; equal-sign comparison with the
+    n_a·n_b denominator factored out), the reported means one exact
+    division each.
+
+    Scale shape: one posexplode aggregate to (dim × half) — 128 rows —
+    then arithmetic on that tiny table."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double"), 6).cast("decimal(12,6)"),
+    )
+    half = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("dr|"), F.col("vec_id").cast("string"))), 1, 7
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    ex = emb.select(half.alias("h"), F.posexplode(q).alias("dim", "v"))
+    agg = ex.groupBy("dim").agg(
+        F.sum(F.when(F.col("h") == 0, F.col("v"))).alias("sa"),
+        F.count(F.when(F.col("h") == 0, 1)).cast("long").alias("na"),
+        F.sum(F.when(F.col("h") == 1, F.col("v"))).alias("sb"),
+        F.count(F.when(F.col("h") == 1, 1)).cast("long").alias("nb"),
+    )
+    # ranking key: |n_b·S_a − n_a·S_b| — exact decimal, denominator-free
+    key = F.abs(
+        F.col("nb").cast("decimal(9,0)") * F.col("sa").cast("decimal(22,6)")
+        - F.col("na").cast("decimal(9,0)") * F.col("sb").cast("decimal(22,6)")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("_key"), F.asc("dim"))
+    return (
+        agg.withColumn("_key", key)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= DRIFT_TOP_DIMS)
+        .select(
+            "dim",
+            F.col("rank").cast("int").alias("rank"),
+            "na", "nb",
+            (F.col("sa").cast("double") / F.col("na").cast("double")).alias(
+                "mean_a"
+            ),
+            (F.col("sb").cast("double") / F.col("nb").cast("double")).alias(
+                "mean_b"
+            ),
+        )
+        .orderBy("rank")
+    )
+
+
+EMBEDDING_DRIFT_ORACLE = f"""
+WITH ex AS (
+  SELECT CAST('0x' || substring(md5('dr|' || CAST(vec_id AS VARCHAR)), 1, 7)
+              AS BIGINT) % 2 AS h,
+         t.i - 1 AS dim,
+         CAST(ROUND(CAST(embedding[t.i] AS DOUBLE), 6) AS DECIMAL(12,6)) AS v
+  FROM embeddings, generate_series(1, 64) AS t(i)
+),
+agg AS (
+  SELECT dim,
+         SUM(CASE WHEN h = 0 THEN v END) AS sa,
+         CAST(COUNT(CASE WHEN h = 0 THEN 1 END) AS BIGINT) AS na,
+         SUM(CASE WHEN h = 1 THEN v END) AS sb,
+         CAST(COUNT(CASE WHEN h = 1 THEN 1 END) AS BIGINT) AS nb
+  FROM ex GROUP BY dim
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (
+           ORDER BY ABS(CAST(nb AS DECIMAL(9,0)) * CAST(sa AS DECIMAL(22,6))
+                        - CAST(na AS DECIMAL(9,0)) * CAST(sb AS DECIMAL(22,6)))
+                    DESC, dim) AS rank
+  FROM agg
+)
+SELECT dim, CAST(rank AS INTEGER) AS rank, na, nb,
+       CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS mean_a,
+       CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mean_b
+FROM ranked WHERE rank <= {DRIFT_TOP_DIMS}
+ORDER BY rank
+"""
+
+
 OUTLIER_TOP_N = 20
 
 
@@ -1009,6 +1106,7 @@ QUERIES = {
     "boolean_and_search_documents": boolean_and_search_documents,
     "embedding_component_stats": embedding_component_stats,
     "embedding_outliers": embedding_outliers,
+    "embedding_drift_dims": embedding_drift_dims,
     "cosine_topk_diverse": cosine_topk_diverse,
     "dense_link_embeddings": dense_link_embeddings,
     "beam_search_embeddings": beam_search_embeddings,
@@ -1028,6 +1126,7 @@ ORACLES = {
     "boolean_and_search_documents": BOOL_AND_ORACLE,
     "embedding_component_stats": COMPONENT_STATS_ORACLE,
     "embedding_outliers": EMBEDDING_OUTLIERS_ORACLE,
+    "embedding_drift_dims": EMBEDDING_DRIFT_ORACLE,
     "cosine_topk_diverse": DIVERSITY_ORACLE,
     "dense_link_embeddings": DENSE_LINK_ORACLE,
     "beam_search_embeddings": BEAM_ORACLE,
