@@ -111,6 +111,7 @@ _CHECK_FIRST = [
     "sorted_batching_documents",
     "survival_curve_events",
     "embedding_drift_dims",
+    "rich_club_parts",
     # --- green, last driver-verified round 1 ---
     "ann_ivf_topk",
     "cascade_delete_counts",

@@ -1275,6 +1275,99 @@ ORDER BY node_id
 """
 
 
+RICH_CLUB_KS = (2, 4, 8, 16)
+
+
+def rich_club_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient φ(k) of the part co-purchase graph at degree
+    thresholds {2,4,8,16}: among nodes with degree > k, the realized
+    fraction of possible edges — φ rising with k means the hubs form a
+    tightly interconnected club (supply-chain cores, celebrity cliques),
+    a structure degree distributions alone cannot see. Exact integers
+    (E_k edge count, N_k(N_k−1)/2 possible) + one division per row.
+
+    Scale shape: degrees from one edge-list aggregate; each threshold is a
+    broadcast semi-join of the edge list against the (tiny) rich-node set
+    — the edge list is scanned once per k with k's a 4-row constant."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.withColumnsRenamed({"l_partkey": "pa"})
+    b = li.withColumnsRenamed({"l_partkey": "pb"})
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= MODULARITY_MIN_SHARED)
+        .select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    )
+    edges = edges.localCheckpoint(eager=False)  # degree + every k-leg read it
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionByName(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    legs = []
+    for k in RICH_CLUB_KS:
+        rich = deg.filter(F.col("deg") > k).select("v")
+        nk = rich.agg(F.count(F.lit(1)).cast("long").alias("n_k"))
+        ek = (
+            edges.join(
+                F.broadcast(rich.withColumnsRenamed({"v": "a"})), "a", "left_semi"
+            )
+            .join(
+                F.broadcast(rich.withColumnsRenamed({"v": "b"})), "b", "left_semi"
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("e_k"))
+        )
+        legs.append(
+            nk.crossJoin(F.broadcast(ek)).select(
+                F.lit(k).cast("long").alias("k"),
+                "n_k",
+                "e_k",
+                F.when(
+                    F.col("n_k") >= 2,
+                    (2 * F.col("e_k")).cast("double")
+                    / (F.col("n_k") * (F.col("n_k") - 1)).cast("double"),
+                ).alias("phi"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.orderBy("k")
+
+
+RICH_CLUB_ORACLE = f"""
+WITH bi AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS MATERIALIZED (
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM bi a JOIN bi b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {MODULARITY_MIN_SHARED}
+),
+deg AS MATERIALIZED (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT a AS v FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY v
+),
+ks AS (SELECT unnest([{", ".join(str(k) for k in RICH_CLUB_KS)}]) AS k),
+stats AS (
+  SELECT ks.k,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM deg WHERE deg > ks.k) AS n_k,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM e
+          JOIN deg da ON da.v = e.a AND da.deg > ks.k
+          JOIN deg db ON db.v = e.b AND db.deg > ks.k) AS e_k
+  FROM ks
+)
+SELECT CAST(k AS BIGINT) AS k, n_k, e_k,
+       CASE WHEN n_k >= 2
+            THEN CAST(2 * e_k AS DOUBLE) / CAST(n_k * (n_k - 1) AS DOUBLE)
+       END AS phi
+FROM stats
+ORDER BY k
+"""
+
+
 WPAGERANK_ITERS = 4
 
 
@@ -1917,6 +2010,7 @@ QUERIES = {
     "fuzzy_link_token_set": fuzzy_link_token_set,
     "entity_context_parts": entity_context_parts,
     "conductance_parts": conductance_parts,
+    "rich_club_parts": rich_club_parts,
     "harmonic_2hop_parts": harmonic_2hop_parts,
 }
 
@@ -1936,6 +2030,7 @@ ORACLES = {
     "hits_scores_graph": HITS_ORACLE,
     "modularity_parts": MODULARITY_ORACLE,
     "conductance_parts": CONDUCTANCE_ORACLE,
+    "rich_club_parts": RICH_CLUB_ORACLE,
     "harmonic_2hop_parts": HARMONIC_2HOP_ORACLE,
     "assortativity_parts": ASSORTATIVITY_ORACLE,
     "weighted_pagerank_parts": WPAGERANK_ORACLE,
