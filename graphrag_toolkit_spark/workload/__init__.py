@@ -112,6 +112,7 @@ _CHECK_FIRST = [
     "survival_curve_events",
     "embedding_drift_dims",
     "rich_club_parts",
+    "psi_events",
     # --- green, last driver-verified round 1 ---
     "ann_ivf_topk",
     "cascade_delete_counts",

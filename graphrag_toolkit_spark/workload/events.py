@@ -1642,6 +1642,160 @@ ORDER BY event_type
 """
 
 
+PSI_BUCKETS = 10
+
+
+def psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between user-hash halves of each event
+    type's value distribution — THE industry drift metric for deployed
+    model inputs (rule of thumb: PSI < 0.1 stable, > 0.25 investigate):
+
+        PSI = Σ_i (p_i − q_i) · ln(p_i / q_i)
+
+    over {PSI_BUCKETS} equal-count buckets whose edges are exact order
+    statistics of the pooled values (rank ceil(i·n/10) under a
+    (value, event_id) total order — no percentile interpolation).
+
+    EXACTNESS: bucket counts are integers; p, q, and the ratio are
+    exact-operand divisions; ln is grid-quantized (word_entropy
+    discipline); the 10-term sum runs in FIXED bucket order via a running
+    window. Empty-side buckets use add-one smoothing on the COUNTS
+    (classic PSI practice), keeping every input exact.
+
+    Scale shape: one rank window for the edges (value-sorted once), then
+    integer bucket aggregates; PSI arithmetic runs on types × 10 rows."""
+    ev = load(spark, sf_dir, "events")
+    half = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("psi|"), F.col("user_id").cast("string"))),
+                1, 7,
+            ),
+            16, 10,
+        ).cast("long")
+        % 2
+    )
+    base = ev.select(
+        "event_type", "event_id", F.col("value").alias("v"), half.alias("h")
+    )
+    base = base.localCheckpoint(eager=False)  # edges + bucketing both read it
+    w = Window.partitionBy("event_type").orderBy("v", "event_id")
+    ranked = base.select(
+        "event_type", "v",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    # bucket edges: value at rank ceil(i·n/B), i = 1..B-1
+    edge_rows = []
+    for i in range(1, PSI_BUCKETS):
+        edge_rows.append(
+            ranked.filter(
+                F.col("rk")
+                == F.expr(f"({i} * n + {PSI_BUCKETS - 1}) div {PSI_BUCKETS}")
+            ).select("event_type", F.lit(i).alias("edge_i"), F.col("v").alias("edge"))
+        )
+    edges = edge_rows[0]
+    for e in edge_rows[1:]:
+        edges = edges.unionByName(e)
+    # bucket of a value = number of edges strictly below it
+    j = base.join(F.broadcast(edges), "event_type")
+    bucketed = (
+        j.groupBy("event_type", "event_id", "h")
+        .agg(F.sum(F.when(F.col("v") > F.col("edge"), 1).otherwise(0)).alias("b"))
+    )
+    counts = bucketed.groupBy("event_type", "b").agg(
+        F.sum(F.when(F.col("h") == 0, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("h") == 1, 1).otherwise(0)).alias("cb"),
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    qln = lambda c: F.round(F.log(c), 6).cast("decimal(12,6)")  # noqa: E731
+    smoothed = counts.join(F.broadcast(tot), "event_type").select(
+        "event_type", "b",
+        ((F.col("ca") + 1).cast("double")
+         / (F.col("na") + F.col("n_buckets")).cast("double")).alias("p"),
+        ((F.col("cb") + 1).cast("double")
+         / (F.col("nb") + F.col("n_buckets")).cast("double")).alias("q"),
+    )
+    term = (
+        (F.col("p") - F.col("q")) * qln(F.col("p") / F.col("q")).cast("double")
+    )
+    run = Window.partitionBy("event_type").orderBy("b").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        smoothed.withColumn("_t", term)
+        .withColumn("_cum", F.sum("_t").over(run))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            # the running sum's value at the LAST bucket (fixed-order total)
+            F.max_by("_cum", "b").alias("psi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+PSI_ORACLE = f"""
+WITH base AS (
+  SELECT event_type, event_id, value AS v,
+         CAST('0x' || substring(md5('psi|' || CAST(user_id AS VARCHAR)), 1, 7)
+              AS BIGINT) % 2 AS h
+  FROM events
+),
+ranked AS (
+  SELECT event_type, v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v, event_id) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM base
+),
+edges AS (
+  SELECT event_type, i.i AS edge_i, v AS edge
+  FROM ranked, generate_series(1, {PSI_BUCKETS - 1}) AS i(i)
+  WHERE rk = (i.i * n + {PSI_BUCKETS - 1}) // {PSI_BUCKETS}
+),
+bucketed AS (
+  SELECT b.event_type, b.event_id, b.h,
+         CAST(SUM(CASE WHEN b.v > e.edge THEN 1 ELSE 0 END) AS BIGINT) AS bk
+  FROM base b JOIN edges e USING (event_type)
+  GROUP BY 1, 2, 3
+),
+counts AS (
+  SELECT event_type, bk,
+         CAST(SUM(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM bucketed GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, SUM(ca) AS na, SUM(cb) AS nb,
+         CAST(COUNT(*) AS BIGINT) AS n_buckets
+  FROM counts GROUP BY event_type
+),
+terms AS (
+  SELECT c.event_type, c.bk, t.n_buckets,
+         (CAST(c.ca + 1 AS DOUBLE) / CAST(t.na + t.n_buckets AS DOUBLE)
+          - CAST(c.cb + 1 AS DOUBLE) / CAST(t.nb + t.n_buckets AS DOUBLE))
+         * CAST(CAST(ROUND(ln(
+             (CAST(c.ca + 1 AS DOUBLE) / CAST(t.na + t.n_buckets AS DOUBLE))
+             / (CAST(c.cb + 1 AS DOUBLE) / CAST(t.nb + t.n_buckets AS DOUBLE))
+           ), 6) AS DECIMAL(12,6)) AS DOUBLE) AS term
+  FROM counts c JOIN tot t USING (event_type)
+),
+summed AS (
+  SELECT event_type, n_buckets,
+         SUM(term) OVER (PARTITION BY event_type ORDER BY bk
+                         ROWS UNBOUNDED PRECEDING) AS cum,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bk DESC) AS rn
+  FROM terms
+)
+SELECT event_type, CAST(n_buckets AS BIGINT) AS n_buckets, cum AS psi
+FROM summed WHERE rn = 1
+ORDER BY event_type
+"""
+
+
 def survival_curve_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan–Meier user-retention curve, log domain: per-user lifetime =
     days between first and last event; a user whose last event falls on
@@ -2002,6 +2156,7 @@ QUERIES = {
     "neyman_sample_events": neyman_sample_events,
     "burstiness_events": burstiness_events,
     "survival_curve_events": survival_curve_events,
+    "psi_events": psi_events,
     "winsorize_events": winsorize_events,
     "seasonal_anomalies_events": seasonal_anomalies_events,
     "frequent_paths_events": frequent_paths_events,
@@ -2042,6 +2197,7 @@ ORACLES = {
     "neyman_sample_events": NEYMAN_SAMPLE_ORACLE,
     "burstiness_events": BURSTINESS_ORACLE,
     "survival_curve_events": SURVIVAL_ORACLE,
+    "psi_events": PSI_ORACLE,
     "winsorize_events": WINSORIZE_ORACLE,
     "seasonal_anomalies_events": SEASONAL_ANOMALIES_ORACLE,
     "frequent_paths_events": FREQUENT_PATHS_ORACLE,
