@@ -113,6 +113,7 @@ _CHECK_FIRST = [
     "embedding_drift_dims",
     "rich_club_parts",
     "psi_events",
+    "hub_knockout_parts",
     # --- green, last driver-verified round 1 ---
     "ann_ivf_topk",
     "cascade_delete_counts",

@@ -1275,6 +1275,134 @@ ORDER BY node_id
 """
 
 
+KNOCKOUT_TOP_N = 10
+
+
+def hub_knockout_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Network-robustness audit: connectivity of the part co-purchase
+    graph BEFORE and AFTER removing the top-N highest-degree hubs
+    (ties to the smaller node id) — the targeted-attack test from
+    percolation theory: a scale-free network shatters under hub removal
+    while staying robust to random failure. Per scenario: live nodes,
+    surviving edges, component count, and the largest component's size
+    (star connected components, the O(log n)-round 100 TB algorithm).
+
+    Scale shape: degrees from one aggregate; the knockout is two
+    broadcast anti-joins; each CC run is the star loop whose per-round
+    cost is a min-groupBy + an equi-join."""
+    from graphrag_toolkit_spark.operators import dedup
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.withColumnsRenamed({"l_partkey": "pa"})
+    b = li.withColumnsRenamed({"l_partkey": "pb"})
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= MODULARITY_MIN_SHARED)
+        .select(F.col("pa").alias("id_a"), F.col("pb").alias("id_b"))
+        .localCheckpoint(eager=True)  # degree + both scenario legs read it
+    )
+    deg = (
+        edges.select(F.col("id_a").alias("v"))
+        .unionByName(edges.select(F.col("id_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    wtop = Window.orderBy(F.desc("deg"), F.asc("v"))
+    hubs = (
+        deg.withColumn("_r", F.row_number().over(wtop))
+        .filter(F.col("_r") <= KNOCKOUT_TOP_N)
+        .select("v")
+    )
+    knocked = edges.join(
+        F.broadcast(hubs.withColumnsRenamed({"v": "id_a"})), "id_a", "left_anti"
+    ).join(
+        F.broadcast(hubs.withColumnsRenamed({"v": "id_b"})), "id_b", "left_anti"
+    )
+
+    def stats(e: DataFrame, name: str) -> DataFrame:
+        cc = dedup.connected_components(e)
+        sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+        return (
+            sizes.agg(
+                F.sum("sz").cast("long").alias("n_nodes"),
+                F.count(F.lit(1)).cast("long").alias("n_components"),
+                F.max("sz").cast("long").alias("largest"),
+            )
+            .crossJoin(
+                F.broadcast(e.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
+            )
+            .select(
+                F.lit(name).alias("scenario"),
+                "n_nodes", "n_edges", "n_components", "largest",
+            )
+        )
+
+    return (
+        stats(edges, "full")
+        .unionByName(stats(knocked, "knocked"))
+        .orderBy("scenario")
+    )
+
+
+HUB_KNOCKOUT_ORACLE = f"""
+WITH RECURSIVE bi AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS MATERIALIZED (
+  SELECT a.l_partkey AS id_a, b.l_partkey AS id_b
+  FROM bi a JOIN bi b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {MODULARITY_MIN_SHARED}
+),
+deg AS (
+  SELECT v, COUNT(*) AS deg FROM (
+    SELECT id_a AS v FROM e UNION ALL SELECT id_b FROM e
+  ) GROUP BY v
+),
+hubs AS (
+  SELECT v FROM (
+    SELECT v, ROW_NUMBER() OVER (ORDER BY deg DESC, v) AS r FROM deg
+  ) WHERE r <= {KNOCKOUT_TOP_N}
+),
+ek AS MATERIALIZED (
+  SELECT id_a, id_b FROM e
+  WHERE id_a NOT IN (SELECT v FROM hubs) AND id_b NOT IN (SELECT v FROM hubs)
+),
+und_f AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM e UNION ALL SELECT id_b, id_a FROM e
+),
+reach_f(id, r) AS (
+  SELECT src, src FROM und_f
+  UNION
+  SELECT u.id, x.dst FROM reach_f u JOIN und_f x ON x.src = u.r
+),
+cc_f AS (SELECT id, MIN(r) AS comp FROM reach_f GROUP BY id),
+sizes_f AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS sz FROM cc_f GROUP BY comp),
+und_k AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM ek UNION ALL SELECT id_b, id_a FROM ek
+),
+reach_k(id, r) AS (
+  SELECT src, src FROM und_k
+  UNION
+  SELECT u.id, x.dst FROM reach_k u JOIN und_k x ON x.src = u.r
+),
+cc_k AS (SELECT id, MIN(r) AS comp FROM reach_k GROUP BY id),
+sizes_k AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS sz FROM cc_k GROUP BY comp)
+SELECT 'full' AS scenario,
+       CAST((SELECT SUM(sz) FROM sizes_f) AS BIGINT) AS n_nodes,
+       CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+       CAST((SELECT COUNT(*) FROM sizes_f) AS BIGINT) AS n_components,
+       CAST((SELECT MAX(sz) FROM sizes_f) AS BIGINT) AS largest
+UNION ALL
+SELECT 'knocked',
+       CAST((SELECT SUM(sz) FROM sizes_k) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM ek) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM sizes_k) AS BIGINT),
+       CAST((SELECT MAX(sz) FROM sizes_k) AS BIGINT)
+ORDER BY scenario
+"""
+
+
 RICH_CLUB_KS = (2, 4, 8, 16)
 
 
@@ -2011,6 +2139,7 @@ QUERIES = {
     "entity_context_parts": entity_context_parts,
     "conductance_parts": conductance_parts,
     "rich_club_parts": rich_club_parts,
+    "hub_knockout_parts": hub_knockout_parts,
     "harmonic_2hop_parts": harmonic_2hop_parts,
 }
 
@@ -2031,6 +2160,7 @@ ORACLES = {
     "modularity_parts": MODULARITY_ORACLE,
     "conductance_parts": CONDUCTANCE_ORACLE,
     "rich_club_parts": RICH_CLUB_ORACLE,
+    "hub_knockout_parts": HUB_KNOCKOUT_ORACLE,
     "harmonic_2hop_parts": HARMONIC_2HOP_ORACLE,
     "assortativity_parts": ASSORTATIVITY_ORACLE,
     "weighted_pagerank_parts": WPAGERANK_ORACLE,
