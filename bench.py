@@ -110,6 +110,12 @@ HEADLINE = [
     "semantic_decontaminate_embeddings",
     "minhash_jaccard_error_documents",
     "harmonic_2hop_parts",
+    # round-6 late additions: drift metric (order-statistic buckets +
+    # pinned-order sum), double star-CC robustness run, composed vector
+    # index build
+    "psi_events",
+    "hub_knockout_parts",
+    "vector_index_pipeline",
 ]
 
 

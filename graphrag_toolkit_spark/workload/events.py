@@ -1685,18 +1685,26 @@ def psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("rk"),
         F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
     )
-    # bucket edges: value at rank ceil(i·n/B), i = 1..B-1
-    edge_rows = []
-    for i in range(1, PSI_BUCKETS):
-        edge_rows.append(
-            ranked.filter(
-                F.col("rk")
-                == F.expr(f"({i} * n + {PSI_BUCKETS - 1}) div {PSI_BUCKETS}")
-            ).select("event_type", F.lit(i).alias("edge_i"), F.col("v").alias("edge"))
-        )
-    edges = edge_rows[0]
-    for e in edge_rows[1:]:
-        edges = edges.unionByName(e)
+    # bucket edges: value at rank ceil(i·n/B), i = 1..B-1 — ONE pass over
+    # the ranked frame (a per-i filter loop would re-run the sort window
+    # B-1 times); a rank can satisfy several i when n < B, so edge_i
+    # explodes over the matching i's. floor((i·n+B−1)/B) in double is
+    # exact here: operands < 2^53 and true quotients sit ≥ 1/B away from
+    # the next integer except when exactly integral.
+    target_rk = lambda i: F.floor(  # noqa: E731
+        (i.cast("long") * F.col("n") + F.lit(PSI_BUCKETS - 1))
+        / F.lit(PSI_BUCKETS)
+    )
+    edges = ranked.select(
+        "event_type",
+        F.col("v").alias("edge"),
+        F.explode(
+            F.filter(
+                F.sequence(F.lit(1), F.lit(PSI_BUCKETS - 1)),
+                lambda i: F.col("rk") == target_rk(i),
+            )
+        ).alias("edge_i"),
+    )
     # bucket of a value = number of edges strictly below it
     j = base.join(F.broadcast(edges), "event_type")
     bucketed = (
