@@ -114,6 +114,7 @@ _CHECK_FIRST = [
     "rich_club_parts",
     "psi_events",
     "hub_knockout_parts",
+    "cluster_size_distribution_documents",
     # --- green, last driver-verified round 1 ---
     "ann_ivf_topk",
     "cascade_delete_counts",

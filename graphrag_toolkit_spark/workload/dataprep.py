@@ -1238,6 +1238,103 @@ FROM reach GROUP BY id
 """
 
 
+def cluster_size_distribution_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup job's headline report: the near-dup CLUSTER-SIZE
+    distribution — how many clusters of each size, how many docs they
+    hold, and what fraction of the corpus dedup would remove at
+    keep-one-per-cluster (size − 1 removals per cluster). Singletons
+    (docs in no near-dup pair) appear as the size-1 row, so the doc
+    column totals the corpus. Exact integers + one corpus-wide division.
+
+    Scale shape: the pair graph + star CC the `neardup_clusters` query
+    already pays, then two tiny aggregates (clusters ≪ corpus)."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_dup_pairs(
+        docs, "text", "doc_id", k=SHINGLE_K,
+        num_hashes=NUM_HASHES, bands=BANDS, threshold=JACCARD_THRESHOLD,
+    )
+    cc = dedup.connected_components(pairs)
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+    dist = sizes.groupBy("sz").agg(F.count(F.lit(1)).alias("n_clusters"))
+    n_total = docs.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    n_clustered = cc.agg(F.count(F.lit(1)).cast("long").alias("n_clustered"))
+    singletons = (
+        n_total.crossJoin(F.broadcast(n_clustered))
+        .select(
+            F.lit(1).cast("long").alias("cluster_size"),
+            (F.col("n_total") - F.col("n_clustered")).alias("n_clusters"),
+        )
+        .filter(F.col("n_clusters") > 0)
+    )
+    rows = dist.select(
+        F.col("sz").cast("long").alias("cluster_size"),
+        F.col("n_clusters").cast("long").alias("n_clusters"),
+    ).unionByName(singletons)
+    return (
+        rows.crossJoin(F.broadcast(n_total))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+            (
+                ((F.col("cluster_size") - 1) * F.col("n_clusters")).cast("double")
+                / F.col("n_total").cast("double")
+            ).alias("removal_frac"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+CLUSTER_SIZE_DIST_ORACLE = f"""
+WITH RECURSIVE {_SHINGLES_SQL}, {_SIG_SQL}, {_BANDED_SQL}, {_CAND_SQL},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+),
+pairs AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE i.n_inter / (sa.n + sb.n - i.n_inter) >= {JACCARD_THRESHOLD}
+),
+und AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT u.id, e.dst FROM reach u JOIN und e ON e.src = u.r
+),
+cc AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+csz AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS sz FROM cc GROUP BY comp),
+dist AS (
+  SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+  FROM csz GROUP BY sz
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM documents),
+clustered AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_clustered FROM cc),
+rows_all AS (
+  SELECT cluster_size, n_clusters FROM dist
+  UNION ALL
+  SELECT CAST(1 AS BIGINT), n_total - n_clustered
+  FROM tot, clustered WHERE n_total - n_clustered > 0
+)
+SELECT r.cluster_size, r.n_clusters,
+       CAST(r.cluster_size * r.n_clusters AS BIGINT) AS n_docs,
+       CAST((r.cluster_size - 1) * r.n_clusters AS DOUBLE)
+         / CAST(t.n_total AS DOUBLE) AS removal_frac
+FROM rows_all r, tot t
+ORDER BY r.cluster_size
+"""
+
+
 def soft_dedup_weights_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Soft dedup: near-dup clusters down-weighted to 1/|cluster| instead of
     dropped (``dedup.soft_dedup_weights`` over the MinHash pair graph)."""
@@ -5892,6 +5989,7 @@ QUERIES = {
     "content_chunks_documents": content_chunks_documents,
     "heaps_law_documents": heaps_law_documents,
     "sorted_batching_documents": sorted_batching_documents,
+    "cluster_size_distribution_documents": cluster_size_distribution_documents,
     "pq_adc_topk": pq_adc_topk,
     "pack_sequences_documents": pack_sequences_documents,
     "dedup_keep_best_documents": dedup_keep_best_documents,
@@ -6001,6 +6099,7 @@ ORACLES = {
     "content_chunks_documents": CONTENT_CHUNKS_ORACLE,
     "heaps_law_documents": HEAPS_LAW_ORACLE,
     "sorted_batching_documents": SORTED_BATCHING_ORACLE,
+    "cluster_size_distribution_documents": CLUSTER_SIZE_DIST_ORACLE,
     "pq_adc_topk": _pq_adc_oracle(),
     "pack_sequences_documents": PACK_SEQUENCES_ORACLE,
     "dedup_keep_best_documents": DEDUP_KEEP_BEST_ORACLE,
