@@ -508,3 +508,104 @@ class TestLifecycleRoundTrip:
             assert sorted(map(tuple, state.collect())) == sorted(
                 map(tuple, target.collect())
             )
+
+
+class TestNeymanAllocation:
+    def _dir(self, spark, tmp_path, rows):
+        import os
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        df.write.parquet(os.path.join(str(tmp_path), "events.parquet"))
+        return str(tmp_path)
+
+    def test_quotas_sum_to_budget_and_favor_spread(self, spark, tmp_path):
+        from datetime import datetime
+        from graphrag_toolkit_spark.workload.events import (
+            NEYMAN_BUDGET,
+            neyman_allocation_events,
+        )
+
+        ts = datetime(2024, 1, 1)
+        rows = []
+        eid = 0
+        # type "wide": values 0/100 alternating (high variance);
+        # type "tight": constant-ish values (tiny variance); equal sizes.
+        for i in range(40):
+            rows.append((eid, ts, i, "wide", float(100 * (i % 2)), "{}")); eid += 1
+        for i in range(40):
+            rows.append((eid, ts, i, "tight", 50.0 + (i % 2) * 0.01, "{}")); eid += 1
+        d = self._dir(spark, tmp_path, rows)
+        got = {r["event_type"]: r for r in neyman_allocation_events(spark, d).collect()}
+        total = sum(r["alloc"] for r in got.values())
+        assert total == NEYMAN_BUDGET          # largest-remainder exactness
+        # equal N, far larger S -> "wide" gets (nearly) all of the budget
+        assert got["wide"]["alloc"] > got["tight"]["alloc"] * 100
+
+    def test_sample_draws_exactly_alloc_rows(self, spark, tmp_path):
+        from datetime import datetime
+        from graphrag_toolkit_spark.workload.events import (
+            neyman_allocation_events,
+            neyman_sample_events,
+        )
+
+        ts = datetime(2024, 1, 1)
+        rows = []
+        eid = 0
+        for i in range(3000):
+            rows.append((eid, ts, i, "a", float(i % 97), "{}")); eid += 1
+        for i in range(3000):
+            rows.append((eid, ts, i, "b", float((i * 7) % 53), "{}")); eid += 1
+        d = self._dir(spark, tmp_path, rows)
+        alloc = {
+            r["event_type"]: r["alloc"]
+            for r in neyman_allocation_events(spark, d).collect()
+        }
+        drawn = (
+            neyman_sample_events(spark, d)
+            .groupBy("event_type")
+            .count()
+            .collect()
+        )
+        for r in drawn:
+            # population >= quota here, so the draw hits the quota exactly
+            assert r["count"] == alloc[r["event_type"]]
+
+
+class TestSurvivalCurve:
+    def test_censoring_and_km_steps(self, spark, tmp_path):
+        import os
+        from datetime import datetime
+        from graphrag_toolkit_spark.workload.events import survival_curve_events
+
+        def ev(eid, day, user):
+            return (eid, datetime(2024, 1, 1 + day), user, "x", 1.0, "{}")
+
+        # users 1,2: lifetime 0 (single day, churned); user 3: lifetime 1
+        # (churned); user 4: last event on the final day -> CENSORED at
+        # lifetime 2. Horizon day = 3.
+        rows = [
+            ev(0, 0, 1), ev(1, 0, 2),
+            ev(2, 0, 3), ev(3, 1, 3),
+            ev(4, 1, 4), ev(5, 3, 4),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        df.write.parquet(os.path.join(str(tmp_path), "events.parquet"))
+        out = {r["t"]: r for r in survival_curve_events(spark, str(tmp_path)).collect()}
+        # t=0: 4 at risk, 2 churn; t=1: 2 at risk, 1 churn; t=2: 1 at risk,
+        # 0 churn (censored exit only) -> ln_factor NULL-free everywhere
+        assert (out[0]["n_risk"], out[0]["d_t"], out[0]["c_t"]) == (4, 2, 0)
+        assert (out[1]["n_risk"], out[1]["d_t"], out[1]["c_t"]) == (2, 1, 0)
+        assert (out[2]["n_risk"], out[2]["d_t"], out[2]["c_t"]) == (1, 0, 1)
+        import math
+        # running log-survival at t=1 = qln(1/2) + qln(1/2)
+        q = round(math.log(0.5), 6)
+        assert out[1]["log_survival"] == 2 * q
+        # censored-only step multiplies by 1 (ln 1 = 0): unchanged
+        assert out[2]["log_survival"] == 2 * q
