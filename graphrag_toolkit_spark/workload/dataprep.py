@@ -4186,27 +4186,38 @@ def doc_length_gate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank — no percentile interpolation (engines disagree on those); the
     kept fraction is one exact-operand division.
 
-    Scale shape: one narrow token-count projection; the thresholds come
-    from a rank window (sorted once) materialized as a one-row broadcast;
-    the gate itself is a map-side comparison + per-source aggregate."""
+    Scale shape: NO single-partition window anywhere (operators/ranks.py).
+    One narrow token-count projection; the bucket-count table (≤1024 rows)
+    locates which buckets contain the p5/p95 ranks, so ONLY those 1-2
+    buckets' rows are ranked (partitioned windows) — the rest of the corpus
+    never sorts at all; the gate is a map-side comparison + per-source
+    aggregate against the one-row broadcast thresholds."""
+    from graphrag_toolkit_spark.operators import ranks
+
     docs = load(spark, sf_dir, "documents")
     lens = docs.select(
         "doc_id", "source", F.regexp_count(F.col("text"), F.lit(r"\S+")).alias("n_tok")
     )
-    lens = lens.localCheckpoint(eager=False)  # ranked + gated legs both read it
-    w = Window.orderBy("n_tok", "doc_id")
-    # Thresholds stay in-plan (no driver-side count): the total is a
-    # full-frame window count over the already-globally-sorted rank frame.
-    ranked = lens.select(
-        "n_tok",
-        F.row_number().over(w).alias("rk"),
-        F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))).alias("n_total"),
+    lens = lens.localCheckpoint(eager=False)  # offsets + candidate + gate legs
+    b = ranks.with_range_bucket(lens, F.col("n_tok"))
+    offs = ranks.bucket_offsets(b)
+    k_lo = F.expr(f"({DOC_LEN_GATE_LO_PCT} * __n_total + 99) div 100")
+    k_hi = F.expr(f"({DOC_LEN_GATE_HI_PCT} * __n_total + 99) div 100")
+    holds = lambda k: (F.col("__off") < k) & (k <= F.col("__off") + F.col("__cnt"))  # noqa: E731
+    cand = (
+        offs.withColumn("k_lo", k_lo)
+        .withColumn("k_hi", k_hi)
+        .filter(holds(F.col("k_lo")) | holds(F.col("k_hi")))
+        .select(ranks.BUCKET_COL, "__off", "k_lo", "k_hi")
     )
-    k_lo = F.expr(f"({DOC_LEN_GATE_LO_PCT} * n_total + 99) div 100")
-    k_hi = F.expr(f"({DOC_LEN_GATE_HI_PCT} * n_total + 99) div 100")
+    wb = Window.partitionBy(ranks.BUCKET_COL).orderBy("n_tok", "doc_id")
+    ranked = (
+        b.join(F.broadcast(cand), ranks.BUCKET_COL)
+        .withColumn("rk", F.col("__off") + F.row_number().over(wb))
+    )
     bounds = ranked.groupBy().agg(
-        F.min(F.when(F.col("rk") == k_lo, F.col("n_tok"))).alias("lo"),
-        F.min(F.when(F.col("rk") == k_hi, F.col("n_tok"))).alias("hi"),
+        F.min(F.when(F.col("rk") == F.col("k_lo"), F.col("n_tok"))).alias("lo"),
+        F.min(F.when(F.col("rk") == F.col("k_hi"), F.col("n_tok"))).alias("hi"),
     )
     g = lens.crossJoin(F.broadcast(bounds))
     kept = F.when((F.col("n_tok") >= F.col("lo")) & (F.col("n_tok") <= F.col("hi")), 1).otherwise(0)
@@ -4337,9 +4348,12 @@ def sorted_batching_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     spread). One row per strategy: batches, real tokens, padded tokens,
     pad fraction. All-integer until one exact-operand division per row.
 
-    Scale shape: each leg is one rank window (the sort a training export
-    pays anyway) + one batch-max aggregate + one scalar rollup; the two
-    legs union."""
+    Scale shape: each leg is one TWO-PHASE distributed rank
+    (operators/ranks.py — length buckets for the sorted leg, md5-hex-prefix
+    buckets for the random leg; no single-partition sort) + one batch-max
+    aggregate + one scalar rollup; the two legs union."""
+    from graphrag_toolkit_spark.operators import ranks
+
     docs = load(spark, sf_dir, "documents")
     lens = docs.select(
         "doc_id",
@@ -4347,13 +4361,10 @@ def sorted_batching_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lens = lens.localCheckpoint(eager=False)  # both strategy legs read it
 
-    def leg(order_cols: list, name: str) -> DataFrame:
-        w = Window.orderBy(*order_cols)
-        batched = lens.select(
+    def leg(bucketed: DataFrame, order_cols: list, name: str) -> DataFrame:
+        batched = ranks.two_phase_row_number(bucketed, order_cols).select(
             "n_tok",
-            ((F.row_number().over(w) - 1) / F.lit(BATCH_B))
-            .cast("long")
-            .alias("batch"),
+            ((F.col("rn") - 1) / F.lit(BATCH_B)).cast("long").alias("batch"),
         )
         per_batch = batched.groupBy("batch").agg(
             F.count(F.lit(1)).alias("bsz"),
@@ -4373,12 +4384,19 @@ def sorted_batching_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_batches", "real_tokens", "padded_tokens", "pad_frac",
         )
 
-    sorted_leg = leg([F.asc("n_tok"), F.asc("doc_id")], "sorted")
+    sorted_leg = leg(
+        ranks.with_range_bucket(lens, F.col("n_tok")),
+        [F.asc("n_tok"), F.asc("doc_id")],
+        "sorted",
+    )
+    hashed = lens.withColumn(
+        "__h", F.md5(F.concat(F.lit("sb|"), F.col("doc_id").cast("string")))
+    )
     random_leg = leg(
-        [
-            F.md5(F.concat(F.lit("sb|"), F.col("doc_id").cast("string"))),
-            F.asc("doc_id"),
-        ],
+        hashed.withColumn(
+            ranks.BUCKET_COL, ranks.hex_prefix_bucket(F.col("__h"))
+        ),
+        [F.asc("__h"), F.asc("doc_id")],
         "random",
     )
     return sorted_leg.unionByName(random_leg).orderBy("strategy")
@@ -4439,26 +4457,31 @@ def heaps_law_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline with exact-decimal moment sums.
 
     Scale shape: one token groupBy (vocab-sized), a 10-row broadcast
-    checkpoint table, a scalar moment aggregate. The doc-rank window is
-    the one global sort — at 100 TB swap in a precomputed ingest sequence
-    number for the same total order at zero sort cost."""
+    checkpoint table, a scalar moment aggregate. The doc rank is the
+    TWO-PHASE distributed rank over md5-hex-prefix buckets
+    (operators/ranks.py — no single-partition sort); at 100 TB swap in a
+    precomputed ingest sequence number for the same total order at zero
+    sort cost."""
+    from graphrag_toolkit_spark.operators import ranks
+
     docs = load(spark, sf_dir, "documents")
-    wr = Window.orderBy(
-        F.md5(F.concat(F.lit("hp|"), F.col("doc_id").cast("string"))),
-        F.asc("doc_id"),
-    )
-    ranked = docs.select(
+    hashed = docs.select(
         "text",
-        F.row_number().over(wr).alias("r"),
-        F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))).alias("n"),
+        "doc_id",
+        F.md5(F.concat(F.lit("hp|"), F.col("doc_id").cast("string"))).alias("__h"),
     )
+    ranked = ranks.two_phase_row_number(
+        hashed.withColumn(ranks.BUCKET_COL, ranks.hex_prefix_bucket(F.col("__h"))),
+        [F.asc("__h"), F.asc("doc_id")],
+        out_col="r",
+    ).select("text", "r")
     tok = ranked.select(
         "r",
         F.explode(F.split(F.lower(F.col("text")), r"[^0-9a-z]+")).alias("token"),
     ).filter(F.col("token") != "")
     first = tok.groupBy("token").agg(F.min("r").alias("fr"))
     cp = (
-        ranked.agg(F.max("n").alias("n"))
+        docs.agg(F.count(F.lit(1)).alias("n"))
         .select(
             F.explode(F.sequence(F.lit(1), F.lit(HEAPS_DECILES))).alias("decile"),
             "n",
@@ -4651,10 +4674,12 @@ def vector_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(F.sum("_d2").alias("_big"))
     )
-    w = Window.orderBy(F.desc("_big"), F.asc("vec_id"))
+    # top-N by bounded output → orderBy().limit() compiles to a distributed
+    # TakeOrderedAndProject (per-partition heaps + driver merge of N rows),
+    # never a single-partition sort of every vector's distance
     outlier_ids = (
-        per.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= OUTLIER_TOP_N)
+        per.orderBy(F.desc("_big"), F.asc("vec_id"))
+        .limit(OUTLIER_TOP_N)
         .select("vec_id")
     )
     clean = emb.join(F.broadcast(outlier_ids), "vec_id", "left_anti")

@@ -1310,11 +1310,10 @@ def hub_knockout_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
-    wtop = Window.orderBy(F.desc("deg"), F.asc("v"))
+    # top-N hubs via orderBy().limit() → distributed TakeOrderedAndProject
+    # (per-partition heaps, N-row driver merge) — no single-partition sort
     hubs = (
-        deg.withColumn("_r", F.row_number().over(wtop))
-        .filter(F.col("_r") <= KNOCKOUT_TOP_N)
-        .select("v")
+        deg.orderBy(F.desc("deg"), F.asc("v")).limit(KNOCKOUT_TOP_N).select("v")
     )
     knocked = edges.join(
         F.broadcast(hubs.withColumnsRenamed({"v": "id_a"})), "id_a", "left_anti"

@@ -483,11 +483,26 @@ GROUP BY h.might_contain, t.actually_urgent
 
 def decile_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-frequency bucketing: NTILE(10) deciles of order value under a
-    total order, with per-decile counts and exact decimal sums/bounds."""
-    orders = load(spark, sf_dir, "orders")
-    w = Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    total order, with per-decile counts and exact decimal sums/bounds.
+
+    Scale shape: NO single-partition window — the two-phase distributed
+    rank (operators/ranks.py): equi-width price buckets, broadcast
+    cumulative bucket offsets, per-bucket partitioned row_number, then the
+    all-integer NTILE reconstruction from (rank, n) — value-identical to
+    the built-in NTILE, but the sort parallelizes across buckets."""
+    from graphrag_toolkit_spark.operators import ranks
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    orders = orders.localCheckpoint(eager=False)  # bounds/offsets/rank legs
+    ranked = ranks.two_phase_row_number(
+        ranks.with_range_bucket(orders, F.col("o_totalprice")),
+        [F.asc("o_totalprice"), F.asc("o_orderkey")],
+        total_col="__n",
+    )
     return (
-        orders.withColumn("decile", F.ntile(10).over(w))
+        ranked.withColumn(
+            "decile", ranks.ntile_from_rank(F.col("rn"), F.col("__n"), 10)
+        )
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -631,16 +646,33 @@ def rfm_segments_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("monetary"),
         )
     )
-    def score(col, asc):
-        order = [F.asc(col)] if asc else [F.desc(col)]
-        return F.ntile(5).over(
-            Window.orderBy(*order, F.asc("o_custkey"))
+    # Three exact NTILE(5) scores without a single single-partition window
+    # (operators/ranks.py): each score is a NARROW (custkey, key) leg ranked
+    # by the two-phase distributed rank, joined back on the customer key.
+    from graphrag_toolkit_spark.operators import ranks
+
+    per_c = per_c.localCheckpoint(eager=False)  # 3 score legs + spine read it
+
+    def score_leg(col: str, asc: bool, name: str) -> DataFrame:
+        leg = per_c.select("o_custkey", col)
+        bucket_key = F.col(col) if asc else -F.col(col)
+        order = [F.asc(col) if asc else F.desc(col), F.asc("o_custkey")]
+        ranked = ranks.two_phase_row_number(
+            ranks.with_range_bucket(leg, bucket_key), order, total_col="__n"
         )
-    return per_c.select(
-        "o_custkey", "recency_days", "frequency", "monetary",
-        score("recency_days", asc=True).alias("r_score"),
-        score("frequency", asc=False).alias("f_score"),
-        score("monetary", asc=False).alias("m_score"),
+        return ranked.select(
+            "o_custkey",
+            ranks.ntile_from_rank(F.col("rn"), F.col("__n"), 5).alias(name),
+        )
+
+    return (
+        per_c.join(score_leg("recency_days", True, "r_score"), "o_custkey")
+        .join(score_leg("frequency", False, "f_score"), "o_custkey")
+        .join(score_leg("monetary", False, "m_score"), "o_custkey")
+        .select(
+            "o_custkey", "recency_days", "frequency", "monetary",
+            "r_score", "f_score", "m_score",
+        )
     )
 
 

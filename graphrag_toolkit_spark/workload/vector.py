@@ -919,10 +919,13 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(big30).cast("double")
         + (big30 - F.floor(big30).cast("decimal(30,12)")).cast("double")
     ) / (F.col("_n") * F.col("_n")).cast("double")
+    # Top-N first (orderBy + limit = distributed TakeOrderedAndProject per
+    # the docstring), THEN the rank window — which now runs over exactly
+    # OUTLIER_TOP_N rows, a bounded frame, never the full corpus.
+    top = per.orderBy(F.desc("_big"), F.asc("vec_id")).limit(OUTLIER_TOP_N)
     w = Window.orderBy(F.desc("_big"), F.asc("vec_id"))
     return (
-        per.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= OUTLIER_TOP_N)
+        top.withColumn("rank", F.row_number().over(w))
         .select("vec_id", F.col("rank").cast("int").alias("rank"), d2_dbl.alias("d2"))
         .orderBy("rank")
     )
