@@ -378,16 +378,19 @@ class CorpusPipeline:
             return sampling.shard_corpus(docs, i, n_shards=arg)
         if name == "dsir":
             target, frac, n_buckets = arg
+            from graphrag_toolkit_spark.operators import ranks
+
             w = sampling.dsir_log_weights(docs, target, t, i, n_buckets=n_buckets)
+            w = w.localCheckpoint(eager=False)  # bounds + offsets + rank legs
+            # top-fraction by weight via the two-phase distributed rank
+            # (DESC key → negated bucket key); the exact total rides the
+            # tiny bucket table instead of a count() OVER () global window
             ranked = (
-                w.withColumn(
-                    "__n", F.count(F.lit(1)).over(Window.partitionBy())
-                )
-                .withColumn(
-                    "__rk",
-                    F.row_number().over(
-                        Window.orderBy(F.desc("dsir_logw"), F.asc("id"))
-                    ),
+                ranks.two_phase_row_number(
+                    ranks.with_range_bucket(w, -F.col("dsir_logw")),
+                    [F.desc("dsir_logw"), F.asc("id")],
+                    out_col="__rk",
+                    total_col="__n",
                 )
                 .filter(F.col("__rk") <= F.ceil(F.lit(frac) * F.col("__n")))
                 .select(F.col("id").alias(i))

@@ -89,22 +89,24 @@ def negative_samples(
     Raises ``ValueError`` on an empty corpus (ring positions would be
     modulo-zero → silently empty output).
 
-    Scale shape: the ring index is ONE window over hash order (built once
-    per corpus snapshot, reusable across anchor batches); sampling is a
-    narrow position explode on the anchor side + an equi-join on position
-    — no per-anchor corpus scan, no RNG."""
+    Scale shape: the ring index is the TWO-PHASE distributed rank over
+    hash order (operators/ranks.py — the 2^28 hash domain's top 10 bits
+    are the monotone coarse bucket, so no single-partition sort ever sees
+    the corpus; built once per corpus snapshot, reusable across anchor
+    batches); sampling is a narrow position explode on the anchor side +
+    an equi-join on position — no per-anchor corpus scan, no RNG."""
+    from graphrag_toolkit_spark.operators import ranks
+
     n = corpus.count()
     if n == 0:
         raise ValueError("negative_samples: corpus is empty (no ring to sample)")
-    ring = corpus.select(
+    hashed = corpus.select(
         F.col(id_col).alias("neg_id"),
-        (
-            F.row_number().over(
-                Window.orderBy(hash_value(F.col(id_col)).asc(), F.col(id_col).asc())
-            )
-            - 1
-        ).alias("__pos"),
-    )
+        hash_value(F.col(id_col)).alias("__hv"),
+    ).withColumn(ranks.BUCKET_COL, F.expr("__hv div 262144"))  # 2^28 / 2^18 → ≤1024
+    ring = ranks.two_phase_row_number(
+        hashed, [F.asc("__hv"), F.asc("neg_id")], out_col="__rn"
+    ).select("neg_id", (F.col("__rn") - 1).alias("__pos"))
     probes = anchors.select(
         F.col(anchor_col).alias("anchor"),
         F.explode(F.sequence(F.lit(1), F.lit(k))).alias("j"),

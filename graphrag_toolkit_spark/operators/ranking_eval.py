@@ -117,9 +117,13 @@ def binary_auc(
         S2 = Σ over positives of doubled avg rank
         AUC = (S2 − P(P+1)) / (2·P·N)
 
-    One groupBy on the score + one cumulative window over the (distinct-
-    score-sized) group table. Returns (n_pos, n_neg, auc); auc is NULL
-    when either class is empty (undefined).
+    One groupBy on the score + one TWO-PHASE distributed running sum over
+    the group table (operators/ranks.py: score-range buckets, broadcast
+    cumulative bucket totals, per-bucket partitioned windows) — for
+    continuous model scores the distinct-score table is ≈ row-sized, so a
+    single-partition cumulative window would be a full re-sort of the
+    scored set on one task. Returns (n_pos, n_neg, auc); auc is NULL when
+    either class is empty (undefined).
 
     NULL handling (pinned, not engine-default): rows with a NULL score are
     EXCLUDED up front — a NULL score has no rank, and Spark (NULLS FIRST)
@@ -136,8 +140,15 @@ def binary_auc(
             ).alias("pos"),
         )
     )
-    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, 0)
-    g = g.withColumn("cum", F.sum("c").over(w))
+    from graphrag_toolkit_spark.operators import ranks
+
+    g = g.localCheckpoint(eager=False)  # bounds + offsets + cumsum legs
+    g = ranks.two_phase_cumsum(
+        ranks.with_range_bucket(g, F.col("__s")),
+        [F.asc("__s")],
+        F.col("c"),
+        out_col="cum",
+    )
     # first ascending rank of the group r = cum - c + 1; doubled avg rank:
     s2_term = F.col("pos") * (2 * (F.col("cum") - F.col("c") + 1) + F.col("c") - 1)
     agg = g.agg(

@@ -761,10 +761,10 @@ def kn_perplexity_buckets(
     Scale shape: training is `kneser_ney_bigram_lm`'s count shuffle; the
     scoring leg joins the per-doc bigram stream to the trained table on
     (prev, w) — a shuffle equi-join on both sides' natural key (broadcast
-    it when the LM fits); one per-doc aggregate. The final ntile is a
-    global window over DOC-level rows only — at production scale swap it
-    for sampled quantile thresholds (the corpus text itself never passes
-    through the window)."""
+    it when the LM fits); one per-doc aggregate. The final ntile is the
+    TWO-PHASE distributed rank over doc-level rows (operators/ranks.py) —
+    no single-partition sort at any cardinality; the corpus text itself
+    never passes through a window."""
     from graphrag_toolkit_spark.functions.skew import widen_partitions
 
     lm = kneser_ney_bigram_lm(df, text_col, min_count=min_count).select(
@@ -810,8 +810,20 @@ def kn_perplexity_buckets(
             F.col("lp_sum").cast("double") / F.col("n_bigrams").cast("double"),
         )
     )
-    w = Window.orderBy(F.desc("avg_logp"), F.asc("id"))
-    return scored.withColumn("bucket", F.ntile(n_buckets).over(w)).select(
+    # NTILE over doc-level rows via the two-phase distributed rank
+    # (operators/ranks.py) — exact integer reconstruction, no
+    # single-partition sort of the scored corpus
+    from graphrag_toolkit_spark.operators import ranks
+
+    scored = scored.localCheckpoint(eager=False)  # bounds + offsets + rank
+    ranked = ranks.two_phase_row_number(
+        ranks.with_range_bucket(scored, -F.col("avg_logp")),
+        [F.desc("avg_logp"), F.asc("id")],
+        total_col="__n",
+    )
+    return ranked.withColumn(
+        "bucket", ranks.ntile_from_rank(F.col("rn"), F.col("__n"), n_buckets)
+    ).select(
         "id", "n_bigrams",
         # emit the exact decimal sum as double (scale 6 — safe, one
         # correctly-rounded cast) so engines agree on the output type
