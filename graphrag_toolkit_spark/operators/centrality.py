@@ -885,8 +885,9 @@ def conductance(
     modularity's one global Q cannot: WHICH clusters are real.
 
     EXACTNESS: cut and vol are exact BIGINT counts; the score is a single
-    exact-operand IEEE division (NULL when the community has no volume —
-    an isolated, edgeless group).
+    exact-operand IEEE division. EVERY community in the assignment table
+    is emitted: one with no incident (both-endpoints-assigned) edge gets
+    vol=0, cut=0, conductance NULL — undefined, not silently absent.
 
     Input contract: same as `modularity` — edges canonicalized internally,
     only edges with both endpoints assigned count.
@@ -926,8 +927,11 @@ def conductance(
     )
     total = ea.agg((F.count(F.lit(1)) * 2).cast("long").alias("vol_total"))
     comp = F.least(F.col("vol"), F.col("vol_total") - F.col("vol"))
+    comms = asg.select("c").distinct()
     return (
-        vol.join(cut, "c", "left")
+        comms.join(vol, "c", "left")
+        .withColumn("vol", F.coalesce("vol", F.lit(0)).cast("long"))
+        .join(cut, "c", "left")
         .crossJoin(F.broadcast(total))
         .select(
             F.col("c").alias("community"),

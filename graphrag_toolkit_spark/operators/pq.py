@@ -226,7 +226,11 @@ def quantize_int8(
     rounded, engine-identical), one IEEE multiply, one IEEE division,
     then FLOOR — floor avoids round-half boundary ambiguity entirely, at
     the cost of a ≤1-ulp systematic down-bias that both engines share.
-    Zero vectors quantize to all-zero codes (scale 0 guarded).
+    A GREATEST(-127) clamp pins the documented symmetric range: for
+    v = -scale the two IEEE roundings can land one ulp below -127 and
+    floor would mint -128, outside the contract (and invisible to the
+    |code|==127 saturation counters). Zero vectors quantize to all-zero
+    codes (scale 0 guarded).
 
     Scale shape: ONE narrow projection — no shuffle, no join, no window;
     a petabyte corpus quantizes as a map stage, same as ``encode``.
@@ -246,7 +250,10 @@ def quantize_int8(
     codes = F.transform(
         "_q",
         lambda x: F.when(F.col("_s") == 0, F.lit(0)).otherwise(
-            F.floor(x.cast("double") * F.lit(127.0) / s_dbl)
+            F.greatest(
+                F.floor(x.cast("double") * F.lit(127.0) / s_dbl),
+                F.lit(-127),
+            )
         ).cast("int"),
     )
     return prepped.select(

@@ -1,0 +1,139 @@
+"""Physical-plan guard: no single-partition Window over unbounded input.
+
+``Window.orderBy(...)`` with no ``partitionBy`` compiles to
+``Exchange SinglePartition → Sort → Window`` — ONE task sorts the entire
+input. At fixture scale it's invisible; at 100 TB it's the job. The repo's
+replacement is the two-phase distributed rank (``operators/ranks.py``);
+this module is the tripwire that keeps the anti-pattern from returning.
+
+``singlepartition_window_violations(df)`` walks the (pre-AQE) physical plan
+string and reports every Window fed by a SinglePartition exchange whose
+input subtree is not PROVABLY BOUNDED. Bounded means the exchange's child
+chain reaches, before any other exchange (a shuffle between the bound and
+the window would mean unbounded rows crossed it first... it cannot — an
+exchange above the bounding node still carries ≤bound rows, so we simply
+scan the whole subtree):
+
+- an aggregate keyed on a bucket column (``__tpb*`` — the two-phase rank's
+  ≤``ranks.DEFAULT_BUCKETS``-row offsets table, or an explicitly
+  allowlisted bounded grouping key like a 64-dim ``dim`` or the Z-order
+  ``zb`` coarse bucket), or
+- a ``TakeOrderedAndProject`` / ``GlobalLimit`` / ``CollectLimit`` (top-N
+  bounded), or
+- a ``Generate``/``Expand``-free scalar aggregate (``keys=[]`` produces one
+  row — those windows are 1-row frames).
+
+Anything else is a violation: a full-frame single-partition sort whose
+input grows with the data.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+# Grouping keys that bound an aggregate's output independent of input size.
+# Each entry is (regex on the keys=[...] text, justification).
+BOUNDED_AGG_KEYS: list[tuple[str, str]] = [
+    (r"__tpb", "two-phase rank bucket table: <= ranks.DEFAULT_BUCKETS rows"),
+    (r"\bzb#", "Z-order coarse bucket: <= 1024 Morton-top-bit buckets"),
+    (r"\bdim#", "per-embedding-dimension table: <= vector width (64/128) rows"),
+]
+
+_AGG_RE = re.compile(r"(HashAggregate|SortAggregate|ObjectHashAggregate)\(keys=\[([^\]]*)\]")
+_BOUNDED_NODES = ("TakeOrderedAndProject", "GlobalLimit", "CollectLimit")
+
+
+@dataclass
+class Violation:
+    window_line: str
+    exchange_line: str
+    subtree_head: str
+
+
+def plan_string(df: DataFrame) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode="extended")
+    text = buf.getvalue()
+    # the final section is the physical plan (pre-AQE, full operator args)
+    return text.split("== Physical Plan ==")[-1]
+
+
+def _depth(line: str) -> int:
+    """Tree depth of a plan line: the column where the node name starts.
+    Spark indents children by 3 chars per level with '+- ', ':- ', ':  ',
+    '   ' prefixes."""
+    m = re.match(r"^[ :+|-]*", line)
+    return m.end() if m else 0
+
+
+def _subtree(lines: list[str], i: int) -> list[str]:
+    d = _depth(lines[i])
+    out = []
+    for j in range(i + 1, len(lines)):
+        if lines[j].strip() == "":
+            break
+        if _depth(lines[j]) <= d:
+            break
+        out.append(lines[j])
+    return out
+
+
+def _is_bounded(subtree: list[str]) -> bool:
+    for ln in subtree:
+        if any(n in ln for n in _BOUNDED_NODES):
+            return True
+        m = _AGG_RE.search(ln)
+        if m:
+            keys = m.group(2)
+            if keys.strip() == "":  # scalar aggregate → 1 row
+                return True
+            if any(re.search(pat, keys) for pat, _ in BOUNDED_AGG_KEYS):
+                return True
+    return False
+
+
+def singlepartition_window_violations(df: DataFrame) -> list[Violation]:
+    lines = [ln for ln in plan_string(df).splitlines() if ln.strip()]
+    out: list[Violation] = []
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        d = _depth(ln)
+        # nearest ancestor: closest previous line with smaller depth; the
+        # anti-pattern is Window [<- Sort] <- Exchange SinglePartition
+        feeds_window = False
+        want = d
+        for j in range(i - 1, -1, -1):
+            dj = _depth(lines[j])
+            if dj < want:
+                node = lines[j].strip().lstrip(":+- ").split("(")[0].split(" ")[0]
+                if node == "Sort":
+                    want = dj
+                    continue
+                feeds_window = node in ("Window", "WindowGroupLimit")
+                break
+        if not feeds_window:
+            continue
+        sub = _subtree(lines, i)
+        if not _is_bounded(sub):
+            out.append(
+                Violation(
+                    window_line=next(
+                        (
+                            lines[j].strip()
+                            for j in range(i - 1, -1, -1)
+                            if "Window" in lines[j]
+                        ),
+                        "?",
+                    ),
+                    exchange_line=ln.strip(),
+                    subtree_head="; ".join(s.strip() for s in sub[:3]),
+                )
+            )
+    return out

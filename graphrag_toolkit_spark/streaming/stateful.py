@@ -422,8 +422,12 @@ def running_moments_stream(
             }
         )
 
-    # scale to integers JVM-side: 2-decimal doubles -> exact longs
-    scaled = events.select(
+    # scale to integers JVM-side: 2-decimal doubles -> exact longs.
+    # NULL values are dropped HERE, in the JVM projection: round(NULL*100)
+    # stays NULL, arrives in pandas as NaN, and int(NaN) would raise inside
+    # applyInPandasWithState — crashing the whole streaming query on one
+    # bad row. A NULL has no moments; skipping it is the only semantics.
+    scaled = events.filter(F.col(value_col).isNotNull()).select(
         F.col(key_col),
         F.round(F.col(value_col) * 100).cast("long").alias("__v100"),
     )

@@ -165,7 +165,7 @@ def gopher_gate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GG = textstats.GOPHER_RULES
 
-GOPHER_GATE_ORACLE = f"""
+GOPHER_GATE_ORACLE = rf"""
 WITH base AS (
   SELECT doc_id,
          len(regexp_extract_all(text, '{textstats.WORD_RE}')) AS n_words,
@@ -4737,8 +4737,9 @@ sc2 AS (SELECT vec_id, MAX(ABS(qv)) AS s_dec FROM q2 GROUP BY vec_id),
 codes2 AS (
   SELECT q2.vec_id,
          CASE WHEN sc2.s_dec = 0 THEN 0
-              ELSE CAST(FLOOR(CAST(q2.qv AS DOUBLE) * 127.0
-                              / CAST(sc2.s_dec AS DOUBLE)) AS INTEGER)
+              ELSE CAST(GREATEST(FLOOR(CAST(q2.qv AS DOUBLE) * 127.0
+                                       / CAST(sc2.s_dec AS DOUBLE)),
+                                 -127) AS INTEGER)
          END AS code,
          CAST(sc2.s_dec AS DOUBLE) AS scale
   FROM q2 JOIN sc2 USING (vec_id)
@@ -4802,8 +4803,9 @@ sc AS (SELECT vec_id, MAX(ABS(qv)) AS s_dec FROM q GROUP BY vec_id),
 codes AS (
   SELECT q.vec_id, q.i,
          CASE WHEN sc.s_dec = 0 THEN 0
-              ELSE CAST(FLOOR(CAST(q.qv AS DOUBLE) * 127.0
-                              / CAST(sc.s_dec AS DOUBLE)) AS INTEGER)
+              ELSE CAST(GREATEST(FLOOR(CAST(q.qv AS DOUBLE) * 127.0
+                                       / CAST(sc.s_dec AS DOUBLE)),
+                                 -127) AS INTEGER)
          END AS code,
          CAST(sc.s_dec AS DOUBLE) AS scale
   FROM q JOIN sc USING (vec_id)

@@ -1942,9 +1942,12 @@ def burstiness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             n.cast("long").alias("n_days"),
             sc.cast("long").alias("n_events"),
             (sc.cast("double") / n.cast("double")).alias("mean_daily"),
-            (
+            # single observed day → n·(n−1) = 0 → Fano undefined: NULL,
+            # never a 0/0 (the CASE is mirrored in BURSTINESS_ORACLE)
+            F.when(
+                n > 1,
                 (n * (n * sc2 - sc * sc)).cast("double")
-                / (n * (n - 1) * sc).cast("double")
+                / (n * (n - 1) * sc).cast("double"),
             ).alias("fano"),
         )
         .orderBy("event_type")
@@ -1965,8 +1968,9 @@ agg AS (
 )
 SELECT event_type, n AS n_days, sc AS n_events,
        CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) AS mean_daily,
-       CAST(n * (n * sc2 - sc * sc) AS DOUBLE)
-         / CAST(n * (n - 1) * sc AS DOUBLE) AS fano
+       CASE WHEN n > 1 THEN CAST(n * (n * sc2 - sc * sc) AS DOUBLE)
+                              / CAST(n * (n - 1) * sc AS DOUBLE)
+       END AS fano
 FROM agg
 ORDER BY event_type
 """
@@ -2019,8 +2023,13 @@ def neyman_allocation_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     num_int = F.floor(var_num)
     num_frac = var_num - num_int.cast("decimal(38,12)")
     num_dbl = num_int.cast("double") + num_frac.cast("double")
-    s_h = F.sqrt(
-        num_dbl / (F.col("n_h") * (F.col("n_h") - 1)).cast("double")
+    # a single-event stratum has no spread estimate: n_h·(n_h−1) = 0 would
+    # 0/0-NaN the share sum for EVERY stratum — NULL it out instead (the
+    # CASE is mirrored in _NEYMAN_CTE; NULL w → NULL share/alloc, and the
+    # draw step skips the stratum)
+    s_h = F.when(
+        F.col("n_h") > 1,
+        F.sqrt(num_dbl / (F.col("n_h") * (F.col("n_h") - 1)).cast("double")),
     )
     scored = per.select(
         "event_type", "n_h", (F.col("n_h").cast("double") * s_h).alias("w")
@@ -2101,10 +2110,12 @@ scored AS (
   -- decimal→double split: integer part (< 2^53) + fraction, one IEEE add —
   -- a direct CAST of the ~10²²-raw decimal rounds differently per engine
   SELECT event_type, n_h,
-         CAST(n_h AS DOUBLE)
-           * sqrt((CAST(FLOOR(vn) AS DOUBLE)
-                   + CAST(vn - FLOOR(vn) AS DOUBLE))
-                  / CAST(n_h * (n_h - 1) AS DOUBLE)) AS w
+         CASE WHEN n_h > 1 THEN
+           CAST(n_h AS DOUBLE)
+             * sqrt((CAST(FLOOR(vn) AS DOUBLE)
+                     + CAST(vn - FLOOR(vn) AS DOUBLE))
+                    / CAST(n_h * (n_h - 1) AS DOUBLE))
+         END AS w
   FROM vnum
 ),
 shared AS (

@@ -1214,14 +1214,16 @@ cut AS (
     UNION ALL SELECT cb FROM ea WHERE ca <> cb
   ) GROUP BY c
 ),
-tot AS (SELECT CAST(2 * COUNT(*) AS BIGINT) AS vol_total FROM ea)
-SELECT v.c AS community, v.vol,
+tot AS (SELECT CAST(2 * COUNT(*) AS BIGINT) AS vol_total FROM ea),
+comms AS (SELECT DISTINCT p_brand AS c FROM part)
+SELECT m.c AS community, CAST(COALESCE(v.vol, 0) AS BIGINT) AS vol,
        CAST(COALESCE(t.cut, 0) AS BIGINT) AS cut,
-       CASE WHEN LEAST(v.vol, tot.vol_total - v.vol) > 0
+       CASE WHEN LEAST(COALESCE(v.vol, 0),
+                       tot.vol_total - COALESCE(v.vol, 0)) > 0
             THEN CAST(COALESCE(t.cut, 0) AS DOUBLE)
                  / CAST(LEAST(v.vol, tot.vol_total - v.vol) AS DOUBLE)
             END AS conductance
-FROM vol v LEFT JOIN cut t ON v.c = t.c, tot
+FROM comms m LEFT JOIN vol v ON m.c = v.c LEFT JOIN cut t ON m.c = t.c, tot
 ORDER BY community
 """
 

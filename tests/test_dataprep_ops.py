@@ -2482,6 +2482,24 @@ class TestQuantizeInt8:
         )
         assert a == b
 
+    def test_negative_boundary_clamps_to_minus_127(self, spark):
+        # s = 9e-6: floor((-s)·127.0/s) lands at -128 in IEEE doubles (the
+        # two roundings drift one ulp below -127) — the GREATEST clamp must
+        # pin it to the documented symmetric [-127, 127] range so the
+        # |code|==127 saturation counters see it.
+        import math
+
+        from graphrag_toolkit_spark.operators.pq import quantize_int8
+
+        s = 9e-6
+        assert math.floor((-s) * 127.0 / s) == -128  # the trap is real
+        emb = spark.createDataFrame(
+            [(1, [-9e-6, 4e-6])], "vec_id long, embedding array<float>"
+        )
+        (row,) = quantize_int8(emb).collect()
+        assert list(row["codes"]) == [-127, 56]
+        assert min(row["codes"]) >= -127
+
 
 class TestRound6TextOps:
     def test_doc_length_gate_exact_rank_thresholds(self, spark):
@@ -2523,3 +2541,82 @@ class TestRound6TextOps:
         assert got["s0"]["oov_tokens"] == 4 and got["s0"]["oov_types"] == 1
         assert got["s0"]["oov_rate"] == 1.0
         assert got["s1"]["oov_tokens"] == 0 and got["s1"]["oov_rate"] == 0.0
+
+
+class TestSingleObservationStrata:
+    """A stratum/type with ONE observation has no spread estimate: fano and
+    Neyman S_h must be NULL (guarded), never 0/0 — and a NaN must never
+    poison the OTHER strata's shares."""
+
+    @staticmethod
+    def _events_dir(spark, tmpdir):
+        import os
+        from datetime import datetime
+
+        rows = (
+            # "solo": one event, one day -> n_days = 1, n_h = 1
+            [(1, datetime(2024, 1, 1, 8), 1, "solo", 5.0, "{}")]
+            # "multi": four events across two days, varying values
+            + [
+                (10 + i, datetime(2024, 1, 1 + i % 2, 9 + i), 2, "multi",
+                 1.0 + i, "{}")
+                for i in range(4)
+            ]
+            # "steady": three events on three days, identical values
+            + [
+                (20 + i, datetime(2024, 2, 1 + i, 12), 3, "steady", 2.5, "{}")
+                for i in range(3)
+            ]
+        )
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        ev.write.parquet(os.path.join(tmpdir, "events.parquet"))
+        return tmpdir
+
+    def test_burstiness_single_day_type_is_null(self, spark):
+        import tempfile
+
+        from graphrag_toolkit_spark.workload.events import burstiness_events
+
+        with tempfile.TemporaryDirectory() as d:
+            got = {
+                r["event_type"]: r
+                for r in burstiness_events(spark, self._events_dir(spark, d)).collect()
+            }
+        assert got["solo"]["n_days"] == 1
+        assert got["solo"]["fano"] is None            # guarded, not 0/0
+        assert got["solo"]["mean_daily"] == 1.0
+        assert got["multi"]["fano"] is not None       # others unaffected
+        assert got["steady"]["fano"] is not None
+
+    def test_neyman_single_event_stratum_null_not_nan(self, spark):
+        import math
+        import tempfile
+
+        from graphrag_toolkit_spark.workload.events import (
+            NEYMAN_BUDGET,
+            neyman_allocation_events,
+            neyman_sample_events,
+        )
+
+        with tempfile.TemporaryDirectory() as d:
+            self._events_dir(spark, d)
+            alloc = {
+                r["event_type"]: r
+                for r in neyman_allocation_events(spark, d).collect()
+            }
+            sampled = neyman_sample_events(spark, d).collect()
+        assert alloc["solo"]["s_h"] is None and alloc["solo"]["share"] is None
+        assert alloc["solo"]["alloc"] is None
+        # the other strata keep FINITE shares (no NaN poisoning) that sum
+        # to 1 and integer allocs that exhaust the budget
+        others = [alloc["multi"], alloc["steady"]]
+        for r in others:
+            assert r["share"] is not None and not math.isnan(r["share"])
+        assert abs(sum(r["share"] for r in others) - 1.0) < 1e-12
+        assert sum(r["alloc"] for r in others) == NEYMAN_BUDGET
+        # the draw skips the undefined stratum entirely
+        assert all(r["event_type"] != "solo" for r in sampled)

@@ -1085,6 +1085,22 @@ class TestConductance:
             assert rows[c]["cut"] == 1
             assert rows[c]["conductance"] == 1.0 / 7.0
 
+    def test_edgeless_community_emits_null_row(self, spark):
+        # docstring contract: a community with NO incident both-endpoints-
+        # assigned edge is EMITTED with vol=0, cut=0, conductance NULL —
+        # never silently absent from the report
+        from graphrag_toolkit_spark.operators.centrality import conductance
+
+        edges = spark.createDataFrame([(1, 2), (2, 3)], "src int, dst int")
+        assign = spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, "a"), (9, "lonely")],
+            "node_id int, community string",
+        )
+        rows = {r["community"]: r for r in conductance(edges, assign).collect()}
+        assert set(rows) == {"a", "lonely"}
+        assert rows["lonely"]["vol"] == 0 and rows["lonely"]["cut"] == 0
+        assert rows["lonely"]["conductance"] is None
+
     def test_partition_invariant(self, spark):
         from graphrag_toolkit_spark.operators.centrality import conductance
 

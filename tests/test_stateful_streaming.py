@@ -513,3 +513,26 @@ class TestRunningMoments:
             n, s1, s2 = r["n"], r["s1"], r["s2"]
             want = (n, s1, s2, s1 / (100.0 * n), (n * s2 - s1 * s1) / (10_000.0 * n * n))
             assert last[r["event_type"]] == want  # bit-exact, not approx
+
+    def test_null_value_row_skipped_not_crash(self, spark, tmp_path):
+        # a NULL value used to arrive in pandas as NaN and int(NaN) killed
+        # the whole streaming query; the JVM-side isNotNull filter must
+        # drop the row and keep every non-null row's moments exact
+        rows = [
+            {"id": 0, "text_hash": "h", "event_type": "m", "value": 1.0},
+            {"id": 1, "text_hash": "h", "event_type": "m", "value": None},
+            {"id": 2, "text_hash": "h", "event_type": "m", "value": 3.0},
+        ]
+        p = tmp_path / "nulls.jsonl"
+        p.write_text("\n".join(json.dumps(r) for r in rows))
+        src = read_jsonl_stream(spark, str(tmp_path), SCHEMA)
+        _run(
+            stateful.running_moments_stream(src, "event_type", "value"),
+            "moments_null_out",
+            "update",
+        )
+        rows_out = spark.sql("SELECT * FROM moments_null_out").collect()
+        last = {r["event_type"]: r for r in rows_out}
+        assert last["m"]["n"] == 2            # NULL row contributed nothing
+        assert last["m"]["s1"] == 100 + 300
+        assert last["m"]["mean"] == 2.0
