@@ -37,68 +37,18 @@ _MODULES = [relational, graphish, lexical, vector, dataprep, events, lifecycle, 
 
 # Driver-check priority (the driver hash-verifies at most ~50 queries/round,
 # reading this dict in order). Ranking rule: queries RED at their latest driver
-# appearance first (none — every driver check through round 5 is green at its
-# latest appearance), then queries the driver has NEVER checked (42 as of the
-# round-6 rotation + the round-6 additions, declaration order), then
-# previously-green queries
-# oldest-verified-first (r1-era greens lead; the 50 verified in round 5 sit
-# last). Every listed query is verified green locally at sf0.001/0.01/0.1
-# via tools/check.py before it lands here (`tools/coverage_report.py` prints
-# the never-checked ledger this ordering is rotated from). Names absent from
-# the registry are ignored; unlisted queries keep module order at the end.
+# appearance first (none — every driver check through round 6 is green at its
+# latest appearance), then queries the driver has NEVER checked (the 16
+# round-6 tail additions; judge-verified green in the round-6 gate), then
+# previously-green queries oldest-verified-first (r1-era greens lead; the 50
+# verified in round 6 sit last). Round-7 rotation closes the loop: after this
+# round every registry query will have a driver-side green. Every listed
+# query is verified green locally at sf0.001/0.01/0.1 via tools/check.py
+# before it lands here (`tools/coverage_report.py` prints the never-checked
+# ledger this ordering is rotated from). Names absent from the registry are
+# ignored; unlisted queries keep module order at the end.
 _CHECK_FIRST = [
-    # --- never driver-checked (locally green 3x SFs via tools/check.py) ---
-    "cohen_kappa_documents",
-    "zorder_layout_orders",
-    "kn_perplexity_buckets_documents",
-    "modularity_parts",
-    "l_diversity_documents",
-    "auc_by_source_documents",
-    "compaction_plan_events",
-    "classification_report_documents",
-    "group_split_documents",
-    "readability_documents",
-    "assortativity_parts",
-    "pareto_parts",
-    "weighted_pagerank_parts",
-    "ivm_join_orders",
-    "derive_changelog_orders",
-    "neighborhood_sizes_parts",
-    "label_propagation_parts",
-    "ktruss_parts",
-    "q2_min_cost_supplier",
-    "q11_important_value",
-    "q16_supplier_relationship",
-    "q20_potential_promotion",
-    "q21_waiting_suppliers",
-    "link_prediction_parts",
-    "random_walks_parts",
-    "cusum_changepoint_events",
-    "token_budget_mix_documents",
-    "walk_skipgram_parts",
-    "temperature_mix_documents",
-    "node_features_parts",
-    "poisson_bootstrap_documents",
-    "community_rollup_parts",
-    "frequent_paths_events",
-    "phrase_search_documents",
-    "bootstrap_by_source_documents",
-    "seasonal_anomalies_events",
-    "phash_neardup_documents",
-    "audio_vad_documents",
-    "late_interaction_topk",
-    "mutual_nn_embeddings",
-    "kfold_balance_documents",
-    "winsorize_events",
-    # --- round-6 additions (never driver-checked; locally green 3x SFs) ---
-    "conductance_parts",
-    "harmonic_2hop_parts",
-    "quantize_int8_embeddings",
-    "lsh_bucket_purity_embeddings",
-    "oov_rate_documents",
-    "doc_length_gate_documents",
-    "semantic_decontaminate_embeddings",
-    "minhash_jaccard_error_documents",
+    # --- never driver-checked (round-6 tail; judge-verified green r6, locally green 3x SFs) ---
     "neyman_allocation_events",
     "ann_ivf_recall",
     "packing_efficiency_documents",
@@ -324,6 +274,57 @@ _CHECK_FIRST = [
     "hits_scores_graph",
     "kneser_ney_lm_documents",
     "calibration_documents",
+    # --- green, driver-verified round 6 ---
+    "cohen_kappa_documents",
+    "zorder_layout_orders",
+    "kn_perplexity_buckets_documents",
+    "modularity_parts",
+    "l_diversity_documents",
+    "auc_by_source_documents",
+    "compaction_plan_events",
+    "classification_report_documents",
+    "group_split_documents",
+    "readability_documents",
+    "assortativity_parts",
+    "pareto_parts",
+    "weighted_pagerank_parts",
+    "ivm_join_orders",
+    "derive_changelog_orders",
+    "neighborhood_sizes_parts",
+    "label_propagation_parts",
+    "ktruss_parts",
+    "q2_min_cost_supplier",
+    "q11_important_value",
+    "q16_supplier_relationship",
+    "q20_potential_promotion",
+    "q21_waiting_suppliers",
+    "link_prediction_parts",
+    "random_walks_parts",
+    "cusum_changepoint_events",
+    "token_budget_mix_documents",
+    "walk_skipgram_parts",
+    "temperature_mix_documents",
+    "node_features_parts",
+    "poisson_bootstrap_documents",
+    "community_rollup_parts",
+    "frequent_paths_events",
+    "phrase_search_documents",
+    "bootstrap_by_source_documents",
+    "seasonal_anomalies_events",
+    "phash_neardup_documents",
+    "audio_vad_documents",
+    "late_interaction_topk",
+    "mutual_nn_embeddings",
+    "kfold_balance_documents",
+    "winsorize_events",
+    "conductance_parts",
+    "harmonic_2hop_parts",
+    "quantize_int8_embeddings",
+    "lsh_bucket_purity_embeddings",
+    "oov_rate_documents",
+    "doc_length_gate_documents",
+    "semantic_decontaminate_embeddings",
+    "minhash_jaccard_error_documents",
 ]
 
 
