@@ -709,3 +709,105 @@ def test_vector_index_pipeline_no_cartesian(spark, tmp_path):
     plan = plan_of(vector_index_pipeline(spark, d), mode="simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Plan guard: no Exchange SinglePartition feeding a Window on unbounded input
+# (the round-6 verdict's one systemic finding — every global window must be
+# the two-phase distributed rank, a top-N-bounded frame, or a bucket table).
+# ---------------------------------------------------------------------------
+
+def test_planguard_flags_planted_global_window(spark):
+    """Self-test: the guard must CATCH the anti-pattern, else the sweep
+    assertions below prove nothing."""
+    from pyspark.sql.window import Window
+
+    from graphrag_toolkit_spark.planguard import singlepartition_window_violations
+
+    df = spark.range(1_000).withColumn(
+        "rn", F.row_number().over(Window.orderBy("id"))
+    )
+    v = singlepartition_window_violations(df)
+    assert v and "SinglePartition" in v[0].exchange_line
+
+
+def test_planguard_accepts_bounded_frames(spark):
+    """The three allowlisted bounded shapes must NOT be flagged: a top-N
+    limit feeding the window, the two-phase rank's bucket-offsets table,
+    and a scalar (keys=[]) aggregate."""
+    from pyspark.sql.window import Window
+
+    from graphrag_toolkit_spark.operators import ranks
+    from graphrag_toolkit_spark.planguard import singlepartition_window_violations
+
+    # top-N bounded: orderBy().limit() = TakeOrderedAndProject, then re-rank
+    top = spark.range(1_000).orderBy("id").limit(20)
+    assert not singlepartition_window_violations(
+        top.withColumn("rn", F.row_number().over(Window.orderBy("id")))
+    )
+
+    # two-phase rank: the only single-partition window is over the <=1024-row
+    # bucket-offsets aggregate (keys=[__tpb]) — allowlisted
+    base = spark.range(10_000).select(
+        F.col("id").cast("double").alias("x"), F.col("id").alias("uid")
+    )
+    ranked = ranks.two_phase_row_number(
+        ranks.with_range_bucket(base, F.col("x")),
+        [F.asc("x"), F.asc("uid")],
+    )
+    assert not singlepartition_window_violations(ranked)
+
+    # scalar aggregate (one row) under a window
+    one = spark.range(1_000).agg(F.sum("id").alias("s"))
+    assert not singlepartition_window_violations(
+        one.withColumn("rn", F.row_number().over(Window.orderBy("s")))
+    )
+
+
+# Every query the round-6 verdict flagged as a single-partition-window site
+# (the 8 rewrite targets + the 3 top-N minors), by registry name. The guard
+# walks the pre-AQE physical plan, so a regression in ANY of these — or a
+# revert of the ranks.py rewrite — fails here before it ships.
+_FORMERLY_FLAGGED = [
+    "decile_stats_orders",
+    "rfm_segments_customers",
+    "doc_length_gate_documents",
+    "sorted_batching_documents",
+    "heaps_law_documents",
+    "negative_samples_embeddings",
+    "auc_documents",
+    "kn_perplexity_buckets_documents",
+    "hub_knockout_parts",
+    "embedding_outliers",
+    "vector_index_pipeline",
+]
+
+
+def test_no_global_window_in_formerly_flagged_queries(spark, sf_dir):
+    from graphrag_toolkit_spark.planguard import singlepartition_window_violations
+    from graphrag_toolkit_spark.workload import all_queries
+
+    qs = all_queries()
+    bad = {}
+    for name in _FORMERLY_FLAGGED:
+        v = singlepartition_window_violations(qs[name](spark, sf_dir))
+        if v:
+            bad[name] = [x.exchange_line for x in v]
+    assert not bad, f"single-partition global windows returned: {bad}"
+
+
+def test_no_global_window_in_dsir_pipeline_stage(spark, sf_dir):
+    """api.py's CorpusPipeline dsir top-fraction stage (the 8th verdict
+    site) — build the staged plan and guard it."""
+    from graphrag_toolkit_spark.api import CorpusPipeline
+    from graphrag_toolkit_spark.planguard import singlepartition_window_violations
+    from graphrag_toolkit_spark.session import load
+
+    docs = load(spark, sf_dir, "documents")
+    target = docs.filter("length(text) > 200").limit(50)
+    df = (
+        CorpusPipeline(text_col="text", id_col="doc_id")
+        .with_dsir_selection(target, keep_fraction=0.5)
+        .run(docs)
+    )
+    assert not singlepartition_window_violations(df)
