@@ -115,8 +115,13 @@ def fuzzy_link(
         & (F.col("clen") <= F.col("qlen") * (1.0 + length_slack))
     )
     if scorer == "levenshtein":
+        # both-empty pairs score 0 like thefuzz's ratio('','') — and the
+        # guard is the only reason the pair exists (qlen=0 → slack interval
+        # [0,0]); without the WHEN, ANSI mode turns the 0/0 into a runtime
+        # DIVIDE_BY_ZERO that kills the whole job on one degenerate row
         dist = F.levenshtein(F.col("qnorm"), F.col("cnorm"))
-        score = 1.0 - dist / F.greatest(F.col("qlen"), F.col("clen"))
+        denom = F.greatest(F.col("qlen"), F.col("clen"))
+        score = F.when(denom > 0, 1.0 - dist / denom).otherwise(F.lit(0.0))
     elif scorer == "token_set":
         score = token_set_similarity(F.col("qnorm"), F.col("cnorm"))
     else:

@@ -7,6 +7,7 @@ from collections import deque
 
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from graphrag_toolkit_spark import fixtures
 from graphrag_toolkit_spark.operators import bfs, entity, linking
@@ -323,6 +324,66 @@ class TestLinking:
         q = spark.createDataFrame([{"query": typo}])
         out = linking.fuzzy_link(q, names, top_k=1).collect()
         assert out[0]["name"] == target
+
+    def test_fuzzy_blocking_matches_brute_force(self, spark):
+        """Blocking completeness (round-4 carry): the length-bucket range
+        explode must admit EXACTLY the candidates the slack guard admits —
+        parity with an unblocked cross-join on a boundary fixture whose
+        lengths sit on bucket edges and exactly at qlen*(1±slack)."""
+        from graphrag_toolkit_spark.functions.text import search_string
+
+        # catalog lengths 1..32 cover bucket edges for width 8 and width 5;
+        # two spellings per length so distances vary within a bucket
+        names = spark.createDataFrame(
+            [{"node_id": 2 * n, "name": ("abcdefgh" * 4)[:n]} for n in range(1, 33)]
+            + [{"node_id": 2 * n + 1, "name": ("abcdxfgh" * 4)[:n]} for n in range(1, 33)]
+            + [{"node_id": 999, "name": "!!!"}]  # normalizes to empty, len 0
+        )
+        queries = spark.createDataFrame(
+            [{"query": ("abcdefgh" * 4)[:n]} for n in (2, 7, 8, 9, 15, 16, 17, 24, 32)]
+            + [{"query": "???"}]  # empty after normalization
+        )
+        for bucket_width, slack in ((8, 0.5), (5, 0.3)):
+            fast = set(
+                map(
+                    tuple,
+                    linking.fuzzy_link(
+                        queries, names, top_k=10 ** 6,
+                        length_slack=slack, bucket_width=bucket_width,
+                    ).collect(),
+                )
+            )
+            # brute: same normalization/guard/score/rank, NO bucketing
+            q = queries.select(
+                "query", search_string(F.col("query")).alias("qnorm")
+            ).withColumn("qlen", F.length("qnorm")).distinct()
+            c = names.select(
+                "node_id", "name", search_string(F.col("name")).alias("cnorm")
+            ).withColumn("clen", F.length("cnorm"))
+            guard = (
+                (F.col("clen") >= F.col("qlen") * (1.0 - slack))
+                & (F.col("clen") <= F.col("qlen") * (1.0 + slack))
+            )
+            denom = F.greatest("qlen", "clen")
+            score = F.when(
+                denom > 0, 1.0 - F.levenshtein("qnorm", "cnorm") / denom
+            ).otherwise(F.lit(0.0))
+            w = Window.partitionBy("query").orderBy(
+                F.desc("fuzzy_score"), F.asc("node_id")
+            )
+            brute = set(
+                map(
+                    tuple,
+                    q.crossJoin(c)
+                    .filter(guard)
+                    .withColumn("fuzzy_score", score)
+                    .filter(F.col("fuzzy_score") >= 0.0)
+                    .withColumn("rank", F.row_number().over(w))
+                    .select("query", "node_id", "name", "fuzzy_score", "rank")
+                    .collect(),
+                )
+            )
+            assert fast == brute and len(brute) > 50, (bucket_width, slack)
 
     def test_token_set_word_order_insensitive(self, spark):
         """'obama, barack' must hit 'barack obama' at 1.0 under token_set
