@@ -1455,6 +1455,50 @@ class TestBinaryAuc:
         )
         assert binary_auc(df, "s", "y").head()["auc"] == pytest.approx(2.5 / 4.0)
 
+    def test_continuous_scores_large_cardinality(self, spark):
+        """The round-7 two-phase rewrite's target regime: distinct scores ≈
+        rows (continuous model scores), where the old single-partition
+        cumulative window re-sorted the whole scored set on one task. Value
+        must equal the tie-corrected Mann-Whitney statistic computed
+        independently in Python, and the plan must pass the global-window
+        guard."""
+        from graphrag_toolkit_spark.operators.ranking_eval import binary_auc
+        from graphrag_toolkit_spark.planguard import (
+            singlepartition_window_violations,
+        )
+
+        # deterministic pseudo-continuous scores: 20k rows, all distinct
+        # except one planted 3-way tie straddling the class boundary
+        n = 20_000
+        rows = [
+            {
+                "s": ((i * 2654435761) % (2**31)) / float(2**31),
+                "y": (i * 7919) % 10 < 4,
+            }
+            for i in range(n)
+        ]
+        rows += [{"s": 0.25, "y": True}, {"s": 0.25, "y": False},
+                 {"s": 0.25, "y": False}]
+        # independent reference: average-rank Mann-Whitney
+        by_score: dict[float, list[int]] = {}
+        for r in rows:
+            by_score.setdefault(r["s"], []).append(1 if r["y"] else 0)
+        rank, s2 = 0, 0  # s2 = doubled rank-sum over positives
+        for s in sorted(by_score):
+            grp = by_score[s]
+            c = len(grp)
+            s2 += sum(grp) * (2 * (rank + 1) + c - 1)
+            rank += c
+        p = sum(1 for r in rows if r["y"])
+        nn = len(rows) - p
+        expected = (s2 - p * (p + 1)) / (2 * p * nn)
+
+        df = spark.createDataFrame(rows).repartition(8)
+        out = binary_auc(df, "s", "y").head()
+        assert out["n_pos"] == p and out["n_neg"] == nn
+        assert out["auc"] == pytest.approx(expected, abs=1e-12)
+        assert not singlepartition_window_violations(binary_auc(df, "s", "y"))
+
 
 class TestIncrementalNeardup:
     def test_new_vs_corpus_and_within_batch(self, spark):
