@@ -93,6 +93,7 @@ def neardup_candidates_stream(
     k: int = 2,
     num_hashes: int = 12,
     bands: int = 6,
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Streaming MinHash-LSH near-dup candidates: what a 100 TB ingest
     pipeline actually runs — each arriving document is checked against
@@ -109,9 +110,16 @@ def neardup_candidates_stream(
     verification dedups either way).
 
     State size = Σ bucket sizes = bands × corpus size ids; at production
-    scale shard the stream by band-hash prefix and age out buckets with a
-    processing-time timeout. Batch twin: ``dedup.lsh_bucket_pairs`` —
-    stream-vs-batch parity is pinned in tests."""
+    scale shard the stream by band-hash prefix and age out idle buckets
+    with ``state_ttl_ms`` (ProcessingTimeTimeout): a bucket that receives
+    no doc for that long is dropped wholesale, so later arrivals pair only
+    against the retained horizon — the standard bounded-state near-dup
+    contract for an unbounded ingest. Note Spark's timeout semantics: the
+    expiry sweep runs per micro-batch and only for buckets WITHOUT data in
+    that batch (a bucket whose deadline passed but that receives a doc in
+    the same batch keeps its history — timeout is idle-based, not TTL from
+    write). Batch twin: ``dedup.lsh_bucket_pairs`` — stream-vs-batch
+    parity is pinned in tests, both untimed and on the retained horizon."""
     from graphrag_toolkit_spark.operators import dedup
 
     banded = docs.select(
@@ -127,6 +135,9 @@ def neardup_candidates_stream(
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
+        if state_ttl_ms is not None and state.hasTimedOut:
+            state.remove()  # idle bucket: drop its history, emit nothing
+            return
         prev: list[int] = list(state.get[0]) if state.exists else []
         new: list[int] = []
         seen = set(prev)
@@ -136,6 +147,10 @@ def neardup_candidates_stream(
                     seen.add(i)
                     new.append(i)
         if not new:
+            if state_ttl_ms is not None and state.exists:
+                # a touch with only already-seen ids still re-arms: the
+                # timeout measures idleness, not age since first write
+                state.setTimeoutDuration(state_ttl_ms)
             return
         pairs_a, pairs_b = [], []
         for n in new:
@@ -147,6 +162,8 @@ def neardup_candidates_stream(
                 pairs_a.append(min(n1, n2))
                 pairs_b.append(max(n1, n2))
         state.update((prev + new,))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
         if pairs_a:
             yield pd.DataFrame({"id_a": pairs_a, "id_b": pairs_b})
 
@@ -155,7 +172,11 @@ def neardup_candidates_stream(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

@@ -136,6 +136,84 @@ class TestNeardupCandidatesStream:
         assert (1, 2) in got                      # within-batch pair
         assert (1, 10) in got or (2, 10) in got   # cross-batch pair
 
+    def test_state_ttl_ages_out_idle_buckets(self, spark, tmp_path):
+        """state_ttl_ms contract: a bucket idle past the TTL is dropped, so
+        docs arriving after the sweep pair only against the retained
+        horizon. Three micro-batches with idle gaps > TTL between them: B1
+        plants (1,2); B2 (unrelated identical pair, its (5,6) output is the
+        progress sentinel) arrives after B1's buckets expired; B3 re-sends
+        doc 1's text as docs 10/11 — with NoTimeout those would pair with
+        1 and 2, with TTL they must pair only with each other. Output must
+        equal the batch twin unioned over the retained horizons.
+
+        NOTE: with ProcessingTimeTimeout the engine triggers empty
+        micro-batches indefinitely to service future timeouts, so
+        ``processAllAvailable()`` NEVER reaches quiescence — the test polls
+        the memory sink for sentinel pairs instead (the same reason the
+        production pattern is a real trigger interval, not availableNow)."""
+        import time
+
+        from graphrag_toolkit_spark.operators import dedup
+
+        d = tmp_path / "ttl_src"
+        d.mkdir()
+        near1 = "the quick brown fox jumps over the lazy dog tonight"
+        unrel = "totally unrelated spark engine chatter for the sweep"
+        b1 = [{"doc_id": 1, "text": near1}, {"doc_id": 2, "text": near1}]
+        b2 = [{"doc_id": 5, "text": unrel}, {"doc_id": 6, "text": unrel}]
+        b3 = [{"doc_id": 10, "text": near1}, {"doc_id": 11, "text": near1}]
+
+        src = read_jsonl_stream(spark, str(d), DOC_SCHEMA, max_files_per_trigger=1)
+        q = (
+            stateful.neardup_candidates_stream(
+                src, "text", "doc_id", state_ttl_ms=700
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("neardup_ttl_out")
+            .start()
+        )
+
+        def wait_for(pair, deadline=120.0):
+            t0 = time.time()
+            got = set()
+            while time.time() - t0 < deadline:
+                got = {
+                    (r["id_a"], r["id_b"])
+                    for r in spark.sql("SELECT * FROM neardup_ttl_out").collect()
+                }
+                if pair in got:
+                    return got
+                time.sleep(0.3)
+            raise AssertionError(f"{pair} never appeared; have {got}")
+
+        try:
+            (d / "b0.jsonl").write_text("\n".join(json.dumps(r) for r in b1))
+            wait_for((1, 2))
+            time.sleep(2.5)  # idle past the 700 ms TTL: B1 buckets sweep
+            (d / "b1.jsonl").write_text("\n".join(json.dumps(r) for r in b2))
+            wait_for((5, 6))
+            time.sleep(2.5)  # B2 buckets sweep too
+            (d / "b2.jsonl").write_text("\n".join(json.dumps(r) for r in b3))
+            got = wait_for((10, 11))
+        finally:
+            q.stop()
+
+        # batch twin on each retained horizon (every batch alone)
+        def batch_pairs(rows):
+            docs = spark.createDataFrame(rows, DOC_SCHEMA)
+            sh = dedup.shingles(docs, "text", "doc_id", k=2)
+            return {
+                (r["id_a"], r["id_b"])
+                for r in dedup.lsh_bucket_pairs(
+                    dedup.minhash_signatures(sh, 12), 12, 6
+                ).collect()
+            }
+
+        assert got == batch_pairs(b1) | batch_pairs(b2) | batch_pairs(b3)
+        # the aged-out cross-horizon pairs must NOT appear
+        assert not {(1, 10), (1, 11), (2, 10), (2, 11)} & got
+
 
 class TestNarrowSignatures:
     def test_narrow_equals_explode_signatures(self, spark):
