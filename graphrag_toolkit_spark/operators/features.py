@@ -207,16 +207,23 @@ def pareto_frontier(
     exactly-stored column types work.
 
     Scale shape: one (x, y) aggregate over the data, then the skyline
-    scan runs on the DISTINCT-X table (one running-min window over x
-    groups — x's cardinality, not the data's; fine for the priced/sized/
-    bucketed axes skylines are asked of; bucket a continuous axis first)."""
+    scan runs on the DISTINCT-X table via the two-phase exclusive prefix
+    min (`ranks.two_phase_prefix_min_excl`, bucketed on −x) — x's
+    cardinality is data-dependent (a price axis is near-continuous), so
+    the running-min never single-partitions regardless of axis domain."""
+    from graphrag_toolkit_spark.operators import ranks
+
     pts = df.groupBy(F.col(max_col).alias("x"), F.col(min_col).alias("y")).agg(
         F.count(F.lit(1)).alias("n_rows")
     )
     per_x = pts.groupBy("x").agg(F.min("y").alias("min_y"))
-    w = Window.orderBy(F.desc("x")).rowsBetween(Window.unboundedPreceding, -1)
     keep = (
-        per_x.withColumn("best_higher", F.min("min_y").over(w))
+        ranks.two_phase_prefix_min_excl(
+            ranks.with_range_bucket(per_x, -F.col("x")),
+            [F.desc("x")],
+            F.col("min_y"),
+            out_col="best_higher",
+        )
         .filter(
             F.col("best_higher").isNull()
             | (F.col("min_y") < F.col("best_higher"))

@@ -76,9 +76,11 @@ def build_vocab(
     export needs; min_count prunes the tail before ids are assigned so the
     id space stays dense.
 
-    Scale shape: one token groupBy; the rank is a window over the VOCAB
-    (≪ corpus). At open-web vocab sizes, cap with min_count so the sort
-    stays small — pruned tokens map to an UNK id downstream."""
+    Scale shape: one token groupBy; the id rank is the TWO-PHASE
+    distributed rank (`ranks.two_phase_row_number`, bucketed on −freq) —
+    open-web vocabularies run to 10⁸ tokens, so the old single-partition
+    vocab sort was a real ceiling, not a rounding error. min_count still
+    prunes the tail first; pruned tokens map to an UNK id downstream."""
     tf = (
         df.select(
             F.explode(F.split(F.lower(F.col(text_col)), r"[^0-9a-z]+")).alias(
@@ -90,8 +92,14 @@ def build_vocab(
         .agg(F.count(F.lit(1)).alias("freq"))
         .filter(F.col("freq") >= min_count)
     )
-    w = Window.orderBy(F.desc("freq"), F.asc("token"))
-    return tf.withColumn("token_id", F.row_number().over(w) - 1).select(
+    from graphrag_toolkit_spark.operators import ranks
+
+    ranked = ranks.two_phase_row_number(
+        ranks.with_range_bucket(tf, -F.col("freq")),
+        [F.desc("freq"), F.asc("token")],
+        out_col="__rn",
+    )
+    return ranked.withColumn("token_id", F.col("__rn") - 1).select(
         "token", "token_id", "freq"
     )
 

@@ -52,24 +52,31 @@ def ranking_metrics(
         ),
     )
 
+    # ideal DCG only needs each query's top-k judged docs; expressing the
+    # cutoff as a FILTER on the rank (not a CASE inside the aggregate) lets
+    # Spark's WindowGroupLimit keep k rows per map partition BEFORE the
+    # window's exchange — judgment lists are corpus-sized for pseudo-
+    # judgment evals, so the unbounded form was a per-query (and, for a
+    # single-query eval, single-partition) full sort. n_relevant still
+    # counts ALL relevant docs, from its own map-side-combined aggregate.
     iw = Window.partitionBy("query_id").orderBy(
         F.desc("rel"), F.asc("doc_id")
     )
-    ideal = (
-        judgments.filter(F.col("rel") > 0)
-        .withColumn("irank", F.row_number().over(iw))
+    rel_only = judgments.filter(F.col("rel") > 0)
+    ideal_topk = (
+        rel_only.withColumn("irank", F.row_number().over(iw))
+        .filter(F.col("irank") <= k)
         .groupBy("query_id")
         .agg(
             F.sum(
-                F.when(
-                    F.col("irank") <= k,
-                    (F.col("rel") * _discount(F.col("irank"))).cast(
-                        "decimal(18,6)"
-                    ),
-                ).otherwise(F.lit(0).cast("decimal(18,6)"))
+                (F.col("rel") * _discount(F.col("irank"))).cast("decimal(18,6)")
             ).cast("double").alias("idcg"),
-            F.count(F.lit(1)).alias("n_relevant"),
         )
+    )
+    ideal = (
+        rel_only.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_relevant"))
+        .join(ideal_topk, "query_id", "left")
     )
 
     # Full outer: a query with judgments but nothing retrieved within top-k

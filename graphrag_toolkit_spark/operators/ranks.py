@@ -184,3 +184,70 @@ def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
         .otherwise(r + _idiv(rank - thr - 1, F.greatest(q, F.lit(1))) + 1)
         .cast("int")
     )
+
+
+def two_phase_running_sums(
+    df: DataFrame,
+    order_cols: Sequence[Column],
+    values: dict[str, Column],
+    bucket_col: str = BUCKET_COL,
+) -> DataFrame:
+    """``two_phase_cumsum`` for SEVERAL integer value columns at once —
+    one bucket aggregate carries every column's cumulative offset, one
+    broadcast join, one partitioned window per value. Used where a query
+    needs parallel running sums under the same total order (e.g. the KS
+    statistic's two half-corpus CDFs)."""
+    aggs = [F.sum(v).cast("long").alias(f"__s_{name}") for name, v in values.items()]
+    g = df.groupBy(bucket_col).agg(*aggs)
+    wcum = Window.orderBy(bucket_col).rowsBetween(Window.unboundedPreceding, -1)
+    offs = g.select(
+        bucket_col,
+        *[
+            F.coalesce(F.sum(f"__s_{name}").over(wcum), F.lit(0)).alias(
+                f"__off_{name}"
+            )
+            for name in values
+        ],
+    )
+    w = (
+        Window.partitionBy(bucket_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = df.join(F.broadcast(offs), bucket_col)
+    for name, v in values.items():
+        out = out.withColumn(name, F.col(f"__off_{name}") + F.sum(v).over(w))
+    return out.drop(bucket_col, *[f"__off_{name}" for name in values])
+
+
+def two_phase_prefix_min_excl(
+    df: DataFrame,
+    order_cols: Sequence[Column],
+    value: Column,
+    bucket_col: str = BUCKET_COL,
+    out_col: str = "prefix_min",
+) -> DataFrame:
+    """Exact EXCLUSIVE running minimum under the total order —
+    ``min(value) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING..1 PRECEDING)``
+    (NULL on the first row) — distributed the same way: the tiny bucket
+    table carries each bucket's min over all EARLIER buckets, the
+    per-bucket exclusive running min is a partitioned window, and the two
+    combine with ``least`` (which skips NULLs, so the first row of the
+    first bucket stays NULL exactly like the single-partition form).
+    Powers the Pareto-frontier skyline scan at unbounded axis
+    cardinality."""
+    g = df.groupBy(bucket_col).agg(F.min(value).alias("__bmin"))
+    wprev = Window.orderBy(bucket_col).rowsBetween(Window.unboundedPreceding, -1)
+    offs = g.select(
+        bucket_col, F.min("__bmin").over(wprev).alias("__prevmin")
+    )
+    w = (
+        Window.partitionBy(bucket_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.join(F.broadcast(offs), bucket_col)
+        .withColumn(out_col, F.least(F.col("__prevmin"), F.min(value).over(w)))
+        .drop("__prevmin", bucket_col)
+    )

@@ -478,11 +478,12 @@ def zipf_fit(
     op-for-op by the oracle. Returns one row:
     (n_points, slope, intercept).
 
-    Scale shape: one token groupBy + a rank window over the VOCAB (not the
-    corpus) + a scalar aggregate. At web-corpus vocab sizes pass ``top_n``:
-    the fit then uses only the head of the distribution (standard Zipf
-    practice — the tail is noise anyway) and the global sort becomes a
-    TakeOrderedAndProject over N rows instead of a full vocab sort."""
+    Scale shape: one token groupBy + the TWO-PHASE distributed rank over
+    the vocab (`ranks.two_phase_row_number`, bucketed on −freq — no
+    single-partition sort even at 10⁸-token web vocabularies) + a scalar
+    aggregate. ``top_n`` additionally restricts the fit to the head of the
+    distribution (standard Zipf practice — the tail is noise anyway) via a
+    TakeOrderedAndProject before the rank."""
     tf = (
         df.select(
             F.explode(F.split(F.lower(F.col(text_col)), r"[^0-9a-z]+")).alias(
@@ -495,9 +496,15 @@ def zipf_fit(
     )
     if top_n is not None:
         tf = tf.orderBy(F.desc("freq"), F.asc("token")).limit(top_n)
-    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    from graphrag_toolkit_spark.operators import ranks
+
+    ranked = ranks.two_phase_row_number(
+        ranks.with_range_bucket(tf, -F.col("freq")),
+        [F.desc("freq"), F.asc("token")],
+        out_col="rank",
+    )
     lnq = lambda c: F.round(F.log(c), 6).cast("decimal(12,6)")  # noqa: E731
-    pts = tf.withColumn("rank", F.row_number().over(w)).select(
+    pts = ranked.select(
         lnq(F.col("rank")).alias("x"), lnq(F.col("freq")).alias("y")
     )
     agg = pts.agg(

@@ -45,7 +45,16 @@ BOUNDED_AGG_KEYS: list[tuple[str, str]] = [
 ]
 
 _AGG_RE = re.compile(r"(HashAggregate|SortAggregate|ObjectHashAggregate)\(keys=\[([^\]]*)\]")
-_BOUNDED_NODES = ("TakeOrderedAndProject", "GlobalLimit", "CollectLimit")
+# WindowGroupLimit below the exchange is Spark's partial per-partition
+# top-k for rank<=k filters: the exchange then carries <= k rows per map
+# partition — bounded by parallelism, not by data (same contract as
+# TakeOrderedAndProject's partial legs).
+_BOUNDED_NODES = (
+    "TakeOrderedAndProject",
+    "GlobalLimit",
+    "CollectLimit",
+    "WindowGroupLimit",
+)
 
 
 @dataclass

@@ -299,12 +299,16 @@ def ks_drift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("ca"),
         F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("cb"),
     )
-    w = W.orderBy("x").rowsBetween(W.unboundedPreceding, 0)
-    cum = per_val.select(
-        "x",
-        F.sum("ca").over(w).alias("cum_a"),
-        F.sum("cb").over(w).alias("cum_b"),
-    )
+    # both CDFs ride ONE two-phase distributed running sum (ranks.py): the
+    # distinct-length table grows with the corpus (continuous-ish lengths at
+    # web scale), so a single-partition cumulative window is a ceiling here
+    from graphrag_toolkit_spark.operators import ranks
+
+    cum = ranks.two_phase_running_sums(
+        ranks.with_range_bucket(per_val, F.col("x")),
+        [F.asc("x")],
+        {"cum_a": F.col("ca"), "cum_b": F.col("cb")},
+    ).select("x", "cum_a", "cum_b")
     tot = docs.agg(
         F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("na"),
         F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("nb"),
@@ -871,13 +875,18 @@ def source_concentration_documents(spark: SparkSession, sf_dir: str) -> DataFram
     dominates) — the diversity alarm for crawl pipelines. Computed from
     the exact rank-weighted integer identity
     G = (2·Σ i·cᵢ − (n+1)·Σcᵢ) / (n·Σcᵢ) over counts sorted ascending,
-    one double division at the end."""
-    from pyspark.sql.window import Window as W
+    one double division at the end. The rank is two-phase distributed
+    (ranks.py): sources are crawl DOMAINS — millions at web scale, so the
+    per-source table is not a small frame."""
+    from graphrag_toolkit_spark.operators import ranks
 
     docs = load(spark, sf_dir, "documents")
     counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
-    w = W.orderBy(F.asc("c"), F.asc("source"))
-    ranked = counts.withColumn("i", F.row_number().over(w))
+    ranked = ranks.two_phase_row_number(
+        ranks.with_range_bucket(counts, F.col("c")),
+        [F.asc("c"), F.asc("source")],
+        out_col="i",
+    )
     return ranked.agg(
         F.count(F.lit(1)).alias("n_sources"),
         F.sum("c").alias("n_docs"),

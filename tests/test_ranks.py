@@ -150,3 +150,53 @@ def test_plan_has_no_singlepartition_window_over_input(skewed):
 
     sp = len(re.findall(r"Exchange SinglePartition", plan))
     assert sp <= 1
+
+
+def test_running_sums_match_global_windows(skewed):
+    """two_phase_running_sums == the single-partition inclusive cumsums for
+    several value columns under one total order, including heavy ties."""
+    vals = {
+        "cum_a": F.when(F.col("v") > 0, 1).otherwise(0),
+        "cum_b": (F.col("v") % 2 == 0).cast("int"),
+    }
+    got = ranks.two_phase_running_sums(
+        ranks.with_range_bucket(skewed, F.col("x"), n_buckets=16),
+        [F.asc("x"), F.asc("id")],
+        vals,
+    )
+    w = Window.orderBy(F.asc("x"), F.asc("id")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ref = skewed
+    for name, v in vals.items():
+        ref = ref.withColumn(name + "_ref", F.sum(v).over(w))
+    merged = got.join(ref.select("id", "cum_a_ref", "cum_b_ref"), "id")
+    bad = merged.filter(
+        (F.col("cum_a") != F.col("cum_a_ref"))
+        | (F.col("cum_b") != F.col("cum_b_ref"))
+    ).count()
+    assert bad == 0 and got.count() == 500
+
+
+def test_prefix_min_excl_matches_global_window(skewed):
+    """two_phase_prefix_min_excl == min() OVER (ORDER BY ... ROWS UNBOUNDED
+    PRECEDING..1 PRECEDING), NULL on the overall first row; desc key via
+    negation (the Pareto skyline's shape)."""
+    got = ranks.two_phase_prefix_min_excl(
+        ranks.with_range_bucket(skewed, -F.col("x"), n_buckets=16),
+        [F.desc("x"), F.asc("id")],
+        F.col("v"),
+    )
+    w = Window.orderBy(F.desc("x"), F.asc("id")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ref = skewed.withColumn("pm_ref", F.min("v").over(w))
+    merged = got.join(ref.select("id", "pm_ref"), "id")
+    bad = merged.filter(
+        ~(
+            (F.col("prefix_min") == F.col("pm_ref"))
+            | (F.col("prefix_min").isNull() & F.col("pm_ref").isNull())
+        )
+    ).count()
+    assert bad == 0
+    assert merged.filter(F.col("prefix_min").isNull()).count() == 1
