@@ -277,9 +277,14 @@ def histogram_sketch(
     width = (hi - lo) / buckets
     b = F.floor((F.col(value_col).cast("double") - F.lit(lo)) / F.lit(width))
     b = F.least(F.greatest(b, F.lit(0)), F.lit(buckets - 1)).cast("int")
+    # materialize the bucket as the NAMED column __hgb before the groupBy so
+    # downstream plans show the aggregate keyed on it — planguard allowlists
+    # __hgb-keyed aggregates as bounded (<= construction-fixed bucket count),
+    # which is what licenses quantiles_from_histogram's cumulative window
     return (
         df.filter(F.col(value_col).isNotNull())
-        .groupBy(b.alias("bucket"))
+        .withColumn("__hgb", b)
+        .groupBy(F.col("__hgb").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
 

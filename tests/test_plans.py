@@ -811,3 +811,30 @@ def test_no_global_window_in_dsir_pipeline_stage(spark, sf_dir):
         .run(docs)
     )
     assert not singlepartition_window_violations(df)
+
+
+def test_contract_bounded_registry_is_pinned(spark):
+    """CONTRACT_BOUNDED is the escape hatch for windows the plan cannot
+    prove bounded — pin its exact membership so entries can't accumulate
+    without a reviewed argument (each needs the written justification in
+    planguard.py AND a SCALE.md row)."""
+    from graphrag_toolkit_spark.planguard import CONTRACT_BOUNDED
+
+    assert set(CONTRACT_BOUNDED) == {
+        "processor_chain_statements",
+        "token_budget_truncate",
+    }
+    assert all(len(v) > 40 for v in CONTRACT_BOUNDED.values())
+
+
+def test_planguard_rejects_compound_keys_with_bounded_member(spark):
+    """(event_type, user) aggregates are NOT bounded just because
+    event_type alone is — every key attribute must be on the allowlist."""
+    from graphrag_toolkit_spark.planguard import _keys_bounded
+
+    assert _keys_bounded("event_type#3")
+    assert _keys_bounded("day#12")
+    assert not _keys_bounded("event_type#3, user_id#9")
+    assert not _keys_bounded("user_id#9")
+    assert not _keys_bounded("knownfloatingpointnormalized(x#12)")
+    assert _keys_bounded("__tpb#44L")
