@@ -116,6 +116,15 @@ HEADLINE = [
     "psi_events",
     "hub_knockout_parts",
     "vector_index_pipeline",
+    # round-7 additions: near-dup cluster-size report (star-CC rounds — the
+    # heaviest round-6 entry not yet tracked), Kaplan-Meier retention and
+    # Neyman draw as cheap rows, and two-phase-rank rewrites worth watching
+    # (vocab-rank build, continuous-score AUC)
+    "cluster_size_distribution_documents",
+    "survival_curve_events",
+    "neyman_sample_events",
+    "build_vocab_documents",
+    "auc_documents",
 ]
 
 

@@ -41,17 +41,22 @@ def lookup_entities(
     ents = g.entities
     if not include_local:
         ents = ents.filter(F.col("classification") != LOCAL_ENTITY)
-    kw = F.broadcast(
-        keywords.select(search_string(F.col("keyword")).alias("kw")).distinct()
-    )
-    exact = ents.join(kw, ents.search_str == F.col("kw")).select(
+    # hint discipline: broadcast() marks ONLY the joins it can serve. The
+    # keyword set is the LEFT side of the `missed` anti-join below — a
+    # broadcast hint there is unusable (an anti join can't build its left
+    # side; Spark logs "build left for left anti join" and silently drops
+    # the hint), so the hint goes on the per-join small sides instead.
+    kw = keywords.select(search_string(F.col("keyword")).alias("kw")).distinct()
+    exact = ents.join(F.broadcast(kw), ents.search_str == F.col("kw")).select(
         F.col("kw").alias("keyword"), "entity_id", "value", "classification",
         F.lit("exact").alias("match_type"),
     )
     if not allow_prefix_fallback:
         return exact
     missed = kw.join(
-        exact.select(F.col("keyword").alias("kw")).distinct(), "kw", "left_anti"
+        F.broadcast(exact.select(F.col("keyword").alias("kw")).distinct()),
+        "kw",
+        "left_anti",
     )
     prefix = ents.join(
         F.broadcast(missed), ents.search_str.startswith(F.col("kw"))

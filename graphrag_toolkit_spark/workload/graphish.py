@@ -414,15 +414,18 @@ def entity_lookup_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keywords = full.unionByName(prefix)
 
-    kw = F.broadcast(
-        keywords.select(search_string(F.col("keyword")).alias("kw")).distinct()
-    )
-    exact = ents.join(kw, ents.search_str == F.col("kw")).select(
+    # hint only where it applies: kw is the LEFT side of the anti-join (an
+    # anti join can't build left — Spark would drop the hint with a warning);
+    # the anti-join instead broadcasts its small RIGHT side (exact-hit keys)
+    kw = keywords.select(search_string(F.col("keyword")).alias("kw")).distinct()
+    exact = ents.join(F.broadcast(kw), ents.search_str == F.col("kw")).select(
         F.col("kw").alias("keyword"), "entity_id", "value",
         F.lit("exact").alias("match_type"),
     )
     missed = kw.join(
-        exact.select(F.col("keyword").alias("kw")).distinct(), "kw", "left_anti"
+        F.broadcast(exact.select(F.col("keyword").alias("kw")).distinct()),
+        "kw",
+        "left_anti",
     )
     fallback = ents.join(
         F.broadcast(missed), ents.search_str.startswith(F.col("kw"))
