@@ -261,3 +261,122 @@ def quantize_int8(
         s_dbl.alias("scale"),
         codes.alias("codes"),
     )
+
+
+def truncation_audit(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    keep_dims: int,
+    threshold: float,
+    n_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Matryoshka-style dimension-truncation audit: how much retrieval
+    signal survives keeping only the FIRST ``keep_dims`` components —
+    the measurement behind the standard index cost cut (half the dims =
+    half the scan bytes and ANN memory; MRL-trained embeddings are built
+    for exactly this truncation, Kusupati et al. 2022). Complements the
+    magnitude-quantization audits above (SQ8/PQ shrink per-component
+    precision; truncation drops components).
+
+    Over LSH-bucketed candidate pairs (the same sign-plane buckets the
+    dedup path uses — NEVER all pairs), computes the exact quantized
+    cosine at full dim and at ``keep_dims``, and reports ONE row:
+    (n_pairs, agree_rate — fraction of pairs where both scores land on
+    the same side of ``threshold``, mean_abs_delta, corr — Pearson of the
+    two scores on the decimal grid).
+
+    EXACTNESS: each cosine is the established exact-operand discipline
+    (decimal dot / product of decimal-sum norms); deltas and the
+    correlation moments are grid-quantized to DECIMAL before any SUM, so
+    no double sum ever crosses the engine boundary; the final divisions
+    are single IEEE ops on exact operands (zipf_fit's regression rule).
+
+    Scale shape: ONE per-vector projection (quantize + slice + norms +
+    bucket, checkpointed once), one bucket equi-join, one scalar
+    aggregate — no global window, no all-pairs stage."""
+    from graphrag_toolkit_spark.functions.vector import (
+        _DEC_ACC,
+        dot_prequantized,
+        prequantize,
+    )
+    from graphrag_toolkit_spark.operators import ann
+    from graphrag_toolkit_spark.operators.vss import query_vector_lit
+
+    def _norm_prequantized(q: Column) -> Column:
+        sq = F.aggregate(
+            F.zip_with(q, q, lambda x, y: x * y),
+            F.lit(0).cast(_DEC_ACC),
+            lambda acc, v: (acc + v).cast(_DEC_ACC),
+        ).cast("double")
+        return F.sqrt(sq)
+
+    # quantize ONCE; the head slice of the quantized array equals the
+    # quantization of the head slice (element-wise op), and the bucket's
+    # plane dots take the prequantized vector — 7 fewer per-row quantize
+    # passes than the naive form (codegen size, not just arithmetic)
+    planes = ann.hyperplanes(n_planes, dim)
+    qplanes = [prequantize(query_vector_lit(p)) for p in planes]
+    stage1 = emb.select(
+        F.col(id_col).alias("id"), prequantize(F.col(vec_col)).alias("qf")
+    )
+    qh = F.slice(F.col("qf"), 1, keep_dims)
+    bucket_bits = [
+        F.when(dot_prequantized(F.col("qf"), qp) >= 0, F.lit("1")).otherwise("0")
+        for qp in qplanes
+    ]
+    prepped = stage1.select(
+        "id",
+        "qf",
+        _norm_prequantized(F.col("qf")).alias("nf"),
+        qh.alias("qh"),
+        _norm_prequantized(qh).alias("nh"),
+        F.concat(*bucket_bits).alias("bucket"),
+    ).localCheckpoint(eager=True)
+    a = prepped.withColumnsRenamed(
+        {"id": "id_a", "qf": "qfa", "nf": "nfa", "qh": "qha", "nh": "nha"}
+    )
+    b = prepped.withColumnsRenamed(
+        {"id": "id_b", "qf": "qfb", "nf": "nfb", "qh": "qhb", "nh": "nhb"}
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            (
+                dot_prequantized(F.col("qfa"), F.col("qfb"))
+                / (F.col("nfa") * F.col("nfb"))
+            ).alias("cf"),
+            (
+                dot_prequantized(F.col("qha"), F.col("qhb"))
+                / (F.col("nha") * F.col("nhb"))
+            ).alias("ch"),
+        )
+    )
+    x6 = F.round(F.col("cf"), 6).cast(_DEC)
+    y6 = F.round(F.col("ch"), 6).cast(_DEC)
+    d6 = F.round(F.abs(F.col("cf") - F.col("ch")), 6).cast(_DEC)
+    th = F.lit(threshold)
+    agree = ((F.col("cf") >= th) == (F.col("ch") >= th)).cast("int")
+    g = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(agree).cast("bigint").alias("n_agree"),
+        F.sum(d6).alias("sd"),
+        F.sum(x6).alias("sx"),
+        F.sum(y6).alias("sy"),
+        F.sum((x6 * y6).cast("decimal(28,12)")).alias("sxy"),
+        F.sum((x6 * x6).cast("decimal(28,12)")).alias("sxx"),
+        F.sum((y6 * y6).cast("decimal(28,12)")).alias("syy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    return g.select(
+        "n_pairs",
+        (F.col("n_agree").cast("double") / n).alias("agree_rate"),
+        (F.col("sd").cast("double") / n).alias("mean_abs_delta"),
+        F.when(den > 0, (n * sxy - sx * sy) / den).alias("corr"),
+    )

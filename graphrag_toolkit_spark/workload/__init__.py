@@ -48,6 +48,8 @@ _MODULES = [relational, graphish, lexical, vector, dataprep, events, lifecycle, 
 # ledger this ordering is rotated from). Names absent from the registry are
 # ignored; unlisted queries keep module order at the end.
 _CHECK_FIRST = [
+    # --- round-7 additions (never checked anywhere yet) ---
+    "truncation_audit_embeddings",
     # --- never driver-checked (round-6 tail; judge-verified green r6, locally green 3x SFs) ---
     "neyman_allocation_events",
     "ann_ivf_recall",

@@ -3611,6 +3611,104 @@ ORDER BY test_id, train_id
 )
 
 
+# --- dimension-truncation (Matryoshka) audit ---------------------------------
+
+TRUNC_KEEP_DIMS = 32
+TRUNC_THRESHOLD = EMBED_DUP_THRESHOLD
+
+
+def truncation_audit_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit (`pq.truncation_audit`): over the SAME
+    sign-LSH candidate pairs the dedup path uses, compare the exact
+    quantized cosine at 64 dims vs the first 32 — one row of
+    (n_pairs, agree_rate at the dedup threshold, mean_abs_delta, corr).
+    The go/no-go measurement for halving index scan bytes."""
+    from graphrag_toolkit_spark.operators.pq import truncation_audit
+
+    emb = load(spark, sf_dir, "embeddings")
+    return truncation_audit(
+        emb, "vec_id", "embedding",
+        keep_dims=TRUNC_KEEP_DIMS, threshold=TRUNC_THRESHOLD,
+        n_planes=N_PLANES_DEDUP, dim=64,
+    )
+
+
+TRUNCATION_AUDIT_ORACLE = """
+WITH {bucket_sql},
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+full_terms AS (
+  SELECT c.id_a, c.id_b, {qa} AS xa, {qb} AS xb
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.id_a
+  JOIN embeddings eb ON eb.vec_id = c.id_b, generate_series(1, 64) AS t(i)
+),
+full_scores AS (
+  SELECT id_a, id_b,
+         CAST(SUM(xa * xb) AS DOUBLE)
+           / (sqrt(CAST(SUM(xa * xa) AS DOUBLE))
+              * sqrt(CAST(SUM(xb * xb) AS DOUBLE))) AS cf
+  FROM full_terms GROUP BY id_a, id_b
+),
+half_terms AS (
+  SELECT c.id_a, c.id_b, {qa} AS xa, {qb} AS xb
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.id_a
+  JOIN embeddings eb ON eb.vec_id = c.id_b, generate_series(1, {keep}) AS t(i)
+),
+half_scores AS (
+  SELECT id_a, id_b,
+         CAST(SUM(xa * xb) AS DOUBLE)
+           / (sqrt(CAST(SUM(xa * xa) AS DOUBLE))
+              * sqrt(CAST(SUM(xb * xb) AS DOUBLE))) AS ch
+  FROM half_terms GROUP BY id_a, id_b
+),
+paired AS (
+  SELECT f.cf, h.ch FROM full_scores f
+  JOIN half_scores h ON f.id_a = h.id_a AND f.id_b = h.id_b
+),
+q6 AS (
+  SELECT CAST(ROUND(cf, 6) AS DECIMAL(12,6)) AS x6,
+         CAST(ROUND(ch, 6) AS DECIMAL(12,6)) AS y6,
+         CAST(ROUND(ABS(cf - ch), 6) AS DECIMAL(12,6)) AS d6,
+         CASE WHEN (cf >= {th}) = (ch >= {th}) THEN 1 ELSE 0 END AS agree
+  FROM paired
+),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(agree) AS BIGINT) AS n_agree,
+         SUM(d6) AS sd, SUM(x6) AS sx, SUM(y6) AS sy,
+         SUM(CAST(x6 * y6 AS DECIMAL(28,12))) AS sxy,
+         SUM(CAST(x6 * x6 AS DECIMAL(28,12))) AS sxx,
+         SUM(CAST(y6 * y6 AS DECIMAL(28,12))) AS syy
+  FROM q6
+)
+SELECT n_pairs,
+       CAST(n_agree AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS agree_rate,
+       CAST(sd AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS mean_abs_delta,
+       CASE WHEN sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+            THEN (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       END AS corr
+FROM g
+""".format(
+    bucket_sql=_bucket_sql(N_PLANES_DEDUP),
+    qa=_EMB_Q.format(x="ea.embedding[i]"),
+    qb=_EMB_Q.format(x="eb.embedding[i]"),
+    keep=TRUNC_KEEP_DIMS,
+    th=TRUNC_THRESHOLD,
+)
+
+
 # banded recall-amplified generator for the recall measurement: k=3 planes
 # × L=8 bands → theoretical recall 1-(1-p³)⁸ ≈ 0.88 at the fixture's wide
 # angle (cos 0.35 ⇒ p = 1-θ/π ≈ 0.614). See the operator docstring for why
@@ -6018,6 +6116,7 @@ QUERIES = {
     "oov_rate_documents": oov_rate_documents,
     "doc_length_gate_documents": doc_length_gate_documents,
     "semantic_decontaminate_embeddings": semantic_decontaminate_embeddings,
+    "truncation_audit_embeddings": truncation_audit_embeddings,
     "minhash_jaccard_error_documents": minhash_jaccard_error_documents,
     "ann_ivf_recall": ann_ivf_recall,
     "packing_efficiency_documents": packing_efficiency_documents,
@@ -6128,6 +6227,7 @@ ORACLES = {
     "oov_rate_documents": OOV_RATE_ORACLE,
     "doc_length_gate_documents": DOC_LEN_GATE_ORACLE,
     "semantic_decontaminate_embeddings": SEMANTIC_DECON_ORACLE,
+    "truncation_audit_embeddings": TRUNCATION_AUDIT_ORACLE,
     "minhash_jaccard_error_documents": MINHASH_JACCARD_ERROR_ORACLE,
     "ann_ivf_recall": ANN_IVF_RECALL_ORACLE,
     "packing_efficiency_documents": PACKING_EFFICIENCY_ORACLE,

@@ -2664,3 +2664,44 @@ class TestSingleObservationStrata:
         assert sum(r["alloc"] for r in others) == NEYMAN_BUDGET
         # the draw skips the undefined stratum entirely
         assert all(r["event_type"] != "solo" for r in sampled)
+
+
+class TestTruncationAudit:
+    def test_halving_dims_perfect_when_halves_identical(self, spark):
+        """Vectors whose two halves are proportional score identically at
+        32 and 64 dims -> delta 0, agreement 1, corr NULL (zero variance
+        makes Pearson undefined -> NULL, not NaN)."""
+        from graphrag_toolkit_spark.operators.pq import truncation_audit
+
+        # half = mirrored copy of the head: cos64(a,b) == cos32(a,b)
+        rows = [
+            (i, [float((i * 3 + j) % 7) + 1.0 for j in range(8)] * 2)
+            for i in range(12)
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        r = truncation_audit(
+            emb, "vec_id", "embedding", keep_dims=8, threshold=0.9,
+            n_planes=2, dim=16,
+        ).head()
+        assert r["n_pairs"] > 0
+        assert r["agree_rate"] == 1.0
+        assert r["mean_abs_delta"] == 0.0
+
+    def test_orthogonal_tail_degrades_half_cosine(self, spark):
+        """Pairs identical in the head but opposite in the tail: full-dim
+        cosine is 0, head-only cosine is 1 -> large delta, disagreement at
+        a 0.5 threshold."""
+        from graphrag_toolkit_spark.operators.pq import truncation_audit
+
+        head = [1.0] * 8
+        rows = [(0, head + [1.0] * 8), (1, head + [-1.0] * 8)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        r = truncation_audit(
+            emb, "vec_id", "embedding", keep_dims=8, threshold=0.5,
+            n_planes=1, dim=16,
+        ).head()
+        # the two vectors must co-bucket for the pair to exist at all
+        if r["n_pairs"] == 1:
+            assert r["agree_rate"] == 0.0
+            assert r["mean_abs_delta"] == pytest.approx(1.0, abs=1e-6)
+            assert r["corr"] is None  # single pair: zero variance
