@@ -3060,6 +3060,79 @@ FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id
 """
 
 
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: chars/token under the BPE-ish
+    regex tokenizer, grouped by the lexicon language-ID — THE multilingual
+    token-budget metric (fertility >> English baseline means a language
+    pays more tokens per character, skewing mixture weights and context
+    budgets; cf. the SentencePiece/tokenizer-parity literature). Composes
+    two gated operators (`textstats.language_id`, `textstats.token_stats`)
+    in one lineage: both are narrow per-doc projections joined on id, one
+    language-keyed aggregate — no new shuffle class.
+
+    Returns per language: (lang_pred, n_docs, total_chars, total_tokens,
+    fertility = chars/token as one exact-operand double division, NULL for
+    a zero-token language)."""
+    docs = load(spark, sf_dir, "documents")
+    lang = textstats.language_id(docs, "text", "doc_id").select(
+        "id", "lang_pred"
+    )
+    toks = textstats.token_stats(docs, "text", "doc_id").select(
+        "id", "bpeish_tokens", "chars"
+    )
+    g = lang.join(toks, "id").groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("chars").cast("bigint").alias("total_chars"),
+        F.sum("bpeish_tokens").cast("bigint").alias("total_tokens"),
+    )
+    return g.select(
+        "lang_pred", "n_docs", "total_chars", "total_tokens",
+        F.when(
+            F.col("total_tokens") > 0,
+            F.col("total_chars").cast("double")
+            / F.col("total_tokens").cast("double"),
+        ).alias("fertility"),
+    )
+
+
+TOKENIZER_FERTILITY_ORACLE = rf"""
+WITH lex(lang, token) AS (VALUES {{lex}}),
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+  FROM documents
+),
+hits AS (
+  SELECT doc_id, lang, COUNT(*) AS hits
+  FROM toks JOIN lex USING (token)
+  GROUP BY doc_id, lang
+),
+best AS (
+  SELECT doc_id, lang FROM (
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang) AS rn
+    FROM hits
+  ) WHERE rn = 1
+),
+per_doc AS (
+  SELECT d.doc_id, COALESCE(b.lang, 'und') AS lang_pred,
+         len(regexp_extract_all(d.text, '{{bpe}}')) AS bpeish_tokens,
+         length(d.text) AS chars
+  FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id
+),
+g AS (
+  SELECT lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(chars) AS BIGINT) AS total_chars,
+         CAST(SUM(bpeish_tokens) AS BIGINT) AS total_tokens
+  FROM per_doc GROUP BY lang_pred
+)
+SELECT lang_pred, n_docs, total_chars, total_tokens,
+       CASE WHEN total_tokens > 0
+            THEN CAST(total_chars AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+       END AS fertility
+FROM g
+""".format(lex=_LEX_VALUES, bpe=textstats.BPE_ISH_RE)
+
+
 def repetition_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals per document — shuffle-free
     narrow projection (see ``textstats.repetition_stats``)."""
@@ -6117,6 +6190,7 @@ QUERIES = {
     "doc_length_gate_documents": doc_length_gate_documents,
     "semantic_decontaminate_embeddings": semantic_decontaminate_embeddings,
     "truncation_audit_embeddings": truncation_audit_embeddings,
+    "tokenizer_fertility_by_lang": tokenizer_fertility_by_lang,
     "minhash_jaccard_error_documents": minhash_jaccard_error_documents,
     "ann_ivf_recall": ann_ivf_recall,
     "packing_efficiency_documents": packing_efficiency_documents,
@@ -6228,6 +6302,7 @@ ORACLES = {
     "doc_length_gate_documents": DOC_LEN_GATE_ORACLE,
     "semantic_decontaminate_embeddings": SEMANTIC_DECON_ORACLE,
     "truncation_audit_embeddings": TRUNCATION_AUDIT_ORACLE,
+    "tokenizer_fertility_by_lang": TOKENIZER_FERTILITY_ORACLE,
     "minhash_jaccard_error_documents": MINHASH_JACCARD_ERROR_ORACLE,
     "ann_ivf_recall": ANN_IVF_RECALL_ORACLE,
     "packing_efficiency_documents": PACKING_EFFICIENCY_ORACLE,
