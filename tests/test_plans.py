@@ -593,9 +593,10 @@ def test_kn_scoring_join_is_equijoin_and_text_scans_once(spark, sf_dir):
         textstats.kn_perplexity_buckets(docs, "text", "doc_id"), mode="simple"
     )
     assert "CartesianProduct" not in plan
-    # exactly one nested-loop stage is by design: the one-row N1+(·,·)
-    # scalar broadcast cross join inside the trainer
-    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    # exactly two nested-loop stages are by design, both ONE-ROW broadcast
+    # cross joins: the trainer's scalar N1+(·,·) and the two-phase rank
+    # bucketer's min/max bounds (ranks.with_range_bucket)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
     # the doc-bigram ⋈ trained-LM pairing must be a hash/sort-merge equi-join
     assert (
         "BroadcastHashJoin" in plan
