@@ -3235,6 +3235,129 @@ FROM hits h JOIN tot t USING (doc_id)
 """
 
 
+# --- n-gram leakage calibration sweep -----------------------------------------
+
+LEAKAGE_NS = (4, 8, 13)
+
+
+def ngram_leakage_by_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination calibration: the eval-leak rate at SEVERAL shingle
+    sizes in one pass — the table an operator reads before choosing n
+    (GPT-3 used 13-grams, Gopher 8, this repo's default gate 4; smaller n
+    flags more aggressively). Per n: distinct eval-set grams, corpus docs
+    sharing at least one of them, and the leak fraction.
+
+    Scale shape: the corpus text is shingled ONCE — every n's gram set
+    rides one tagged array (flatten of per-n transforms) into ONE explode,
+    one distinct, one broadcast mark-join and one (n, doc) aggregate; the
+    n-spine left-join guarantees a row even for an n larger than every
+    document. No per-n rescans of the corpus."""
+    from graphrag_toolkit_spark.operators.decontam import _gram_hashes
+
+    docs = load(spark, sf_dir, "documents")
+    b = sampling.hash_bucket(F.col("doc_id"))
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    def _tag(n: int) -> Column:
+        # NB: a two-arg lambda would make F.transform pass (element, INDEX)
+        # — the closure factory keeps the signature unary
+        return F.transform(
+            _gram_hashes(toks, n),
+            lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram")),
+        )
+
+    tagged = F.flatten(F.array(*[_tag(n) for n in LEAKAGE_NS]))
+    # the shingle table feeds FOUR legs (eval grams, eval counts, the mark
+    # join, per-doc totals) — checkpoint it once or the md5 explode re-runs
+    # per leg (measured 3x wall on the fixture)
+    sh = (
+        docs.select(
+            F.col("doc_id").alias("id"), b.alias("b"), F.explode(tagged).alias("s")
+        )
+        .select("id", "b", F.col("s.n").alias("n"), F.col("s.gram").alias("gram"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    ev = sh.filter(F.col("b") < DECONTAM_EVAL_CUT).select("n", "gram").distinct()
+    ev_counts = ev.groupBy("n").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval_grams")
+    )
+    marked = sh.filter(F.col("b") >= DECONTAM_EVAL_CUT).join(
+        F.broadcast(ev.withColumn("_hit", F.lit(1))), ["n", "gram"], "left"
+    )
+    per_doc = marked.groupBy("n", "id").agg(F.count("_hit").alias("n_hit"))
+    contaminated = per_doc.groupBy("n").agg(
+        F.sum(F.when(F.col("n_hit") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_contaminated")
+    )
+    n_corpus = docs.filter(b >= DECONTAM_EVAL_CUT).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_corpus")
+    )
+    spine = spark.createDataFrame([(n,) for n in LEAKAGE_NS], "n int")
+    return (
+        spine.join(ev_counts, "n", "left")
+        .join(contaminated, "n", "left")
+        .crossJoin(F.broadcast(n_corpus))
+        .select(
+            "n",
+            F.coalesce(F.col("n_eval_grams"), F.lit(0)).alias("n_eval_grams"),
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).alias("n_contaminated"),
+            "n_corpus",
+            (
+                F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("double")
+                / F.col("n_corpus").cast("double")
+            ).alias("leak_rate"),
+        )
+    )
+
+
+def _leakage_block(n: int) -> str:
+    return rf"""
+SELECT CAST({n} AS INTEGER) AS n,
+       CAST((SELECT COUNT(*) FROM (
+         SELECT DISTINCT g FROM sh{n} WHERE b < {DECONTAM_EVAL_CUT})) AS BIGINT)
+         AS n_eval_grams,
+       CAST((SELECT COUNT(*) FROM (
+         SELECT s.doc_id FROM sh{n} s
+         WHERE s.b >= {DECONTAM_EVAL_CUT}
+           AND s.g IN (SELECT g FROM sh{n} WHERE b < {DECONTAM_EVAL_CUT})
+         GROUP BY s.doc_id)) AS BIGINT) AS n_contaminated,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM t WHERE b >= {DECONTAM_EVAL_CUT})
+         AS n_corpus,
+       CAST((SELECT COUNT(*) FROM (
+         SELECT s.doc_id FROM sh{n} s
+         WHERE s.b >= {DECONTAM_EVAL_CUT}
+           AND s.g IN (SELECT g FROM sh{n} WHERE b < {DECONTAM_EVAL_CUT})
+         GROUP BY s.doc_id)) AS DOUBLE)
+         / CAST((SELECT COUNT(*) FROM t WHERE b >= {DECONTAM_EVAL_CUT}) AS DOUBLE)
+         AS leak_rate"""
+
+
+def _leakage_sh(n: int) -> str:
+    return rf"""sh{n} AS (
+  SELECT DISTINCT doc_id, b, g FROM (
+    SELECT doc_id, b, unnest(CASE WHEN len(ws) >= {n} THEN
+      list_transform(generate_series(1, len(ws) - {n} + 1),
+        i -> md5(array_to_string(ws[i:i+{n}-1], ' ')))
+      ELSE [] END) AS g
+    FROM t)
+)"""
+
+
+NGRAM_LEAKAGE_ORACLE = (
+    r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws,
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)
+           % 10000 AS b
+  FROM documents
+),
+"""
+    + ",\n".join(_leakage_sh(n) for n in LEAKAGE_NS)
+    + "\nUNION ALL".join(_leakage_block(n) for n in LEAKAGE_NS)
+)
+
+
 # --- end-to-end training-data pipeline ---------------------------------------
 
 def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6191,6 +6314,7 @@ QUERIES = {
     "semantic_decontaminate_embeddings": semantic_decontaminate_embeddings,
     "truncation_audit_embeddings": truncation_audit_embeddings,
     "tokenizer_fertility_by_lang": tokenizer_fertility_by_lang,
+    "ngram_leakage_by_n": ngram_leakage_by_n,
     "minhash_jaccard_error_documents": minhash_jaccard_error_documents,
     "ann_ivf_recall": ann_ivf_recall,
     "packing_efficiency_documents": packing_efficiency_documents,
@@ -6303,6 +6427,7 @@ ORACLES = {
     "semantic_decontaminate_embeddings": SEMANTIC_DECON_ORACLE,
     "truncation_audit_embeddings": TRUNCATION_AUDIT_ORACLE,
     "tokenizer_fertility_by_lang": TOKENIZER_FERTILITY_ORACLE,
+    "ngram_leakage_by_n": NGRAM_LEAKAGE_ORACLE,
     "minhash_jaccard_error_documents": MINHASH_JACCARD_ERROR_ORACLE,
     "ann_ivf_recall": ANN_IVF_RECALL_ORACLE,
     "packing_efficiency_documents": PACKING_EFFICIENCY_ORACLE,
