@@ -52,6 +52,7 @@ _CHECK_FIRST = [
     "truncation_audit_embeddings",
     "tokenizer_fertility_by_lang",
     "ngram_leakage_by_n",
+    "clustering_spectrum_parts",
     # --- never driver-checked (round-6 tail; judge-verified green r6, locally green 3x SFs) ---
     "neyman_allocation_events",
     "ann_ivf_recall",

@@ -954,6 +954,49 @@ WHERE d.degree >= 2
 
 
 
+def clustering_spectrum_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering spectrum c(k): average local clustering per degree class
+    — the hierarchical-structure probe next to `degree_distribution_parts`
+    (c(k) ~ k^-1 marks hierarchical modularity, flat c(k) marks
+    ER-like/synthetic graphs; Ravasz & Barabasi 2003).
+
+    EXACTNESS: within a degree class the coefficient denominator
+    k(k-1) is CONSTANT, so the mean coefficient equals
+    2*SUM(triangles) / (n_k * k * (k-1)) — integer sums only, one final
+    exact-operand double division; no double ever gets summed across the
+    engine boundary.
+
+    Scale shape: one extra degree-keyed aggregate over the per-node
+    clustering table (wedge budget already paid there)."""
+    per_node = clustering_coefficient_parts(spark, sf_dir)
+    g = per_node.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum("triangles").cast("bigint").alias("total_triangles"),
+    )
+    return g.select(
+        "degree", "n_nodes", "total_triangles",
+        (
+            (2 * F.col("total_triangles")).cast("double")
+            / (
+                F.col("n_nodes")
+                * F.col("degree").cast("bigint")
+                * (F.col("degree") - 1).cast("bigint")
+            ).cast("double")
+        ).alias("c_k"),
+    )
+
+
+CLUSTERING_SPECTRUM_ORACLE = f"""
+WITH per_node AS ({CLUSTERING_COEFF_ORACLE})
+SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(triangles) AS BIGINT) AS total_triangles,
+       CAST(2 * SUM(triangles) AS DOUBLE)
+         / CAST(COUNT(*) * CAST(degree AS BIGINT)
+                * CAST(degree - 1 AS BIGINT) AS DOUBLE) AS c_k
+FROM per_node GROUP BY degree
+"""
+
+
 def degree_distribution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree-distribution power-law fit of the part co-occurrence graph:
     ln(#nodes with degree k) regressed on ln(k) — the scale-free-ness
@@ -2122,6 +2165,7 @@ QUERIES = {
     "label_propagation_parts": label_propagation_parts,
     "ktruss_parts": ktruss_parts,
     "clustering_coefficient_parts": clustering_coefficient_parts,
+    "clustering_spectrum_parts": clustering_spectrum_parts,
     "degree_distribution_parts": degree_distribution_parts,
     "bfs_shortest_paths": bfs_shortest_paths,
     "katz_centrality_graph": katz_centrality_graph,
@@ -2155,6 +2199,7 @@ ORACLES = {
     "community_rollup_parts": COMMUNITY_ROLLUP_ORACLE,
     "kcore_parts": KCORE_ORACLE,
     "clustering_coefficient_parts": CLUSTERING_COEFF_ORACLE,
+    "clustering_spectrum_parts": CLUSTERING_SPECTRUM_ORACLE,
     "degree_distribution_parts": DEGREE_DISTRIBUTION_ORACLE,
     "bfs_shortest_paths": BFS_ORACLE,
     "katz_centrality_graph": KATZ_ORACLE,
