@@ -380,3 +380,144 @@ def truncation_audit(
         (F.col("sd").cast("double") / n).alias("mean_abs_delta"),
         F.when(den > 0, (n * sxy - sx * sy) / den).alias("corr"),
     )
+
+
+def residual_codebook_first_c(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_sub: int = N_SUB,
+    n_cent: int = N_CENT,
+) -> list[list[list[float]]]:
+    """IVF-PQ codebook: subvectors of the RESIDUALS (vector − assigned
+    coarse centroid) of the first ``n_cent`` vectors by id — the residual
+    twin of ``codebook_first_c`` (FAISS IVFPQ trains PQ on residuals
+    because they're far better centered than raw vectors). One tiny
+    driver action; python float arithmetic IS IEEE double, identical to
+    the engine's CAST(float AS DOUBLE) subtraction."""
+    from graphrag_toolkit_spark.operators import ann
+
+    assigned = ann.ivf_assign(emb, centroids, id_col, vec_col)
+    cmap = {
+        r["cid"]: [float(x) for x in r["embedding"]]
+        for r in centroids.select("cid", "embedding").collect()
+    }
+    rows = assigned.orderBy("id").limit(n_cent).collect()
+    dim = len(rows[0]["embedding"])
+    sub_dim = dim // n_sub
+    residuals = [
+        [float(r["embedding"][j]) - cmap[r["cid"]][j] for j in range(dim)]
+        for r in rows
+    ]
+    return [
+        [res[s * sub_dim : (s + 1) * sub_dim] for res in residuals]
+        for s in range(n_sub)
+    ]
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    centroids: DataFrame,
+    query_vec: list[float],
+    codebook: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """IVF-PQ ANN (the FAISS IVFPQ architecture, composed from this
+    repo's gated primitives): coarse-quantize every vector to its nearest
+    centroid list, PQ-encode the RESIDUAL, and answer a query by probing
+    the ``nprobe`` nearest lists with a per-list ADC lookup table built
+    from the QUERY's residual against that list's centroid. Returns
+    (id, cid, adc_dist, rank), ascending approximate distance.
+
+    Scale shape: the index build is one broadcast-assign pass + one
+    narrow encode projection (codes = n_sub small ints per vector — the
+    32x compression that makes a 100 TB corpus scannable); the query
+    side touches ONLY the probed lists (cid IN-filter → partition-
+    prunable on a cid-partitioned layout), scores each candidate with
+    n_sub constant-array lookups (no original vectors read), and top-k
+    is a distributed TakeOrderedAndProject. LUTs are evaluated once
+    through a 1-row job (decimal semantics identical to the oracle) and
+    embedded as literals, exactly like ``adc_topk``."""
+    from graphrag_toolkit_spark.operators import ann
+
+    n_sub = len(codebook)
+    sub_dim = len(codebook[0][0])
+    spark = emb.sparkSession
+
+    assigned = ann.ivf_assign(emb, centroids, id_col, vec_col)
+    cb = F.broadcast(centroids.select("cid", F.col("embedding").alias("_cemb")))
+    # quantized residual: float→double casts BEFORE the subtraction (a
+    # float-float difference would be single-precision; the oracle
+    # subtracts doubles)
+    qr = F.zip_with(
+        F.col("embedding"),
+        F.col("_cemb"),
+        lambda x, y: F.round(x.cast("double") - y.cast("double"), 6).cast(_DEC),
+    )
+    codes = (
+        assigned.join(cb, "cid")
+        .select("id", "cid", qr.alias("_qr"))
+        .select("id", "cid", *_sub_codes(F.col("_qr"), codebook))
+    )
+
+    # probe selection: nprobe nearest centroids by the quantized cosine —
+    # a driver action on the (tiny) centroid table, like the kmeans seeds
+    from graphrag_toolkit_spark.functions.vector import cosine_similarity_quantized
+    from graphrag_toolkit_spark.operators.vss import query_vector_lit
+
+    probe_rows = (
+        centroids.select(
+            "cid",
+            F.col("embedding").alias("_cemb"),
+            cosine_similarity_quantized(
+                F.col("embedding"), query_vector_lit(query_vec)
+            ).alias("_s"),
+        )
+        .orderBy(F.desc("_s"), F.asc("cid"))
+        .limit(nprobe)
+        .collect()
+    )
+    # per-probe LUT over the QUERY RESIDUAL, one 1-row job (adc_topk's rule:
+    # distance expressions on literals are not constant-folded — left inline
+    # they re-evaluate per scanned row)
+    lut_exprs = []
+    for r in probe_rows:
+        rq = [float(query_vec[j]) - float(r["_cemb"][j]) for j in range(len(query_vec))]
+        for s in range(n_sub):
+            lut_exprs.append(
+                _dists_to_cents(
+                    _quantize(_lit_vec(rq[s * sub_dim : (s + 1) * sub_dim])),
+                    codebook[s],
+                ).alias(f"d_{r['cid']}_{s}")
+            )
+    lut_row = spark.range(1).select(*lut_exprs).head()
+
+    probe_cids = [r["cid"] for r in probe_rows]
+    score = None
+    for cid in probe_cids:
+        chain = F.element_at(
+            F.array(*[F.lit(float(v)) for v in lut_row[f"d_{cid}_0"]]),
+            F.col("code_0") + 1,
+        )
+        for s in range(1, n_sub):
+            chain = chain + F.element_at(
+                F.array(*[F.lit(float(v)) for v in lut_row[f"d_{cid}_{s}"]]),
+                F.col(f"code_{s}") + 1,
+            )
+        score = (
+            F.when(F.col("cid") == cid, chain)
+            if score is None
+            else score.when(F.col("cid") == cid, chain)
+        )
+    scored = codes.filter(F.col("cid").isin(probe_cids)).withColumn(
+        "adc_dist", score
+    )
+    top = scored.orderBy(F.asc("adc_dist"), F.asc("id")).limit(k)
+    w = Window.orderBy(F.asc("adc_dist"), F.asc("id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "id", "cid", "adc_dist", "rank"
+    )

@@ -5222,6 +5222,145 @@ SELECT vec_id, adc_dist, rank FROM (
 """
 
 
+IVFPQ_K = 10
+
+
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (`pq.ivf_pq_topk`): the FAISS IVFPQ architecture end to
+    end — coarse-assign to the first-{nc} centroid lists, PQ-encode the
+    RESIDUALS (first-{pc} residual codebook), probe the {np} nearest lists
+    with per-list query-residual ADC tables, top-{k}. The composed index
+    family beside flat-PQ (`pq_adc_topk`) and plain IVF (`ann_ivf_topk`)."""
+    from graphrag_toolkit_spark.fixtures import pseudo_embedding
+
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    codebook = pq.residual_codebook_first_c(
+        emb, centroids, "vec_id", "embedding", PQ_SUB, PQ_CENT
+    )
+    q = pseudo_embedding("ivfpq-query", 64)
+    return pq.ivf_pq_topk(
+        emb, centroids, q, codebook, "vec_id", "embedding",
+        nprobe=NPROBE, k=IVFPQ_K,
+    ).withColumnRenamed("id", "vec_id")
+
+
+ann_ivf_pq_topk.__doc__ = ann_ivf_pq_topk.__doc__.format(
+    nc=N_CENTROIDS, pc=PQ_CENT, np=NPROBE, k=IVFPQ_K
+)
+
+
+def _ivf_pq_oracle() -> str:
+    from graphrag_toolkit_spark.fixtures import pseudo_embedding
+
+    q = pseudo_embedding("ivfpq-query", 64)
+    q_values = ", ".join(f"({i + 1}, {v!r})" for i, v in enumerate(q))
+    qq = _EMB_Q.format(x="q.val")
+    cq = _EMB_Q.format(x="c.cemb[q.i]")
+    chain = "(SELECT d FROM lut WHERE lut.pcid = sc.cid AND lut.s = 0 AND lut.ccid = sc.code_0)"
+    for s in range(1, PQ_SUB):
+        chain = (
+            f"({chain} + (SELECT d FROM lut WHERE lut.pcid = sc.cid"
+            f" AND lut.s = {s} AND lut.ccid = sc.code_{s}))"
+        )
+    code_cols = ", ".join(
+        f"MAX(CASE WHEN s = {s} THEN ccid END) AS code_{s}"
+        for s in range(PQ_SUB)
+    )
+    return f"""
+WITH cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+              WHERE vec_id < {N_CENTROIDS}),
+pairs AS (
+  SELECT e.vec_id AS key_a, c.cid AS key_b, e.embedding AS ea, c.cemb AS eb
+  FROM embeddings e, cent c
+),
+assign_scores AS ({_PAIR_COSINE}),
+assigned AS (
+  SELECT key_a AS vec_id, key_b AS cid FROM (
+    SELECT key_a, key_b, score,
+           ROW_NUMBER() OVER (PARTITION BY key_a ORDER BY score DESC, key_b) AS rn
+    FROM assign_scores
+  ) WHERE rn = 1
+),
+res AS MATERIALIZED (
+  SELECT a.vec_id, a.cid, t.i,
+         CAST(ROUND(CAST(e.embedding[t.i] AS DOUBLE)
+                    - CAST(c.cemb[t.i] AS DOUBLE), 6) AS DECIMAL(12,6)) AS rv
+  FROM assigned a
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  JOIN cent c ON c.cid = a.cid, generate_series(1, 64) AS t(i)
+),
+rvecs AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM assigned
+),
+rcent AS MATERIALIZED (
+  SELECT CAST(v.rn - 1 AS INTEGER) AS ccid, r.i, r.rv
+  FROM rvecs v JOIN res r ON r.vec_id = v.vec_id
+  WHERE v.rn <= {PQ_CENT}
+),
+rpdist AS (
+  SELECT r.vec_id, CAST((r.i - 1) // {PQ_SUB_DIM} AS INTEGER) AS s, cc.ccid,
+         CAST(SUM((r.rv - cc.rv) * (r.rv - cc.rv)) AS DOUBLE) AS d
+  FROM res r JOIN rcent cc ON cc.i = r.i
+  GROUP BY r.vec_id, (r.i - 1) // {PQ_SUB_DIM}, cc.ccid
+),
+rcodes AS (
+  SELECT vec_id, {code_cols}
+  FROM (
+    SELECT vec_id, s, ccid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, ccid) AS rn
+    FROM rpdist
+  ) WHERE rn = 1
+  GROUP BY vec_id
+),
+qv(i, val) AS (VALUES {q_values}),
+qscores AS (
+  SELECT c.cid,
+         CAST(SUM({qq} * {cq}) AS DOUBLE)
+           / (sqrt(CAST(SUM({qq} * {qq}) AS DOUBLE))
+              * sqrt(CAST(SUM({cq} * {cq}) AS DOUBLE))) AS score
+  FROM cent c, qv q GROUP BY c.cid
+),
+probes AS (
+  SELECT cid FROM (
+    SELECT cid, ROW_NUMBER() OVER (ORDER BY score DESC, cid) AS rn FROM qscores
+  ) WHERE rn <= {NPROBE}
+),
+qres AS (
+  SELECT p.cid AS pcid, q.i,
+         CAST(ROUND(q.val - CAST(c.cemb[q.i] AS DOUBLE), 6)
+              AS DECIMAL(12,6)) AS rv
+  FROM probes p JOIN cent c ON c.cid = p.cid, qv q
+),
+lut AS MATERIALIZED (
+  SELECT qr.pcid, CAST((qr.i - 1) // {PQ_SUB_DIM} AS INTEGER) AS s, cc.ccid,
+         CAST(SUM((qr.rv - cc.rv) * (qr.rv - cc.rv)) AS DOUBLE) AS d
+  FROM qres qr JOIN rcent cc ON cc.i = qr.i
+  GROUP BY qr.pcid, (qr.i - 1) // {PQ_SUB_DIM}, cc.ccid
+),
+sc AS (
+  SELECT r.vec_id, a.cid,
+         {", ".join(f"r.code_{s}" for s in range(PQ_SUB))}
+  FROM rcodes r
+  JOIN assigned a ON a.vec_id = r.vec_id
+  JOIN probes p ON p.cid = a.cid
+),
+scored AS (
+  SELECT sc.vec_id, sc.cid, {chain} AS adc_dist FROM sc
+)
+SELECT vec_id, cid, adc_dist, rank FROM (
+  SELECT vec_id, cid, adc_dist,
+         ROW_NUMBER() OVER (ORDER BY adc_dist, vec_id) AS rank
+  FROM scored
+) WHERE rank <= {IVFPQ_K}
+"""
+
+
+IVF_PQ_ORACLE = _ivf_pq_oracle()
+
+
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.text bytes as a stand-in binary payload → mapInPandas decode
     stub (Arrow-batched); metadata is content-derived so the oracle can
@@ -6315,6 +6454,7 @@ QUERIES = {
     "truncation_audit_embeddings": truncation_audit_embeddings,
     "tokenizer_fertility_by_lang": tokenizer_fertility_by_lang,
     "ngram_leakage_by_n": ngram_leakage_by_n,
+    "ann_ivf_pq_topk": ann_ivf_pq_topk,
     "minhash_jaccard_error_documents": minhash_jaccard_error_documents,
     "ann_ivf_recall": ann_ivf_recall,
     "packing_efficiency_documents": packing_efficiency_documents,
@@ -6428,6 +6568,7 @@ ORACLES = {
     "truncation_audit_embeddings": TRUNCATION_AUDIT_ORACLE,
     "tokenizer_fertility_by_lang": TOKENIZER_FERTILITY_ORACLE,
     "ngram_leakage_by_n": NGRAM_LEAKAGE_ORACLE,
+    "ann_ivf_pq_topk": IVF_PQ_ORACLE,
     "minhash_jaccard_error_documents": MINHASH_JACCARD_ERROR_ORACLE,
     "ann_ivf_recall": ANN_IVF_RECALL_ORACLE,
     "packing_efficiency_documents": PACKING_EFFICIENCY_ORACLE,
