@@ -125,6 +125,14 @@ HEADLINE = [
     "neyman_sample_events",
     "build_vocab_documents",
     "auc_documents",
+    # round-7 new operators: Matryoshka truncation audit (LSH-pair double
+    # cosine), multi-n leakage sweep (single tagged shingle pass), IVF-PQ
+    # (residual-coded probe scan), c(k) spectrum, fertility-by-language
+    "truncation_audit_embeddings",
+    "ngram_leakage_by_n",
+    "ann_ivf_pq_topk",
+    "clustering_spectrum_parts",
+    "tokenizer_fertility_by_lang",
 ]
 
 

@@ -3268,9 +3268,15 @@ def ngram_leakage_by_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = F.flatten(F.array(*[_tag(n) for n in LEAKAGE_NS]))
     # the shingle table feeds FOUR legs (eval grams, eval counts, the mark
     # join, per-doc totals) — checkpoint it once or the md5 explode re-runs
-    # per leg (measured 3x wall on the fixture)
+    # per leg (measured 3x wall on the fixture). widen FIRST: the explode
+    # inherits the scan's partitioning (often one file = ONE task), and
+    # every md5 in the corpus would grind through that single core
+    # (measured 69 s -> ~4 s at sf0.1)
+    from graphrag_toolkit_spark.functions.skew import widen_partitions
+
     sh = (
-        docs.select(
+        widen_partitions(docs)
+        .select(
             F.col("doc_id").alias("id"), b.alias("b"), F.explode(tagged).alias("s")
         )
         .select("id", "b", F.col("s.n").alias("n"), F.col("s.gram").alias("gram"))
