@@ -793,6 +793,89 @@ class TestProductQuantization:
         assert len(exact_ids & approx_ids) >= 7
 
 
+class TestIvfPq:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        # two well-separated clusters of 16-dim unit vectors; vec 0 and 1
+        # are the unperturbed cluster bases (= the coarse centroids)
+        import math
+
+        def mix(i):
+            base = fixtures.pseudo_embedding(f"ivfpq-base{i % 2}", 16)
+            noise = fixtures.pseudo_embedding(f"ivfpq-noise{i}", 16)
+            eps = 0.0 if i < 2 else 0.15
+            v = [b + eps * n for b, n in zip(base, noise)]
+            nrm = math.sqrt(sum(x * x for x in v))
+            return [x / nrm for x in v]
+
+        rows = [{"vec_id": i, "embedding": mix(i)} for i in range(40)]
+        return spark.createDataFrame(rows)
+
+    @pytest.fixture(scope="class")
+    def setup(self, emb):
+        from graphrag_toolkit_spark.operators import pq
+
+        centroids = emb.filter(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("cid"), "embedding"
+        )
+        codebook = pq.residual_codebook_first_c(
+            emb, centroids, "vec_id", "embedding", n_sub=4, n_cent=8
+        )
+        return centroids, codebook
+
+    def test_residual_codebook_shape_and_centering(self, setup):
+        centroids, codebook = setup
+        assert len(codebook) == 4 and all(len(s) == 8 for s in codebook)
+        # residuals of the CENTROID vectors themselves are ~zero (vec 0/1
+        # assign to themselves), so two codebook entries are near-zero
+        near_zero = sum(
+            1
+            for c in range(8)
+            if all(abs(x) < 1e-9 for s in range(4) for x in codebook[s][c])
+        )
+        assert near_zero >= 2
+
+    def test_probe_scan_returns_ranked_topk_from_probed_lists(self, emb, setup):
+        from graphrag_toolkit_spark.operators import ann, pq
+
+        centroids, codebook = setup
+        q = fixtures.pseudo_embedding("ivfpq-base0", 16)  # = centroid 0
+        out = pq.ivf_pq_topk(
+            emb, centroids, q, codebook, "vec_id", "embedding",
+            nprobe=1, k=5,
+        ).collect()
+        assert [r["rank"] for r in out] == [1, 2, 3, 4, 5]
+        # nprobe=1 with the query AT centroid 0: every hit is from list 0
+        assigned = {
+            r["id"]: r["cid"]
+            for r in ann.ivf_assign(emb, centroids, "vec_id", "embedding").collect()
+        }
+        assert all(assigned[r["id"]] == out[0]["cid"] for r in out)
+        # the centroid's own vector (zero residual) must rank first
+        assert out[0]["id"] == 0 and out[0]["adc_dist"] == 0.0
+
+    def test_widening_nprobe_recovers_exact_topk(self, emb, setup):
+        from graphrag_toolkit_spark.functions.vector import l2sq_quantized
+        from graphrag_toolkit_spark.operators import pq
+
+        centroids, codebook = setup
+        q = fixtures.pseudo_embedding("ivfpq-query-x", 16)
+        approx = pq.ivf_pq_topk(
+            emb, centroids, q, codebook, "vec_id", "embedding",
+            nprobe=2, k=10,
+        ).collect()
+        qlit = F.array(*[F.lit(v) for v in q])
+        exact = (
+            emb.withColumn("d", l2sq_quantized(F.col("embedding"), qlit))
+            .orderBy(F.asc("d"), F.asc("vec_id"))
+            .limit(10)
+            .collect()
+        )
+        overlap = {r["vec_id"] for r in exact} & {r["id"] for r in approx}
+        # nprobe = all lists -> only PQ quantization error remains
+        assert len(overlap) >= 6
+
+
 class TestSequencePacking:
     def test_positions_consistent(self, spark):
         from graphrag_toolkit_spark.operators import packing
