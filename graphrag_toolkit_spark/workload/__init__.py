@@ -54,6 +54,7 @@ _CHECK_FIRST = [
     "ngram_leakage_by_n",
     "clustering_spectrum_parts",
     "ann_ivf_pq_topk",
+    "quantization_ladder_embeddings",
     # --- never driver-checked (round-6 tail; judge-verified green r6, locally green 3x SFs) ---
     "neyman_allocation_events",
     "ann_ivf_recall",

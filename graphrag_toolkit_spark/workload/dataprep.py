@@ -5103,6 +5103,141 @@ def quantize_int8_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+LADDER_BITS = (8, 4)  # symmetric levels 127 and 7
+
+
+def quantization_ladder_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization ladder: SQ8 vs SQ4 measured side by side — per bit
+    width the saturation count and the mean reconstruction error on the
+    decimal grid, from ONE shared pass (the per-vector max-abs scale is
+    computed once; only the level count differs). The table an index
+    operator reads before dropping from 1 B to 4 bits per component.
+
+    EXACTNESS: x and the reconstruction round(code·s/L, 6) are both
+    scale-6 decimals, so the per-element |error| is exact decimal
+    arithmetic; per-row error sums accumulate in DECIMAL(25,12) and the
+    global mean is one exact-operand double division. Codes use the same
+    floor + GREATEST(−L) clamp contract as `pq.quantize_int8`.
+
+    Scale shape: one narrow projection + one 2-row aggregate (stack
+    unpivot by bit width) — no shuffle beyond the scalar agg."""
+    emb = load(spark, sf_dir, "embeddings")
+    prepped = emb.select(
+        F.col("vec_id").alias("id"),
+        pq._quantize(F.col("embedding")).alias("_q"),
+    ).select(
+        "id", "_q",
+        F.array_max(F.transform("_q", lambda x: F.abs(x))).alias("_s"),
+    )
+    s_dbl = F.col("_s").cast("double")
+
+    def code_of(x, levels: int):
+        return F.when(F.col("_s") == 0, F.lit(0)).otherwise(
+            F.greatest(
+                F.floor(x.cast("double") * F.lit(float(levels)) / s_dbl),
+                F.lit(-levels),
+            )
+        ).cast("int")
+
+    per_row = prepped
+    for bits in LADDER_BITS:
+        levels = 2 ** (bits - 1) - 1
+
+        def recon(c, levels=levels):
+            return F.round(
+                c.cast("double") * s_dbl / F.lit(float(levels)), 6
+            ).cast("decimal(12,6)")
+
+        def sat_and_err(levels=levels):
+            codes = F.transform("_q", lambda x: code_of(x, levels))
+            sat = F.aggregate(
+                codes,
+                F.lit(0).cast("long"),
+                lambda a, c: a + F.when(F.abs(c) == levels, 1).otherwise(0),
+            )
+            err = F.aggregate(
+                F.zip_with(
+                    F.col("_q"), codes, lambda x, c: F.abs(x - recon(c))
+                ),
+                F.lit(0).cast("decimal(25,12)"),
+                lambda a, v: (a + v).cast("decimal(25,12)"),
+            )
+            return sat, err
+
+        sat, err = sat_and_err()
+        per_row = per_row.withColumn(f"_sat{bits}", sat).withColumn(
+            f"_err{bits}", err
+        )
+    g = per_row.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.sum(F.size("_q")).cast("bigint").alias("n_values"),
+        *[
+            c
+            for bits in LADDER_BITS
+            for c in (
+                F.sum(f"_sat{bits}").cast("bigint").alias(f"sat{bits}"),
+                F.sum(f"_err{bits}").alias(f"errsum{bits}"),
+            )
+        ],
+    )
+    stacked = g.select(
+        "n_vectors",
+        "n_values",
+        F.expr(
+            "stack({n}, {args}) AS (bits, n_sat, err_sum)".format(
+                n=len(LADDER_BITS),
+                args=", ".join(
+                    f"{bits}, sat{bits}, CAST(errsum{bits} AS DOUBLE)"
+                    for bits in LADDER_BITS
+                ),
+            )
+        ),
+    )
+    return stacked.select(
+        "bits", "n_vectors", "n_values", "n_sat",
+        (F.col("err_sum") / F.col("n_values").cast("double")).alias(
+            "mean_abs_err"
+        ),
+    )
+
+
+def _ladder_block(bits: int) -> str:
+    levels = 2 ** (bits - 1) - 1
+    return f"""
+SELECT {bits} AS bits,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_vectors,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM q) AS n_values,
+       CAST(SUM(CASE WHEN ABS(code) = {levels} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sat,
+       CAST(SUM(CAST(ABS(qv - CAST(ROUND(CAST(code AS DOUBLE)
+                                         * CAST(s_dec AS DOUBLE)
+                                         / {float(levels)!r}, 6)
+                                   AS DECIMAL(12,6))) AS DECIMAL(25,12)))
+            AS DOUBLE)
+         / CAST((SELECT COUNT(*) FROM q) AS DOUBLE) AS mean_abs_err
+FROM (
+  SELECT q.qv, sc.s_dec,
+         CASE WHEN sc.s_dec = 0 THEN 0
+              ELSE CAST(GREATEST(FLOOR(CAST(q.qv AS DOUBLE) * {float(levels)!r}
+                                       / CAST(sc.s_dec AS DOUBLE)),
+                                 -{levels}) AS INTEGER)
+         END AS code
+  FROM q JOIN sc USING (vec_id)
+)"""
+
+
+QUANTIZATION_LADDER_ORACLE = (
+    f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id, t.i, {_EMB_Q.format(x='embedding[t.i]')} AS qv
+  FROM embeddings, generate_series(1, 64) AS t(i)
+),
+sc AS MATERIALIZED (SELECT vec_id, MAX(ABS(qv)) AS s_dec FROM q GROUP BY vec_id)
+"""
+    + "\nUNION ALL".join(_ladder_block(b) for b in LADDER_BITS)
+)
+
+
 QUANTIZE_INT8_ORACLE = f"""
 WITH q AS (
   SELECT vec_id, t.i, {_EMB_Q.format(x='embedding[t.i]')} AS qv
@@ -6461,6 +6596,7 @@ QUERIES = {
     "tokenizer_fertility_by_lang": tokenizer_fertility_by_lang,
     "ngram_leakage_by_n": ngram_leakage_by_n,
     "ann_ivf_pq_topk": ann_ivf_pq_topk,
+    "quantization_ladder_embeddings": quantization_ladder_embeddings,
     "minhash_jaccard_error_documents": minhash_jaccard_error_documents,
     "ann_ivf_recall": ann_ivf_recall,
     "packing_efficiency_documents": packing_efficiency_documents,
@@ -6575,6 +6711,7 @@ ORACLES = {
     "tokenizer_fertility_by_lang": TOKENIZER_FERTILITY_ORACLE,
     "ngram_leakage_by_n": NGRAM_LEAKAGE_ORACLE,
     "ann_ivf_pq_topk": IVF_PQ_ORACLE,
+    "quantization_ladder_embeddings": QUANTIZATION_LADDER_ORACLE,
     "minhash_jaccard_error_documents": MINHASH_JACCARD_ERROR_ORACLE,
     "ann_ivf_recall": ANN_IVF_RECALL_ORACLE,
     "packing_efficiency_documents": PACKING_EFFICIENCY_ORACLE,
