@@ -459,3 +459,68 @@ def running_moments_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def reservoir_sample_stream(
+    events: DataFrame,
+    id_col: str,
+    k: int = 16,
+    key_col: str | None = None,
+) -> DataFrame:
+    """Streaming deterministic reservoir: the running EXACT-k uniform
+    sample of everything seen so far, surviving micro-batches — the
+    stream twin of ``sampling.order_statistic_sample``. Because that
+    operator defines the sample as the k smallest (content-hash, id)
+    pairs, the reservoir is a MERGEABLE bottom-k semilattice: merging
+    per-batch bottom-k states is lossless, so after any number of
+    micro-batches the emitted sample is BIT-IDENTICAL to the batch
+    operator over the union of all rows (the same stream==batch contract
+    as ``kmv_distinct_stream``, which keeps bottom-k hashes for a
+    different purpose). A classic RNG reservoir cannot make this promise
+    — its content depends on arrival order.
+
+    ``key_col`` groups the stream into per-key reservoirs (per-source
+    samples); None keeps one global reservoir (single-group state — the
+    sample is k rows, so state is tiny; shard by key for per-key scale).
+    The hash is computed JVM-side; the Python stage folds (hash, id)
+    longs only. Emits (key, n_kept, ids) per touched key per batch,
+    ids ordered by (hash, id)."""
+    from graphrag_toolkit_spark.operators.sampling import hash_value
+
+    kc = key_col or "__all"
+    out_schema = f"{kc} string, n_kept integer, ids array<long>"
+    state_schema = "hs array<long>, ids array<long>"
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        pairs: set[tuple[int, int]] = set()
+        if state.exists:
+            hs, ids = state.get
+            pairs.update(zip((int(h) for h in hs), (int(i) for i in ids)))
+        for pdf in pdfs:
+            pairs.update(
+                zip((int(h) for h in pdf["__h"]), (int(i) for i in pdf["__id"]))
+            )
+        kept = sorted(pairs)[:k]
+        state.update(([h for h, _ in kept], [i for _, i in kept]))
+        yield pd.DataFrame(
+            {
+                kc: [key[0]],
+                "n_kept": [len(kept)],
+                "ids": [[i for _, i in kept]],
+            }
+        )
+
+    keyed = events.select(
+        (F.col(key_col) if key_col else F.lit("__all")).cast("string").alias(kc),
+        hash_value(F.col(id_col)).alias("__h"),
+        F.col(id_col).cast("long").alias("__id"),
+    )
+    return keyed.groupBy(kc).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

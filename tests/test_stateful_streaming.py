@@ -614,3 +614,71 @@ class TestRunningMoments:
         assert last["m"]["n"] == 2            # NULL row contributed nothing
         assert last["m"]["s1"] == 100 + 300
         assert last["m"]["mean"] == 2.0
+
+
+class TestReservoirStream:
+    def test_stream_sample_equals_batch_order_statistic(self, spark, stream_dir):
+        """Bottom-k (hash, id) is a mergeable semilattice, so the running
+        reservoir after all micro-batches must equal
+        sampling.order_statistic_sample over the union EXACTLY — same ids,
+        same order."""
+        from graphrag_toolkit_spark.operators import sampling
+
+        src = read_jsonl_stream(spark, stream_dir, SCHEMA, max_files_per_trigger=1)
+        _run(
+            stateful.reservoir_sample_stream(src, "id", k=5),
+            "reservoir_out",
+            "update",
+        )
+        rows = spark.sql("SELECT * FROM reservoir_out").collect()
+        final = rows[-1]  # update mode: last emission is the full-union state
+        batch = spark.createDataFrame(BATCH1 + BATCH2, SCHEMA)
+        h = sampling.hash_value(F.col("id"))
+        want = [
+            r["id"]
+            for r in batch.select("id")
+            .distinct()
+            .orderBy(h.asc(), F.col("id").asc())
+            .limit(5)
+            .collect()
+        ]
+        assert list(final["ids"]) == want
+        assert final["n_kept"] == 5
+        # intermediate emission (batch 1 only) must also equal the batch
+        # operator over batch-1 rows alone — every prefix is a valid sample
+        first = rows[0]
+        b1 = spark.createDataFrame(BATCH1, SCHEMA)
+        want1 = [
+            r["id"]
+            for r in b1.select("id").distinct()
+            .orderBy(h.asc(), F.col("id").asc())
+            .limit(5)
+            .collect()
+        ]
+        assert list(first["ids"]) == want1
+
+    def test_per_key_reservoirs(self, spark, stream_dir):
+        from graphrag_toolkit_spark.operators import sampling
+
+        src = read_jsonl_stream(spark, stream_dir, SCHEMA, max_files_per_trigger=1)
+        _run(
+            stateful.reservoir_sample_stream(src, "id", k=3, key_col="event_type"),
+            "reservoir_key_out",
+            "update",
+        )
+        rows = spark.sql("SELECT * FROM reservoir_key_out").collect()
+        last = {}
+        for r in rows:  # memory sink appends in batch order; last wins
+            last[r["event_type"]] = list(r["ids"])
+        batch = spark.createDataFrame(BATCH1 + BATCH2, SCHEMA)
+        h = sampling.hash_value(F.col("id"))
+        for et, ids in last.items():
+            want = [
+                r["id"]
+                for r in batch.filter(F.col("event_type") == et)
+                .select("id").distinct()
+                .orderBy(h.asc(), F.col("id").asc())
+                .limit(3)
+                .collect()
+            ]
+            assert ids == want, et
