@@ -839,3 +839,18 @@ def test_planguard_rejects_compound_keys_with_bounded_member(spark):
     assert not _keys_bounded("user_id#9")
     assert not _keys_bounded("knownfloatingpointnormalized(x#12)")
     assert _keys_bounded("__tpb#44L")
+
+
+def test_ivf_pq_probe_scan_is_equijoin_only(spark, sf_dir):
+    """IVF-PQ: assignment is a broadcast cross with the TINY centroid table
+    (by design); everything else — residual encode, probe filter, ADC —
+    must stay equi-join/projection; top-k is TakeOrderedAndProject."""
+    from graphrag_toolkit_spark.workload.dataprep import ann_ivf_pq_topk
+
+    plan = plan_of(ann_ivf_pq_topk(spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in plan
+    # the only nested-loop stage is the centroid broadcast cross join in
+    # ivf_assign (8 rows) — bounded by the centroid count, never the data
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
