@@ -111,18 +111,25 @@ def truncate_by_tokens(max_tokens: int, text_col: str = "value") -> Processor:
     the running token sum fits. Token count = whitespace tokens (the
     reference counts model-tokenizer tokens; the budget semantics — running
     sum over rank — are what's reproduced). Reference:
-    ``processors/truncate_by_tokens.py``."""
+    ``processors/truncate_by_tokens.py``.
+
+    The running sum rides the two-phase distributed cumsum (ranks.py,
+    bucketed on −score): on the result sets the chain normally feeds the
+    bucket machinery is noise, but it makes the operator corpus-safe —
+    "token-budget the whole corpus by quality score" is a real selection
+    policy, and no single-partition window appears at any input size."""
 
     def _p(flat: DataFrame) -> DataFrame:
-        w = Window.orderBy(F.desc("score"), F.asc("statement_id")).rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
+        from graphrag_toolkit_spark.operators import ranks
+
         toks = F.size(F.split(F.col(text_col), r"\s+"))
-        return (
-            flat.withColumn("_cum", F.sum(toks).over(w))
-            .filter(F.col("_cum") <= max_tokens)
-            .drop("_cum")
+        cum = ranks.two_phase_cumsum(
+            ranks.with_range_bucket(flat, -F.col("score")),
+            [F.desc("score"), F.asc("statement_id")],
+            toks,
+            out_col="_cum",
         )
+        return cum.filter(F.col("_cum") <= max_tokens).drop("_cum")
 
     return _p
 
@@ -132,10 +139,16 @@ def prune_statements(factor: float = 0.05) -> Processor:
     Reference: ``processors/prune_statements.py:16-46``."""
 
     def _p(flat: DataFrame) -> DataFrame:
-        w = Window.partitionBy()
-        return flat.withColumn("_max", F.max("score").over(w)).filter(
-            F.col("score") >= factor * F.col("_max")
-        ).drop("_max")
+        # scalar-aggregate broadcast instead of max() OVER () — the empty
+        # window spec single-partitions the whole frame; the one-row cross
+        # join costs an extra (fully parallel) pass and stays bounded at
+        # any input size
+        mx = flat.agg(F.max("score").alias("_max"))
+        return (
+            flat.crossJoin(F.broadcast(mx))
+            .filter(F.col("score") >= factor * F.col("_max"))
+            .drop("_max")
+        )
 
     return _p
 
@@ -145,10 +158,12 @@ def prune_results(threshold: float = 0.08) -> Processor:
     best result_score`` (requires ``rescore_results`` first)."""
 
     def _p(flat: DataFrame) -> DataFrame:
-        w = Window.partitionBy()
-        return flat.withColumn("_max", F.max("result_score").over(w)).filter(
-            F.col("result_score") >= threshold * F.col("_max")
-        ).drop("_max")
+        mx = flat.agg(F.max("result_score").alias("_max"))
+        return (
+            flat.crossJoin(F.broadcast(mx))
+            .filter(F.col("result_score") >= threshold * F.col("_max"))
+            .drop("_max")
+        )
 
     return _p
 

@@ -102,27 +102,13 @@ def _subtree(lines: list[str], i: int) -> list[str]:
     return out
 
 
-# Registry queries whose global window is bounded by an API CONTRACT the
-# physical plan cannot express: their inputs are retrieval RESULT SETS
-# (top-k / beam-bounded upstream), never corpus legs. tools/window_audit.py
-# reports these as "OK (contract)" instead of violations; adding a name
-# here requires the written argument below — tests/test_plans.py pins the
-# exact set so entries can't accumulate silently.
-CONTRACT_BOUNDED: dict[str, str] = {
-    "processor_chain_statements": (
-        "processor-chain stages (dedup-merge max, rescore) window ONE "
-        "retrieval result set; the chain's documented contract "
-        "(operators/processors.py) is post-retrieval, fed by beam/top-k "
-        "bounded legs — the reference's processor pipeline has the same "
-        "shape (results lists, never corpora)"
-    ),
-    "token_budget_truncate": (
-        "T4 token budget ranks ONE result set by score and keeps rows "
-        "while the running token sum fits (reference "
-        "truncate_by_tokens.py runs post-retrieval); its frame is "
-        "result-set-sized by contract"
-    ),
-}
+# Registry queries whose global window is bounded only by an API CONTRACT
+# the physical plan cannot express. EMPTY since the round-7 processor
+# rewrites (token budget -> two-phase cumsum; prune max -> scalar-aggregate
+# broadcast): every remaining global window is plan-provably bounded.
+# Adding a name here requires a written argument AND a SCALE.md row;
+# tests/test_plans.py pins the exact membership.
+CONTRACT_BOUNDED: dict[str, str] = {}
 
 _KEY_ATTR_RE = re.compile(r"(\w+)#\d+")
 

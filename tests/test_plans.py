@@ -821,11 +821,10 @@ def test_contract_bounded_registry_is_pinned(spark):
     planguard.py AND a SCALE.md row)."""
     from graphrag_toolkit_spark.planguard import CONTRACT_BOUNDED
 
-    assert set(CONTRACT_BOUNDED) == {
-        "processor_chain_statements",
-        "token_budget_truncate",
-    }
-    assert all(len(v) > 40 for v in CONTRACT_BOUNDED.values())
+    # EMPTY since the round-7 processor rewrites: the token budget rides
+    # the two-phase cumsum and the prune maxes are scalar-aggregate
+    # broadcasts, so the plan itself proves every remaining window bounded
+    assert CONTRACT_BOUNDED == {}
 
 
 def test_planguard_rejects_compound_keys_with_bounded_member(spark):
