@@ -123,8 +123,19 @@ def truncate_by_tokens(max_tokens: int, text_col: str = "value") -> Processor:
         from graphrag_toolkit_spark.operators import ranks
 
         toks = F.size(F.split(F.col(text_col), r"\s+"))
+        # ranks.py's bucket contract is non-null keys, but this generic
+        # processor accepts arbitrary frames: a NULL score yields a NULL
+        # bucket and the broadcast equi-join would silently DROP the row.
+        # Pin NULL scores into a dedicated trailing bucket — F.desc() is
+        # NULLS LAST, so that is exactly where the old global window
+        # ordered them (after every real score, tiebroken by id).
+        bucketed = ranks.with_range_bucket(flat, -F.col("score"))
+        bucketed = bucketed.withColumn(
+            ranks.BUCKET_COL,
+            F.coalesce(F.col(ranks.BUCKET_COL), F.lit(ranks.DEFAULT_BUCKETS)),
+        )
         cum = ranks.two_phase_cumsum(
-            ranks.with_range_bucket(flat, -F.col("score")),
+            bucketed,
             [F.desc("score"), F.asc("statement_id")],
             toks,
             out_col="_cum",

@@ -54,16 +54,19 @@ BOUNDED_AGG_KEYS: list[tuple[str, str, str]] = [
 ]
 
 _AGG_RE = re.compile(r"(HashAggregate|SortAggregate|ObjectHashAggregate)\(keys=\[([^\]]*)\]")
-# WindowGroupLimit below the exchange is Spark's partial per-partition
-# top-k for rank<=k filters: the exchange then carries <= k rows per map
-# partition — bounded by parallelism, not by data (same contract as
-# TakeOrderedAndProject's partial legs).
 _BOUNDED_NODES = (
     "TakeOrderedAndProject",
     "GlobalLimit",
     "CollectLimit",
-    "WindowGroupLimit",
 )
+# WindowGroupLimit is Spark's partial per-partition top-k for rank<=k
+# filters. It bounds the subtree ONLY when its partition spec is empty
+# (global top-k: <= k rows per map partition, bounded by parallelism) or
+# every partition key is itself a bounded domain (BOUNDED_AGG_KEYS). A
+# WindowGroupLimit keyed on a data-dependent column (top-k PER user_id)
+# emits k rows PER KEY — unbounded — so it must NOT short-circuit the
+# scan. Plan line shape: "WindowGroupLimit [part#1, ...], [ord#2 ASC], ..."
+_WGL_RE = re.compile(r"WindowGroupLimit\s*\[([^\]]*)\]")
 
 
 @dataclass
@@ -129,6 +132,12 @@ def _is_bounded(subtree: list[str]) -> bool:
     for ln in subtree:
         if any(n in ln for n in _BOUNDED_NODES):
             return True
+        wgl = _WGL_RE.search(ln)
+        if wgl is not None:
+            part = wgl.group(1)
+            if part.strip() == "" or _keys_bounded(part):
+                return True
+            continue  # per-data-key top-k: NOT a bound; keep scanning deeper
         m = _AGG_RE.search(ln)
         if m:
             keys = m.group(2)

@@ -485,7 +485,21 @@ def reservoir_sample_stream(
     The hash is computed JVM-side; the Python stage folds (hash, id)
     longs only. Emits (key, n_kept, ids) per touched key per batch,
     ids ordered by (hash, id)."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
     from graphrag_toolkit_spark.operators.sampling import hash_value
+
+    # The state schema carries ids as longs; a non-integral id (string doc
+    # hash, …) would cast to NULL and blow up inside the Python fold at
+    # RUNTIME, killing the streaming query mid-batch. Fail at construction
+    # with an actionable message instead.
+    id_type = events.schema[id_col].dataType
+    if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"reservoir_sample_stream requires an integral id column; "
+            f"{id_col!r} is {id_type.simpleString()}. Map the id to a long "
+            f"first (e.g. xxhash64(col)) — the state schema stores longs."
+        )
 
     kc = key_col or "__all"
     out_schema = f"{kc} string, n_kept integer, ids array<long>"

@@ -232,6 +232,26 @@ class TestProcessors:
         kept = {r["statement_id"] for r in out.collect()}
         assert kept == {"d", "a"}  # 2 + 2 tokens; next would blow the budget
 
+    def test_truncate_by_tokens_null_scores_not_dropped(self, spark):
+        # round-7 advice: NULL scores used to become NULL range-buckets
+        # and silently vanish through the broadcast equi-join; the old
+        # global window kept them LAST (desc = NULLS LAST). Budget large
+        # enough for everything -> every row must survive, and with a
+        # tight budget the NULL-score rows are the first casualties.
+        rows = [
+            dict(source_id="s", topic_id="t", statement_id="a", value="x y", score=2.0),
+            dict(source_id="s", topic_id="t", statement_id="b", value="x y", score=None),
+            dict(source_id="s", topic_id="t", statement_id="c", value="x y", score=1.0),
+            dict(source_id="s", topic_id="t", statement_id="d", value="x y", score=None),
+        ]
+        df = spark.createDataFrame(
+            rows, "source_id string, topic_id string, statement_id string, "
+                  "value string, score double")
+        keep_all = P.truncate_by_tokens(100)(df)
+        assert keep_all.count() == 4
+        tight = {r["statement_id"] for r in P.truncate_by_tokens(6)(df).collect()}
+        assert tight == {"a", "c", "b"}  # scored rows first, then NULLs by id
+
     def test_union_weighted(self, spark):
         f = P.dedup_results(self._flat(spark))
         out = P.union_weighted([(f, 1.0), (f, 0.5)])

@@ -840,6 +840,35 @@ def test_planguard_rejects_compound_keys_with_bounded_member(spark):
     assert _keys_bounded("__tpb#44L")
 
 
+def test_planguard_perkey_windowgrouplimit_is_not_a_bound(spark):
+    """Round-7 advice (medium): a WindowGroupLimit keyed on a data-dependent
+    partition column (top-k PER user_id) emits k rows PER KEY — unbounded —
+    and must NOT satisfy the guard. A GLOBAL rank<=k filter (empty partition
+    spec) emits <=k rows per map partition and legitimately bounds."""
+    from pyspark.sql.window import Window
+
+    from graphrag_toolkit_spark.planguard import singlepartition_window_violations
+
+    df = spark.range(0, 20_000).select(
+        (F.col("id") % 10_000).alias("user_id"),
+        F.col("id").alias("ord"),
+        (F.col("id") * 37 % 101).alias("score"),
+    )
+    perkey_top2 = df.withColumn(
+        "rk", F.row_number().over(Window.partitionBy("user_id").orderBy("ord"))
+    ).filter(F.col("rk") <= 2)
+    bad = perkey_top2.withColumn("grn", F.row_number().over(Window.orderBy("score")))
+    assert singlepartition_window_violations(bad), (
+        "per-key WindowGroupLimit must not bound a global window"
+    )
+
+    global_top10 = df.withColumn(
+        "rk", F.row_number().over(Window.orderBy("ord"))
+    ).filter(F.col("rk") <= 10)
+    ok = global_top10.withColumn("grn", F.row_number().over(Window.orderBy("score")))
+    assert not singlepartition_window_violations(ok)
+
+
 def test_ivf_pq_probe_scan_is_equijoin_only(spark, sf_dir):
     """IVF-PQ: assignment is a broadcast cross with the TINY centroid table
     (by design); everything else — residual encode, probe filter, ADC —

@@ -657,6 +657,14 @@ class TestReservoirStream:
         ]
         assert list(first["ids"]) == want1
 
+    def test_non_integral_id_rejected_at_construction(self, spark, stream_dir):
+        """Round-7 advice: a string id casts to NULL long and the Python
+        fold then dies INSIDE applyInPandasWithState at runtime. The
+        operator must reject non-integral ids when the plan is built."""
+        src = read_jsonl_stream(spark, stream_dir, SCHEMA)
+        with pytest.raises(TypeError, match="integral id column"):
+            stateful.reservoir_sample_stream(src, "text_hash", k=3)
+
     def test_per_key_reservoirs(self, spark, stream_dir):
         from graphrag_toolkit_spark.operators import sampling
 
