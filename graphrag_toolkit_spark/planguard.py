@@ -148,6 +148,76 @@ def _is_bounded(subtree: list[str]) -> bool:
     return False
 
 
+# ---------------------------------------------------------------------------
+# Broadcast-hint audit (round-8): a hint-forced F.broadcast() of a table that
+# GROWS with the data is a hard job failure at scale (Spark's 8 GB broadcast
+# cap / driver OOM), not a slow plan — the same "invisible at fixture scale"
+# failure family as the global windows above, one tier down. The audit runs
+# with spark.sql.autoBroadcastJoinThreshold=-1 so estimate-based broadcasts
+# (which AQE re-plans safely at real sizes) disappear from the plan and every
+# surviving BroadcastExchange is HINT-FORCED. Each one's subtree must be
+# provably bounded:
+#   - a limit / TakeOrderedAndProject / bounded WindowGroupLimit,
+#   - a scalar or bounded-key aggregate (BOUNDED_AGG_KEYS),
+#   - a literal LocalTableScan or a small literal Range,
+#   - a Scan ExistingRDD *allowlisted by query* (createDataFrame of a
+#     driver-collected, bounded-by-construction table — centroids, codebooks,
+#     spines; the plan text cannot distinguish these from a checkpointed
+#     corpus leg, so each needs a written bound in BROADCAST_RDD_CONTRACT).
+# ---------------------------------------------------------------------------
+
+# Queries whose hinted broadcast covers a Scan ExistingRDD (driver-created
+# literal frame). Key: query name; value: the written cardinality/byte bound.
+# tools/broadcast_audit.py accepts an ExistingRDD subtree only for queries
+# listed here; tests pin the exact membership so entries can't accumulate
+# without a reviewed argument.
+BROADCAST_RDD_CONTRACT: dict[str, str] = {}
+
+_RANGE_RE = re.compile(r"Range \((-?\d+), (-?\d+), step=")
+_SMALL_RANGE_MAX = 1_000_000  # literal spine/constant ranges, not data-sized
+
+
+def _is_broadcast_bounded(subtree: list[str], allow_rdd: bool = False) -> bool:
+    for ln in subtree:
+        if "LocalTableScan" in ln:
+            return True
+        if allow_rdd and "Scan ExistingRDD" in ln:
+            return True
+        rm = _RANGE_RE.search(ln)
+        if rm and int(rm.group(2)) - int(rm.group(1)) <= _SMALL_RANGE_MAX:
+            return True
+    return _is_bounded(subtree)
+
+
+def hinted_broadcast_violations(
+    df: DataFrame, query_name: str | None = None
+) -> list[Violation]:
+    """Every BroadcastExchange whose input subtree is not provably bounded.
+
+    MUST be called on a DataFrame BUILT under
+    ``spark.sql.autoBroadcastJoinThreshold=-1`` (tools/broadcast_audit.py
+    does this): with estimates disabled, a surviving BroadcastExchange is
+    hint-forced and permanent at any scale. ``query_name`` unlocks the
+    per-query ``BROADCAST_RDD_CONTRACT`` allowlist for driver-created
+    literal frames."""
+    allow_rdd = query_name is not None and query_name in BROADCAST_RDD_CONTRACT
+    lines = [ln for ln in plan_string(df).splitlines() if ln.strip()]
+    out: list[Violation] = []
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" not in ln or "ReusedExchange" in ln:
+            continue
+        sub = _subtree(lines, i)
+        if not _is_broadcast_bounded(sub, allow_rdd=allow_rdd):
+            out.append(
+                Violation(
+                    window_line="(broadcast)",
+                    exchange_line=ln.strip(),
+                    subtree_head="; ".join(s.strip() for s in sub[:3]),
+                )
+            )
+    return out
+
+
 def singlepartition_window_violations(df: DataFrame) -> list[Violation]:
     lines = [ln for ln in plan_string(df).splitlines() if ln.strip()]
     out: list[Violation] = []

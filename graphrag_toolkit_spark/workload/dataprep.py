@@ -395,10 +395,15 @@ def pmi_collocations_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     left = bi.groupBy("a").agg(F.count(F.lit(1)).alias("c_a"))
     right = bi.groupBy("b").agg(F.count(F.lit(1)).alias("c_b"))
     n = bi.agg(F.count(F.lit(1)).alias("n_bi"))
+    # left/right are UNIGRAM-count tables over the corpus vocabulary —
+    # Heaps'-law growth, plausibly past Spark's 8 GB broadcast cap at
+    # 100 TB of web text. No hint: AQE broadcasts them while they are
+    # small and falls back to a shuffle join when they are not. The
+    # one-row total `n` stays hinted (scalar aggregate, bounded).
     out = (
         counts.filter(F.col("c_ab") >= PMI_MIN_COUNT)
-        .join(F.broadcast(left), "a")
-        .join(F.broadcast(right), "b")
+        .join(left, "a")
+        .join(right, "b")
         .crossJoin(F.broadcast(n))
         .select(
             "a", "b", "c_ab",
@@ -3240,7 +3245,9 @@ FROM hits h JOIN tot t USING (doc_id)
 LEAKAGE_NS = (4, 8, 13)
 
 
-def ngram_leakage_by_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ngram_leakage_by_n(
+    spark: SparkSession, sf_dir: str, broadcast_eval: bool = False
+) -> DataFrame:
     """Decontamination calibration: the eval-leak rate at SEVERAL shingle
     sizes in one pass — the table an operator reads before choosing n
     (GPT-3 used 13-grams, Gopher 8, this repo's default gate 4; smaller n
@@ -3249,9 +3256,15 @@ def ngram_leakage_by_n(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the corpus text is shingled ONCE — every n's gram set
     rides one tagged array (flatten of per-n transforms) into ONE explode,
-    one distinct, one broadcast mark-join and one (n, doc) aggregate; the
-    n-spine left-join guarantees a row even for an n larger than every
-    document. No per-n rescans of the corpus."""
+    one distinct, one mark-join and one (n, doc) aggregate; the n-spine
+    left-join guarantees a row even for an n larger than every document.
+    No per-n rescans of the corpus.
+
+    ``broadcast_eval`` mirrors ``decontam.contamination``: this query's
+    eval side is a 10% HASH SPLIT OF THE CORPUS (it grows with the data,
+    ×3 shingle sizes), so the default is False — AQE broadcasts the gram
+    set while it is small and shuffle-joins on the gram hash when it is
+    not. Pass True only for a genuinely MB-scale external benchmark."""
     from graphrag_toolkit_spark.operators.decontam import _gram_hashes
 
     docs = load(spark, sf_dir, "documents")
@@ -3287,8 +3300,11 @@ def ngram_leakage_by_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev_counts = ev.groupBy("n").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_eval_grams")
     )
+    ev_marked = ev.withColumn("_hit", F.lit(1))
+    if broadcast_eval:
+        ev_marked = F.broadcast(ev_marked)
     marked = sh.filter(F.col("b") >= DECONTAM_EVAL_CUT).join(
-        F.broadcast(ev.withColumn("_hit", F.lit(1))), ["n", "gram"], "left"
+        ev_marked, ["n", "gram"], "left"
     )
     per_doc = marked.groupBy("n", "id").agg(F.count("_hit").alias("n_hit"))
     contaminated = per_doc.groupBy("n").agg(
@@ -4423,9 +4439,9 @@ def oov_rate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     (freq < min_count) are the OOV set, exactly the tokens
     `encode_documents` sends to UNK_ID.
 
-    Scale shape: one token groupBy to build the vocab (≪ corpus), then a
-    broadcast-joined token scan aggregated per source — integer counts,
-    one exact-operand division for the rate."""
+    Scale shape: one token groupBy to build the vocab (≪ corpus), then an
+    AQE-strategy vocab join over the token scan aggregated per source —
+    integer counts, one exact-operand division for the rate."""
     docs = load(spark, sf_dir, "documents")
     vocab = packing.build_vocab(docs, "text", min_count=OOV_MIN_COUNT).select(
         "token", F.lit(1).alias("in_vocab")
@@ -4435,8 +4451,12 @@ def oov_rate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.lower(F.col("text")), r"[^0-9a-z]+")).alias("token"),
     ).filter(F.col("token") != "")
     oov = F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    # the min_count cap bounds the vocab's RANK, not its byte size — at
+    # web-corpus scale the >=5-count vocabulary is still Heaps'-law large,
+    # so no broadcast hint: AQE picks broadcast while it fits and a
+    # shuffle join when it does not
     return (
-        toks.join(F.broadcast(vocab), "token", "left")
+        toks.join(vocab, "token", "left")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("total_tokens"),
