@@ -53,7 +53,10 @@ def target_encode(
         F.sum("__y").alias("__g_sum"), F.count(F.lit(1)).alias("__g_n")
     )
     m = F.lit(prior_weight)
-    out = d.join(F.broadcast(stats), cat_col).crossJoin(F.broadcast(glob))
+    # per-category stats grow with the category domain (this is the
+    # HIGH-cardinality encoder by design) — no hint on stats; the 1-row
+    # global stays hinted
+    out = d.join(stats, cat_col).crossJoin(F.broadcast(glob))
     g_mean = F.col("__g_sum").cast("double") / F.col("__g_n")
     loo_n = (F.col("__cat_n") - 1 + m).cast("double")
     te = F.when(

@@ -53,13 +53,16 @@ def decode_media(
     df: DataFrame, bytes_col: str, id_col: str, real_decode: bool = False
 ) -> DataFrame:
     """Decode stage: mapInPandas over Arrow batches. Output one row per item
-    with decoded metadata (fake path) — the real path would return pixel
-    tensors/features and needs a codec library not present here."""
+    with decoded metadata (fake path). REAL decoding exists for the
+    container formats the stdlib can parse — ``decode_wav_pcm`` (RIFF/WAV
+    PCM via ``wave``) and ``decode_ppm`` (binary P6) below; only
+    codec-bound formats (JPEG/PNG/MP3/MP4) remain stubbed."""
     if real_decode:
         raise NotImplementedError(
-            "real media decoding requires an image/audio codec library "
-            "(PIL/ffmpeg), which is not available in this environment; "
-            "the mapInPandas plumbing below is the production shape"
+            "real decoding of codec-bound formats (JPEG/PNG/MP3/MP4) needs "
+            "an image/audio codec library (PIL/ffmpeg) absent from this "
+            "environment. For stdlib-decodable containers use the REAL "
+            "paths: decode_wav_pcm (WAV PCM) / decode_ppm (binary PPM)."
         )
     src = df.select(F.col(id_col).alias("id"), F.col(bytes_col).alias("payload"))
 
@@ -104,6 +107,156 @@ def sample_frames(
     return src.mapInPandas(frame_batches, schema=FRAME_SCHEMA)
 
 
+# --- REAL stdlib decoders (round-8 de-stub) ---------------------------------
+# WAV-PCM (RIFF container, `wave` stdlib) and binary PPM (P6) are decodable
+# with zero external codecs: these two paths parse REAL containers and fold
+# REAL samples/pixels, closing the "decode boundary" honest stub for the
+# formats the sandbox can support. JPEG/MP3/MP4 stay behind
+# NotImplementedError in decode_media(real_decode=True).
+
+WAV_SCHEMA = (
+    "id long, channels int, sample_rate int, sample_width int, "
+    "n_frames int, sum_abs bigint, peak_abs int"
+)
+
+
+def decode_wav_pcm(df: DataFrame, bytes_col: str, id_col: str) -> DataFrame:
+    """REAL WAV-PCM decode — stdlib ``wave`` parses the RIFF header and
+    returns raw frames; the fold computes integer amplitude stats (8-bit
+    PCM is unsigned, centered at 128; 16-bit is signed little-endian), so
+    an oracle that knows the payload construction can replay sum/peak
+    byte-for-byte. Arrow-batched mapInPandas, O(len) per item.
+    Reference anchor: the reference has no audio path at all (multimodal
+    kernels are north-star extras); the plumbing contract matches
+    ``audio_energy``."""
+    import array
+    import io as _io
+    import sys as _sys
+    import wave
+
+    src = df.select(F.col(id_col).alias("id"), F.col(bytes_col).alias("payload"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _id, payload in zip(pdf["id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                with wave.open(_io.BytesIO(data)) as w:
+                    ch = w.getnchannels()
+                    sw = w.getsampwidth()
+                    sr = w.getframerate()
+                    nf = w.getnframes()
+                    raw = w.readframes(nf)
+                if sw == 1:
+                    samples = [b - 128 for b in raw]
+                elif sw == 2:
+                    a = array.array("h")
+                    a.frombytes(raw)
+                    if _sys.byteorder == "big":
+                        a.byteswap()
+                    samples = list(a)
+                else:  # 24/32-bit PCM: decodable but not needed yet
+                    raise NotImplementedError(f"sample width {sw} bytes")
+                sum_abs = sum(abs(s) for s in samples)
+                peak_abs = max((abs(s) for s in samples), default=0)
+                rows.append((_id, ch, sr, sw, nf, sum_abs, peak_abs))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "channels", "sample_rate", "sample_width",
+                    "n_frames", "sum_abs", "peak_abs",
+                ],
+            )
+
+    return src.mapInPandas(batches, schema=WAV_SCHEMA)
+
+
+PPM_SCHEMA = (
+    "id long, width int, height int, maxval int, n_pixels int, "
+    "lum_millis bigint, resized_sum bigint, corner_tl int, corner_br int"
+)
+
+
+def _parse_ppm_p6(data: bytes) -> tuple[int, int, int, bytes]:
+    """Binary-PPM (P6) parser: magic, whitespace/comment-separated width,
+    height, maxval, single whitespace, then width*height RGB triples."""
+    if data[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(data[start:pos]))
+    pos += 1  # exactly one whitespace byte before the raster
+    w, h, maxval = fields
+    raster = data[pos : pos + 3 * w * h]
+    if len(raster) < 3 * w * h:
+        raise ValueError("truncated PPM raster")
+    return w, h, maxval, raster
+
+
+def _nn_resize(px: list[int], w: int, h: int, out_w: int, out_h: int) -> list[int]:
+    """The production nearest-neighbor kernel shared by ``resize_media``
+    (fake grid) and ``decode_ppm`` (real grid):
+    src index = (⌊r·h/out_h⌋, ⌊c·w/out_w⌋)."""
+    return [
+        px[(r * h // out_h) * w + (c * w // out_w)]
+        for r in range(out_h)
+        for c in range(out_w)
+    ]
+
+
+def decode_ppm(
+    df: DataFrame,
+    bytes_col: str,
+    id_col: str,
+    out_w: int = 4,
+    out_h: int = 4,
+) -> DataFrame:
+    """REAL binary-PPM decode → REAL pixel kernels, end to end: parse the
+    P6 header and raster, build the integer milli-luminance grid
+    (Rec.601: 299·R + 587·G + 114·B per pixel, exact ints), then run the
+    SAME nearest-neighbor resize kernel ``resize_media`` uses — on real
+    pixels. Emits header fields, the total luminance, the resized grid's
+    checksum and corners; every output is integer arithmetic an oracle can
+    replay from the payload construction."""
+    src = df.select(F.col(id_col).alias("id"), F.col(bytes_col).alias("payload"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _id, payload in zip(pdf["id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                w, h, maxval, raster = _parse_ppm_p6(data)
+                lum = [
+                    299 * raster[3 * k] + 587 * raster[3 * k + 1]
+                    + 114 * raster[3 * k + 2]
+                    for k in range(w * h)
+                ]
+                out = _nn_resize(lum, w, h, out_w, out_h)
+                rows.append(
+                    (_id, w, h, maxval, w * h, sum(lum), sum(out),
+                     out[0], out[-1])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "width", "height", "maxval", "n_pixels",
+                    "lum_millis", "resized_sum", "corner_tl", "corner_br",
+                ],
+            )
+
+    return src.mapInPandas(batches, schema=PPM_SCHEMA)
+
+
 RESIZE_SCHEMA = "id long, out_w int, out_h int, pixel_sum long, corner_tl int, corner_br int"
 
 FEATURES_SCHEMA = (
@@ -144,11 +297,7 @@ def resize_media(
                 data = bytes(payload)
                 _, w, h, _ = _fake_decode(data)
                 px = _fake_pixels(data, w, h)
-                out = [
-                    px[(r * h // out_h) * w + (c * w // out_w)]
-                    for r in range(out_h)
-                    for c in range(out_w)
-                ]
+                out = _nn_resize(px, w, h, out_w, out_h)
                 rows.append(
                     (_id, out_w, out_h, sum(out), out[0], out[-1])
                 )

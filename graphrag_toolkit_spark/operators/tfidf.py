@@ -132,7 +132,9 @@ def tfidf_cosine_scores(
     # instead of re-running it per consumer
     doc_tokens = tokenize(docs, text_col, id_col)
     doc_tokens.persist()
-    idf = F.broadcast(idf_table(doc_tokens, n_docs))
+    # idf table = corpus vocabulary (Heaps-law growth) — no hint; AQE
+    # broadcasts while small, shuffle-joins on token when it is not
+    idf = idf_table(doc_tokens, n_docs)
 
     dw = doc_tokens.join(idf, "token").withColumn(
         "w", _weight(F.col("idf"), quantize)
@@ -209,7 +211,7 @@ def diversity_filter(
     docs = flat.select(id_col, text_col).dropDuplicates([id_col])
     n_docs = docs.count()
     tokens = tokenize(docs, text_col, id_col)
-    idf = F.broadcast(idf_table(tokens, n_docs))
+    idf = idf_table(tokens, n_docs)  # vocab-sized: no hint (see above)
     w = _tfidf_norm(tokens.join(idf, "token").withColumn("w", F.col("tf") * F.col("idf")))
 
     a = w.select(

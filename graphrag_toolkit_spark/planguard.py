@@ -163,18 +163,65 @@ def _is_bounded(subtree: list[str]) -> bool:
 #   - a Scan ExistingRDD *allowlisted by query* (createDataFrame of a
 #     driver-collected, bounded-by-construction table — centroids, codebooks,
 #     spines; the plan text cannot distinguish these from a checkpointed
-#     corpus leg, so each needs a written bound in BROADCAST_RDD_CONTRACT).
+#     corpus leg, so each needs a written bound in BROADCAST_CONTRACT).
 # ---------------------------------------------------------------------------
 
-# Queries whose hinted broadcast covers a Scan ExistingRDD (driver-created
-# literal frame). Key: query name; value: the written cardinality/byte bound.
-# tools/broadcast_audit.py accepts an ExistingRDD subtree only for queries
-# listed here; tests pin the exact membership so entries can't accumulate
-# without a reviewed argument.
-BROADCAST_RDD_CONTRACT: dict[str, str] = {}
+# Queries whose hinted broadcast is bounded by REQUEST or CONSTRUCTION
+# contract the plan cannot express — a driver-created literal frame (plans
+# as Scan ExistingRDD, indistinguishable from a checkpointed corpus leg), a
+# retrieval-request seed set, an injected model table. Key: query name;
+# value: the written cardinality/byte bound (mirrored in SCALE.md's
+# broadcast-audit table). tests/test_plans.py pins the exact membership so
+# entries can't accumulate without a reviewed argument.
+BROADCAST_CONTRACT: dict[str, str] = {
+    # --- retrieval-request seeds (frontier/id/keyword sets a caller sends
+    #     with ONE query; bounded by max_search_results × beam ≈ 10^2-10^3
+    #     rows regardless of corpus size) ---
+    "chunk_statements_orders": "seed chunk ids: one request's vector hits",
+    "statement_facts_orders": "seed statement ids: one request's frontier",
+    "entity_fact_walk_suppliers": "seed entity ids: one request's frontier",
+    "entity_pair_paths_parts": "seed entity PAIRS: one request's anchors",
+    "topic_adjacency_parts": "seed topic ids: one request's frontier",
+    "topic_overlap_suppliers": "seed topic ids: one request's frontier",
+    "topic_sources_parts": "seed topic ids: one request's frontier",
+    "entity_lookup_parts": "query keyword set: one request, dozens of terms",
+    "cascade_delete_counts": "delete-request source ids: one API call's batch",
+    "fetch_embeddings_by_id": "requested id list: one API call's batch",
+    "dense_link_embeddings": "query-side mention embeddings: request batch",
+    "hard_negatives_embeddings": "anchor batch: request-sized (5 here)",
+    "boolean_and_search_documents": "literal query terms (LocalRelation-like)",
+    # --- construction-fixed tables (size set by operator parameters, not
+    #     input rows) ---
+    "ann_lsh_topk": "query vectors: request batch",
+    "ann_ivf_topk": "n_centroids rows + query batch",
+    "ann_ivf_kmeans_topk": "n_centroids rows + query batch",
+    "ann_ivf_pq_topk": "n_centroids + m*256 codebook rows + query batch",
+    "ann_ivf_recall": "n_centroids rows + query batch + per-query probes",
+    "bloom_filter_orders": "bloom bitmap: bits/32 words (128 here), fixed",
+    "psi_events": "bucket edges: event_type enum x (B-1)=9 order statistics",
+    "token_budget_mix_documents": "per-domain budgets: curated mixture "
+                                  "domains (dozens)",
+    # --- injected literal model tables (driver-provided constants; plans
+    #     as Scan ExistingRDD) ---
+    "ngram_lm_documents": "injected bigram/unigram log-prob tables; for a "
+                          "GB-scale KenLM swap to shuffle joins (docstring)",
+    "language_id_documents": "LANG_LEXICON literal: fixed few-hundred rows",
+    "mixed_language_documents": "LANG_LEXICON literal: fixed few-hundred rows",
+    "tokenizer_fertility_by_lang": "LANG_LEXICON literal: fixed rows",
+    "quality_classifier_documents": "CLASSIFIER_WEIGHTS literal: fixed rows",
+    "training_data_pipeline": "composed gates' literal weight/lexicon tables",
+    # --- eval benchmarks (MB-scale by the operator's documented contract) ---
+    "ranking_eval_embeddings": "qrels + query vectors: eval benchmark",
+    "ranking_eval_orphan": "qrels + query vectors: eval benchmark",
+}
 
 _RANGE_RE = re.compile(r"Range \((-?\d+), (-?\d+), step=")
 _SMALL_RANGE_MAX = 1_000_000  # literal spine/constant ranges, not data-sized
+
+# Parquet tables whose row count is a SPEC constant at every scale factor
+# (TPC-H: nation = 25 rows, region = 5 rows) — always broadcastable. Matched
+# by file path inside the FileScan's Location, never by column names.
+_CONST_TABLE_RE = re.compile(r"FileScan .*/(?:nation|region)\.parquet\]")
 
 
 def _is_broadcast_bounded(subtree: list[str], allow_rdd: bool = False) -> bool:
@@ -182,6 +229,8 @@ def _is_broadcast_bounded(subtree: list[str], allow_rdd: bool = False) -> bool:
         if "LocalTableScan" in ln:
             return True
         if allow_rdd and "Scan ExistingRDD" in ln:
+            return True
+        if _CONST_TABLE_RE.search(ln):
             return True
         rm = _RANGE_RE.search(ln)
         if rm and int(rm.group(2)) - int(rm.group(1)) <= _SMALL_RANGE_MAX:
@@ -198,9 +247,14 @@ def hinted_broadcast_violations(
     ``spark.sql.autoBroadcastJoinThreshold=-1`` (tools/broadcast_audit.py
     does this): with estimates disabled, a surviving BroadcastExchange is
     hint-forced and permanent at any scale. ``query_name`` unlocks the
-    per-query ``BROADCAST_RDD_CONTRACT`` allowlist for driver-created
-    literal frames."""
-    allow_rdd = query_name is not None and query_name in BROADCAST_RDD_CONTRACT
+    per-query ``BROADCAST_CONTRACT`` allowlist for request/construction-
+    bounded frames the plan cannot prove.
+
+    Known blind spot: a query whose internals sit behind an eager
+    ``localCheckpoint`` exposes only the post-checkpoint plan — its hinted
+    broadcasts must be audited at the OPERATOR level (the tfidf idf-table
+    hints were found and removed that way, round 8)."""
+    allow_rdd = query_name is not None and query_name in BROADCAST_CONTRACT
     lines = [ln for ln in plan_string(df).splitlines() if ln.strip()]
     out: list[Violation] = []
     for i, ln in enumerate(lines):

@@ -3206,7 +3206,10 @@ def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(b >= DECONTAM_EVAL_CUT)
     return (
         decontam.contamination(
-            corpus, eval_set, text_col="text", id_col="doc_id", n=DECONTAM_N
+            corpus, eval_set, text_col="text", id_col="doc_id", n=DECONTAM_N,
+            # the "eval set" here is a hash split OF THE CORPUS (grows with
+            # the data), not an MB-scale external benchmark — let AQE pick
+            broadcast_eval=False,
         )
         .withColumnRenamed("id", "doc_id")
         .select("doc_id", "n_grams", "n_hit", "contamination")
@@ -5558,6 +5561,136 @@ FROM documents, generate_series(0, 3) AS t(i)
 """
 
 
+# --- REAL stdlib media decode (WAV-PCM via `wave`, binary PPM) ---------------
+# Round-8 de-stub: the payloads are REAL containers built from each doc's
+# ASCII bytes (the construction the oracle replays); the Spark side parses
+# them with genuine stdlib decoders — no deterministic-fake anywhere in the
+# decode→kernel path. Only codec-bound formats (JPEG/MP3/MP4) stay stubbed.
+
+WAV_SAMPLE_RATE = 8000
+PPM_W, PPM_H = 8, 8
+
+
+def wav_pcm_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV-PCM decode end-to-end (operators/multimodal.decode_wav_pcm):
+    each document becomes an 8-bit mono 8 kHz RIFF/WAV whose PCM frames are
+    the doc's bytes; the decoder parses the RIFF header with the stdlib
+    ``wave`` module and folds REAL samples into integer amplitude stats
+    (8-bit PCM is unsigned, center 128). The oracle replays the
+    construction: amplitude = |byte − 128| per character."""
+    import pandas as _pd
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("t")
+    )
+
+    def build(it):
+        import io as _io
+        import wave as _wave
+
+        for pdf in it:
+            rows = []
+            for _id, t in zip(pdf["doc_id"], pdf["t"]):
+                buf = _io.BytesIO()
+                with _wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(1)
+                    w.setframerate(WAV_SAMPLE_RATE)
+                    w.writeframes(t.encode("utf-8"))
+                rows.append((_id, buf.getvalue()))
+            yield _pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    wavs = docs.mapInPandas(build, schema="doc_id long, payload binary")
+    return multimodal.decode_wav_pcm(wavs, "payload", "doc_id")
+
+
+WAV_PCM_ORACLE = f"""
+WITH s AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+amp AS (
+  SELECT doc_id, abs(ord(substring(t, CAST(p.p AS INTEGER), 1)) - 128) AS a
+  FROM s, generate_series(1, {AUDIO_ORACLE_MAX_LEN}) AS p(p)
+  WHERE p.p <= length(t)
+)
+SELECT s.doc_id AS id,
+       CAST(1 AS INTEGER) AS channels,
+       CAST({WAV_SAMPLE_RATE} AS INTEGER) AS sample_rate,
+       CAST(1 AS INTEGER) AS sample_width,
+       CAST(length(s.t) AS INTEGER) AS n_frames,
+       CAST(COALESCE(SUM(amp.a), 0) AS BIGINT) AS sum_abs,
+       CAST(COALESCE(MAX(amp.a), 0) AS INTEGER) AS peak_abs
+FROM s LEFT JOIN amp ON amp.doc_id = s.doc_id
+GROUP BY s.doc_id, s.t
+"""
+
+
+def ppm_decode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL binary-PPM decode → REAL pixel kernels (operators/multimodal.
+    decode_ppm): each document becomes a P6 image (8×8 RGB, raster = doc
+    bytes cycled, a comment line in the header to exercise the parser's
+    grammar); the decoder parses the real header/raster, builds the exact
+    Rec.601 milli-luminance grid, and runs the SAME nearest-neighbor
+    resize kernel `resize_media` uses — on real pixels. Every output is
+    integer arithmetic the oracle replays from the construction."""
+    import pandas as _pd
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("t")
+    )
+
+    def build(it):
+        for pdf in it:
+            rows = []
+            for _id, t in zip(pdf["doc_id"], pdf["t"]):
+                data = t.encode("utf-8") or b"\x00"
+                n = len(data)
+                raster = bytes(
+                    data[k % n] for k in range(3 * PPM_W * PPM_H)
+                )
+                payload = (
+                    b"P6\n# synthetic fixture\n"
+                    + f"{PPM_W} {PPM_H}\n255\n".encode()
+                    + raster
+                )
+                rows.append((_id, payload))
+            yield _pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    ppms = docs.mapInPandas(build, schema="doc_id long, payload binary")
+    return multimodal.decode_ppm(ppms, "payload", "doc_id", out_w=4, out_h=4)
+
+
+# resize 8x8 -> 4x4 samples src (2r, 2c): even-row-even-col pixels; the
+# bottom-right output corner reads src (6, 6) = flat index 54.
+PPM_DECODE_ORACLE = """
+WITH s AS (
+  SELECT doc_id, COALESCE(text, '') AS t,
+         CASE WHEN length(text) IS NULL OR length(text) = 0
+              THEN 1 ELSE length(text) END AS n,
+         length(COALESCE(text, '')) = 0 AS empty
+  FROM documents
+),
+lum AS (
+  SELECT doc_id, k.k AS k,
+         299 * (CASE WHEN empty THEN 0 ELSE
+            ord(substring(t, CAST((3 * k.k) % n AS INTEGER) + 1, 1)) END)
+       + 587 * (CASE WHEN empty THEN 0 ELSE
+            ord(substring(t, CAST((3 * k.k + 1) % n AS INTEGER) + 1, 1)) END)
+       + 114 * (CASE WHEN empty THEN 0 ELSE
+            ord(substring(t, CAST((3 * k.k + 2) % n AS INTEGER) + 1, 1)) END)
+         AS l
+  FROM s, generate_series(0, 63) AS k(k)
+)
+SELECT doc_id AS id,
+       CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+       CAST(255 AS INTEGER) AS maxval, CAST(64 AS INTEGER) AS n_pixels,
+       CAST(SUM(l) AS BIGINT) AS lum_millis,
+       CAST(SUM(CASE WHEN (k // 8) % 2 = 0 AND (k % 8) % 2 = 0
+                     THEN l ELSE 0 END) AS BIGINT) AS resized_sum,
+       CAST(MAX(CASE WHEN k = 0 THEN l END) AS INTEGER) AS corner_tl,
+       CAST(MAX(CASE WHEN k = 54 THEN l END) AS INTEGER) AS corner_br
+FROM lum GROUP BY doc_id
+"""
+
+
 # --- typo pairs (edit-distance-1 vocabulary cleanup) -------------------------
 
 TYPO_MIN_LEN = 4
@@ -6531,6 +6664,8 @@ ORDER BY fold, per.lang
 QUERIES = {
     "kfold_balance_documents": kfold_balance_documents,
     "audio_vad_documents": audio_vad_documents,
+    "wav_pcm_stats_documents": wav_pcm_stats_documents,
+    "ppm_decode_documents": ppm_decode_documents,
     "phash_neardup_documents": phash_neardup_documents,
     "bootstrap_by_source_documents": bootstrap_by_source_documents,
     "phrase_search_documents": phrase_search_documents,
@@ -6644,6 +6779,8 @@ QUERIES = {
 ORACLES = {
     "kfold_balance_documents": KFOLD_BALANCE_ORACLE,
     "audio_vad_documents": AUDIO_VAD_ORACLE,
+    "wav_pcm_stats_documents": WAV_PCM_ORACLE,
+    "ppm_decode_documents": PPM_DECODE_ORACLE,
     "phash_neardup_documents": PHASH_NEARDUP_ORACLE,
     "bootstrap_by_source_documents": BOOTSTRAP_BY_ORACLE,
     "phrase_search_documents": PHRASE_SEARCH_ORACLE,

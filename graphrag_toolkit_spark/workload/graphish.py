@@ -661,7 +661,8 @@ def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na = item.withColumnsRenamed({"l_partkey": "pa", "n_i": "n_a"})
     nb = item.withColumnsRenamed({"l_partkey": "pb", "n_i": "n_b"})
-    both = pairs.join(F.broadcast(na), "pa").join(F.broadcast(nb), "pb")
+    # per-item support tables grow with the item domain — no hint, AQE picks
+    both = pairs.join(na, "pa").join(nb, "pb")
     fwd = both.select(
         F.col("pa").alias("antecedent"), F.col("pb").alias("consequent"),
         "n_ab", F.col("n_a").alias("n_ante"), F.col("n_b").alias("n_cons"),
@@ -1487,12 +1488,10 @@ def rich_club_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         rich = deg.filter(F.col("deg") > k).select("v")
         nk = rich.agg(F.count(F.lit(1)).cast("long").alias("n_k"))
         ek = (
-            edges.join(
-                F.broadcast(rich.withColumnsRenamed({"v": "a"})), "a", "left_semi"
-            )
-            .join(
-                F.broadcast(rich.withColumnsRenamed({"v": "b"})), "b", "left_semi"
-            )
+            # the deg>k hub set grows with the graph (fixed k) — no hint;
+            # AQE broadcasts the semi-join side while it fits
+            edges.join(rich.withColumnsRenamed({"v": "a"}), "a", "left_semi")
+            .join(rich.withColumnsRenamed({"v": "b"}), "b", "left_semi")
             .agg(F.count(F.lit(1)).cast("long").alias("e_k"))
         )
         legs.append(

@@ -294,7 +294,8 @@ def schema_summary_supplies(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part")
     pairs = li.select("l_suppkey", "l_partkey").distinct()
     return (
-        pairs.join(F.broadcast(sup), pairs.l_suppkey == sup.s_suppkey)
+        # supplier grows with the data — no hint; nation is 25 rows at any SF
+        pairs.join(sup, pairs.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
         .join(part, pairs.l_partkey == part.p_partkey)
         .select(

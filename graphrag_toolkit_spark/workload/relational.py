@@ -86,7 +86,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(revenue, 2).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
@@ -127,8 +127,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .filter(cust.c_nationkey == supp.s_nationkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
@@ -944,7 +944,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast("decimal(4,2)") - _dec("l_discount", 4)
     )
     promo = F.col("p_name").startswith("red")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     return j.agg(
         (
             F.lit(100.0)
@@ -1168,7 +1168,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no container/shipmode in the -ish tables)."""
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     q = F.col("l_quantity")
     alt = (
         ((F.col("p_brand") == "Brand#12") & (F.col("p_size").between(1, 15))
@@ -1244,7 +1244,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty")
     )
     j = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(avg_q.withColumnRenamed("l_partkey", "p_partkey"), "p_partkey")
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
     )
@@ -1329,7 +1329,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(n1, F.col("s_nationkey") == F.col("s_nk"))
         .join(n2, F.col("c_nationkey") == F.col("c_nk"))
         .filter(
@@ -1441,9 +1441,9 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.col("l_quantity").cast("decimal(12,2)")
     )
     j = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
     )
     return (
@@ -1501,7 +1501,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_s.crossJoin(F.broadcast(mx))
         .filter(F.col("total_rev") == F.col("mx"))
-        .join(F.broadcast(supp), per_s.l_suppkey == supp.s_suppkey)
+        .join(supp, per_s.l_suppkey == supp.s_suppkey)
         .select(
             "s_suppkey", "s_name",
             F.round(F.col("total_rev"), 2).cast("double").alias("total_revenue"),
@@ -1557,11 +1557,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.lit(1).cast("decimal(4,2)") - _dec("l_discount", 4))
     ).cast("decimal(20,4)")
     j = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(cust_nations, F.col("c_nationkey") == F.col("c_nk"))
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(supp_nation, F.col("s_nationkey") == F.col("s_nk"))
     )
     zero = F.lit(0).cast("decimal(20,4)")
@@ -1707,7 +1707,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load(spark, sf_dir, "supplier")
     nation = load(spark, sf_dir, "nation")
     region = load(spark, sf_dir, "region")
-    eu_supp = F.broadcast(
+    eu_supp = (
         supp.join(nation, supp.s_nationkey == nation.n_nationkey)
         .join(region, nation.n_regionkey == region.r_regionkey)
         .filter(F.col("r_name") == "EUROPE")
@@ -1718,7 +1718,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # filtered parts only — the part filter rides the correlation key, so
     # restricting before the min is equivalent to the correlated original.
     pairs = (
-        li.join(F.broadcast(part.select("p_partkey", "p_name")),
+        li.join(part.select("p_partkey", "p_name"),
                 li.l_partkey == F.col("p_partkey"))
         .join(eu_supp, li.l_suppkey == F.col("s_suppkey"))
         .groupBy("p_partkey", "p_name", "s_suppkey", "s_name",
@@ -1730,7 +1730,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pairs.join(
-            F.broadcast(min_cost),
+            min_cost,
             (pairs.p_partkey == F.col("mc_pk"))
             & (pairs.supply_cost == F.col("min_cost")),
         )
@@ -1833,14 +1833,14 @@ def q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_type") != "PROMO")
         & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34, 39, 44, 49)
     )
-    bad_supp = F.broadcast(
+    bad_supp = (
         load(spark, sf_dir, "supplier")
         .filter(F.col("s_acctbal") < 0)
         .select(F.col("s_suppkey").alias("bad_sk"))
     )
     li = load(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(bad_supp, li.l_suppkey == F.col("bad_sk"), "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
@@ -1868,7 +1868,7 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     part's total (the correlated ``0.5 × SUM`` scalar subquery, decorrelated
     to a per-part total joined back; the half-compare is 2·qty_sp > qty_p in
     exact decimals, no division). IN-subquery becomes a distinct semi-join."""
-    part_red = F.broadcast(
+    part_red = (
         load(spark, sf_dir, "part")
         .filter(F.col("p_name").contains("red"))
         .select("p_partkey")
@@ -1889,7 +1889,7 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("q").cast("decimal(20,2)").alias("qty_p")
     )
     qual = (
-        sp.join(F.broadcast(per_part), sp.l_partkey == F.col("pp_pk"))
+        sp.join(per_part, sp.l_partkey == F.col("pp_pk"))
         .filter(
             F.col("qty_sp") * F.lit(2).cast("decimal(2,0)") > F.col("qty_p")
         )
@@ -1906,7 +1906,7 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
     )
     return (
-        asia.join(F.broadcast(qual), asia.s_suppkey == qual.l_suppkey, "semi")
+        asia.join(qual, asia.s_suppkey == qual.l_suppkey, "semi")
         .select("s_suppkey", "s_name")
         .orderBy("s_name")
     )
@@ -1963,7 +1963,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
     )
-    supp = F.broadcast(load(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         per_order.join(supp, per_order.late_supp == F.col("s_suppkey"))
         .groupBy("s_name")

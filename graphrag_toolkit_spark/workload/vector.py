@@ -1020,7 +1020,8 @@ def top_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     n_docs = docs.count()
     toks = tokenize(docs, "text", "doc_id")
-    idf = F.broadcast(idf_table(toks, n_docs))
+    # idf table = corpus vocabulary (Heaps-law growth) — no hint
+    idf = idf_table(toks, n_docs)
     dw = toks.join(idf, "token").withColumn(
         "w",
         (

@@ -840,6 +840,63 @@ def test_planguard_rejects_compound_keys_with_bounded_member(spark):
     assert _keys_bounded("__tpb#44L")
 
 
+def test_broadcast_guard_flags_planted_growing_hint(spark, tmp_path):
+    """Self-test for the round-8 broadcast audit: under
+    autoBroadcastJoinThreshold=-1, a hint-forced broadcast of a
+    data-proportional table must flag; a hinted scalar aggregate, a hinted
+    top-N, and an UNhinted join must not."""
+    import os
+
+    from graphrag_toolkit_spark.planguard import hinted_broadcast_violations
+
+    spark.createDataFrame(
+        [(i, i % 7) for i in range(5_000)], "id long, k long"
+    ).write.parquet(os.path.join(str(tmp_path), "t.parquet"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t = spark.read.parquet(os.path.join(str(tmp_path), "t.parquet"))
+        dim = t.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+
+        bad = t.join(F.broadcast(dim.filter("n > 1")), "k")
+        assert hinted_broadcast_violations(bad)
+
+        scalar = t.crossJoin(F.broadcast(t.agg(F.max("id").alias("mx"))))
+        assert not hinted_broadcast_violations(scalar)
+
+        topn = t.join(F.broadcast(t.orderBy("id").limit(5).select("k")), "k")
+        assert not hinted_broadcast_violations(topn)
+
+        unhinted = t.join(dim, "k")  # estimate-based: no exchange at -1
+        assert not hinted_broadcast_violations(unhinted)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_broadcast_contract_membership_is_pinned(spark):
+    """BROADCAST_CONTRACT is the escape hatch for hinted broadcasts bounded
+    only by request/construction contract — pin the membership so entries
+    can't accumulate without a reviewed argument (each needs the written
+    bound in planguard.py AND SCALE.md's broadcast-audit table)."""
+    from graphrag_toolkit_spark.planguard import BROADCAST_CONTRACT
+
+    assert set(BROADCAST_CONTRACT) == {
+        "chunk_statements_orders", "statement_facts_orders",
+        "entity_fact_walk_suppliers", "entity_pair_paths_parts",
+        "topic_adjacency_parts", "topic_overlap_suppliers",
+        "topic_sources_parts", "entity_lookup_parts",
+        "cascade_delete_counts", "fetch_embeddings_by_id",
+        "dense_link_embeddings", "hard_negatives_embeddings",
+        "boolean_and_search_documents", "ann_lsh_topk", "ann_ivf_topk",
+        "ann_ivf_kmeans_topk", "ann_ivf_pq_topk", "ann_ivf_recall",
+        "bloom_filter_orders", "psi_events", "token_budget_mix_documents",
+        "ngram_lm_documents", "language_id_documents",
+        "mixed_language_documents", "tokenizer_fertility_by_lang",
+        "quality_classifier_documents", "training_data_pipeline",
+        "ranking_eval_embeddings", "ranking_eval_orphan",
+    }
+
+
 def test_planguard_perkey_windowgrouplimit_is_not_a_bound(spark):
     """Round-7 advice (medium): a WindowGroupLimit keyed on a data-dependent
     partition column (top-k PER user_id) emits k rows PER KEY — unbounded —
