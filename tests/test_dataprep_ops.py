@@ -327,6 +327,47 @@ class TestEmbeddingDedup:
         pairs = [(r["id_a"], r["id_b"]) for r in out]
         assert len(pairs) == len(set(pairs))
 
+    # WRITTEN RECALL FLOOR for the banded sign-LSH candidate generator at
+    # the shipped parameters (k=3 planes x L=8 bands): theoretical recall
+    # at the fixture's wide angle (cos 0.35 -> p = 1 - theta/pi ~ 0.614) is
+    # 1-(1-p^3)^8 ~ 0.88; measured on the sf0.001 embeddings = 0.915
+    # (round-7 verdict). The floor sits under both with slack for fixture
+    # drift — if a bucket-parameter change regresses candidate recall, this
+    # fails BEFORE the oracle gate ever sees it.
+    DENSE_LSH_RECALL_FLOOR = 0.85
+
+    def test_banded_lsh_recall_floor_vs_brute_force(self, spark, sf_dir):
+        """J17/V6 blocking-parity discipline (same as fuzzy_link's and
+        ED-1's blocking-vs-brute tests): banded-LSH pairs vs the all-pairs
+        exact verifier at the same threshold, recall pinned to a written
+        bound."""
+        from graphrag_toolkit_spark.session import load
+        from graphrag_toolkit_spark.workload.dataprep import (
+            EMBED_DUP_THRESHOLD, RECALL_BANDS, RECALL_PLANES,
+        )
+
+        emb = load(spark, sf_dir, "embeddings")
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.embedding_near_dup_pairs(
+                emb, "vec_id", "embedding", EMBED_DUP_THRESHOLD
+            ).collect()
+        }
+        lsh = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.embedding_near_dup_pairs_lsh_banded(
+                emb, "vec_id", "embedding", EMBED_DUP_THRESHOLD,
+                n_planes=RECALL_PLANES, bands=RECALL_BANDS, dim=64,
+            ).collect()
+        }
+        assert lsh <= exact, "exact-verify leg must kill false positives"
+        assert exact, "fixture must contain near-dup pairs for the floor to mean anything"
+        recall = len(lsh & exact) / len(exact)
+        assert recall >= self.DENSE_LSH_RECALL_FLOOR, (
+            f"banded-LSH recall {recall:.3f} fell below the written floor "
+            f"{self.DENSE_LSH_RECALL_FLOOR} — bucket params regressed"
+        )
+
 
 class TestTextStats:
     def test_token_counts(self, spark):
