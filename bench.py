@@ -133,6 +133,18 @@ HEADLINE = [
     "ann_ivf_pq_topk",
     "clustering_spectrum_parts",
     "tokenizer_fertility_by_lang",
+    # round-8 additions: the de-hinted broadcast family (watch for local
+    # regressions now that AQE picks the join strategy) and the real
+    # stdlib media decoders
+    "pmi_collocations_documents",
+    "oov_rate_documents",
+    "top_terms_documents",
+    "target_encode_orders",
+    "association_rules_parts",
+    "rich_club_parts",
+    "schema_summary_supplies",
+    "wav_pcm_stats_documents",
+    "ppm_decode_documents",
 ]
 
 
