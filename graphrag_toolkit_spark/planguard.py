@@ -8,11 +8,11 @@ this module is the tripwire that keeps the anti-pattern from returning.
 
 ``singlepartition_window_violations(df)`` walks the (pre-AQE) physical plan
 string and reports every Window fed by a SinglePartition exchange whose
-input subtree is not PROVABLY BOUNDED. Bounded means the exchange's child
-chain reaches, before any other exchange (a shuffle between the bound and
-the window would mean unbounded rows crossed it first... it cannot — an
-exchange above the bounding node still carries ≤bound rows, so we simply
-scan the whole subtree):
+input subtree is not PROVABLY BOUNDED. Boundedness is STRUCTURAL (round 8):
+a subtree is bounded iff its root is a bounding node or EVERY child branch
+is bounded — a flat any-line scan would let a corpus⋈offsets join pass just
+because the tiny ``__tpb`` aggregate sits somewhere inside it. Bounding
+nodes:
 
 - an aggregate keyed on a bucket column (``__tpb*`` — the two-phase rank's
   ≤``ranks.DEFAULT_BUCKETS``-row offsets table, or an explicitly
@@ -128,24 +128,62 @@ def _keys_bounded(keys: str) -> bool:
     return all(ok(n) for n in names)
 
 
-def _is_bounded(subtree: list[str]) -> bool:
-    for ln in subtree:
-        if any(n in ln for n in _BOUNDED_NODES):
-            return True
-        wgl = _WGL_RE.search(ln)
-        if wgl is not None:
-            part = wgl.group(1)
-            if part.strip() == "" or _keys_bounded(part):
-                return True
-            continue  # per-data-key top-k: NOT a bound; keep scanning deeper
-        m = _AGG_RE.search(ln)
-        if m:
-            keys = m.group(2)
-            if keys.strip() == "":  # scalar aggregate → 1 row
-                return True
-            if _keys_bounded(keys):
-                return True
+def _line_is_bound(ln: str) -> bool:
+    """A node whose OUTPUT cardinality is input-size-independent regardless
+    of what sits below it."""
+    if any(n in ln for n in _BOUNDED_NODES):
+        return True
+    wgl = _WGL_RE.search(ln)
+    if wgl is not None:
+        part = wgl.group(1)
+        return part.strip() == "" or _keys_bounded(part)
+    m = _AGG_RE.search(ln)
+    if m:
+        keys = m.group(2)
+        return keys.strip() == "" or _keys_bounded(keys)
     return False
+
+
+def _child_roots(lines: list[str], i: int) -> list[int]:
+    """Indices of the DIRECT children of the node at ``lines[i]`` — the
+    minimum-depth lines inside its subtree block."""
+    d = _depth(lines[i])
+    end = i + 1
+    while end < len(lines) and lines[end].strip() and _depth(lines[end]) > d:
+        end += 1
+    if end == i + 1:
+        return []
+    child_d = min(_depth(lines[j]) for j in range(i + 1, end))
+    return [j for j in range(i + 1, end) if _depth(lines[j]) == child_d]
+
+
+def _node_bounded(lines: list[str], i: int, extra_leaf=None) -> bool:
+    """STRUCTURAL boundedness of the subtree rooted at ``lines[i]``: the
+    root is a bounding node, or EVERY child branch is bounded. A flat
+    any-line-in-the-subtree scan is unsound — a join of the corpus with the
+    two-phase rank's tiny ``__tpb`` offsets table contains a bounded-key
+    aggregate deep inside yet is corpus-sized; requiring every leaf branch
+    to pass through a bound closes that false-negative class (round 8)."""
+    ln = lines[i]
+    if _line_is_bound(ln):
+        return True
+    if extra_leaf is not None and extra_leaf(ln):
+        return True
+    # the original of a ReusedExchange is audited at its own site
+    if "ReusedExchange" in ln or "ReusedSubquery" in ln:
+        return True
+    kids = _child_roots(lines, i)
+    if not kids:
+        return False  # non-bounding leaf: a data-sized scan
+    return all(_node_bounded(lines, k, extra_leaf) for k in kids)
+
+
+def _is_bounded(lines: list[str], i: int, extra_leaf=None) -> bool:
+    """Boundedness of the INPUT of the node at ``lines[i]`` (its children)."""
+    kids = _child_roots(lines, i)
+    if not kids:
+        return False
+    return all(_node_bounded(lines, k, extra_leaf) for k in kids)
 
 
 # ---------------------------------------------------------------------------
@@ -213,6 +251,16 @@ BROADCAST_CONTRACT: dict[str, str] = {
     # --- eval benchmarks (MB-scale by the operator's documented contract) ---
     "ranking_eval_embeddings": "qrels + query vectors: eval benchmark",
     "ranking_eval_orphan": "qrels + query vectors: eval benchmark",
+    "retrieval_eval_pipeline": "per-query ideal-DCG table: eval benchmark "
+                               "request (queries x top-k rows)",
+    # --- surfaced by the round-8 STRUCTURAL walk (the flat scan was
+    #     satisfied by a bounded node deep inside a bigger subtree) ---
+    "encode_documents_corpus": "vocab table: <= max_vocab rows by the "
+                               "build_vocab rank cap (construction)",
+    "resample_mix_documents": "per-class keep thresholds: stratification "
+                              "class labels (language domain, enum-bounded)",
+    "dsir_weights_documents": "per-bucket log-ratio table: construction-"
+                              "fixed n_buckets (DSIR_BUCKETS=256)",
 }
 
 _RANGE_RE = re.compile(r"Range \((-?\d+), (-?\d+), step=")
@@ -224,8 +272,12 @@ _SMALL_RANGE_MAX = 1_000_000  # literal spine/constant ranges, not data-sized
 _CONST_TABLE_RE = re.compile(r"FileScan .*/(?:nation|region)\.parquet\]")
 
 
-def _is_broadcast_bounded(subtree: list[str], allow_rdd: bool = False) -> bool:
-    for ln in subtree:
+def _bounded_leaf(allow_rdd: bool = False):
+    """Extra bounding LEAVES for the structural walk: literal tables,
+    spec-constant dimension scans, small literal ranges, and (per-query
+    contract only) driver-created RDD frames."""
+
+    def f(ln: str) -> bool:
         if "LocalTableScan" in ln:
             return True
         if allow_rdd and "Scan ExistingRDD" in ln:
@@ -235,7 +287,9 @@ def _is_broadcast_bounded(subtree: list[str], allow_rdd: bool = False) -> bool:
         rm = _RANGE_RE.search(ln)
         if rm and int(rm.group(2)) - int(rm.group(1)) <= _SMALL_RANGE_MAX:
             return True
-    return _is_bounded(subtree)
+        return False
+
+    return f
 
 
 def hinted_broadcast_violations(
@@ -260,8 +314,8 @@ def hinted_broadcast_violations(
     for i, ln in enumerate(lines):
         if "BroadcastExchange" not in ln or "ReusedExchange" in ln:
             continue
-        sub = _subtree(lines, i)
-        if not _is_broadcast_bounded(sub, allow_rdd=allow_rdd):
+        if not _is_bounded(lines, i, extra_leaf=_bounded_leaf(allow_rdd)):
+            sub = _subtree(lines, i)
             out.append(
                 Violation(
                     window_line="(broadcast)",
@@ -294,8 +348,11 @@ def singlepartition_window_violations(df: DataFrame) -> list[Violation]:
                 break
         if not feeds_window:
             continue
-        sub = _subtree(lines, i)
-        if not _is_bounded(sub):
+        # windows get NO literal-leaf extras (LocalTableScan/const-dim/small
+        # Range): the registry never single-partition-sorts literals, and a
+        # planted range(N) window should keep flagging in the self-test
+        if not _is_bounded(lines, i):
+            sub = _subtree(lines, i)
             out.append(
                 Violation(
                     window_line=next(

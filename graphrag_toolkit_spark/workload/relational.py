@@ -1773,8 +1773,12 @@ def q11_important_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     with no division in either engine."""
     supp = load(spark, sf_dir, "supplier")
     nation = load(spark, sf_dir, "nation")
-    n5 = F.broadcast(
-        supp.join(nation, supp.s_nationkey == nation.n_nationkey)
+    # one-nation supplier key set still grows with SF (supplier/25 rows) —
+    # no hint; AQE broadcasts while it fits (surfaced by the round-8
+    # STRUCTURAL audit: the flat scan was satisfied by nation's const scan
+    # inside this very subtree)
+    n5 = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .filter(F.col("n_name") == "NATION_3")
         .select("s_suppkey")
     )

@@ -840,6 +840,29 @@ def test_planguard_rejects_compound_keys_with_bounded_member(spark):
     assert _keys_bounded("__tpb#44L")
 
 
+def test_planguard_boundedness_is_structural(spark, tmp_path):
+    """Round-8 soundness fix: a corpus JOIN offsets-table subtree contains a
+    bounded-key (__tpb) aggregate deep inside, yet is corpus-sized — the old
+    flat any-line-in-the-subtree scan passed it; the structural walk (every
+    leaf branch must cross a bounding node) must flag it."""
+    import os
+
+    from pyspark.sql.window import Window
+
+    from graphrag_toolkit_spark.planguard import singlepartition_window_violations
+
+    spark.createDataFrame(
+        [(i, i % 11) for i in range(20_000)], "id long, __tpb long"
+    ).write.parquet(os.path.join(str(tmp_path), "corpus.parquet"))
+    corpus = spark.read.parquet(os.path.join(str(tmp_path), "corpus.parquet"))
+    offsets = corpus.groupBy("__tpb").agg(F.count(F.lit(1)).alias("__cnt"))
+    joined = corpus.join(offsets, "__tpb")  # corpus-sized, __tpb agg inside
+    bad = joined.withColumn("rn", F.row_number().over(Window.orderBy("id")))
+    assert singlepartition_window_violations(bad), (
+        "corpus-sized join must not be bounded by a deep __tpb aggregate"
+    )
+
+
 def test_broadcast_guard_flags_planted_growing_hint(spark, tmp_path):
     """Self-test for the round-8 broadcast audit: under
     autoBroadcastJoinThreshold=-1, a hint-forced broadcast of a
@@ -894,6 +917,8 @@ def test_broadcast_contract_membership_is_pinned(spark):
         "mixed_language_documents", "tokenizer_fertility_by_lang",
         "quality_classifier_documents", "training_data_pipeline",
         "ranking_eval_embeddings", "ranking_eval_orphan",
+        "retrieval_eval_pipeline", "encode_documents_corpus",
+        "resample_mix_documents", "dsir_weights_documents",
     }
 
 
