@@ -145,6 +145,7 @@ HEADLINE = [
     "schema_summary_supplies",
     "wav_pcm_stats_documents",
     "ppm_decode_documents",
+    "boilerplate_lines_documents",
 ]
 
 

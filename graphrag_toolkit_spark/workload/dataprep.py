@@ -5570,6 +5570,119 @@ FROM documents, generate_series(0, 3) AS t(i)
 """
 
 
+# --- cross-document line dedup (RefinedWeb/MassiveText boilerplate) ----------
+
+LINE_WORDS = 8          # fixed segmentation: the fixture has no newlines
+LINE_DUP_MIN_DOCS = 3   # a "line" in >= this many docs is boilerplate
+
+
+def boilerplate_lines_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document LINE-level dedup report (RefinedWeb §"line-wise
+    corrections" / MassiveText repetition removal ACROSS docs — the
+    boilerplate filter nav-bars and cookie banners die by; the within-doc
+    repetition gate is `repetition_stats`, the substring form is
+    `dup_span_coverage` — this is the third, line-frequency form). The
+    fixture's text has no newlines, so a "line" is the deterministic
+    fixed-width segmentation: non-overlapping {LINE_WORDS}-token windows
+    (trailing partial kept); both engines replay it exactly.
+
+    Per doc: n_lines, n_boilerplate (lines appearing in >=
+    {LINE_DUP_MIN_DOCS} DISTINCT docs corpus-wide), the boilerplate ratio,
+    and kept_tokens (tokens surviving line removal — what a scrub pass
+    would keep).
+
+    Scale shape: one explode to (doc, line-hash) rows, one distinct-doc
+    count per line hash (vocab-sized table, NO broadcast hint — Heaps-law
+    family, AQE picks), one per-doc aggregate. The corpus shuffles once on
+    the line hash — the same shape as the n-gram decontaminator."""
+    from graphrag_toolkit_spark.functions.skew import widen_partitions
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
+    )
+    n_seg = F.ceil(F.size(toks) / F.lit(LINE_WORDS)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.struct(
+            F.md5(
+                F.concat_ws(
+                    " ", F.slice(toks, i * LINE_WORDS + 1, LINE_WORDS)
+                )
+            ).alias("lh"),
+            F.least(
+                F.lit(LINE_WORDS), F.size(toks) - i * LINE_WORDS
+            ).alias("n_toks"),
+        ),
+    )
+    lines = (
+        widen_partitions(docs.filter(F.size(toks) > 0))
+        .select(F.col("doc_id"), F.explode(segs).alias("s"))
+        .select(
+            "doc_id", F.col("s.lh").alias("lh"), F.col("s.n_toks").alias("n_toks")
+        )
+    )
+    lines = lines.localCheckpoint(eager=False)  # freq + report both read it
+    freq = lines.groupBy("lh").agg(
+        F.count_distinct("doc_id").alias("n_docs_with")
+    )
+    marked = lines.join(freq, "lh")
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(
+                F.when(F.col("n_docs_with") >= LINE_DUP_MIN_DOCS, 1).otherwise(0)
+            ).cast("long").alias("n_boilerplate"),
+            F.sum(
+                F.when(F.col("n_docs_with") < LINE_DUP_MIN_DOCS, F.col("n_toks"))
+                .otherwise(0)
+            ).cast("long").alias("kept_tokens"),
+        )
+        .select(
+            "doc_id", "n_lines", "n_boilerplate", "kept_tokens",
+            (
+                F.col("n_boilerplate").cast("double")
+                / F.col("n_lines").cast("double")
+            ).alias("boilerplate_ratio"),
+        )
+    )
+
+
+BOILERPLATE_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')
+           AS ws
+  FROM documents
+),
+segs AS (
+  SELECT doc_id,
+         md5(array_to_string(
+           ws[(i * {LINE_WORDS} + 1):(i * {LINE_WORDS} + {LINE_WORDS})], ' '
+         )) AS lh,
+         LEAST({LINE_WORDS}, len(ws) - i * {LINE_WORDS}) AS n_toks
+  FROM t, unnest(generate_series(0,
+         CAST(ceil(len(ws) / {LINE_WORDS}.0) AS BIGINT) - 1)) AS g(i)
+  WHERE len(ws) > 0
+),
+freq AS (
+  SELECT lh, COUNT(DISTINCT doc_id) AS n_docs_with FROM segs GROUP BY lh
+)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN f.n_docs_with >= {LINE_DUP_MIN_DOCS}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
+       CAST(SUM(CASE WHEN f.n_docs_with < {LINE_DUP_MIN_DOCS}
+                     THEN s.n_toks ELSE 0 END) AS BIGINT) AS kept_tokens,
+       CAST(SUM(CASE WHEN f.n_docs_with >= {LINE_DUP_MIN_DOCS}
+                     THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS boilerplate_ratio
+FROM segs s JOIN freq f ON f.lh = s.lh
+GROUP BY s.doc_id
+"""
+
+
 # --- REAL stdlib media decode (WAV-PCM via `wave`, binary PPM) ---------------
 # Round-8 de-stub: the payloads are REAL containers built from each doc's
 # ASCII bytes (the construction the oracle replays); the Spark side parses
@@ -6675,6 +6788,7 @@ QUERIES = {
     "audio_vad_documents": audio_vad_documents,
     "wav_pcm_stats_documents": wav_pcm_stats_documents,
     "ppm_decode_documents": ppm_decode_documents,
+    "boilerplate_lines_documents": boilerplate_lines_documents,
     "phash_neardup_documents": phash_neardup_documents,
     "bootstrap_by_source_documents": bootstrap_by_source_documents,
     "phrase_search_documents": phrase_search_documents,
@@ -6790,6 +6904,7 @@ ORACLES = {
     "audio_vad_documents": AUDIO_VAD_ORACLE,
     "wav_pcm_stats_documents": WAV_PCM_ORACLE,
     "ppm_decode_documents": PPM_DECODE_ORACLE,
+    "boilerplate_lines_documents": BOILERPLATE_ORACLE,
     "phash_neardup_documents": PHASH_NEARDUP_ORACLE,
     "bootstrap_by_source_documents": BOOTSTRAP_BY_ORACLE,
     "phrase_search_documents": PHRASE_SEARCH_ORACLE,

@@ -814,6 +814,49 @@ def test_no_global_window_in_dsir_pipeline_stage(spark, sf_dir):
     assert not singlepartition_window_violations(df)
 
 
+def test_both_audits_on_sampled_registry(spark, sf_dir):
+    """In-suite slice of the two full audits (tools/window_audit.py and
+    tools/broadcast_audit.py sweep all queries in ~12 min each; this keeps
+    a diverse 14-query tripwire inside pytest). Broadcast audit only means
+    anything under autoBroadcastJoinThreshold=-1 — estimate-based
+    broadcasts are AQE-safe and must not count."""
+    from graphrag_toolkit_spark.planguard import (
+        BROADCAST_CONTRACT,
+        hinted_broadcast_violations,
+        singlepartition_window_violations,
+    )
+    from graphrag_toolkit_spark.workload import all_queries
+
+    sample = [
+        # one per family: relational, window, iterative graph, dedup, vector,
+        # text gate, temporal, sketch, pipeline, rank-rewrite, de-hinted
+        "q3_shipping_priority", "topn_orders_per_customer",
+        "katz_centrality_graph", "minhash_neardup_documents",
+        "cosine_topk", "gopher_gate_documents", "asof_join_events",
+        "kmv_distinct_users_events", "vector_index_pipeline",
+        "auc_documents", "pmi_collocations_documents", "oov_rate_documents",
+        "survival_curve_events", "q11_important_value",
+    ]
+    qs = all_queries()
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bad = {}
+        for name in sample:
+            df = qs[name](spark, sf_dir)
+            w = singlepartition_window_violations(df)
+            b = (
+                []
+                if name in BROADCAST_CONTRACT
+                else hinted_broadcast_violations(df, query_name=name)
+            )
+            if w or b:
+                bad[name] = [x.exchange_line for x in w + b]
+        assert not bad, f"audit violations: {bad}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_contract_bounded_registry_is_pinned(spark):
     """CONTRACT_BOUNDED is the escape hatch for windows the plan cannot
     prove bounded — pin its exact membership so entries can't accumulate
