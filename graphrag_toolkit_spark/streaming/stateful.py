@@ -55,6 +55,29 @@ def dedup_stream(events: DataFrame, hash_col: str = "text_hash") -> DataFrame:
     )
 
 
+def dedup_stream_event_time(
+    events: DataFrame,
+    hash_col: str = "text_hash",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """EVENT-TIME bounded-state dedup — Spark's built-in
+    ``dropDuplicatesWithinWatermark``: a duplicate is dropped when it
+    arrives within the watermark of the first-seen row; state ages out
+    with EVENT time, so the dedup window follows the DATA clock (late
+    replays inside the watermark still dedup; ancient keys don't pin
+    state forever). Complements ``dedup_stream`` (exact forever-dedup,
+    state grows with distinct keys) and the MinHash TTL candidates
+    (processing-time age-out): this is the production shape when the
+    duplicate horizon is an event-time contract ("the same item never
+    legitimately reappears within 2 hours").
+
+    Returns the surviving rows unchanged (all input columns)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        [hash_col]
+    )
+
+
 def running_counts_stream(events: DataFrame, key_col: str = "event_type") -> DataFrame:
     """Per-key running (n, total) surviving across micro-batches; each batch
     emits the updated cumulative row for keys present in that batch."""

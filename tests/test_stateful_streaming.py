@@ -68,6 +68,52 @@ class TestDedupStream:
         assert got["h_a"] == 0 and got["h_d"] == 11
 
 
+class TestDedupStreamEventTime:
+    def test_within_watermark_drops_and_state_ages_out(
+        self, spark, tmp_path_factory
+    ):
+        """dropDuplicatesWithinWatermark hard guarantees: a duplicate inside
+        the event-time delay is dropped; once the watermark passes the first
+        occurrence's expiry the state is evicted and the key re-emits —
+        bounded state following the DATA clock."""
+        schema = "id long, text_hash string, ts timestamp"
+        batches = [
+            [{"id": 0, "text_hash": "x", "ts": "2024-01-01 10:00:00"},
+             {"id": 1, "text_hash": "y", "ts": "2024-01-01 10:02:00"}],
+            # x again 5 min later: inside the 10-min delay -> DROPPED
+            [{"id": 2, "text_hash": "x", "ts": "2024-01-01 10:05:00"},
+             {"id": 3, "text_hash": "z", "ts": "2024-01-01 10:06:00"}],
+            # two batches advancing event time far past x's expiry (10:10)
+            # — the watermark that evicts state is the one COMMITTED by a
+            # prior batch, so eviction needs a watermark-advancing batch
+            # BETWEEN the old occurrence and the re-emission
+            [{"id": 4, "text_hash": "w", "ts": "2024-01-01 13:00:00"}],
+            [{"id": 5, "text_hash": "v", "ts": "2024-01-01 15:00:00"}],
+            # x after eviction: treated as first-seen again -> KEPT
+            [{"id": 6, "text_hash": "x", "ts": "2024-01-01 15:05:00"}],
+        ]
+        d = tmp_path_factory.mktemp("etdedup_src")
+        for i, batch in enumerate(batches):
+            p = d / f"b{i}.jsonl"
+            p.write_text("\n".join(json.dumps(r) for r in batch))
+            os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+        src = read_jsonl_stream(spark, str(d), schema, max_files_per_trigger=1)
+        _run(
+            stateful.dedup_stream_event_time(
+                src, hash_col="text_hash", ts_col="ts", watermark="10 minutes"
+            ),
+            "etdedup_out",
+            "append",
+        )
+        got = sorted(
+            (r["id"], r["text_hash"])
+            for r in spark.sql("SELECT * FROM etdedup_out").collect()
+        )
+        assert got == [
+            (0, "x"), (1, "y"), (3, "z"), (4, "w"), (5, "v"), (6, "x"),
+        ]
+
+
 class TestRunningCounts:
     def test_counters_accumulate_across_batches(self, spark, stream_dir):
         src = read_jsonl_stream(spark, stream_dir, SCHEMA, max_files_per_trigger=1)
