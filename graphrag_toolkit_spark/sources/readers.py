@@ -356,6 +356,105 @@ def _pdf_text(content: bytes) -> str:
 read_pdf = _parsed_binary_reader(_pdf_text, "*.pdf")
 
 
+# --- database reader (S1 "database" provider, REAL via stdlib sqlite3) -------
+
+_SQLITE_TYPE_MAP = {int: "long", float: "double", str: "string", bytes: "binary"}
+
+
+def read_database(
+    spark: SparkSession,
+    db_path: str,
+    query: str,
+    partition_col: str | None = None,
+    num_partitions: int = 8,
+    text_field: str = "text",
+    meta_fields: list[str] | None = None,
+) -> DataFrame:
+    """S1 database reader — REAL, distributed, zero external deps for
+    sqlite (stdlib ``sqlite3``): the reference's provider runs one SQL
+    query through SQLAlchemy/LlamaIndex and materializes every row in one
+    process (``providers/database_reader_provider.py:45-64``); here the
+    query is executed as JDBC-STYLE PARTITIONED RANGE READS — the exact
+    contract of ``spark.read.jdbc(column, lowerBound, upperBound,
+    numPartitions)``, which this engine uses unchanged once a driver jar
+    is present for server databases.
+
+    Mechanics: one driver-side connection infers the result schema
+    (LIMIT 1) and the partition column's min/max; each of
+    ``num_partitions`` tasks opens its OWN connection inside
+    ``mapInPandas`` and runs the range-predicated query
+    (``WHERE col >= lo AND col < hi``; the last range is unbounded above,
+    so the ranges tile exactly). ``partition_col=None`` degrades to one
+    task (the reference's behavior). The db file must be on storage every
+    executor can reach — the same requirement JDBC puts on the server.
+
+    Returns the canonical document frame (content-addressed doc_id, text,
+    metadata) like every other S1 provider."""
+    import sqlite3
+
+    import pandas as pd
+
+    sub = f"({query}) __q"
+    with sqlite3.connect(db_path) as con:
+        cur = con.execute(f"SELECT * FROM {sub} LIMIT 1")
+        cols = [d[0] for d in cur.description]
+        row = cur.fetchone()
+        types = {
+            c: _SQLITE_TYPE_MAP.get(type(v), "string")
+            for c, v in zip(cols, row or [None] * len(cols))
+        }
+        if partition_col is not None:
+            lo, hi = con.execute(
+                f"SELECT MIN({partition_col}), MAX({partition_col}) FROM {sub}"
+            ).fetchone()
+        else:
+            lo = hi = None
+    if text_field not in cols:
+        raise ValueError(f"query result has no {text_field!r} column: {cols}")
+    schema = ", ".join(f"`{c}` {types[c]}" for c in cols)
+
+    if partition_col is None or lo is None or lo == hi:
+        bounds = [(None, None)]
+    else:
+        step = max(1, (int(hi) - int(lo) + num_partitions) // num_partitions)
+        bounds = [
+            (int(lo) + i * step,
+             None if i == num_partitions - 1 else int(lo) + (i + 1) * step)
+            for i in range(num_partitions)
+        ]
+        bounds = [(a, b) for a, b in bounds if b is None or a < b]
+    spec = spark.createDataFrame(
+        [(a, b) for a, b in bounds], "lo long, hi long"
+    ).repartition(len(bounds))
+
+    def fetch(batches):
+        for pdf in batches:
+            for a, b in zip(pdf["lo"], pdf["hi"]):
+                con = sqlite3.connect(db_path)
+                try:
+                    if pd.isna(a):
+                        q, args = f"SELECT * FROM {sub}", ()
+                    elif pd.isna(b):
+                        q, args = (
+                            f"SELECT * FROM {sub} WHERE {partition_col} >= ?",
+                            (int(a),),
+                        )
+                    else:
+                        q, args = (
+                            f"SELECT * FROM {sub} WHERE {partition_col} >= ? "
+                            f"AND {partition_col} < ?",
+                            (int(a), int(b)),
+                        )
+                    rows = con.execute(q, args).fetchall()
+                finally:
+                    con.close()
+                yield pd.DataFrame(rows, columns=cols)
+
+    raw = spec.mapInPandas(fetch, schema=schema)
+    meta_fields = meta_fields or [c for c in cols if c != text_field]
+    return _canonical(raw, text_field, meta_fields)
+
+
 # --- provider registry (API-surface parity with the reference's 18 readers) --
 
 def _needs_parser(fmt: str):
@@ -382,7 +481,9 @@ PROVIDERS = {
     "s3-directory": read_text_directory,      # same call; path is s3a:// on a cluster
     "universal-directory": read_text_directory,
     "document-graph": read_jsonl,             # staged docs are JSONL batches
-    "database": _needs_parser("jdbc"),        # spark.read.jdbc once a driver jar is present
+    "database": read_database,                # REAL for sqlite (stdlib); server DBs
+                                              # go through spark.read.jdbc with the
+                                              # same partition-range contract
     "pdf": read_pdf,                          # stdlib zlib+text-operator scan; raises on
                                               # encrypted/objstm/image-only PDFs
     "advanced-pdf": _needs_parser("pdf-layout"),  # layout-aware parse (tables, reading
