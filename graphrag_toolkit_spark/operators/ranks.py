@@ -42,9 +42,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 # Bucket-count ceiling: the offsets table (and its single-partition window)
-# is bounded by this, independent of input size. 4096 buckets × 1 row is a
-# broadcast-trivial table; at 100 TB each bucket still holds ~25 GB of rows
-# to rank in parallel.
+# is bounded by this, independent of input size. 1024 buckets × 1 row is a
+# broadcast-trivial table; at 100 TB each bucket still holds ~100 GB of rows
+# to rank in parallel (raise n_buckets per call site if per-bucket volume
+# ever dominates — exactness is bucket-count-independent).
 DEFAULT_BUCKETS = 1024
 
 BUCKET_COL = "__tpb"  # test_plans.py's plan guard allowlists aggregates on it
