@@ -159,28 +159,49 @@ def train_centroids_lloyd(
         StructField("qc", ArrayType(DecimalType(12, 6))),
     ])
     for _ in range(iters):
-        cdf = F.broadcast(
-            spark.createDataFrame(
-                [(i, c) for i, c in enumerate(centroids)], schema
-            ).withColumn("nc", l2_norm_quantized(F.col("qc")))
+        # MAP-ONLY assignment (same rewrite as `ivf_assign`): the centroids
+        # are already a local list, so fold them into literal decimal
+        # arrays and pick the per-row argmax with chained comparisons — no
+        # n×C crossJoin and no per-id window Exchange per iteration. The
+        # norm is a per-centroid CONSTANT, computed once in Spark on the
+        # same one-row plan (l2_norm_quantized over the literal array —
+        # identical decimal fold, so bit-identical to the broadcast-frame
+        # form), then inlined as a double literal.
+        nc_rows = spark.range(1).select(
+            *[
+                l2_norm_quantized(
+                    F.array(*[F.lit(x).cast("decimal(12,6)") for x in c])
+                ).alias(f"n{i}")
+                for i, c in enumerate(centroids)
+            ]
+        ).collect()[0]
+        cands = F.array(
+            *[
+                F.struct(
+                    (
+                        dot_prequantized(
+                            F.col("qv"),
+                            F.array(
+                                *[F.lit(x).cast("decimal(12,6)") for x in c]
+                            ),
+                        )
+                        / (F.col("nv") * F.lit(float(nc_rows[f"n{i}"])))
+                    ).alias("s"),
+                    F.lit(i).alias("cid"),
+                )
+                for i, c in enumerate(centroids)
+            ]
         )
-        assigned = (
-            pool.crossJoin(cdf)
-            .withColumn(
-                "c_score",
-                dot_prequantized(F.col("qv"), F.col("qc"))
-                / (F.col("nv") * F.col("nc")),
-            )
-            .withColumn(
-                "_rn",
-                F.row_number().over(
-                    Window.partitionBy("id").orderBy(
-                        F.desc("c_score"), F.asc("cid")
-                    )
-                ),
-            )
-            .filter(F.col("_rn") == 1)
+        best = F.aggregate(
+            F.slice(cands, 2, F.greatest(F.size(cands) - 1, F.lit(0))),
+            F.element_at(cands, 1),
+            lambda acc, x: F.when(
+                (x["s"] > acc["s"])
+                | ((x["s"] == acc["s"]) & (x["cid"] < acc["cid"])),
+                x,
+            ).otherwise(acc),
         )
+        assigned = pool.withColumn("cid", best["cid"])
         means = (
             assigned.select("cid", F.posexplode("qv").alias("pos", "v"))
             .groupBy("cid", "pos")
@@ -255,37 +276,72 @@ def ivf_assign(
     """Assign every vector to its nearest centroid (quantized cosine,
     deterministic tie-break on centroid id). ``centroids(cid, embedding)``.
 
-    Both sides are quantized and normed ONCE before the vector×centroid
-    stage (identical values to quantizing inside it — the fold sees the
-    same decimal inputs), so the per-pair work is a single dot fold
-    instead of re-quantizing and re-norming each side C times."""
+    MAP-ONLY (optimization guide §1.1/§8: the decision is row-local, so no
+    bytes need cross the network): the C centroids collapse to a ONE-ROW
+    broadcast array of (cid, quantized vector, norm) structs, and each
+    vector picks its argmax with an in-row fold — no n×C row blow-up and,
+    crucially, no Exchange carrying the full embedding through a
+    per-vector window (the previous shape shuffled every vector C times
+    just to rank C local scores). Score expression, quantization, and the
+    (score desc, cid asc) tie-break — including Spark's NaN-sorts-highest
+    ordering, reproduced by `>`/`=` comparisons where NaN is greater than
+    every double and equal to itself — are bit-identical to the windowed
+    form, so oracle hashes are unchanged."""
     from graphrag_toolkit_spark.functions.vector import (
         dot_prequantized,
         l2_norm_quantized,
         prequantize,
     )
 
-    c = F.broadcast(
+    carr = F.broadcast(
         centroids.select(
-            "cid",
-            prequantize(F.col("embedding")).alias("qc"),
-            l2_norm_quantized(F.col("embedding")).alias("nc"),
+            F.struct(
+                F.col("cid"),
+                prequantize(F.col("embedding")).alias("qc"),
+                l2_norm_quantized(F.col("embedding")).alias("nc"),
+            ).alias("c")
+        ).agg(F.collect_list("c").alias("cs"))
+    )
+    scored = (
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("embedding"),
+            prequantize(F.col(vec_col)).alias("qv"),
+            l2_norm_quantized(F.col(vec_col)).alias("nv"),
+        )
+        .crossJoin(carr)  # one broadcast row — no row multiplication
+        .withColumn(
+            "_cands",
+            F.transform(
+                F.col("cs"),
+                lambda c: F.struct(
+                    (
+                        dot_prequantized(F.col("qv"), c["qc"])
+                        / (F.col("nv") * c["nc"])
+                    ).alias("s"),
+                    c["cid"].alias("cid"),
+                ),
+            ),
         )
     )
-    scored = emb.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("embedding"),
-        prequantize(F.col(vec_col)).alias("qv"),
-        l2_norm_quantized(F.col(vec_col)).alias("nv"),
-    ).crossJoin(c).withColumn(
-        "c_score",
-        dot_prequantized(F.col("qv"), F.col("qc")) / (F.col("nv") * F.col("nc")),
+    # argmax fold, order-insensitive: strictly-better score wins, equal
+    # score falls back to the smaller cid — identical to row_number over
+    # (s desc, cid asc) picking rank 1, for any collect_list order
+    best = F.aggregate(
+        F.slice(
+            F.col("_cands"), 2, F.greatest(F.size("_cands") - 1, F.lit(0))
+        ),
+        F.element_at(F.col("_cands"), 1),
+        lambda acc, x: F.when(
+            (x["s"] > acc["s"])
+            | ((x["s"] == acc["s"]) & (x["cid"] < acc["cid"])),
+            x,
+        ).otherwise(acc),
     )
-    w = Window.partitionBy("id").orderBy(F.desc("c_score"), F.asc("cid"))
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("id", "embedding", "cid")
+        scored.select("id", "embedding", best["cid"].alias("cid"))
+        .filter(F.col("cid").isNotNull())  # empty-centroid guard: the old
+        # crossJoin produced zero rows; the fold produces null cids
     )
 
 

@@ -645,6 +645,7 @@ def _cc_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_canon = canon.count()
     for _ in range(max_iters):
         # large-star over the symmetric view: for each center u, larger
         # neighbors re-attach to min(N(u) ∪ {u})
@@ -674,11 +675,14 @@ def _cc_star(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        stable = (
-            new_canon.exceptAll(canon).isEmpty()
-            and canon.exceptAll(new_canon).isEmpty()
-        )
-        canon = new_canon
+        # convergence: both sides are DISTINCT edge sets, so |new| == |old|
+        # plus one-direction emptiness proves set equality — the count is a
+        # near-free job over the fresh checkpoint, and rounds that change
+        # the edge count (most of them) skip the exceptAll job entirely
+        # (guide §1.2: fewer jobs/shuffles per round beats per-op tuning)
+        n_new = new_canon.count()
+        stable = n_new == n_canon and new_canon.exceptAll(canon).isEmpty()
+        canon, n_canon = new_canon, n_new
         if stable:
             return (
                 nodes.join(

@@ -177,24 +177,39 @@ def bpe_train_merges(
     ``[0-9a-z]+`` (split alphabet), so no symbol ever contains the bar
     or space metacharacters.
 
-    Scale shape: each round = one narrow pair-explode + count groupBy +
-    global top-1 (TakeOrderedAndProject) + a broadcast of the ONE winning
-    row folded into a projection — no driver-side data, no shuffle beyond
-    the count. Rounds are inherently sequential (each merge changes the
-    next count — that's the algorithm); real trainers run hundreds of
-    rounds over a word-frequency table, which collapses the corpus to
-    distinct words first: compose with a groupBy(word) weight column for
-    that regime."""
+    Scale shape (the real-trainer regime): the corpus is collapsed ONCE to
+    the DISTINCT-word frequency table (w, cnt) — Heaps' law makes that
+    orders of magnitude smaller than the token stream — and every round's
+    pair count weights by cnt (Σcnt over a pair ≡ the per-occurrence
+    count, exactly). Each round is then one pair-explode over distinct
+    words + a weighted-count groupBy + a global top-1
+    (TakeOrderedAndProject) + a broadcast of the ONE winning row folded
+    into a projection — no driver-side data. The initial char-split is
+    injective (symbols concatenate back to the word), and a merge rewrite
+    is a deterministic function of the word, so distinct words stay
+    distinct across rounds: one groupBy up front suffices. Rounds are
+    inherently sequential (each merge changes the next count — that's the
+    algorithm).
+
+    ``return_corpus=True`` returns ``(merges, corpus)`` where corpus is
+    the weighted representation (w, cnt) after all merges; consumers must
+    weight by cnt (``bpe_vocab`` does)."""
     words = F.filter(
         F.split(F.lower(F.col(text_col)), r"[^0-9a-z]+"), lambda t: t != ""
     )
     chars = lambda w: F.transform(  # noqa: E731
         F.sequence(F.lit(1), F.length(w)), lambda i: w.substr(i, F.lit(1))
     )
-    corpus = df.select(F.explode(words).alias("wd")).select(
-        F.concat(
-            F.lit("|"), F.array_join(chars(F.col("wd")), "||"), F.lit("|")
-        ).alias("w")
+    corpus = (
+        df.select(F.explode(words).alias("wd"))
+        .groupBy("wd")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.concat(
+                F.lit("|"), F.array_join(chars(F.col("wd")), "||"), F.lit("|")
+            ).alias("w"),
+            "cnt",
+        )
     )
     merge_rows = []
     for r in range(1, rounds + 1):
@@ -211,9 +226,9 @@ def bpe_train_merges(
             ),
         ).otherwise(F.array().cast("array<string>"))
         best = (
-            corpus.select(F.explode(pairs).alias("pair"))
+            corpus.select(F.explode(pairs).alias("pair"), F.col("cnt"))
             .groupBy("pair")
-            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.sum("cnt").alias("n"))
             .orderBy(F.desc("n"), F.asc("pair"))
             .limit(1)
             .select(
@@ -238,7 +253,8 @@ def bpe_train_merges(
                 F.expr(
                     "replace(w, '|' || sym_a || '||' || sym_b || '|',"
                     " '|' || sym_a || sym_b || '|')"
-                ).alias("w")
+                ).alias("w"),
+                "cnt",
             )
             # lazy checkpoint: round r's pair count otherwise re-executes
             # every earlier round's rewrite from the raw corpus (O(rounds²)
@@ -270,10 +286,10 @@ def bpe_vocab(
     _, corpus = bpe_train_merges(df, text_col, rounds=rounds, return_corpus=True)
     toks = F.split(F.expr("trim(BOTH '|' FROM w)"), r"\|\|")
     return (
-        corpus.select(F.explode(toks).alias("symbol"))
+        corpus.select(F.explode(toks).alias("symbol"), F.col("cnt"))
         .filter(F.col("symbol") != "")
         .groupBy("symbol")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("cnt").alias("n"))
         .orderBy(F.desc("n"), F.asc("symbol"))
         .limit(top_n)
     )
