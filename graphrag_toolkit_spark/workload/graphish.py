@@ -61,6 +61,41 @@ def _triples(spark: SparkSession, sf_dir: str, dedup: bool = True) -> DataFrame:
     return placed.unionByName(contains).unionByName(supplied)
 
 
+def _triples_long(spark: SparkSession, sf_dir: str, dedup: bool = True) -> DataFrame:
+    """`_triples` with BIGINT node ids — ``key*4 + type_tag`` (c=0, o=1,
+    p=2, s=3), a bijection onto the string ids. The iterative centrality
+    loops shuffle (node, score) rows every round; a fixed 8-byte join/agg
+    key halves the row width and hashes/compares faster than the 'c123'
+    strings (optimization guide §2.3 "narrower types"). Consumers decode
+    the final scores' ids with `_decode_node`, which reproduces the
+    oracle's strings exactly; every intermediate is value-identical
+    because node ids never enter the score arithmetic."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    enc = lambda col, tag: (F.col(col).cast("long") * 4 + tag).alias  # noqa: E731
+    placed = orders.select(
+        enc("o_custkey", 0)("src"), enc("o_orderkey", 1)("dst")
+    )
+    contains = li.select(
+        enc("l_orderkey", 1)("src"), enc("l_partkey", 2)("dst")
+    )
+    supplied = li.select(
+        enc("l_partkey", 2)("src"), enc("l_suppkey", 3)("dst")
+    )
+    if dedup:
+        contains = contains.distinct()
+        supplied = supplied.distinct()
+    return placed.unionByName(contains).unionByName(supplied)
+
+
+def _decode_node(col: str):
+    """BIGINT node id (from `_triples_long`) back to the oracle's string id."""
+    return F.expr(
+        f"concat(element_at(array('c','o','p','s'), "
+        f"cast(pmod({col}, 4) as int) + 1), cast({col} div 4 as string))"
+    )
+
+
 # --- J15: BFS shortest paths vs recursive-CTE oracle -------------------------
 
 def bfs_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -144,12 +179,13 @@ GROUP BY src, rel
 # --- A3: node degree ---------------------------------------------------------
 
 def node_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = _triples(spark, sf_dir)
+    t = _triples_long(spark, sf_dir)
     return (
         t.select(F.col("src").alias("node_id"))
         .unionByName(t.select(F.col("dst").alias("node_id")))
         .groupBy("node_id")
         .agg(F.count(F.lit(1)).alias("degree"))
+        .select(_decode_node("node_id").alias("node_id"), "degree")
     )
 
 
@@ -502,8 +538,8 @@ def katz_centrality_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphrag_toolkit_spark.operators import centrality
 
     return centrality.katz_centrality(
-        _triples(spark, sf_dir), iters=KATZ_ITERS, alpha_log2=1
-    )
+        _triples_long(spark, sf_dir), iters=KATZ_ITERS, alpha_log2=1
+    ).select(_decode_node("node_id").alias("node_id"), "katz")
 
 
 def katz_salted_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -516,8 +552,8 @@ def katz_salted_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphrag_toolkit_spark.operators import centrality
 
     return centrality.katz_centrality(
-        _triples(spark, sf_dir), iters=KATZ_ITERS, alpha_log2=1, n_salts=8
-    )
+        _triples_long(spark, sf_dir), iters=KATZ_ITERS, alpha_log2=1, n_salts=8
+    ).select(_decode_node("node_id").alias("node_id"), "katz")
 
 
 def _katz_oracle() -> str:
@@ -559,8 +595,8 @@ def pagerank_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphrag_toolkit_spark.operators import centrality
 
     return centrality.pagerank(
-        _triples(spark, sf_dir), iters=PAGERANK_ITERS
-    )
+        _triples_long(spark, sf_dir), iters=PAGERANK_ITERS
+    ).select(_decode_node("node_id").alias("node_id"), "pagerank")
 
 
 def _pagerank_oracle() -> str:
@@ -604,10 +640,13 @@ def personalized_katz_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier-sized, exact-integer mass (`centrality.personalized_katz`)."""
     from graphrag_toolkit_spark.operators import centrality
 
-    seeds = spark.createDataFrame([{"node_id": s} for s in PKATZ_SEEDS])
-    return centrality.personalized_katz(
-        _triples(spark, sf_dir), seeds, iters=PKATZ_ITERS, alpha_log2=1
+    tags = {"c": 0, "o": 1, "p": 2, "s": 3}
+    seeds = spark.createDataFrame(
+        [{"node_id": int(s[1:]) * 4 + tags[s[0]]} for s in PKATZ_SEEDS]
     )
+    return centrality.personalized_katz(
+        _triples_long(spark, sf_dir), seeds, iters=PKATZ_ITERS, alpha_log2=1
+    ).select(_decode_node("node_id").alias("node_id"), "score")
 
 
 def _pkatz_oracle() -> str:
@@ -1095,7 +1134,9 @@ def hits_scores_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     are skipped (dedup=False)."""
     from graphrag_toolkit_spark.operators import centrality
 
-    return centrality.hits(_triples(spark, sf_dir, dedup=False), iters=HITS_ITERS)
+    return centrality.hits(
+        _triples_long(spark, sf_dir, dedup=False), iters=HITS_ITERS
+    ).select(_decode_node("node_id").alias("node_id"), "hub", "authority")
 
 
 def _hits_oracle() -> str:
@@ -1553,11 +1594,14 @@ def weighted_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphrag_toolkit_spark.operators import centrality
 
     li = load(spark, sf_dir, "lineitem")
+    # BIGINT node ids for the loop (see _triples_long), decoded at the end
     edges = li.groupBy(
-        F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
-        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+        (F.col("l_orderkey").cast("long") * 4 + 1).alias("src"),
+        (F.col("l_partkey").cast("long") * 4 + 2).alias("dst"),
     ).agg(F.count(F.lit(1)).alias("w"))
-    return centrality.weighted_pagerank(edges, iters=WPAGERANK_ITERS)
+    return centrality.weighted_pagerank(edges, iters=WPAGERANK_ITERS).select(
+        _decode_node("node_id").alias("node_id"), "pagerank"
+    )
 
 
 def _wpagerank_oracle() -> str:
