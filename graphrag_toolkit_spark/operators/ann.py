@@ -101,6 +101,50 @@ def first_c_centroids(
     )
 
 
+def _with_nearest_cid(df: DataFrame) -> DataFrame:
+    """Nearest-centroid pick as a row-local fold. ``df`` must carry the
+    vector's quantized form ``qv``, its norm ``nv``, and a (broadcast,
+    one-row-sourced) centroid array ``cs`` of (cid, qc, nc) structs; the
+    result adds ``cid`` (null iff ``cs`` is empty). The argmax fold is
+    order-insensitive — strictly-better score wins, equal score falls back
+    to the smaller cid — which is exactly row_number over (score desc, cid
+    asc) picking rank 1 (including Spark's NaN-is-greatest comparison
+    semantics), so results are bit-identical to the windowed form."""
+    from graphrag_toolkit_spark.functions.vector import dot_prequantized
+
+    # One fold expression, referenced ONCE: Catalyst's project collapsing
+    # inlines a multiply-referenced intermediate column, re-evaluating the
+    # C-dot transform per reference (measured 3× the arithmetic), so the
+    # candidate scoring and the argmax live in a single expression tree
+    # with a null-started accumulator instead of element_at/slice splits.
+    cid_dt = next(
+        f.dataType.elementType["cid"].dataType.simpleString()
+        for f in df.schema.fields
+        if f.name == "cs"
+    )
+    cands = F.transform(
+        F.col("cs"),
+        lambda c: F.struct(
+            (
+                dot_prequantized(F.col("qv"), c["qc"])
+                / (F.col("nv") * c["nc"])
+            ).alias("s"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    best = F.aggregate(
+        cands,
+        F.lit(None).cast(f"struct<s:double,cid:{cid_dt}>"),
+        lambda acc, x: F.when(
+            acc["cid"].isNull()
+            | (x["s"] > acc["s"])
+            | ((x["s"] == acc["s"]) & (x["cid"] < acc["cid"])),
+            x,
+        ).otherwise(acc),
+    )
+    return df.withColumn("cid", best["cid"])
+
+
 def train_centroids_lloyd(
     emb: DataFrame,
     n_centroids: int = 8,
@@ -159,49 +203,25 @@ def train_centroids_lloyd(
         StructField("qc", ArrayType(DecimalType(12, 6))),
     ])
     for _ in range(iters):
-        # MAP-ONLY assignment (same rewrite as `ivf_assign`): the centroids
-        # are already a local list, so fold them into literal decimal
-        # arrays and pick the per-row argmax with chained comparisons — no
-        # n×C crossJoin and no per-id window Exchange per iteration. The
-        # norm is a per-centroid CONSTANT, computed once in Spark on the
-        # same one-row plan (l2_norm_quantized over the literal array —
-        # identical decimal fold, so bit-identical to the broadcast-frame
-        # form), then inlined as a double literal.
-        nc_rows = spark.range(1).select(
-            *[
-                l2_norm_quantized(
-                    F.array(*[F.lit(x).cast("decimal(12,6)") for x in c])
-                ).alias(f"n{i}")
-                for i, c in enumerate(centroids)
-            ]
-        ).collect()[0]
-        cands = F.array(
-            *[
+        # MAP-ONLY assignment (same shape as `ivf_assign`): the centroid
+        # list becomes a ONE-ROW broadcast array of (cid, qc, nc) structs
+        # and each vector picks its argmax with an in-row fold — no n×C
+        # crossJoin and no per-id window Exchange per iteration. The array
+        # must arrive as a broadcast VALUE, not as inline literals: a
+        # 512-literal CreateArray is re-evaluated per row and measured 4×
+        # slower than the whole windowed original.
+        carr = F.broadcast(
+            spark.createDataFrame(
+                [(i, c) for i, c in enumerate(centroids)], schema
+            )
+            .select(
                 F.struct(
-                    (
-                        dot_prequantized(
-                            F.col("qv"),
-                            F.array(
-                                *[F.lit(x).cast("decimal(12,6)") for x in c]
-                            ),
-                        )
-                        / (F.col("nv") * F.lit(float(nc_rows[f"n{i}"])))
-                    ).alias("s"),
-                    F.lit(i).alias("cid"),
-                )
-                for i, c in enumerate(centroids)
-            ]
+                    "cid", "qc", l2_norm_quantized(F.col("qc")).alias("nc")
+                ).alias("c")
+            )
+            .agg(F.collect_list("c").alias("cs"))
         )
-        best = F.aggregate(
-            F.slice(cands, 2, F.greatest(F.size(cands) - 1, F.lit(0))),
-            F.element_at(cands, 1),
-            lambda acc, x: F.when(
-                (x["s"] > acc["s"])
-                | ((x["s"] == acc["s"]) & (x["cid"] < acc["cid"])),
-                x,
-            ).otherwise(acc),
-        )
-        assigned = pool.withColumn("cid", best["cid"])
+        assigned = _with_nearest_cid(pool.crossJoin(carr)).drop("cs")
         means = (
             assigned.select("cid", F.posexplode("qv").alias("pos", "v"))
             .groupBy("cid", "pos")
@@ -302,44 +322,15 @@ def ivf_assign(
             ).alias("c")
         ).agg(F.collect_list("c").alias("cs"))
     )
-    scored = (
-        emb.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("embedding"),
-            prequantize(F.col(vec_col)).alias("qv"),
-            l2_norm_quantized(F.col(vec_col)).alias("nv"),
-        )
-        .crossJoin(carr)  # one broadcast row — no row multiplication
-        .withColumn(
-            "_cands",
-            F.transform(
-                F.col("cs"),
-                lambda c: F.struct(
-                    (
-                        dot_prequantized(F.col("qv"), c["qc"])
-                        / (F.col("nv") * c["nc"])
-                    ).alias("s"),
-                    c["cid"].alias("cid"),
-                ),
-            ),
-        )
-    )
-    # argmax fold, order-insensitive: strictly-better score wins, equal
-    # score falls back to the smaller cid — identical to row_number over
-    # (s desc, cid asc) picking rank 1, for any collect_list order
-    best = F.aggregate(
-        F.slice(
-            F.col("_cands"), 2, F.greatest(F.size("_cands") - 1, F.lit(0))
-        ),
-        F.element_at(F.col("_cands"), 1),
-        lambda acc, x: F.when(
-            (x["s"] > acc["s"])
-            | ((x["s"] == acc["s"]) & (x["cid"] < acc["cid"])),
-            x,
-        ).otherwise(acc),
-    )
+    prepped = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("embedding"),
+        prequantize(F.col(vec_col)).alias("qv"),
+        l2_norm_quantized(F.col(vec_col)).alias("nv"),
+    ).crossJoin(carr)  # one broadcast row — no row multiplication
     return (
-        scored.select("id", "embedding", best["cid"].alias("cid"))
+        _with_nearest_cid(prepped)
+        .select("id", "embedding", "cid")
         .filter(F.col("cid").isNotNull())  # empty-centroid guard: the old
         # crossJoin produced zero rows; the fold produces null cids
     )

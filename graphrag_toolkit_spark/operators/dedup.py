@@ -986,19 +986,23 @@ def semantic_dedup(
         prequantize(F.col("embedding")).alias("qv"),
         l2_norm_quantized(F.col("embedding")).alias("norm"),
     ).localCheckpoint(eager=True)  # quantize/norm each vector ONCE, not per pair
-    a = prepped.withColumnsRenamed(
-        {"id": "id_a", "dv": "da", "dn": "dna", "qv": "qa", "norm": "na"}
+    # The O(cluster²) pair stage carries ONLY the double vectors + norms
+    # (guide §8: keep the quadratic stage on the lightest possible rows) —
+    # the decimal arrays, twice the bytes of the double ones, would
+    # otherwise be duplicated into every candidate pair row just to sit
+    # unread through the prefilter. Survivors of the prefilter are
+    # pair-graph-sized (≈ the near-dup rate), so joining the quantized
+    # representation back per side costs two id-equi joins on a tiny set.
+    a = prepped.select(
+        "cid", F.col("id").alias("id_a"), F.col("dv").alias("da"),
+        F.col("dn").alias("dna"),
     )
     b = prepped.select(
-        F.col("cid"),
-        F.col("id").alias("id_b"),
-        F.col("dv").alias("db"),
+        "cid", F.col("id").alias("id_b"), F.col("dv").alias("db"),
         F.col("dn").alias("dnb"),
-        F.col("qv").alias("qb"),
-        F.col("norm").alias("nb"),
     )
     margin = 1e-3
-    pairs = (
+    cand = (
         a.join(b, ["cid"])
         .filter(F.col("id_a") < F.col("id_b"))
         # cheap prefilter: one double dot per pair (norms precomputed;
@@ -1007,6 +1011,19 @@ def semantic_dedup(
             dot(F.col("da"), F.col("db"))
             >= F.lit(threshold - margin) * F.col("dna") * F.col("dnb")
         )
+        .select("id_a", "id_b")
+    )
+    qa = prepped.select(
+        F.col("id").alias("id_a"), F.col("qv").alias("qa"),
+        F.col("norm").alias("na"),
+    )
+    qb = prepped.select(
+        F.col("id").alias("id_b"), F.col("qv").alias("qb"),
+        F.col("norm").alias("nb"),
+    )
+    pairs = (
+        cand.join(qa, "id_a")
+        .join(qb, "id_b")
         .withColumn(
             "cos",
             dot_prequantized(F.col("qa"), F.col("qb")) / (F.col("na") * F.col("nb")),
