@@ -45,6 +45,7 @@ def katz_centrality(
     alpha_log2: int = 1,
     weight_col: str | None = None,
     n_salts: int | None = None,
+    nodes: DataFrame | None = None,
 ) -> DataFrame:
     """Truncated Katz index over a directed simple graph (dedup edges first
     if multi-edges should not multiply influence). Returns
@@ -67,7 +68,15 @@ def katz_centrality(
     every join partition holds ≤ 1/k of a hub's edges. Output is
     bit-identical (same joined pairs, exact integer sums; parity pinned by
     the katz_salted_graph oracle twin). Replication costs k× the rank-table
-    shuffle, so reserve it for genuinely Zipfian graphs."""
+    shuffle, so reserve it for genuinely Zipfian graphs.
+
+    ``nodes``: optional (node_id) frame that MUST equal the edge endpoint
+    set src∪dst as a SET (duplicates not allowed). When the caller can
+    derive it from dimension tables (key columns of the source relations),
+    that skips a distinct over 2×|E| rows — |E| ≫ |V| on real graphs, so
+    the endpoint-distinct is a full extra pass over the edge list
+    (optimization guide §2.4). Wrong input changes results; the oracle
+    gate pins the contract."""
     if iters < 0 or alpha_log2 < 1:
         raise ValueError("iters must be >= 0 and alpha_log2 >= 1")
     scale = 1 << (alpha_log2 * iters)
@@ -94,8 +103,9 @@ def katz_centrality(
             e.select(F.col("src").alias("node_id"))
             .unionByName(e.select(F.col("dst").alias("node_id")))
             .distinct()
-            .localCheckpoint(eager=True)
-        )
+            if nodes is None
+            else nodes.select("node_id")
+        ).localCheckpoint(eager=True)
         # zero-contribution row per node folded into the aggregate: one
         # shuffle per round (the message sum) instead of sum + a second
         # nodes-left-join shuffle, with identical results (0 adds nothing,
@@ -264,6 +274,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     iters: int = 4,
+    nodes: DataFrame | None = None,
 ) -> DataFrame:
     """Truncated PageRank (d = 0.85, unnormalized start r₀ = 1) over a
     directed simple graph — the canonical web-graph importance signal
@@ -299,12 +310,14 @@ def pagerank(
     ed = e.join(deg, "src").repartition(F.col("src"))
     ed.persist()
     try:
+        # see katz_centrality's `nodes` contract (set equality required)
         nodes = (
             e.select(F.col("src").alias("node_id"))
             .unionByName(e.select(F.col("dst").alias("node_id")))
             .distinct()
-            .localCheckpoint(eager=True)
-        )
+            if nodes is None
+            else nodes.select("node_id")
+        ).localCheckpoint(eager=True)
         zeros = nodes.withColumn("m", F.lit(0).cast("long"))
         ranks = nodes.withColumn("r6", F.lit(1_000_000).cast("long"))
         for _ in range(iters):
@@ -337,6 +350,7 @@ def hits(
     src: str = "src",
     dst: str = "dst",
     iters: int = 4,
+    nodes: DataFrame | None = None,
 ) -> DataFrame:
     """HITS hubs-and-authorities (Kleinberg) over a directed simple graph —
     the link-analysis dual to `pagerank`: a node is a good AUTHORITY if
@@ -373,12 +387,14 @@ def hits(
     e_by_src = e.repartition(F.col("src")).persist()
     e_by_dst = e.repartition(F.col("dst")).persist()
     try:
+        # see katz_centrality's `nodes` contract (set equality required)
         nodes = (
             e.select(F.col("src").alias("node_id"))
             .unionByName(e.select(F.col("dst").alias("node_id")))
             .distinct()
-            .localCheckpoint(eager=True)
-        )
+            if nodes is None
+            else nodes.select("node_id")
+        ).localCheckpoint(eager=True)
         zeros = nodes.withColumn("m", F.lit(0).cast("long"))
 
         def _half(scores: DataFrame, join_key: str, out_key: str) -> DataFrame:

@@ -68,6 +68,10 @@ def edit_distance_pairs(
         a.join(b, "variant")
         .filter(F.col("word_a") < F.col("word_b"))
         .select("word_a", "word_b")
-        .distinct()
+        # verify BEFORE the dedup exchange: shared variants duplicate only
+        # a few % of candidate pairs, so the distinct previously shuffled
+        # ~4× the rows the verify keeps — the exact filter is narrow,
+        # per-row, and cuts the exchange to survivors (guide §2.3)
         .filter(F.levenshtein("word_a", "word_b") == 1)
+        .distinct()
     )

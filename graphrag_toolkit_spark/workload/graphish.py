@@ -108,6 +108,34 @@ def _decode_node(col: str):
     )
 
 
+def _graph_nodes_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Endpoint node set of `_triples_long`'s graph, derived from the BASE
+    tables instead of a distinct over 2×|E| edge endpoints (guide §2.4 —
+    |E| ≫ |V|, so the endpoint-distinct is a full extra pass over the edge
+    list): custkeys (distinct over orders), orderkeys (orders' primary key,
+    already unique), part/supp keys (one lineitem scan, one distinct). The
+    branches are tag-disjoint and each internally deduped, so the union is
+    a set equal to src∪dst by construction — pinned by the centrality
+    oracle gates."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    custs = orders.select(
+        (F.col("o_custkey").cast("long") * 4).alias("node_id")
+    ).distinct()
+    ords = orders.select(
+        (F.col("o_orderkey").cast("long") * 4 + 1).alias("node_id")
+    )
+    ps = li.select(
+        F.explode(
+            F.array(
+                F.col("l_partkey").cast("long") * 4 + 2,
+                F.col("l_suppkey").cast("long") * 4 + 3,
+            )
+        ).alias("node_id")
+    ).distinct()
+    return custs.unionByName(ords).unionByName(ps)
+
+
 def _copair_counts(
     spark: SparkSession,
     sf_dir: str,
@@ -594,7 +622,8 @@ def katz_centrality_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphrag_toolkit_spark.operators import centrality
 
     return centrality.katz_centrality(
-        _triples_long(spark, sf_dir), iters=KATZ_ITERS, alpha_log2=1
+        _triples_long(spark, sf_dir), iters=KATZ_ITERS, alpha_log2=1,
+        nodes=_graph_nodes_long(spark, sf_dir),
     ).select(_decode_node("node_id").alias("node_id"), "katz")
 
 
@@ -608,7 +637,8 @@ def katz_salted_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphrag_toolkit_spark.operators import centrality
 
     return centrality.katz_centrality(
-        _triples_long(spark, sf_dir), iters=KATZ_ITERS, alpha_log2=1, n_salts=8
+        _triples_long(spark, sf_dir), iters=KATZ_ITERS, alpha_log2=1, n_salts=8,
+        nodes=_graph_nodes_long(spark, sf_dir),
     ).select(_decode_node("node_id").alias("node_id"), "katz")
 
 
@@ -651,7 +681,8 @@ def pagerank_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphrag_toolkit_spark.operators import centrality
 
     return centrality.pagerank(
-        _triples_long(spark, sf_dir), iters=PAGERANK_ITERS
+        _triples_long(spark, sf_dir), iters=PAGERANK_ITERS,
+        nodes=_graph_nodes_long(spark, sf_dir),
     ).select(_decode_node("node_id").alias("node_id"), "pagerank")
 
 
@@ -1162,7 +1193,8 @@ def hits_scores_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphrag_toolkit_spark.operators import centrality
 
     return centrality.hits(
-        _triples_long(spark, sf_dir, dedup=False), iters=HITS_ITERS
+        _triples_long(spark, sf_dir, dedup=False), iters=HITS_ITERS,
+        nodes=_graph_nodes_long(spark, sf_dir),
     ).select(_decode_node("node_id").alias("node_id"), "hub", "authority")
 
 
