@@ -41,12 +41,18 @@ def _gram_hashes(toks: Column, n: int) -> Column:
 def shingle_hashes(
     df: DataFrame, text_col: str, id_col: str, n: int = 8
 ) -> DataFrame:
-    """(id, gram) — distinct word n-gram hashes per document."""
+    """(id, gram) — distinct word n-gram hashes per document.
+
+    Requires ONE input row per id (true of every caller: document tables
+    keyed by their id). Dedup therefore never crosses rows and runs IN-ROW
+    (``array_distinct`` before the explode) — the former corpus-wide
+    ``.distinct()`` was a full shuffle of the exploded gram table just to
+    dedup within each document."""
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
     return df.select(
         F.col(id_col).alias("id"),
-        F.explode(_gram_hashes(toks, n)).alias("gram"),
-    ).distinct()
+        F.explode(F.array_distinct(_gram_hashes(toks, n))).alias("gram"),
+    )
 
 
 def contamination(

@@ -59,7 +59,15 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # --- shingling ---------------------------------------------------------------
 
 def shingles(df: DataFrame, text_col: str, id_col: str, k: int = 1) -> DataFrame:
-    """Distinct word k-gram shingles per row: (id, shingle)."""
+    """Distinct word k-gram shingles per row: (id, shingle).
+
+    Requires ONE input row per id (every caller passes a document table
+    keyed by its id column): dedup then never crosses rows, so it runs
+    IN-ROW (``array_distinct`` before the explode) and the former
+    corpus-wide ``.distinct()`` exchange — a full shuffle of the exploded
+    table, the largest intermediate in the MinHash family — disappears.
+    The whole stage is map-only after the widening repartition of the
+    compact doc rows."""
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
     if k == 1:
         sh = toks
@@ -78,11 +86,9 @@ def shingles(df: DataFrame, text_col: str, id_col: str, k: int = 1) -> DataFrame
         sh = F.when(F.size(toks) >= k, grams).otherwise(
             F.array().cast("array<string>")
         )
-    return (
-        widen_partitions(df)
-        .select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
-        .filter(F.col("shingle") != "")
-        .distinct()
+    deduped = F.array_distinct(F.filter(sh, lambda g: g != ""))
+    return widen_partitions(df).select(
+        F.col(id_col).alias("id"), F.explode(deduped).alias("shingle")
     )
 
 
