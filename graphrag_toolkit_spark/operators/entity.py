@@ -221,10 +221,11 @@ def expand_entity_context(
 
 
 def expand_context(
-    rel_edges: DataFrame,
+    rel_edges: DataFrame | None,
     seed_entities: DataFrame,
     max_depth: int = 3,
     per_node_limit: int = 5,
+    touching_fn=None,
 ) -> DataFrame:
     """J10: iterative frontier expansion over (src, dst) relation edges.
 
@@ -241,12 +242,28 @@ def expand_context(
     each level broadcast-joins it against the raw edge list and aggregates
     multiplicities over only the frontier-incident edges — per-level work is
     an in-memory scan of the persisted edge list plus a near-empty shuffle.
-    """
-    rel = rel_edges.select("src", "dst")
-    # loop-invariant input (often itself a computed join): materialize once
-    rel.persist()
 
-    id_type = dict(rel_edges.dtypes)["src"]
+    ``touching_fn`` (frontier pushdown): when the edge table is itself a
+    DERIVED expansion (e.g. co-occurrence pairs, quadratic per group), even
+    building+persisting it once is corpus-sized work the traversal mostly
+    discards. A caller that can enumerate frontier-incident adjacencies
+    straight from the LINEAR source tables passes
+    ``touching_fn(frontier) -> (src, dst)`` and ``rel_edges=None``; the
+    function must return, for each frontier node f, one oriented row
+    (f, neighbor) per underlying adjacency occurrence — exactly the multiset
+    the default path gets from the orientation-union join below (results are
+    identical by contract; the oracle gate pins it). The derived edge table
+    then never exists at any scale.
+    """
+    if touching_fn is None:
+        rel = rel_edges.select("src", "dst")
+        # loop-invariant input (often itself a computed join): materialize
+        # once
+        rel.persist()
+        id_type = dict(rel.dtypes)["src"]
+    else:
+        rel = None
+        id_type = dict(seed_entities.dtypes)["entity_id"]
     visited = (
         seed_entities.select(F.col("entity_id")).distinct()
         .localCheckpoint(eager=True)
@@ -261,18 +278,21 @@ def expand_context(
     for depth in range(1, max_depth + 1):
         # frontier-incident edges, both orientations, parallel edges kept
         # (multiplicity = strength)
-        touching = (
-            rel.join(
-                F.broadcast(frontier.withColumnRenamed("entity_id", "src")), "src"
-            )
-            .select("src", "dst")
-            .unionByName(
+        if touching_fn is not None:
+            touching = touching_fn(frontier).select("src", "dst")
+        else:
+            touching = (
                 rel.join(
-                    F.broadcast(frontier.withColumnRenamed("entity_id", "dst")),
-                    "dst",
-                ).select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+                    F.broadcast(frontier.withColumnRenamed("entity_id", "src")), "src"
+                )
+                .select("src", "dst")
+                .unionByName(
+                    rel.join(
+                        F.broadcast(frontier.withColumnRenamed("entity_id", "dst")),
+                        "dst",
+                    ).select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+                )
             )
-        )
         cand = (
             touching.join(
                 F.broadcast(visited.withColumnRenamed("entity_id", "dst")),
@@ -313,5 +333,6 @@ def expand_context(
         # visited (anti-join above) — the union is already distinct and its
         # pieces are checkpointed, so no re-checkpoint/dedup per level
         visited = visited.unionByName(frontier)
-    rel.unpersist()
+    if rel is not None:
+        rel.unpersist()
     return acc

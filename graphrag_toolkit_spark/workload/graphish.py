@@ -443,32 +443,44 @@ SELECT query, node_id, name, fuzzy_score, rank FROM (
 # --- J10: entity-context frontier expansion (depth 2) ------------------------
 
 def entity_context_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # per-order pair ROWS (multiplicity kept — expand_context's strength is
-    # count(*) over these), from one scan + in-row expansion instead of
-    # distinct + self-join (see _copair_counts; same rows, no aggregate)
+    # FRONTIER PUSHDOWN (round 8): the co-purchase pair table is a derived
+    # quadratic expansion the depth-2 traversal from 3 seeds mostly throws
+    # away — never build it. Frontier-incident adjacencies come straight
+    # from the LINEAR distinct (order, part) table per level: orders holding
+    # a frontier part supply (frontier_part -> other part) rows. Per-order
+    # part sets are sets (distinct below), so each unordered pair
+    # contributes exactly one row per orientation hit — the same multiset
+    # the default rel-join path produced from per-order pair rows, hence
+    # identical strengths (oracle-pinned).
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    ps = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("_ps"))
-    edges = ps.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("_ps"),
-                    lambda x: F.transform(
-                        F.filter(F.col("_ps"), lambda y: y > x),
-                        lambda y: F.struct(
-                            F.concat(F.lit("p"), x.cast("string")).alias("src"),
-                            F.concat(F.lit("p"), y.cast("string")).alias("dst"),
-                        ),
-                    ),
-                )
-            )
-        ).alias("_e")
-    ).select("_e.src", "_e.dst")
+    pp = li.distinct().select(
+        "l_orderkey",
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("pk"),
+    )
+    pp.persist()
+
+    def touching(frontier: DataFrame) -> DataFrame:
+        hits = pp.join(
+            F.broadcast(frontier.select(F.col("entity_id").alias("pk"))), "pk"
+        ).select(F.col("pk").alias("src"), "l_orderkey")
+        return (
+            hits.join(pp, "l_orderkey")
+            .filter(F.col("pk") != F.col("src"))
+            .select("src", F.col("pk").alias("dst"))
+        )
+
     part = load(spark, sf_dir, "part")
     seeds = part.filter(F.col("p_partkey") <= 3).select(
         F.concat(F.lit("p"), F.col("p_partkey").cast("string")).alias("entity_id")
     )
-    return expand_context(edges, seeds, max_depth=2, per_node_limit=3)
+    try:
+        # every level materializes inside (eager per-level checkpoints), so
+        # the adjacency cache can be released on return
+        return expand_context(
+            None, seeds, max_depth=2, per_node_limit=3, touching_fn=touching
+        )
+    finally:
+        pp.unpersist()
 
 
 _LEVEL = """
