@@ -1043,7 +1043,10 @@ def semantic_dedup(
     )
     comps = connected_components(pairs)
     return (
-        assigned.select("id", "cid")
+        # prepped IS assigned's (id, cid) — materialized once above; going
+        # back to `assigned` here would re-run the whole argmax assignment
+        # fold (the most expensive map in the query) for a second full pass
+        prepped.select("id", "cid")
         .join(comps, "id", "left")
         .select(
             "id",

@@ -116,6 +116,8 @@ def tfidf_cosine_scores(
     docs: DataFrame, query_text: str, text_col: str, id_col: str,
     quantize: int | None = None,
     checkpoint: bool = True,
+    doc_tokens: DataFrame | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Score every doc row by TF-IDF cosine similarity to ``query_text``.
     Returns (id, tfidf_score). The idf statistics come from the doc pool
@@ -124,14 +126,24 @@ def tfidf_cosine_scores(
     reproducible scores for oracle comparison (see ``_weight``).
     ``checkpoint=False`` keeps the full lazy plan visible for plan tests
     (sub-checkpoint plans are invisible to ``.explain``).
+
+    ``doc_tokens``/``n_docs``: a caller that runs SEVERAL scorers over the
+    same pool (hybrid BM25+TF-IDF) can pass ``tokenize(docs, text_col,
+    id_col)`` (extra columns like ``dl`` are fine — unused ones are pruned)
+    and ``docs.count()`` so the corpus is tokenized ONCE for all legs
+    instead of once per leg. The caller owns that frame's persistence;
+    values must equal this function's own tokenization or results change.
     """
     spark = docs.sparkSession
-    n_docs = docs.count()
-    # the token table feeds BOTH remaining consumers (idf stats and the
-    # fused norm+dot aggregate): materialize the row-local tokenizer once
-    # instead of re-running it per consumer
-    doc_tokens = tokenize(docs, text_col, id_col)
-    doc_tokens.persist()
+    if n_docs is None:
+        n_docs = docs.count()
+    caller_tokens = doc_tokens is not None
+    if not caller_tokens:
+        # the token table feeds BOTH remaining consumers (idf stats and the
+        # fused norm+dot aggregate): materialize the row-local tokenizer once
+        # instead of re-running it per consumer
+        doc_tokens = tokenize(docs, text_col, id_col)
+        doc_tokens.persist()
     # idf table = corpus vocabulary (Heaps-law growth) — no hint; AQE
     # broadcasts while small, shuffle-joins on token when it is not
     idf = idf_table(doc_tokens, n_docs)
@@ -176,7 +188,8 @@ def tfidf_cosine_scores(
     # executor memory for the session lifetime
     if checkpoint:
         scores = scores.localCheckpoint(eager=True)
-        doc_tokens.unpersist()
+        if not caller_tokens:
+            doc_tokens.unpersist()
     return (
         docs.select(F.col(id_col).alias("id"))
         .join(scores, "id", "left")
@@ -242,6 +255,8 @@ def bm25_scores(
     b: float = 0.75,
     quantize: int = 6,
     checkpoint: bool = True,
+    doc_tokens: DataFrame | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """BM25 keyword scoring (Robertson idf, Lucene-style) against
     ``query_text`` — the relational twin of the reference's OpenSearch
@@ -259,12 +274,19 @@ def bm25_scores(
     Scale shape: tokens materialized once; df stats and the (tiny) query
     term list are broadcast; per-doc length and the final sum are id-grouped
     aggregates — one token-shuffle end to end, same as TF-IDF above.
+
+    ``doc_tokens``/``n_docs``: optional shared tokenization, same contract
+    as ``tfidf_cosine_scores`` — BM25 additionally needs the ``dl`` column
+    (``tokenize(..., with_dl=True)``); the caller owns persistence.
     """
-    n_docs = docs.count()
-    # dl rides along row-locally (with_dl) — no groupBy over the token
-    # table just to recover each doc's own length
-    doc_tokens = tokenize(docs, text_col, id_col, with_dl=True)
-    doc_tokens.persist()
+    if n_docs is None:
+        n_docs = docs.count()
+    caller_tokens = doc_tokens is not None
+    if not caller_tokens:
+        # dl rides along row-locally (with_dl) — no groupBy over the token
+        # table just to recover each doc's own length
+        doc_tokens = tokenize(docs, text_col, id_col, with_dl=True)
+        doc_tokens.persist()
 
     total_row = doc_tokens.agg(
         F.sum("tf").cast("double").alias("s"),
@@ -317,7 +339,8 @@ def bm25_scores(
         # (same cache-hygiene rationale as tfidf_cosine_scores above);
         # checkpoint=False keeps the full lazy plan visible for plan tests
         scores = scores.localCheckpoint(eager=True)
-        doc_tokens.unpersist()
+        if not caller_tokens:
+            doc_tokens.unpersist()
     return (
         docs.select(F.col(id_col).alias("id"))
         .join(scores, "id", "left")

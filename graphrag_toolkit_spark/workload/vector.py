@@ -563,17 +563,47 @@ _RRF_QUANT = 9
 def hybrid_rrf_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval merge: BM25 leg + TF-IDF leg, each truncated to its
     top-100 under a total order (TakeOrderedAndProject — the bounded-pool
-    contract), fused with `processors.rrf_fuse` reciprocal-rank scores."""
-    from graphrag_toolkit_spark.operators.processors import rrf_fuse
+    contract), fused with `processors.rrf_fuse` reciprocal-rank scores.
 
+    The two legs score the SAME pool, so the corpus is tokenized ONCE
+    (``with_dl`` superset — BM25 reads dl, TF-IDF prunes it) and both
+    scorers consume the shared cached table instead of each materializing
+    its own (guide §2.4: share one pass). Leg values are unchanged — the
+    standalone ``bm25_documents``/``tfidf_documents`` oracles pin them."""
+    from graphrag_toolkit_spark.operators.processors import rrf_fuse
+    from graphrag_toolkit_spark.operators.tfidf import (
+        bm25_scores,
+        tfidf_cosine_scores,
+        tokenize,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = tokenize(docs, "text", "doc_id", with_dl=True)
+    toks.persist()
+    try:
+        bm_full = bm25_scores(
+            docs, TFIDF_QUERY, text_col="text", id_col="doc_id",
+            k1=_BM25_K1, b=_BM25_B, quantize=_TFIDF_QUANT,
+            doc_tokens=toks, n_docs=n_docs,
+        ).withColumnRenamed("id", "doc_id")
+        tf_full = tfidf_cosine_scores(
+            docs, TFIDF_QUERY, text_col="text", id_col="doc_id",
+            quantize=_TFIDF_QUANT, doc_tokens=toks, n_docs=n_docs,
+        ).withColumnRenamed("id", "doc_id")
+    finally:
+        # both legs eagerly checkpoint their score tables before returning,
+        # so the shared token cache is no longer referenced here
+        toks.unpersist()
     bm = (
-        bm25_documents(spark, sf_dir)
+        bm_full
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(_RRF_TOP)
         .select(F.col("doc_id").alias("id"), F.col("bm25").alias("score"))
     )
     tf = (
-        tfidf_documents(spark, sf_dir)
+        tf_full
+        .select("doc_id", "tfidf_score")
         .orderBy(F.desc("tfidf_score"), F.asc("doc_id"))
         .limit(_RRF_TOP)
         .select(F.col("doc_id").alias("id"), F.col("tfidf_score").alias("score"))
