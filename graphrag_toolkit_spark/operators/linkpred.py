@@ -51,6 +51,12 @@ def link_prediction(
     DuckDB. No log-based scores (Adamic-Adar) on purpose — ``ln`` is not
     bit-portable across engines.
     """
+    # the edge list feeds SEVEN plan references (deg, both wedge sides via
+    # und, the anti-join, and the two degree joins re-derive from it):
+    # truncate once so the (possibly expensive) upstream build is computed
+    # and planned a single time (guide §3.3 — materialize shared inputs of
+    # wide multi-reference plans)
+    edges = edges.localCheckpoint(eager=False)
     und = _und(edges, a, b)
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     w1 = und.select(F.col("u").alias("cu"), F.col("v").alias("x"))
@@ -104,7 +110,7 @@ def random_walks(
 
     Output: (start, step, node) — step 0 is the start node itself.
     """
-    und = _und(edges, a, b)
+    und = _und(edges.localCheckpoint(eager=False), a, b)
     adj = und.select(
         "u",
         "v",
@@ -113,6 +119,12 @@ def random_walks(
         ),
         F.count(F.lit(1)).over(Window.partitionBy("u")).alias("deg"),
     )
+    # every hop joins against adj, and each frontier's plan embeds its
+    # predecessor's — without truncation the L-hop plan re-derives the
+    # adjacency (sort + two windows) once per REFERENCE, which nests
+    # quadratically in L (guide §3.3). Checkpoints bound it: adj is built
+    # once, each frontier's lineage is one join deep.
+    adj = adj.localCheckpoint(eager=False)
     nodes = und.select("u").distinct()
     frontier = nodes.select(
         F.col("u").alias("start"), F.lit(0).alias("step"), F.col("u").alias("node")
@@ -146,6 +158,7 @@ def random_walks(
                 F.lit(step).alias("step"),
                 F.col("v").alias("node"),
             )
+            .localCheckpoint(eager=False)  # see adj note: keeps the union flat
         )
         out = out.unionByName(frontier)
     return out

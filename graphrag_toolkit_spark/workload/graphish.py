@@ -786,8 +786,10 @@ def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     a<b + per-item-frequency pruning bounds it at scale)."""
     li = load(spark, sf_dir, "lineitem")
     bi = li.select("l_orderkey", "l_partkey").distinct()
+    bi = bi.localCheckpoint(eager=False)  # basket count + item support read it
     n_baskets = bi.select("l_orderkey").distinct().count()
     item = bi.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_i"))
+    item = item.localCheckpoint(eager=False)  # both rule directions read it
     pairs = (
         _copair_counts(spark, sf_dir, n_name="n_ab")
         .filter(F.col("n_ab") >= MINSUP)
@@ -796,6 +798,9 @@ def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb = item.withColumnsRenamed({"l_partkey": "pb", "n_i": "n_b"})
     # per-item support tables grow with the item domain — no hint, AQE picks
     both = pairs.join(na, "pa").join(nb, "pb")
+    # fwd + rev both read the joined stats — truncate so the pair join and
+    # the copair build under it are planned and executed once (guide §3.3)
+    both = both.localCheckpoint(eager=False)
     fwd = both.select(
         F.col("pa").alias("antecedent"), F.col("pb").alias("consequent"),
         "n_ab", F.col("n_a").alias("n_ante"), F.col("n_b").alias("n_cons"),
@@ -853,6 +858,7 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         _copair_counts(spark, sf_dir)
         .filter(F.col("n_shared") >= TRI_MIN_SHARED)
         .select("pa", "pb")
+        .localCheckpoint(eager=False)  # all three join legs read it
     )
     e1 = edges
     e2 = edges.select(F.col("pa").alias("pb"), F.col("pb").alias("pc"))
@@ -1550,47 +1556,79 @@ def rich_club_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     a structure degree distributions alone cannot see. Exact integers
     (E_k edge count, N_k(N_k−1)/2 possible) + one division per row.
 
-    Scale shape: degrees from one edge-list aggregate; each threshold is a
-    broadcast semi-join of the edge list against the (tiny) rich-node set
-    — the edge list is scanned once per k with k's a 4-row constant."""
+    Scale shape: ONE pass decides every threshold — degrees join onto the
+    edge list once and a single conditional aggregate counts, per k, the
+    edges whose BOTH endpoints exceed k (set-identical to the previous
+    per-k semi-join legs: an edge survives the k-semi-joins iff
+    deg_a > k AND deg_b > k); the node counts n_k come from one
+    conditional aggregate over the degree table. The k's are a 4-row
+    constant, so the one-row wide result explodes back to the 4-row
+    output in-row — 2 joins + 2 aggregates total instead of 8 semi-joins
+    + 8 aggregates re-deriving the degree table per leg."""
     edges = (
         _copair_counts(spark, sf_dir)
         .filter(F.col("n_shared") >= MODULARITY_MIN_SHARED)
         .select(F.col("pa").alias("a"), F.col("pb").alias("b"))
     )
-    edges = edges.localCheckpoint(eager=False)  # degree + every k-leg read it
+    edges = edges.localCheckpoint(eager=False)  # degree + the e_k join read it
     deg = (
         edges.select(F.col("a").alias("v"))
         .unionByName(edges.select(F.col("b").alias("v")))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
-    legs = []
-    for k in RICH_CLUB_KS:
-        rich = deg.filter(F.col("deg") > k).select("v")
-        nk = rich.agg(F.count(F.lit(1)).cast("long").alias("n_k"))
-        ek = (
-            # the deg>k hub set grows with the graph (fixed k) — no hint;
-            # AQE broadcasts the semi-join side while it fits
-            edges.join(rich.withColumnsRenamed({"v": "a"}), "a", "left_semi")
-            .join(rich.withColumnsRenamed({"v": "b"}), "b", "left_semi")
-            .agg(F.count(F.lit(1)).cast("long").alias("e_k"))
+    deg = deg.localCheckpoint(eager=False)  # n_k agg + both e_k join sides
+    # the degree table grows with the graph (no hint); AQE broadcasts the
+    # join sides while they fit
+    ek_row = (
+        edges.join(deg.withColumnsRenamed({"v": "a", "deg": "dega"}), "a")
+        .join(deg.withColumnsRenamed({"v": "b", "deg": "degb"}), "b")
+        .agg(
+            *[
+                # coalesce: COUNT over the old empty semi-join leg was 0,
+                # SUM over zero rows is NULL — keep the count semantics
+                F.coalesce(
+                    F.sum(
+                        ((F.col("dega") > k) & (F.col("degb") > k)).cast("long")
+                    ),
+                    F.lit(0),
+                ).cast("long").alias(f"e_{k}")
+                for k in RICH_CLUB_KS
+            ]
         )
-        legs.append(
-            nk.crossJoin(F.broadcast(ek)).select(
-                F.lit(k).cast("long").alias("k"),
-                "n_k",
-                "e_k",
-                F.when(
-                    F.col("n_k") >= 2,
-                    (2 * F.col("e_k")).cast("double")
-                    / (F.col("n_k") * (F.col("n_k") - 1)).cast("double"),
-                ).alias("phi"),
+    )
+    nk_row = deg.agg(
+        *[
+            F.coalesce(
+                F.sum((F.col("deg") > k).cast("long")), F.lit(0)
+            ).cast("long").alias(f"n_{k}")
+            for k in RICH_CLUB_KS
+        ]
+    )
+    wide = nk_row.crossJoin(F.broadcast(ek_row))
+    out = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("long").alias("k"),
+                        F.col(f"n_{k}").alias("n_k"),
+                        F.col(f"e_{k}").alias("e_k"),
+                    )
+                    for k in RICH_CLUB_KS
+                ]
             )
-        )
-    out = legs[0]
-    for leg in legs[1:]:
-        out = out.unionByName(leg)
+        ).alias("s")
+    ).select(
+        F.col("s.k").alias("k"),
+        F.col("s.n_k").alias("n_k"),
+        F.col("s.e_k").alias("e_k"),
+        F.when(
+            F.col("s.n_k") >= 2,
+            (2 * F.col("s.e_k")).cast("double")
+            / (F.col("s.n_k") * (F.col("s.n_k") - 1)).cast("double"),
+        ).alias("phi"),
+    )
     return out.orderBy("k")
 
 
