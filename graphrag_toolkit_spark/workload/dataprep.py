@@ -5024,6 +5024,9 @@ def vector_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id")
     )
     clean = emb.join(F.broadcast(outlier_ids), "vec_id", "left_anti")
+    # the quantize leg and the LSH-bucket leg both read the cleaned pool:
+    # truncate so the outlier-distance pipeline above runs once, not per leg
+    clean = clean.localCheckpoint(eager=False)
     quant = pq.quantize_int8(clean, "vec_id", "embedding").select(
         F.col("id").alias("vec_id"),
         "scale",

@@ -261,8 +261,10 @@ GROUP BY src, rel
 def node_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _triples_long(spark, sf_dir)
     return (
-        t.select(F.col("src").alias("node_id"))
-        .unionByName(t.select(F.col("dst").alias("node_id")))
+        # both endpoints explode IN-ROW: one reference to the edge build
+        # instead of a self-union that re-derives it (same multiset — every
+        # edge contributes exactly its src and its dst)
+        t.select(F.explode(F.array("src", "dst")).alias("node_id"))
         .groupBy("node_id")
         .agg(F.count(F.lit(1)).alias("degree"))
         .select(_decode_node("node_id").alias("node_id"), "degree")
