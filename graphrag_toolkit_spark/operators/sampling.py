@@ -370,6 +370,9 @@ def ipf_rake(
     cells = (
         df.groupBy(F.col(row_col).alias("r"), F.col(col_col).alias("c"))
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        # the corpus groupBy feeds the totals AND the weight loop: truncate
+        # so the one corpus pass is planned/run once (guide §3.3)
+        .localCheckpoint(eager=False)
     )
     tot = cells.agg(
         F.sum("n").cast("long").alias("nn"),
@@ -382,6 +385,11 @@ def ipf_rake(
     )
     for _ in range(iterations):
         for axis, naxis in (("r", "nr"), ("c", "nc")):
+            # each half-pass reads w TWICE (marginal sums + the rescale
+            # join); without a lineage break the plan doubles per half-pass
+            # — 2^(2·iterations) copies of the corpus groupBy. The cell
+            # table is dimension-sized, so the checkpoint is ~free.
+            w = w.localCheckpoint(eager=False)
             sums = w.groupBy(axis).agg(
                 F.sum(F.col("n") * F.col("w6")).cast("long").alias("m")
             )

@@ -202,16 +202,20 @@ def bloom_build(
     so `1 << pos` never touches the sign bit in any engine): pure integer md5
     arithmetic, mergeable by ORing word pairs, engine-exact.
 
-    Scale shape: k narrow projections + one m/64-cell aggregate; the word
-    table is broadcast to probes. m and k follow the standard fp-rate
-    calculus ((1−e^{−kn/m})^k) — size m to the build-side cardinality."""
-    pos = None
-    for p in _bloom_positions(F.col(value_col), k, m):
-        part = df.select(p.alias("__p")).select(
-            F.expr("__p div 32").alias("word_idx"),
-            F.expr("shiftleft(1L, cast(__p % 32 as int))").alias("bit"),
-        )
-        pos = part if pos is None else pos.unionByName(part)
+    Scale shape: ONE pass — the k positions explode in-row (the k
+    per-hash projections previously re-read the build side k times via a
+    self-union; the exploded multiset is identical, and bit_or is
+    duplicate/order-free) into one m/64-cell aggregate; the word table is
+    broadcast to probes. m and k follow the standard fp-rate calculus
+    ((1−e^{−kn/m})^k) — size m to the build-side cardinality."""
+    pos = df.select(
+        F.explode(
+            F.array(*_bloom_positions(F.col(value_col), k, m))
+        ).alias("__p")
+    ).select(
+        F.expr("__p div 32").alias("word_idx"),
+        F.expr("shiftleft(1L, cast(__p % 32 as int))").alias("bit"),
+    )
     return pos.groupBy("word_idx").agg(
         F.bit_or("bit").alias("word")
     )
@@ -225,37 +229,36 @@ def bloom_might_contain(
     m: int = BLOOM_BITS,
 ) -> DataFrame:
     """Append ``might_contain`` (boolean) per row: true iff ALL k bit
-    positions are set. The bloom word table is broadcast; each probe is k
-    narrow lookups — no shuffle of ``df``."""
-    out = df
-    conds = []
-    b = F.broadcast(bloom)
-    for i, p in enumerate(_bloom_positions(F.col(value_col), k, m)):
-        colname = f"__b{i}"
-        out = (
-            out.withColumn("__p", p)
-            .withColumn("__widx", F.expr("__p div 32"))
-            .withColumn("__bit", F.expr("shiftleft(1L, cast(__p % 32 as int))"))
-            .drop("__p")
-            .join(
-                b.withColumnsRenamed({"word_idx": "__widx", "word": colname}),
-                "__widx",
-                "left",
-            )
-            .withColumn(
-                colname,
-                F.coalesce(F.col(colname), F.lit(0)).bitwiseAND(F.col("__bit"))
-                != 0,
-            )
-            .drop("__widx", "__bit")
-        )
-        conds.append(F.col(colname))
-    cond = conds[0]
-    for c in conds[1:]:
-        cond = cond & c
-    return out.withColumn("might_contain", cond).drop(
-        *[f"__b{i}" for i in range(k)]
+    positions are set. The word table collapses to a ONE-ROW broadcast
+    word_idx→word map (the previous shape joined it k times, embedding the
+    whole build-side plan per hash); each probe is then k in-row map
+    lookups — no shuffle of ``df``, one join total. A missing word is an
+    all-zero word (same as the old left-join coalesce). The map is the
+    same ≤ m/32-entry table the old path broadcast, just as one row."""
+    bmap = bloom.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("word_idx", "word"))
+        ).alias("__bm")
     )
+    out = df.crossJoin(F.broadcast(bmap))
+    cond = None
+    for p in _bloom_positions(F.col(value_col), k, m):
+        word = F.coalesce(
+            # p ≥ 0 and a multiple-of-32 numerator: the double division is
+            # exact, the long cast restores the map's key type
+            F.element_at(
+                F.col("__bm"), ((p - (p % 32)) / F.lit(32)).cast("long")
+            ),
+            F.lit(0).cast("long"),
+        )
+        # F.shiftleft only takes a literal shift amount; the SQL function
+        # accepts a column
+        bit = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (p % 32).cast("int")
+        )
+        c = word.bitwiseAND(bit) != 0
+        cond = c if cond is None else (cond & c)
+    return out.withColumn("might_contain", cond).drop("__bm")
 
 
 # --- equi-width histogram quantile sketch ------------------------------------
