@@ -56,7 +56,12 @@ def rescore_results(flat: DataFrame) -> DataFrame:
     statement score. Reference: ``retrieval/processors/rescore_results.py:39-80``."""
     per_topic = Window.partitionBy("source_id", "topic_id")
     per_source = Window.partitionBy("source_id")
-    with_max = flat.withColumn("_topic_max", F.max("score").over(per_topic))
+    # with_max feeds the topic-mean aggregate AND the final join: truncate
+    # the lineage so everything upstream (often a whole processor chain) is
+    # planned and computed once, not once per reference (guide §3.3)
+    with_max = flat.withColumn(
+        "_topic_max", F.max("score").over(per_topic)
+    ).localCheckpoint(eager=False)
     # mean over DISTINCT topics: average the per-topic max once per topic
     topic_means = (
         with_max.select("source_id", "topic_id", "_topic_max")
@@ -94,6 +99,8 @@ def truncate_results(max_results: int = 5) -> Processor:
     Reference: ``processors/truncate_results.py``."""
 
     def _p(flat: DataFrame) -> DataFrame:
+        # keep-set aggregate + the final semi-join both read flat (§3.3)
+        flat = flat.localCheckpoint(eager=False)
         keep = (
             flat.groupBy("source_id")
             .agg(F.sum("score").alias("_s"))
@@ -153,7 +160,9 @@ def prune_statements(factor: float = 0.05) -> Processor:
         # scalar-aggregate broadcast instead of max() OVER () — the empty
         # window spec single-partitions the whole frame; the one-row cross
         # join costs an extra (fully parallel) pass and stays bounded at
-        # any input size
+        # any input size. The checkpoint stops the max leg and the filter
+        # leg from each re-planning the upstream chain (§3.3).
+        flat = flat.localCheckpoint(eager=False)
         mx = flat.agg(F.max("score").alias("_max"))
         return (
             flat.crossJoin(F.broadcast(mx))
@@ -169,6 +178,7 @@ def prune_results(threshold: float = 0.08) -> Processor:
     best result_score`` (requires ``rescore_results`` first)."""
 
     def _p(flat: DataFrame) -> DataFrame:
+        flat = flat.localCheckpoint(eager=False)  # see prune_statements
         mx = flat.agg(F.max("result_score").alias("_max"))
         return (
             flat.crossJoin(F.broadcast(mx))

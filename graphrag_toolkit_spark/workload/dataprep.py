@@ -3406,9 +3406,13 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         with the held-out eval split)
       → deterministic shuffle + shard/sequence assignment
 
-    Output: (doc_id, shard, seq) for the exported corpus. One Catalyst
-    plan end-to-end — no materialization between stages — and the full
-    lineage is hash-compared against a single chained-CTE oracle."""
+    Output: (doc_id, shard, seq) for the exported corpus. One lineage
+    end-to-end with a single lazy materialization at the train split —
+    the split feeds BOTH the decontaminator's gram side and the final
+    anti-join, so without the break the whole
+    quality→dedup→split prefix is planned and computed twice (guide
+    §3.3); a real pipeline materializes exactly this boundary anyway.
+    The result is hash-compared against a single chained-CTE oracle."""
     docs = load(spark, sf_dir, "documents")
     quality = (
         textstats.linear_quality_classifier(
@@ -3420,7 +3424,7 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     qd = docs.join(quality, "doc_id")
     deduped = dedup.exact_dedup(qd, "text", "doc_id")
     b = sampling.hash_bucket(F.col("doc_id"))
-    train = deduped.filter(b >= 2000)
+    train = deduped.filter(b >= 2000).localCheckpoint(eager=False)
     eval_set = docs.filter(b < DECONTAM_EVAL_CUT)
     contaminated = decontam.contamination(
         train, eval_set, text_col="text", id_col="doc_id", n=DECONTAM_N
