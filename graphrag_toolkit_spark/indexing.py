@@ -267,16 +267,23 @@ def extract_and_build(
     ``classifications``: inferred domain classifications from
     ``infer_classifications`` — propagated into entity rows (and the ids
     they mint) via ``extract_facts``."""
-    chunks = docs_to_chunks(docs)
+    # the three extraction stages fan out into EVERY returned table (chunks
+    # ×3, stmts ×7 counting the edge legs, facts ×5): lazy lineage breaks
+    # make each stage compute once for however many tables a caller
+    # materializes (guide §3.3) — with an injected mapInPandas LLM
+    # extractor this is the difference between one model pass over the
+    # corpus and one per output table.
+    chunks = docs_to_chunks(docs).localCheckpoint(eager=False)
     stmts = extractor(chunks)
     if ignore_topics:
         stmts = stmts.filter(~F.col("topic").isin(list(ignore_topics)))
     if ignore_statements_matching:
         stmts = stmts.filter(~F.col("value").rlike(ignore_statements_matching))
+    stmts = stmts.localCheckpoint(eager=False)
     facts = extract_facts(
         stmts, entity_min_len, classifications=classifications,
         include_classification_in_entity_id=include_classification_in_entity_id,
-    )
+    ).localCheckpoint(eager=False)
 
     sources = chunks.select("source_id").distinct()
     # exact-duplicate documents mint identical chunk ids (and identical rows)
