@@ -53,6 +53,9 @@ def lookup_entities(
     )
     if not allow_prefix_fallback:
         return exact
+    # exact hits feed the output union AND the missed anti-join: truncate
+    # the keyword-bounded result so the entity-table probe runs once (§3.3)
+    exact = exact.localCheckpoint(eager=False)
     missed = kw.join(
         F.broadcast(exact.select(F.col("keyword").alias("kw")).distinct()),
         "kw",

@@ -133,14 +133,28 @@ def cms_build(
     MERGEABLE by plain (row, bucket) count addition, so per-shard sketches
     roll up with one groupBy. State is depth×width cells regardless of
     corpus size; the build is one narrow explode + one groupBy."""
-    rows = None
-    for r in range(depth):
-        part = df.select(
-            F.lit(r).alias("row"),
-            cms_bucket(F.col(value_col), r, width).alias("bucket"),
-            (F.col(weight_col) if weight_col else F.lit(1)).cast("long").alias("w"),
-        )
-        rows = part if rows is None else rows.unionByName(part)
+    # the depth hash rows explode IN-ROW — the previous per-row self-union
+    # re-read the value stream once per hash row; the exploded multiset is
+    # identical and the count sum is order-free
+    w = (F.col(weight_col) if weight_col else F.lit(1)).cast("long")
+    rows = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        cms_bucket(F.col(value_col), r, width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("__rb"),
+        w.alias("w"),
+    ).select(
+        F.col("__rb.row").alias("row"),
+        F.col("__rb.bucket").alias("bucket"),
+        "w",
+    )
     return rows.groupBy("row", "bucket").agg(F.sum("w").alias("cnt"))
 
 

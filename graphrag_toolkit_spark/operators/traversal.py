@@ -122,6 +122,9 @@ def entity_pair_paths(
     e1-r-e2-r-e1 cycle. Reference: ``entity_based_search.py:150-158``."""
     rel = g.edges_of("RELATION").select("src", "dst")
     und = rel.unionByName(rel.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    # hop1 + both hop2 legs read the undirected closure: materialize it
+    # once instead of re-running the union+distinct per reference (§3.3)
+    und = und.localCheckpoint(eager=False)
     p = F.broadcast(pairs.select("e1", "e2").distinct())
 
     hop1 = p.join(und, (und.src == p.e1) & (und.dst == p.e2)).select(
@@ -139,7 +142,11 @@ def entity_pair_paths(
         .select("e1", "e2", F.array("e1", F.col("u1.dst"), "e2").alias("path_nodes"))
     )
     paths = hop1.unionByName(hop2)
-    nodes = paths.select("e1", "e2", F.explode("path_nodes").alias("entity_id")).distinct()
+    nodes = (
+        paths.select("e1", "e2", F.explode("path_nodes").alias("entity_id"))
+        .distinct()
+        .localCheckpoint(eager=False)  # subject + object legs (pair-bounded)
+    )
 
     facts = g.facts.filter(F.col("object_id").isNotNull()).select(
         "fact_id", "subject_id", "object_id", F.col("value").alias("fact_value")

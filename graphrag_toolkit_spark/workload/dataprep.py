@@ -2531,7 +2531,11 @@ def cms_heavy_hitters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.lower(F.col("text")), r"[^0-9a-z]+")).alias("token")
     ).filter(F.col("token") != "")
     truec = toks.groupBy("token").agg(F.count(F.lit(1)).alias("true_cnt"))
-    top = truec.orderBy(F.desc("true_cnt"), F.asc("token")).limit(CMS_TOP)
+    top = (
+        truec.orderBy(F.desc("true_cnt"), F.asc("token"))
+        .limit(CMS_TOP)
+        .localCheckpoint(eager=False)  # probe set + final join (20 rows)
+    )
     cms = sketch.cms_build(toks, "token")
     est = sketch.cms_estimate(cms, top.select("token"), "token")
     return top.join(est, top["token"] == est["value"]).select(

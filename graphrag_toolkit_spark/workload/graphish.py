@@ -555,7 +555,7 @@ def entity_lookup_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = ents.join(F.broadcast(kw), ents.search_str == F.col("kw")).select(
         F.col("kw").alias("keyword"), "entity_id", "value",
         F.lit("exact").alias("match_type"),
-    )
+    ).localCheckpoint(eager=False)  # output union + missed anti-join (tiny)
     missed = kw.join(
         F.broadcast(exact.select(F.col("keyword").alias("kw")).distinct()),
         "kw",

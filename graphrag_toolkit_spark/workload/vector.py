@@ -172,6 +172,10 @@ def mutual_nn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("rank") <= MNN_K)
+        # top-K table is (MNN_N × MNN_K)-bounded and feeds THREE plan
+        # references (pivot, fwd, rev): truncate so the quadratic scoring
+        # stage runs once, not per reference (§3.3)
+        .localCheckpoint(eager=False)
     )
     # per-node top-K mean, summed in rank order (double addition order is
     # part of the contract)
@@ -182,6 +186,7 @@ def mutual_nn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("1") + F.col("2")) + F.col("3")
         ).alias("top_sum"),
     ).withColumn("top_avg", F.col("top_sum") / MNN_K)
+    avg = avg.localCheckpoint(eager=False)  # joined onto both pair sides
     fwd = scores.select("ida", "idb", "s")
     rev = scores.select(
         F.col("ida").alias("idb2"), F.col("idb").alias("ida2")
