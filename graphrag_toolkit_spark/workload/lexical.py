@@ -43,7 +43,12 @@ def _edges(*parts: DataFrame) -> DataFrame:
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.withColumn("value", F.lit(None).cast("string"))
+    # traversal operators filter the edge table per etype, usually 2-3
+    # references per query: truncate so the union of distinct-pair builds
+    # is planned and computed once, not per edges_of() call (§3.3)
+    return out.withColumn(
+        "value", F.lit(None).cast("string")
+    ).localCheckpoint(eager=False)
 
 
 def _e(df: DataFrame, src: F.Column, dst: F.Column, etype: str) -> DataFrame:
