@@ -214,7 +214,10 @@ def personalized_katz(
                         + F.expr(f"sum(m) div {1 << alpha_log2}")
                     ).cast("long").alias("r")
                 )
-                .localCheckpoint(eager=True)
+                # LAZY: same rationale as katz_centrality — single consumer
+                # per round, so an eager per-round job buys nothing; lineage
+                # still truncates to round size
+                .localCheckpoint(eager=False)
             )
         return ranks.select(
             "node_id",
