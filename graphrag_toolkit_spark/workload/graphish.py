@@ -1439,8 +1439,10 @@ def hub_knockout_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (star connected components, the O(log n)-round 100 TB algorithm).
 
     Scale shape: degrees from one aggregate; the knockout is two
-    broadcast anti-joins; each CC run is the star loop whose per-round
-    cost is a min-groupBy + an equi-join."""
+    broadcast anti-joins; BOTH scenarios ride ONE grouped star-CC loop
+    (scenario in every round key), so the loop runs max — not sum — of
+    the two scenarios' round counts and each round's two shuffles serve
+    both graphs at once."""
     from graphrag_toolkit_spark.operators import dedup
 
     edges = (
@@ -1465,28 +1467,41 @@ def hub_knockout_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).join(
         F.broadcast(hubs.withColumnsRenamed({"v": "id_b"})), "id_b", "left_anti"
     )
-
-    def stats(e: DataFrame, name: str) -> DataFrame:
-        cc = dedup.connected_components(e)
-        sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
-        return (
-            sizes.agg(
-                F.sum("sz").cast("long").alias("n_nodes"),
-                F.count(F.lit(1)).cast("long").alias("n_components"),
-                F.max("sz").cast("long").alias("largest"),
-            )
-            .crossJoin(
-                F.broadcast(e.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
-            )
-            .select(
-                F.lit(name).alias("scenario"),
-                "n_nodes", "n_edges", "n_components", "largest",
-            )
+    tagged = (
+        edges.withColumn("scenario", F.lit("full"))
+        .unionByName(knocked.withColumn("scenario", F.lit("knocked")))
+        .localCheckpoint(eager=True)  # CC seed + labels tail + edge counts
+    )
+    labels = dedup.connected_components(tagged, group_col="scenario")
+    per_scenario = (
+        labels.groupBy("scenario", "component")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .groupBy("scenario")
+        .agg(
+            F.sum("sz").cast("long").alias("n_nodes"),
+            F.count(F.lit(1)).cast("long").alias("n_components"),
+            F.max("sz").cast("long").alias("largest"),
         )
-
+    )
+    edge_counts = tagged.groupBy("scenario").agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges")
+    )
+    # a 2-row literal seed keeps the one-row-per-scenario contract even for
+    # an empty scenario graph (the old per-scenario scalar aggregates always
+    # emitted a row: NULL n_nodes/largest, zero counts)
+    scenarios = spark.createDataFrame(
+        [("full",), ("knocked",)], "scenario string"
+    )
     return (
-        stats(edges, "full")
-        .unionByName(stats(knocked, "knocked"))
+        scenarios.join(F.broadcast(per_scenario), "scenario", "left")
+        .join(F.broadcast(edge_counts), "scenario", "left")
+        .select(
+            "scenario",
+            "n_nodes",
+            F.coalesce("n_edges", F.lit(0)).cast("long").alias("n_edges"),
+            F.coalesce("n_components", F.lit(0)).cast("long").alias("n_components"),
+            "largest",
+        )
         .orderBy("scenario")
     )
 

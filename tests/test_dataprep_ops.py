@@ -267,6 +267,37 @@ class TestConnectedComponents:
         assert star == minl
         assert star[100] == 1 and star[9] == 8 and star[77] == 77
 
+    def test_grouped_equals_per_group_runs(self, spark):
+        """group_col fuses independent component searches into one loop;
+        labels must equal running each group's graph alone — including when
+        the groups need DIFFERENT round counts (the long chain converges
+        after the star/island groups, which then idle at their fixed
+        point), and for a group name that is itself a shared node id."""
+        graphs = {
+            "hub": [{"id_a": 100, "id_b": i} for i in range(1, 8)],
+            "chain": [{"id_a": i, "id_b": i + 1} for i in range(20)],
+            "islands": [{"id_a": 55, "id_b": 56}, {"id_a": 77, "id_b": 77}],
+        }
+        tagged = spark.createDataFrame(
+            [dict(e, g=name) for name, es in graphs.items() for e in es]
+        )
+        fused = {
+            (r["g"], r["id"]): r["component"]
+            for r in dedup.connected_components(tagged, group_col="g").collect()
+        }
+        separate = {}
+        for name, es in graphs.items():
+            for r in dedup.connected_components(
+                spark.createDataFrame(es)
+            ).collect():
+                separate[(name, r["id"])] = r["component"]
+        assert fused == separate and len(fused) == 8 + 21 + 3
+
+    def test_group_col_requires_star(self, spark):
+        pairs = spark.createDataFrame([{"id_a": 1, "id_b": 2}])
+        with pytest.raises(ValueError, match="group_col"):
+            dedup.connected_components(pairs, algorithm="minlabel", group_col="g")
+
 
 class TestSimhash:
     def test_identical_texts_same_hash(self, docs):
