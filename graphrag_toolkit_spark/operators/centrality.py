@@ -559,12 +559,14 @@ def degree_assortativity(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=False)  # both degree legs + the ed join read it
     )
     deg = (
         e.select(F.col("a").alias("n"))
         .unionByName(e.select(F.col("b").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=False)  # joined back on BOTH endpoints
     )
     ed = (
         e.join(deg.withColumnsRenamed({"n": "a", "d": "da"}), "a")

@@ -91,6 +91,10 @@ def build_vocab(
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
         .filter(F.col("freq") >= min_count)
+        # vocab-sized after the min_count prune; the two-phase rank reads it
+        # three times (bucket bounds, offsets, final join) — without the
+        # break each reference re-tokenizes the whole corpus
+        .localCheckpoint(eager=False)
     )
     from graphrag_toolkit_spark.operators import ranks
 

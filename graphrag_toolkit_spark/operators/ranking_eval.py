@@ -62,7 +62,9 @@ def ranking_metrics(
     iw = Window.partitionBy("query_id").orderBy(
         F.desc("rel"), F.asc("doc_id")
     )
-    rel_only = judgments.filter(F.col("rel") > 0)
+    # ideal-DCG top-k AND the n_relevant aggregate read this; judgment
+    # derivations are join-shaped at the call sites, so compute them once
+    rel_only = judgments.filter(F.col("rel") > 0).localCheckpoint(eager=False)
     ideal_topk = (
         rel_only.withColumn("irank", F.row_number().over(iw))
         .filter(F.col("irank") <= k)

@@ -299,7 +299,9 @@ def dsir_log_weights(
 
     tgt = bucket_counts(target, "ct")
     raw = bucket_counts(corpus, "cr")
-    joined = tgt.join(raw, "bucket")
+    # bounded at n_buckets rows; without the break the totals AND scores
+    # references each re-tokenize corpus + target for their bucket counts
+    joined = tgt.join(raw, "bucket").localCheckpoint(eager=False)
     totals = joined.agg(
         F.sum("ct").alias("nt"), F.sum("cr").alias("nr")
     )

@@ -127,14 +127,28 @@ def delete_sources(
     """Cascade delete: remove the given sources, their chunks and statements,
     and any fact that is no longer supported by a surviving statement
     (shared facts survive — the reference's orphan check). Returns the new
-    node/edge tables (pure function; callers persist)."""
+    node/edge tables (pure function; callers persist).
+
+    The narrow id frames below (dead chunk/statement ids, live fact ids,
+    dead node ids) each feed two or more downstream tables; lazy
+    localCheckpoints at those boundaries make every cascade stage compute
+    once per action instead of once per plan reference — a caller counting
+    all five tables otherwise re-runs the chunk→statement→fact chain per
+    reference (the plan-size audit's worst offender: 2,423 formatted lines
+    / 152 Exchanges before, guide §3.3)."""
     del_src = F.broadcast(delete_ids.select("source_id").distinct())
 
     new_sources = sources.join(del_src, "source_id", "left_anti")
-    dead_chunks = chunks.join(del_src, "source_id", "left_semi").select("chunk_id")
+    dead_chunks = (
+        chunks.join(del_src, "source_id", "left_semi")
+        .select("chunk_id")
+        .localCheckpoint(eager=False)  # dead_stmts + dead_nodes read it
+    )
     new_chunks = chunks.join(del_src, "source_id", "left_anti")
-    dead_stmts = statements.join(dead_chunks, "chunk_id", "left_semi").select(
-        "statement_id"
+    dead_stmts = (
+        statements.join(dead_chunks, "chunk_id", "left_semi")
+        .select("statement_id")
+        .localCheckpoint(eager=False)  # new_statements + dead_nodes read it
     )
     new_statements = statements.join(dead_stmts, "statement_id", "left_anti")
 
@@ -143,9 +157,14 @@ def delete_sources(
     )
     # facts still referenced by a SURVIVING statement stay (orphan check:
     # groupBy on remaining support edges, not a naive cascade)
-    live_facts = supports.join(
-        new_statements.select("statement_id"), "statement_id", "left_semi"
-    ).select("fact_id").distinct()
+    live_facts = (
+        supports.join(
+            new_statements.select("statement_id"), "statement_id", "left_semi"
+        )
+        .select("fact_id")
+        .distinct()
+        .localCheckpoint(eager=False)  # new_facts + dead_nodes read it
+    )
     new_facts = facts.join(live_facts, "fact_id", "left_semi")
 
     dead_nodes = (
@@ -158,6 +177,7 @@ def delete_sources(
         )
         .unionByName(delete_ids.select(F.col("source_id").alias("node_id")))
         .distinct()
+        .localCheckpoint(eager=False)  # new_edges anti-joins it on src AND dst
     )
     new_edges = edges.join(
         dead_nodes.withColumnRenamed("node_id", "src"), "src", "left_anti"

@@ -2180,10 +2180,16 @@ def node_features_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the wedge join deduped per node — the same bounded frontier shape
     every sampling-based GNN loader (GraphSAGE et al.) materializes."""
     edges = _part_edges(spark, sf_dir)
-    und = edges.select(
-        F.col("pa").alias("u"), F.col("pb").alias("v")
-    ).unionByName(edges.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
-    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    und = (
+        edges.select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        .unionByName(edges.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
+        .localCheckpoint(eager=False)  # deg + nb + both wedge sides read it
+    )
+    deg = (
+        und.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)  # neighbor-degree join + final spine
+    )
     dv = deg.select(F.col("u").alias("v"), F.col("deg").alias("deg_v"))
     nb = (
         und.join(dv, "v")

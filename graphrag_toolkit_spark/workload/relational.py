@@ -657,9 +657,11 @@ def rfm_segments_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         leg = per_c.select("o_custkey", col)
         bucket_key = F.col(col) if asc else -F.col(col)
         order = [F.asc(col) if asc else F.desc(col), F.asc("o_custkey")]
-        ranked = ranks.two_phase_row_number(
-            ranks.with_range_bucket(leg, bucket_key), order, total_col="__n"
+        # customer-sized; the rank reads it twice (offsets + final join)
+        bucketed = ranks.with_range_bucket(leg, bucket_key).localCheckpoint(
+            eager=False
         )
+        ranked = ranks.two_phase_row_number(bucketed, order, total_col="__n")
         return ranked.select(
             "o_custkey",
             ranks.ntile_from_rank(F.col("rn"), F.col("__n"), 5).alias(name),
@@ -1724,6 +1726,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_partkey", "p_name", "s_suppkey", "s_name",
                  "s_acctbal", "n_name")
         .agg(F.min(_dec("l_extendedprice")).alias("supply_cost"))
+        # the decorrelated min probes pairs AND joins back onto it: without a
+        # lineage break the lineitem 3-way join-aggregate executes twice
+        .localCheckpoint(eager=False)
     )
     min_cost = pairs.groupBy(F.col("p_partkey").alias("mc_pk")).agg(
         F.min("supply_cost").alias("min_cost")
