@@ -1492,9 +1492,12 @@ def hub_knockout_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     scenarios = spark.createDataFrame(
         [("full",), ("knocked",)], "scenario string"
     )
+    # no broadcast hints: both aggregate sides are 2 rows at runtime and AQE
+    # picks the broadcast itself (hinting a groupBy("scenario") table would
+    # need a BOUNDED_AGG_KEYS entry for the audit to prove it bounded)
     return (
-        scenarios.join(F.broadcast(per_scenario), "scenario", "left")
-        .join(F.broadcast(edge_counts), "scenario", "left")
+        scenarios.join(per_scenario, "scenario", "left")
+        .join(edge_counts, "scenario", "left")
         .select(
             "scenario",
             "n_nodes",
