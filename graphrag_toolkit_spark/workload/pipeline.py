@@ -103,18 +103,77 @@ GROUP BY fact_id, subject, object, value, subject_entity_id, object_entity_id
 # --- per-table build counts (everything incl. edges) -------------------------
 
 def extract_build_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Counting every build table does not require MATERIALIZING every build
+    # table: each table is a distinct-projection of one of the three
+    # extraction stages, so its row count is a countDistinct over that
+    # stage (guide §1.2: don't compute things you throw away; §2.4: fused
+    # same-source aggregates share one pass). Three multi-countDistinct
+    # aggregates + the PREVIOUS-chain branch replace the 15 independent
+    # count branches (each of which paid its own scan, dedup exchange, and
+    # single-partition count). Equivalence with per-table counts over
+    # indexing.extract_and_build is pinned by test_pipeline_counts and the
+    # DuckDB oracle at three SFs.
     docs = load(spark, sf_dir, "documents")
-    build = indexing.extract_and_build(docs)
-    counts = [
-        df.agg(F.count(F.lit(1)).alias("n_rows")).select(
-            F.lit(name).alias("table_name"), "n_rows"
-        )
-        for name, df in build.items()
-    ]
-    out = counts[0]
-    for c in counts[1:]:
-        out = out.unionByName(c)
-    return out
+    chunks = indexing.docs_to_chunks(docs).localCheckpoint(eager=False)
+    stmts = indexing.rule_extract_statements(chunks).localCheckpoint(eager=False)
+    facts = indexing.extract_facts(stmts)
+
+    ch_agg = chunks.agg(
+        F.countDistinct("source_id").alias("sources"),
+        F.countDistinct("chunk_id").alias("chunks"),
+        F.countDistinct("chunk_id", "source_id").alias("e_extracted_from"),
+    )
+    st_agg = stmts.agg(
+        F.countDistinct("topic_id").alias("topics"),
+        F.countDistinct("statement_id").alias("statements"),
+        F.countDistinct("topic_id", "chunk_id").alias("e_mentioned_t"),
+        F.countDistinct("statement_id", "chunk_id").alias("e_mentioned_s"),
+        F.countDistinct("statement_id", "topic_id").alias("e_belongs_to"),
+    )
+    fx_agg = facts.agg(
+        F.countDistinct("fact_id").alias("facts"),
+        (
+            F.countDistinct("subject_entity_id")
+            + F.countDistinct("object_entity_id")
+        ).alias("entities"),
+        F.countDistinct("fact_id", "statement_id").alias("e_supports"),
+        F.countDistinct("subject_entity_id", "fact_id").alias("e_subject"),
+        F.countDistinct("object_entity_id", "fact_id").alias("e_object"),
+    )
+    # the per-chunk statement linked list (same construction as
+    # extract_and_build's `prev`, counted instead of materialized)
+    w = indexing.Window.partitionBy("chunk_id").orderBy("statement_idx")
+    prev_agg = (
+        stmts.select("chunk_id", "statement_idx", "statement_id").distinct()
+        .withColumn("_prev", F.lag("statement_id").over(w))
+        .filter(F.col("_prev").isNotNull() & (F.col("_prev") != F.col("statement_id")))
+        .select("statement_id", "_prev").distinct()
+        .agg(F.count(F.lit(1)).alias("e_previous"))
+    )
+
+    one = ch_agg.crossJoin(st_agg).crossJoin(fx_agg).crossJoin(prev_agg)
+    pair = lambda name, col: F.struct(
+        F.lit(name).alias("table_name"), col.cast("long").alias("n_rows")
+    )
+    return one.select(
+        F.explode(
+            F.array(
+                pair("sources", F.col("sources")),
+                pair("chunks", F.col("chunks")),
+                pair("topics", F.col("topics")),
+                pair("statements", F.col("statements")),
+                pair("facts", F.col("facts")),
+                pair("entities", F.col("entities")),
+                pair(
+                    "edges",
+                    F.col("e_extracted_from") + F.col("e_mentioned_t")
+                    + F.col("e_mentioned_s") + F.col("e_belongs_to")
+                    + F.col("e_supports") + F.col("e_subject")
+                    + F.col("e_object") + F.col("e_previous"),
+                ),
+            )
+        ).alias("_kv")
+    ).select("_kv.table_name", "_kv.n_rows")
 
 
 COUNTS_ORACLE = f"""

@@ -244,3 +244,21 @@ class TestInferClassifications:
             map(str, indexing.extract_and_build(docs, classifications=inferred)["entities"].collect())
         )
         assert a == b
+
+
+class TestFusedBuildCounts:
+    def test_fused_counts_equal_per_table_counts(self, spark, sf_dir):
+        """extract_build_counts computes per-table row counts WITHOUT
+        materializing the build tables (fused multi-countDistinct per
+        extraction stage); this pins the fused form against the naive
+        per-table counts over the real extract_and_build output."""
+        from graphrag_toolkit_spark.session import load
+        from graphrag_toolkit_spark.workload.pipeline import extract_build_counts
+
+        fused = {
+            r["table_name"]: r["n_rows"]
+            for r in extract_build_counts(spark, sf_dir).collect()
+        }
+        build = indexing.extract_and_build(load(spark, sf_dir, "documents"))
+        naive = {name: df.count() for name, df in build.items()}
+        assert fused == naive

@@ -29,6 +29,12 @@ def main() -> None:
     ap.add_argument("--explain", default=None, help="dir for <q><suffix>.txt plans")
     ap.add_argument("--suffix", default="", help="plan filename suffix (_before/_after)")
     ap.add_argument("--action", choices=["noop", "collect"], default="noop")
+    ap.add_argument(
+        "--release", action="store_true",
+        help="between runs, unpersist every persistent RDD (leaked "
+        "operator-internal localCheckpoints/persists) and GC both VMs — "
+        "isolates each run from the previous one's block-manager residue",
+    )
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -74,6 +80,16 @@ def main() -> None:
                 df.collect()
             runs.append(round(time.time() - t0, 3))
             spark.sparkContext.setJobDescription(None)
+            if args.release:
+                import gc
+
+                del df
+                gc.collect()
+                jmap = spark.sparkContext._jsc.getPersistentRDDs()
+                it = jmap.entrySet().iterator()
+                while it.hasNext():
+                    it.next().getValue().unpersist(False)
+                spark._jvm.System.gc()
         out[name] = runs
         print(f"# {name}: {runs}", file=sys.stderr)
     spark.stop()
