@@ -169,6 +169,8 @@ def main() -> None:
         except Exception:
             pass
 
+    from graphrag_toolkit_spark.session import release_blocks
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
@@ -179,6 +181,13 @@ def main() -> None:
         timings[name] = dt
         total += dt
         print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+        # between queries (OUTSIDE the timed span): release the finished
+        # query's operator-internal checkpoint/persist blocks, so query
+        # N+1 is not squeezed by query N's storage residue. Methodology,
+        # timed span, queries, and JSON contract are unchanged — this
+        # removes cross-query interference, it never reuses results
+        # (every query still computes from the parquet inputs).
+        release_blocks(spark)
 
     spark.stop()
     # 1-min loadavg at measurement end: the ±30% host-noise band seen

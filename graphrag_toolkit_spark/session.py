@@ -64,6 +64,41 @@ def build_session(
     return builder.getOrCreate()
 
 
+def release_blocks(spark: SparkSession) -> None:
+    """Unpersist every persistent RDD (blocking). NO forced JVM GC — see below.
+
+    Operators return eager/lazy localCheckpointed (or persisted) frames by
+    design — the CONSUMER owns their lifetime. A harness that constructs
+    many queries sequentially in one session (bench.py: 87, tools/check.py:
+    279) must release each query's blocks before the next, or they pile up
+    in the block manager: storage claims up to spark.memory.storageFraction
+    of the unified pool that execution cannot evict (optimization guide §5
+    "cached data competes with execution memory; unpersist when done").
+    Measured on ann_ivf_pq_topk, 5 back-to-back constructions in one
+    session: without release 14/9/14/35/42 s; with release 9.3/10.3/8.8/9.2
+    s warm. Call ONLY between queries — never while a frame from the
+    current query is still needed.
+
+    Why no ``System.gc()``: a first version forced a full JVM GC here.
+    Interleaved full-suite A/B (87 queries at sf0.1, same host, alternating
+    runs) measured the GC variant at 297-370 s against 282-284 s without
+    release, the cost spread +0.3-1.6 s over most queries — consistent with
+    the collector uncommitting heap after the forced full GC and the next
+    TIMED query paying the re-commit/page-zeroing. Unpersist-only measured
+    265.9/251.3 s vs 264.1 s for no-release in the same interleaving: free
+    on the total, keeps the block manager bounded, and retains the
+    late-suite residue win (hub_knockout/cluster_size/katz each ~-0.5-1.5 s
+    vs never releasing)."""
+    import gc
+
+    gc.collect()  # drop py4j refs so dead frames' JVM handles release too
+    it = spark.sparkContext._jsc.getPersistentRDDs().entrySet().iterator()
+    while it.hasNext():
+        # blocking=True: finish removal NOW, in the untimed gap — an async
+        # removal would run concurrently with (and perturb) the next query
+        it.next().getValue().unpersist(True)
+
+
 def register_testdata(spark: SparkSession, sf_dir: str) -> None:
     """Register the driver's parquet fixtures as temp views named like the
     DuckDB oracle's views (TESTDATA.md)."""

@@ -81,15 +81,10 @@ def main() -> None:
             runs.append(round(time.time() - t0, 3))
             spark.sparkContext.setJobDescription(None)
             if args.release:
-                import gc
+                from graphrag_toolkit_spark.session import release_blocks
 
                 del df
-                gc.collect()
-                jmap = spark.sparkContext._jsc.getPersistentRDDs()
-                it = jmap.entrySet().iterator()
-                while it.hasNext():
-                    it.next().getValue().unpersist(False)
-                spark._jvm.System.gc()
+                release_blocks(spark)
         out[name] = runs
         print(f"# {name}: {runs}", file=sys.stderr)
     spark.stop()

@@ -79,7 +79,7 @@ def main() -> int:
     import pyspark
 
     import __spark_entry__ as entrymod
-    from graphrag_toolkit_spark.session import build_session
+    from graphrag_toolkit_spark.session import build_session, release_blocks
 
     print(f"gate env: duckdb={duckdb.__version__} pyspark={pyspark.__version__} "
           f"python={sys.version.split()[0]}")
@@ -102,6 +102,10 @@ def main() -> int:
         sdf = fn(spark, sf_dir)
         srows = [r.asDict(recursive=True) for r in sdf.collect()]
         t_spark = time.time() - t0
+        # collected — release this query's operator-internal checkpoint/
+        # persist blocks before building the next one (279 queries in one
+        # session otherwise accumulate storage that execution can't evict)
+        release_blocks(spark)
         if name not in oracles:
             print(f"  {name:45s} rows={len(srows):6d}  (no oracle — rows-only) {t_spark:5.1f}s")
             if not srows:
