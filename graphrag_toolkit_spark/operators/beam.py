@@ -81,10 +81,23 @@ def beam_search(
         cand = neighbors(F.broadcast(frontier.select("node_id"))).join(
             visited.select("node_id"), "node_id", "left_anti"
         )
-        cand = cand.join(emb, "node_id")
         if scoring == "cosine":
-            cand = cand.withColumn("score", cos(F.col("embedding"), q))
+            # parent-independent score: collapse to DISTINCT nodes BEFORE the
+            # embedding join, so each node is embedded and scored once. The
+            # old shape scored every (node, parent) candidate row and then
+            # kept one per node with a row_number window — same
+            # (node_id, score) set (the window's orderBy(desc score) was a
+            # tie among identical per-node scores), strictly more cosine
+            # evaluations plus a per-level sort. The distinct is a map-side-
+            # partial aggregate over narrow (node_id) rows (guide §2.3).
+            cand = (
+                cand.select("node_id")
+                .distinct()
+                .join(emb, "node_id")
+                .withColumn("score", cos(F.col("embedding"), q))
+            )
         else:
+            cand = cand.join(emb, "node_id")
             parent_emb = emb.select(
                 F.col("node_id").alias("parent_id"),
                 F.col("embedding").alias("parent_embedding"),
@@ -124,16 +137,25 @@ def beam_search(
             else:
                 raise ValueError(f"unknown scoring mode: {scoring}")
         # same node via several parents → keep best score, then beam cut
-        best = (
-            cand.withColumn(
-                "_rn",
-                F.row_number().over(
-                    Window.partitionBy("node_id").orderBy(F.desc("score"), F.asc("parent_id"))
-                ),
+        # (cosine already holds one row per node after the distinct above;
+        # only the parent-dependent scorings need the per-node argmax)
+        if scoring == "cosine":
+            dedup = cand.select("node_id", "score")
+        else:
+            dedup = (
+                cand.withColumn(
+                    "_rn",
+                    F.row_number().over(
+                        Window.partitionBy("node_id").orderBy(
+                            F.desc("score"), F.asc("parent_id")
+                        )
+                    ),
+                )
+                .filter(F.col("_rn") == 1)
+                .select("node_id", "score")
             )
-            .filter(F.col("_rn") == 1)
-            .select("node_id", "score")
-            .orderBy(F.desc("score"), F.asc("node_id"))
+        best = (
+            dedup.orderBy(F.desc("score"), F.asc("node_id"))
             .limit(beam_width)
             .localCheckpoint(eager=True)
         )
