@@ -308,9 +308,20 @@ def pagerank(
     same single shuffle; lazy localCheckpoint keeps plans round-sized."""
     if iters < 0:
         raise ValueError("iters must be >= 0")
+    from pyspark.sql.window import Window
+
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    ed = e.join(deg, "src").repartition(F.col("src"))
+    # out-degree via a src-partitioned window instead of groupBy + re-join:
+    # the old shape read the (possibly expensive) edge build TWICE — once
+    # for the aggregate, once for the join's probe side — and shuffled e a
+    # second time for the loop's repartition. The window's exchange IS a
+    # hash partitioning on src, so one pass attaches deg and establishes
+    # the loop partitioning together (guide §2.4 "window partitioned by
+    # the same key as a preceding aggregation shares the exchange"); count
+    # is integer-exact, so rows are identical to the join form.
+    ed = e.withColumn(
+        "deg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+    ).repartition(F.col("src"))
     ed.persist()
     try:
         # see katz_centrality's `nodes` contract (set equality required)
@@ -386,7 +397,17 @@ def hits(
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # lineage break after the dedup: e_by_src and e_by_dst each persist a
+    # REPARTITION of e — without the checkpoint each persist's first
+    # materialization re-runs the whole upstream edge build + distinct
+    # (two full passes for one dedup; guide §2.4/§3.3). Lazy is safe: the
+    # first half-round touches only e_by_src (materializing the
+    # checkpoint); e_by_dst materializes a half-round later from blocks.
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     e_by_src = e.repartition(F.col("src")).persist()
     e_by_dst = e.repartition(F.col("dst")).persist()
     try:
@@ -619,8 +640,14 @@ def weighted_pagerank(
         F.col(dst).alias("dst"),
         F.col(weight_col).cast("long").alias("w"),
     )
-    tot = e.groupBy("src").agg(F.sum("w").alias("tw"))
-    ed = e.join(tot, "src").repartition(F.col("src"))
+    from pyspark.sql.window import Window
+
+    # out-weight via a src-partitioned window — see pagerank: one pass
+    # over the edge build instead of aggregate + re-join (two reads), and
+    # the window's hash exchange doubles as the loop's src partitioning.
+    ed = e.withColumn(
+        "tw", F.sum("w").over(Window.partitionBy("src"))
+    ).repartition(F.col("src"))
     ed.persist()
     try:
         nodes = (

@@ -250,6 +250,12 @@ def banded_bucket_array(
 def banded_pairs(banded: DataFrame) -> DataFrame:
     """(id, band, bh) rows → distinct candidate pairs (id_a < id_b): the
     band-bucket equi-self-join shared by every LSH leg."""
+    # the self-join reads `banded` twice, and its upstream (signature
+    # aggregate + banding) is the expensive half of candidate generation —
+    # EAGER checkpoint so each side reads blocks (join sides materialize
+    # concurrently, so lazy would recompute; guide §3.3). The banded table
+    # is (id, band, bh) — bands× the doc count, narrow.
+    banded = banded.localCheckpoint(eager=True)
     a = banded.withColumnRenamed("id", "id_a")
     b = banded.withColumnRenamed("id", "id_b")
     return (
@@ -306,7 +312,15 @@ def jaccard_on_pairs(
         .unionByName(pairs.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    sh_c = sh.join(maybe_bc(cand_ids), "id", "left_semi")
+    # sh_c is read THREE times below (the size aggregate + both sides of
+    # the intersection join): without a break each read re-scans the full
+    # shingle table and re-runs the semi-join (guide §3.3). EAGER because
+    # the intersection join's two sides materialize concurrently. sh_c is
+    # candidate-sized (near-dup rate × shingles/doc), so the checkpoint
+    # stores a vanishing fraction of the corpus at any scale.
+    sh_c = sh.join(maybe_bc(cand_ids), "id", "left_semi").localCheckpoint(
+        eager=True
+    )
     sizes = sh_c.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         sh_c.withColumnRenamed("id", "id_a")
@@ -519,7 +533,9 @@ def minhash_near_dup_increment(
         sig = minhash_signatures(sh, num_hashes).join(
             allp.select("id", "is_new"), "id"
         )
-        banded = band_signature(sig, num_hashes, bands, carry_cols=["is_new"])
+        banded = band_signature(
+            sig, num_hashes, bands, carry_cols=["is_new"]
+        ).localCheckpoint(eager=True)  # bn + ball both read it (see banded_pairs)
         bn = banded.filter(F.col("is_new")).select(
             F.col("id").alias("id_new"), "band", "bh"
         )
@@ -656,6 +672,15 @@ def _cc_star(
     mapped to itself by both stars, so shared extra rounds are no-ops for
     it); global set-stability of the tagged edge set == every group stable."""
     g = [group_col] if group_col else []
+    # `pairs` is read by THREE plan branches below (canon + the two union
+    # legs of `nodes`); callers often pass a LAZY pair pipeline (the
+    # semantic-dedup quadratic verify, the edit-distance variant join), so
+    # without a lineage break the whole pipeline re-plans AND re-executes
+    # per reference — canon's eager checkpoint pays it once, then `nodes`
+    # pays it twice more at the final join (guide §3.3). The lazy
+    # checkpoint materializes inside canon's eager one (strictly first),
+    # so `nodes` later reads blocks, not the pipeline.
+    pairs = pairs.select(*g, id_a, id_b).localCheckpoint(eager=False)
     nodes = (
         pairs.select(*g, F.col(id_a).alias("id"))
         .unionByName(pairs.select(*g, F.col(id_b).alias("id")))
@@ -725,6 +750,11 @@ def _cc_star(
                 .select(
                     *g, "id", F.coalesce("component", F.col("id")).alias("component")
                 )
+                # consumers read the label table from several plan branches
+                # (e.g. soft-dedup's cluster-size aggregate + its re-join);
+                # the lazy break stops each branch re-running the nodes
+                # distinct + label-assembly join (guide §3.3)
+                .localCheckpoint(eager=False)
             )
     raise RuntimeError(
         f"connected_components: no convergence in {max_iters} star rounds"
@@ -904,7 +934,12 @@ def embedding_near_dup_pairs_lsh_banded(
     ]
     banded = emb.select(
         F.col(id_col).alias("id"), F.explode(F.array(*band_sigs)).alias("bb")
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    ).localCheckpoint(eager=True)
+    # ^ both self-join sides read the banded table, and the bands×n_planes
+    # sign projections behind it are the expensive map of this query —
+    # materialize once (concurrent join sides, so eager; guide §3.3)
     a = banded.withColumnRenamed("id", "id_a")
     b = banded.withColumnRenamed("id", "id_b")
     cand = (
@@ -917,7 +952,7 @@ def embedding_near_dup_pairs_lsh_banded(
         F.col(id_col).alias("id"),
         prequantize(F.col(vec_col)).alias("qv"),
         l2_norm_quantized(F.col(vec_col)).alias("norm"),
-    )
+    ).localCheckpoint(eager=True)  # quantize each vector ONCE, not once per pair side
     return (
         cand.join(prepped.withColumnsRenamed({"id": "id_a", "qv": "qa", "norm": "na"}), "id_a")
         .join(prepped.withColumnsRenamed({"id": "id_b", "qv": "qb", "norm": "nb"}), "id_b")

@@ -58,6 +58,12 @@ def edit_distance_pairs(
         df.select(F.col(str_col).alias("w"))
         .filter(F.length("w").between(min_len, max_len))
         .distinct()
+        # both sides of the variant self-join explode THIS frame — without
+        # a lineage break each side re-runs the scan+filter+distinct
+        # (guide §3.3). EAGER because the two join sides materialize
+        # concurrently; the in-row variant explode stays per-side (10× the
+        # rows — cheaper to recompute than to store and reread).
+        .localCheckpoint(eager=True)
     )
     v = words.select(
         "w", F.explode(deletion_variants(F.col("w"))).alias("variant")

@@ -1129,7 +1129,12 @@ def minhash_jaccard_error_documents(spark: SparkSession, sf_dir: str) -> DataFra
     sh = dedup.shingles(docs, "text", "doc_id", k=SHINGLE_K)
     sh.persist()
     try:
-        sig = dedup.minhash_signatures(sh, NUM_HASHES)
+        # sig feeds THREE branches (the banded candidate join + the a/b
+        # estimate sides) — materialize the signature aggregate once
+        # (guide §3.3)
+        sig = dedup.minhash_signatures(sh, NUM_HASHES).localCheckpoint(
+            eager=True
+        )
         cand = dedup.lsh_bucket_pairs(sig, NUM_HASHES, BANDS).localCheckpoint(
             eager=True
         )
