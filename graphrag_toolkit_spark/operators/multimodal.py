@@ -415,7 +415,13 @@ def phash_near_dup_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("id", "phash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select(
+        "id", "phash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    ).localCheckpoint(eager=True)
+    # ^ both self-join sides read the banded table, and the perceptual-hash
+    # stage upstream is an Arrow mapInPandas pass over the MEDIA BYTES —
+    # the single most expensive map in the query (guide §4: pay the Python
+    # boundary once). Eager: the join sides materialize concurrently.
     a = banded.select(
         "band", "key", F.col("id").alias("id_a"), F.col("phash").alias("ph_a")
     )

@@ -140,7 +140,12 @@ def duplicated_span_coverage(
     quality signal corpora are filtered on."""
     starts = ngram_starts(df, text_col, id_col, n)
     dup = duplicated_grams(starts).select("gram")
-    marked = starts.join(dup, "gram", "left_semi")
+    # marked feeds BOTH per-doc aggregates (dup_starts count + the interval
+    # union window), which materialize concurrently in the final join —
+    # without a break each one re-runs the full n-gram explode + semi-join
+    # (guide §3.3). Duplicated-position rows are duplication-rate-sized, so
+    # the eager checkpoint stores a corpus fraction, never the gram table.
+    marked = starts.join(dup, "gram", "left_semi").localCheckpoint(eager=True)
     per_doc = (
         marked.groupBy("id")
         .agg(F.count(F.lit(1)).alias("dup_starts"))

@@ -302,7 +302,15 @@ LIMIT 20
 # --- J8-analog: top-N neighbors per node by strength -------------------------
 
 def topn_part_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        # both self-join sides read the deduped basket table — EAGER break
+        # so the scan+distinct runs once, not once per side (guide §3.3;
+        # the sides materialize concurrently, so lazy would recompute)
+        .localCheckpoint(eager=True)
+    )
     a = li.withColumnsRenamed({"l_partkey": "part_a"}).filter(F.col("part_a") <= 100)
     b = li.withColumnsRenamed({"l_partkey": "part_b"})
     pairs = (
