@@ -43,6 +43,7 @@ def build_session(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or cpus
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -53,7 +54,23 @@ def build_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", driver_mem)
+        # Pin the heap (Xms == Xmx) and pre-touch it at JVM launch. On this
+        # class of virtualized host, first-touch page faults are pathologically
+        # slow (measured: a growing heap put 32 task threads at 73-88% SYSTEM
+        # time + 13-25% steal — an mmap/fault storm — turning a 7 s query into
+        # 340 s), and G1 additionally UNCOMMITS regions after GC, re-paying
+        # those faults inside later TIMED queries. Xms == Xmx makes uncommit
+        # impossible and AlwaysPreTouch moves every heap fault to JVM launch,
+        # which no per-query timing includes. Same discipline applies to
+        # executor JVMs on a real cluster (spark.executor.extraJavaOptions).
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_JAVA_OPTS",
+                f"-Xms{driver_mem} -XX:+AlwaysPreTouch",
+            ),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # events.parquet stores TIMESTAMP(NANOS), which Spark refuses by
         # default; read as long and convert in load() (DuckDB truncates
