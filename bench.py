@@ -200,7 +200,10 @@ def main() -> None:
         "sf": sf,
         "loadavg_1min": round(os.getloadavg()[0], 2),
         "repeats": 1,  # per-query measurements are single-shot
-        "cpus": os.cpu_count(),
+        # the session's core count (the driver sets SPARK_GRAFT_CPUS and
+        # re-runs at lower counts to measure scaling — report what was
+        # actually used, not the machine's total)
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)),
     }
     # The driver keeps only a ~1.7 KB TAIL of stdout and parses the last
     # line: the full 77-query dict overflows it and decapitates the JSON
